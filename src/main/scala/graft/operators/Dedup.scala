@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (hash-groupBy),
+  * n-gram Jaccard near-dup via an inverted shingle index, MinHash+LSH
+  * (shingle → minhash → band → bucket-join), and SimHash.
+  *
+  * Scale notes (the whole point of these formulations):
+  *  - exact dedup is one shuffle on the 128-bit content hash — never on
+  *    the document text;
+  *  - Jaccard candidates come from the inverted-index equi-join on
+  *    shingles (cost Σ df(s)²), NOT an all-pairs cross join (n²);
+  *  - MinHash/LSH reduces that further: the only join is on (band,
+  *    band-key), so near-constant per document at 100 TB;
+  *  - all hashing is md5-based so the DuckDB oracle can reproduce it
+  *    bit-for-bit (no engine-private hash functions in results).
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per document: (doc_id, s). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .distinct()
+
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      |       WHERE len(t) >= 3)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- q34: exact dedup (hash-groupBy on content fingerprint) --------
+    QueryDef(
+      "q34_dedup_exact",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n")),
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- q35: n-gram Jaccard near-dup (inverted-index join) ------------
+    QueryDef(
+      "q35_ngram_jaccard",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),
+            col("da") === col("da_"))
+          .join(cnt.withColumnRenamed("doc_id", "db_").withColumnRenamed("n", "nb"),
+            col("db") === col("db_"))
+          .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jac") >= 0.2)
+          .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+              |          FROM sh a JOIN sh b
+              |            ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT da, db, round(inter / (ca.n + cb.n - inter), 4) AS jac
+              |FROM pairs
+              |JOIN cnt ca ON da = ca.doc_id
+              |JOIN cnt cb ON db = cb.doc_id
+              |WHERE inter / (ca.n + cb.n - inter) >= 0.2""".stripMargin)),
+
+    // ---- q36: MinHash + LSH candidate pairs ----------------------------
+    // 8 md5-based minhashes, 4 bands × 2 rows: candidate iff some band's
+    // concatenated signature collides.
+    QueryDef(
+      "q36_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val mh = sh
+          .select(col("doc_id"), col("s"),
+            explode(sequence(lit(0), lit(7))).as("seed"))
+          .withColumn("h",
+            md5(concat(col("seed").cast("string"), lit(":"), col("s"))))
+          .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
+        val bands = mh
+          .groupBy(col("doc_id"), expr("seed div 2").as("band"))
+          .agg(concat_ws("",
+            min(when(col("seed") % 2 === 0, col("mh"))),
+            min(when(col("seed") % 2 === 1, col("mh")))).as("bkey"))
+        bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+      },
+      Some(s"""WITH $shinglesSql,
+              |mh AS (SELECT doc_id, g.seed,
+              |         min(md5(CAST(g.seed AS VARCHAR) || ':' || s)) AS mh
+              |       FROM sh, UNNEST(generate_series(0, 7)) AS g(seed)
+              |       GROUP BY 1, 2),
+              |bands AS (SELECT doc_id, seed // 2 AS band,
+              |            min(CASE WHEN seed % 2 = 0 THEN mh END)
+              |            || min(CASE WHEN seed % 2 = 1 THEN mh END) AS bkey
+              |          FROM mh GROUP BY 1, 2)
+              |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+              |FROM bands x JOIN bands y
+              |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin)),
+
+    // ---- q37: SimHash (32-bit, per-bit token-hash majority) ------------
+    // Bit j of the fingerprint is the majority vote over distinct tokens
+    // of the high bit of hex digit j of md5(token) — md5-derived so the
+    // oracle reproduces it exactly.
+    QueryDef(
+      "q37_simhash",
+      (s, d) => {
+        val bits = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("w"))
+          .select(col("doc_id"), md5(col("w")).as("h"),
+            explode(sequence(lit(0), lit(31))).as("j"))
+          .withColumn("hb",
+            when(expr("substr(h, j + 1, 1)")
+              .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        bits.groupBy(col("doc_id"), col("j")).agg(sum(col("hb")).as("sb"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("sb") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
+            .as("simhash"))
+      },
+      Some("""WITH tok AS (SELECT DISTINCT doc_id, u.w
+             |             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+             |bits AS (SELECT doc_id, g.j,
+             |           CASE WHEN substr(md5(w), g.j + 1, 1)
+             |                  IN ('8','9','a','b','c','d','e','f')
+             |                THEN 1 ELSE -1 END AS hb
+             |         FROM tok, UNNEST(generate_series(0, 31)) AS g(j)),
+             |sums AS (SELECT doc_id, j, sum(hb) AS sb FROM bits GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+             |       AS BIGINT) AS simhash
+             |FROM sums GROUP BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact.{sumFixed, sumFixedSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch formulations of the reference's streaming semantics over the
+  * `events` table, each with a DuckDB oracle that reproduces Spark's
+  * window arithmetic exactly.
+  *
+  * The alert query (q20) is the reference's single query re-based onto
+  * the driver's event schema: "alert per (sliding window, user) when the
+  * user has SOME high-value error event AND SOME low-value purchase
+  * event in the window" — the same ∃/∃ conjunction as
+  * BiometricAlertStreamProcessor.scala:59–62 (systolic<100 ∧
+  * heartRate>100), computed with the O(1)-state flag aggregation from
+  * SURVEY.md §2.5 A1 instead of the reference's collect-to-list plan.
+  *
+  * Window-assignment arithmetic (oracle side): Spark's TimeWindow
+  * assigns an event at epoch-seconds `es` to every pane with
+  * `start = (floor(es/slide) - k) * slide, k ∈ [0, len/slide)`, subject
+  * to `start + len > es` — identical to
+  * AkkaBiometricAlertStreamProcessor.scala:44–56 (`windowsFor`).
+  */
+object EventOps {
+
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  /** Alert predicate halves, reused across q20/q24/q25. */
+  private val isError = "event_type = 'error' AND value > 100"
+  private val isPurchase = "event_type = 'purchase' AND value < 50"
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- q20: sliding-window ∃/∃ alert (the reference query, P6+A1) ----
+    // 6h window / 1h slide. The per-stream predicate halves are pushed
+    // below the window agg (legal here: the flags only read those rows),
+    // so pane state is two booleans per (window,user) — O(1), not
+    // O(events) like the reference's list-concat reducer.
+    QueryDef(
+      "q20_sliding_alert",
+      (s, d) =>
+        ev(s, d)
+          .filter(expr(s"($isError) OR ($isPurchase)"))
+          .groupBy(window(col("ts"), "6 hours", "1 hour"), col("user_id"))
+          .agg(
+            max(when(expr(isError), 1).otherwise(0)).as("has_err"),
+            max(when(expr(isPurchase), 1).otherwise(0)).as("has_pur"))
+          .filter(col("has_err") === 1 && col("has_pur") === 1)
+          .select(
+            unix_timestamp(col("window.start")).as("w_start"),
+            col("user_id"),
+            format_string("User %d has a problem", col("user_id")).as("message")),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events
+              |  WHERE ($isError) OR ($isPurchase)),
+              |panes AS (
+              |  SELECT user_id, event_type, value,
+              |         ((us // 3600000000) - g.k) * 3600 AS ws
+              |  FROM e, UNNEST(generate_series(0, 5)) AS g(k)
+              |  WHERE (((us // 3600000000) - g.k) * 3600 + 21600) * 1000000 > us)
+              |SELECT ws AS w_start, user_id,
+              |       'User ' || user_id || ' has a problem' AS message
+              |FROM panes GROUP BY 1, 2
+              |HAVING max(CASE WHEN $isError THEN 1 ELSE 0 END) = 1
+              |   AND max(CASE WHEN $isPurchase THEN 1 ELSE 0 END) = 1""".stripMargin)),
+
+    // ---- q21: session windows (W6) -------------------------------------
+    // 4h gap. Spark session end = last event ts + gap.
+    QueryDef(
+      "q21_session",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), round(sumFixed("value"), 2).as("sum_value"))
+          .select(
+            col("user_id"),
+            unix_timestamp(col("session_window.start")).as("s_start"),
+            unix_timestamp(col("session_window.end")).as("s_end"),
+            col("n_events"), col("sum_value")),
+      Some(s"""WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+             |m AS (SELECT user_id, value, us,
+             |        CASE WHEN us - lag(us) OVER w >= 14400000000
+             |               OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |g AS (SELECT user_id, value, us,
+             |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+             |                       ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id,
+             |  min(us) // 1000000 AS s_start,
+             |  max(us) // 1000000 + 14400 AS s_end,
+             |  count(*) AS n_events, round(${sumFixedSql("value")}, 2) AS sum_value
+             |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    // ---- q22: tumbling window aggregate (W1 degenerate case) -----------
+    QueryDef(
+      "q22_tumbling",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sumFixed("value"), 2).as("sum_value"))
+          .select(
+            unix_timestamp(col("window.start")).as("h_start"),
+            col("event_type"), col("n"), col("sum_value")),
+      Some(s"""SELECT (epoch_us(ts) // 3600000000) * 3600 AS h_start,
+              |  event_type, count(*) AS n, round(${sumFixedSql("value")}, 2) AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q23: JSON field extraction (P1 analog on `props`) -------------
+    QueryDef(
+      "q23_json",
+      (s, d) =>
+        ev(s, d)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+          .filter(col("k_val") > 50),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50""".stripMargin)),
+
+    // ---- q24: session-window debounce (T4, Beam semantics) -------------
+    // Alerts (high-value errors) grouped into 2h-gap sessions per user;
+    // keep the first alert of each session, count the suppressed rest.
+    QueryDef(
+      "q24_session_debounce",
+      (s, d) =>
+        ev(s, d)
+          .filter(expr(isError))
+          .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+          .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_suppressed"))
+          .select(col("user_id"),
+            unix_timestamp(col("first_ts")).as("alert_s"),
+            (col("n_suppressed") - 1).as("n_suppressed")),
+      Some(s"""WITH a AS (SELECT user_id, epoch_us(ts) AS us FROM events
+              |           WHERE $isError),
+              |m AS (SELECT user_id, us,
+              |        CASE WHEN us - lag(us) OVER w >= 7200000000
+              |               OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+              |      FROM a WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+              |g AS (SELECT user_id, us,
+              |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+              |                       ROWS UNBOUNDED PRECEDING) AS sid
+              |      FROM m)
+              |SELECT user_id, min(us) // 1000000 AS alert_s,
+              |       count(*) - 1 AS n_suppressed
+              |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    // ---- q25: interval (band) join (J2, Kafka JoinWindows analog) ------
+    // errors ⋈ purchases within ±2h per user. At scale: equi-key on
+    // user_id makes this a shuffled hash join with a range residual —
+    // bounded blow-up because the band is narrow.
+    QueryDef(
+      "q25_band_join",
+      (s, d) => {
+        val e = ev(s, d).filter(expr(isError))
+          .select(col("user_id"), col("ts").as("e_ts"))
+        val p = ev(s, d).filter(expr(isPurchase))
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        e.join(p, col("user_id") === col("p_user")
+            && col("p_ts") >= col("e_ts") - expr("INTERVAL 2 HOURS")
+            && col("p_ts") <= col("e_ts") + expr("INTERVAL 2 HOURS"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""SELECT e.user_id, count(*) AS n_pairs
+              |FROM (SELECT user_id, ts FROM events WHERE $isError) e
+              |JOIN (SELECT user_id, ts FROM events WHERE $isPurchase) p
+              |  ON e.user_id = p.user_id
+              | AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 7200000000
+              |GROUP BY 1""".stripMargin)),
+
+    // ---- q26: cooldown debounce (T1 semantics, batch form) -------------
+    // Greedy leading debounce: per user, emit an alert only if ≥ 24h
+    // after the last EMITTED alert. Iterative semantics — not
+    // SQL-expressible, so no oracle (driver records rows-only check).
+    // Scalable shape: repartition by user, sort within partitions,
+    // single streaming pass (no per-group materialization).
+    QueryDef(
+      "q26_cooldown_debounce",
+      (s, d) => {
+        import s.implicits._
+        val cooldownUs = 24L * 3600 * 1000000
+        ev(s, d)
+          .filter(expr(isError))
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+          .repartition(col("user_id"))
+          .sortWithinPartitions("user_id", "us")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            var curUser = Long.MinValue
+            var lastEmit = Long.MinValue
+            it.flatMap { case (u, us) =>
+              if (u != curUser) { curUser = u; lastEmit = us; Some((u, us / 1000000)) }
+              else if (us - lastEmit >= cooldownUs) { lastEmit = us; Some((u, us / 1000000)) }
+              else None
+            }
+          }
+          .toDF("user_id", "alert_s")
+      },
+      None)
+  )
+}

@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact.{sumFixed, sumFixedSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface: scans, filters, equi/broadcast/semi/anti joins,
+  * hash aggregates, SQL window functions, rollup, top-k.
+  *
+  * The reference itself has no relational surface (it is a stream
+  * program, SURVEY.md §2.8), but its keyed-aggregate/join semantics map
+  * onto these operators; they are the batch foundation the streaming
+  * queries share.
+  *
+  * Determinism rules for the DuckDB oracle (driver hashes values):
+  *  - every double produced by an aggregate is `round(_, N)`-ed on both
+  *    sides (summation order differs between engines);
+  *  - no timestamp-typed output column — epochs as BIGINT instead
+  *    (parquet tz-annotation vs DuckDB naive timestamps);
+  *  - every ORDER BY used with LIMIT carries a unique-key tiebreak.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables(s, d, "customer")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- q1: TPC-H Q1-style full-scan hash aggregate ------------------
+    // Partial+final agg (HashAggregateExec) gives map-side combine; at
+    // 100 TB this is a single shuffle of ~|groups| rows per partition.
+    QueryDef(
+      "q1_agg",
+      (s, d) =>
+        li(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sumFixed("l_quantity"), 2).as("sum_qty"),
+            round(sumFixed("l_extendedprice"), 2).as("sum_base"),
+            round(sumFixed("l_extendedprice * (1 - l_discount)"), 2).as("sum_disc_price"),
+            round(sumFixed("l_quantity") / count(lit(1)), 4).as("avg_qty"),
+            count(lit(1)).as("n")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  round(${sumFixedSql("l_quantity")}, 2) AS sum_qty,
+              |  round(${sumFixedSql("l_extendedprice")}, 2) AS sum_base,
+              |  round(${sumFixedSql("l_extendedprice * (1 - l_discount)")}, 2) AS sum_disc_price,
+              |  round(${sumFixedSql("l_quantity")} / count(*), 4) AS avg_qty,
+              |  count(*) AS n
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- q2: filter + projection (parquet predicate pushdown) ---------
+    QueryDef(
+      "q2_filter",
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_quantity") > 45 && col("l_returnflag") === "R"
+            && col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_quantity > 45 AND l_returnflag = 'R'
+             |  AND l_shipdate >= TIMESTAMP '2000-01-01'""".stripMargin)),
+
+    // ---- q3: TPC-H Q3-style 3-way join + aggregate --------------------
+    // customer is tiny relative to lineitem: broadcast it; orders⋈lineitem
+    // shuffles on orderkey (the natural co-partitioning key at scale).
+    QueryDef(
+      "q3_join_agg",
+      (s, d) => {
+        val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = ord(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = li(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(round(sumFixed("l_extendedprice * (1 - l_discount)"), 2).as("revenue"))
+          .select(col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("o_date"), col("revenue"))
+      },
+      Some(s"""SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
+             |  round(${sumFixedSql("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q4: EXISTS (left-semi) + aggregate ---------------------------
+    QueryDef(
+      "q4_semi_agg",
+      (s, d) => {
+        val bigLines = li(s, d).filter(col("l_quantity") > 48)
+          .select(col("l_orderkey")).distinct()
+        ord(s, d).join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- q5: TPC-H Q5-style 6-way join (broadcast dims) ---------------
+    QueryDef(
+      "q5_multi_join",
+      (s, d) => {
+        val r = Tables(s, d, "region").filter(col("r_name") === "ASIA")
+        val n = Tables(s, d, "nation")
+        val sup = Tables(s, d, "supplier")
+        val c = cust(s, d)
+        val o = ord(s, d)
+        val l = li(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sumFixed("l_extendedprice * (1 - l_discount)"), 2).as("revenue"))
+      },
+      Some(s"""SELECT n_name,
+             |  round(${sumFixedSql("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- q6: top-k with deterministic tiebreak ------------------------
+    QueryDef(
+      "q6_topk",
+      (s, d) =>
+        ord(s, d).select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- q7: distinct --------------------------------------------------
+    QueryDef(
+      "q7_distinct",
+      (s, d) => cust(s, d).select("c_nationkey", "c_mktsegment").distinct(),
+      Some("SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")),
+
+    // ---- q8: SQL window function (rank-within-partition) ---------------
+    QueryDef(
+      "q8_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        ord(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |        row_number() OVER (PARTITION BY o_custkey
+             |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // ---- q9: semi join (IN-subquery) -----------------------------------
+    QueryDef(
+      "q9_semi",
+      (s, d) => {
+        val big = ord(s, d).filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey"))
+        cust(s, d).join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders
+             |                    WHERE o_totalprice > 450000)""".stripMargin)),
+
+    // ---- q10: anti join -------------------------------------------------
+    QueryDef(
+      "q10_anti",
+      (s, d) =>
+        cust(s, d).join(ord(s, d).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // ---- q11: union (J4 analog: heterogeneous fan-in) -------------------
+    QueryDef(
+      "q11_union",
+      (s, d) =>
+        cust(s, d).select(col("c_name").as("name"), lit("customer").as("kind"))
+          .unionByName(
+            Tables(s, d, "supplier")
+              .select(col("s_name").as("name"), lit("supplier").as("kind"))),
+      Some("""SELECT c_name AS name, 'customer' AS kind FROM customer
+             |UNION ALL
+             |SELECT s_name AS name, 'supplier' AS kind FROM supplier""".stripMargin)),
+
+    // ---- q12: conditional aggregation (P6 flag-agg pattern) -------------
+    QueryDef(
+      "q12_case_agg",
+      (s, d) =>
+        ord(s, d).groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+            round(sumFixed("o_totalprice") / count(lit(1)), 2).as("avg_price")),
+      Some(s"""SELECT o_orderpriority, count(*) AS n_total,
+              |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+              |  round(${sumFixedSql("o_totalprice")} / count(*), 2) AS avg_price
+              |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- q13: HAVING ----------------------------------------------------
+    QueryDef(
+      "q13_having",
+      (s, d) =>
+        cust(s, d).groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 50),
+      Some("""SELECT c_nationkey, count(*) AS n FROM customer
+             |GROUP BY 1 HAVING count(*) > 50""".stripMargin)),
+
+    // ---- q14: scalar/date/string functions ------------------------------
+    QueryDef(
+      "q14_scalar",
+      (s, d) =>
+        ord(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          length(col("o_orderpriority")).as("prio_len")),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+             |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+             |  upper(substr(o_orderpriority, 1, 3)) AS prio3,
+             |  o_orderstatus || '-' || o_orderpriority AS tag,
+             |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len
+             |FROM orders""".stripMargin)),
+
+    // ---- q15: rollup (grouping sets) ------------------------------------
+    QueryDef(
+      "q15_rollup",
+      (s, d) => {
+        val j = cust(s, d)
+          .join(broadcast(Tables(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+        j.rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n"), round(sumFixed("c_acctbal"), 2).as("bal"))
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n, round(${sumFixedSql("c_acctbal")}, 2) AS bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin))
+  )
+}

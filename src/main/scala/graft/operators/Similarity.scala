@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float]
+  * vectors): brute-force cosine top-k as the correctness baseline and a
+  * deterministic sign-random-projection LSH variant as the scale path.
+  *
+  * Dot products use `aggregate(zip_with(...))` — a strict left-to-right
+  * fold, which DuckDB's `list_dot_product` matches bit-for-bit, so the
+  * oracle compares exactly. All vectors are cast float→double (exact)
+  * before arithmetic.
+  *
+  * Scale posture: brute force is O(|Q|·N·dim) — fine for |Q| small and
+  * broadcastable; the LSH path buckets the corpus with 8 deterministic
+  * hyperplanes (md5-derived coefficients, reproducible in SQL) so the
+  * candidate join is an equi-join on the bucket id instead of a cross
+  * join. At 100 TB you'd re-bucket with more planes + multiprobe; the
+  * plumbing (bucket equi-join + within-bucket rerank) is the same.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  private val cosSql =
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+  private val cosSpark =
+    "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x) / " +
+      "(sqrt(aggregate(qv, 0D, (a, x) -> a + x * x)) * " +
+      "sqrt(aggregate(cv, 0D, (a, x) -> a + x * x)))"
+
+  /** Deterministic ±1 hyperplane coefficients: sign taken from the high
+    * bit of the first hex digit of md5("<plane>-<dim>").
+    */
+  private def planes(s: SparkSession): DataFrame =
+    s.range(8).select(col("id").cast("int").as("p"))
+      .crossJoin(s.range(64).select(col("id").cast("int").as("i")))
+      .withColumn("coef",
+        when(substring(md5(concat(col("p").cast("string"), lit("-"),
+          col("i").cast("string"))), 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0))
+
+  private val planesSql =
+    """planes AS (
+      |  SELECT p.p, i.i,
+      |    CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || '-' || CAST(i.i AS VARCHAR)), 1, 1)
+      |           IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS coef
+      |  FROM UNNEST(generate_series(0, 7)) AS p(p),
+      |       UNNEST(generate_series(0, 63)) AS i(i))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- q40: brute-force cosine top-1 for 10 query vectors ------------
+    QueryDef(
+      "q40_knn_brute",
+      (s, d) => {
+        val e = emb(s, d)
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val cands = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val sims = qs.join(broadcast(cands), col("c_id") =!= col("q_id"))
+          .withColumn("sim", expr(cosSpark))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("q_id"), col("c_id").as("nn_id"),
+            round(col("sim"), 4).as("sim"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+              |sims AS (SELECT q_id, vec_id AS c_id, v AS cv, qv FROM qs, e
+              |         WHERE vec_id <> q_id),
+              |scored AS (SELECT q_id, c_id, $cosSql AS sim FROM sims)
+              |SELECT q_id, c_id AS nn_id, round(sim, 4) AS sim
+              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |        ORDER BY sim DESC, c_id) AS rn FROM scored)
+              |WHERE rn = 1""".stripMargin)),
+
+    // ---- q41: per-label centroid (element-wise mean) -------------------
+    QueryDef(
+      "q41_centroid",
+      (s, d) =>
+        emb(s, d)
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
+          .groupBy(col("label"), col("pos"))
+          .agg(round(graft.functions.Exact.sumFixed("val", 6) / count(lit(1)), 4)
+            .as("v")),
+      Some(s"""SELECT label, g.i - 1 AS pos,
+              |  round(${graft.functions.Exact.sumFixedSql("embedding[g.i]::DOUBLE", 6)}
+              |        / count(*), 4) AS v
+              |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q42: LSH-bucketed approximate NN ------------------------------
+    QueryDef(
+      "q42_ann_lsh",
+      (s, d) => {
+        val e = emb(s, d)
+        val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "val")))
+        val sums = comp.join(broadcast(planes(s)), col("pos") === col("i"))
+          .groupBy(col("vec_id"), col("p"))
+          .agg(sum(col("coef") * col("val")).as("sp"))
+        val buckets = sums.groupBy(col("vec_id"))
+          .agg(sum(when(col("sp") > 0, expr("shiftleft(1, p)")).otherwise(0))
+            .as("bucket"))
+        val withVec = buckets.join(e.select(col("vec_id"), col("v")), "vec_id")
+        val qs = withVec.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("bucket").as("qb"), col("v").as("qv"))
+        val cands = withVec
+          .select(col("vec_id").as("c_id"), col("bucket").as("cb"), col("v").as("cv"))
+        val sims = qs.join(cands, col("qb") === col("cb") && col("c_id") =!= col("q_id"))
+          .withColumn("sim", expr(cosSpark))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("q_id"), col("c_id").as("nn_id"),
+            round(col("sim"), 4).as("sim"))
+      },
+      Some(s"""WITH $planesSql,
+              |comp AS (SELECT vec_id, g.i - 1 AS pos, embedding[g.i]::DOUBLE AS val
+              |         FROM embeddings,
+              |              UNNEST(generate_series(1, len(embedding))) AS g(i)),
+              |sums AS (SELECT vec_id, p, sum(coef * val) AS sp
+              |         FROM comp JOIN planes ON pos = i GROUP BY 1, 2),
+              |buck AS (SELECT vec_id,
+              |           CAST(sum(CASE WHEN sp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+              |             AS bucket
+              |         FROM sums GROUP BY 1),
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |wv AS (SELECT b.vec_id, bucket, v FROM buck b JOIN e USING (vec_id)),
+              |qs AS (SELECT vec_id AS q_id, bucket AS qb, v AS qv FROM wv WHERE vec_id < 10),
+              |sims AS (SELECT q_id, c.vec_id AS c_id, c.v AS cv, qv
+              |         FROM qs JOIN wv c ON qb = c.bucket AND c.vec_id <> q_id),
+              |scored AS (SELECT q_id, c_id, $cosSql AS sim FROM sims)
+              |SELECT q_id, c_id AS nn_id, round(sim, 4) AS sim
+              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |        ORDER BY sim DESC, c_id) AS rn FROM scored)
+              |WHERE rn = 1""".stripMargin))
+  )
+}
