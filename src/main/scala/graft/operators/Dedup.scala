@@ -51,6 +51,12 @@ object Dedup {
     QueryDef(
       "q35_ngram_jaccard",
       (s, d) => {
+        // The shingle index feeds three consumers (both join sides +
+        // per-doc counts). Deliberately NOT persisted: Catalyst's
+        // ReusedExchange already shares the shuffle between the two
+        // identical join inputs, and an InMemoryRelation here breaks
+        // that reuse and the join's whole-stage pipeline (measured 4×
+        // slower at sf0.1).
         val sh = shingles(s, d)
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = sh.as("a")
@@ -84,18 +90,21 @@ object Dedup {
     QueryDef(
       "q36_minhash_lsh",
       (s, d) => {
+        // All 8 minhashes in ONE partial-aggregating pass over the
+        // shingle set (no per-seed explode, one shuffle of 8 hashes
+        // per doc), then 4 band keys exploded for the bucket join —
+        // the per-document cost is constant, which is what makes
+        // MinHash/LSH the dedup scale path at 100 TB.
         val sh = shingles(s, d)
-        val mh = sh
-          .select(col("doc_id"), col("s"),
-            explode(sequence(lit(0), lit(7))).as("seed"))
-          .withColumn("h",
-            md5(concat(col("seed").cast("string"), lit(":"), col("s"))))
-          .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
-        val bands = mh
-          .groupBy(col("doc_id"), expr("seed div 2").as("band"))
-          .agg(concat_ws("",
-            min(when(col("seed") % 2 === 0, col("mh"))),
-            min(when(col("seed") % 2 === 1, col("mh")))).as("bkey"))
+        val sigCols = (0 to 7).map(k =>
+          min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
+        val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        val bandCols = (0 to 3).map(b =>
+          struct(lit(b).as("band"),
+            concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
+        val bands = sigs
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
         bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")

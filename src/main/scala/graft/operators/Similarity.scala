@@ -31,10 +31,14 @@ object Similarity {
   private val cosSql =
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
 
-  private val cosSpark =
-    "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x) / " +
-      "(sqrt(aggregate(qv, 0D, (a, x) -> a + x * x)) * " +
-      "sqrt(aggregate(cv, 0D, (a, x) -> a + x * x)))"
+  /** Native codegen'd expression ([[graft.functions.CosineSimilarity]]);
+    * same left-to-right accumulation as DuckDB's list_dot_product, so
+    * the oracle matches bit-for-bit.
+    */
+  private def cosSpark(s: SparkSession): String = {
+    graft.functions.CosineSimilarity.register(s)
+    "cosine_sim(qv, cv)"
+  }
 
   /** Deterministic ±1 hyperplane coefficients: sign taken from the high
     * bit of the first hex digit of md5("<plane>-<dim>").
@@ -65,7 +69,7 @@ object Similarity {
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val cands = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
         val sims = qs.join(broadcast(cands), col("c_id") =!= col("q_id"))
-          .withColumn("sim", expr(cosSpark))
+          .withColumn("sim", expr(cosSpark(s)))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("c_id").asc)
         sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -115,7 +119,7 @@ object Similarity {
         val cands = withVec
           .select(col("vec_id").as("c_id"), col("bucket").as("cb"), col("v").as("cv"))
         val sims = qs.join(cands, col("qb") === col("cb") && col("c_id") =!= col("q_id"))
-          .withColumn("sim", expr(cosSpark))
+          .withColumn("sim", expr(cosSpark(s)))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("c_id").asc)
         sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
