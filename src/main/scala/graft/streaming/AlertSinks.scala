@@ -49,7 +49,13 @@ object AlertSinks {
   def kafka(alerts: Dataset[Alert], bootstrapServers: String, topic: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
-    base(alerts, checkpoint, trigger)
+    alerts
+      .select(col("user_id").cast("string").as("key"),
+        to_json(struct(col("user_id"), col("message"), col("ts"))).as("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)

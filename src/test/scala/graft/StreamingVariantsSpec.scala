@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.AlertOps
+import graft.sources.JsonIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming tests for the two non-canonical pipeline formulations:
+  * the Kafka-style interval band join (J2) and the Beam-style
+  * session-window debounce (T4).
+  */
+class StreamingVariantsSpec extends SparkSpec {
+
+  private val T0 = 1700000000000L
+
+  private def hrJson(user: Int, hr: Int, ts: Long) =
+    s"""{"user_id":$user,"heart_rate":$hr,"timestamp":$ts}"""
+  private def bpJson(user: Int, sys: Int, ts: Long) =
+    s"""{"user_id":$user,"systolic":$sys,"diastolic":80,"timestamp":$ts}"""
+
+  test("streaming interval band join (J2) pairs events within the band") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val hr = MemoryStream[String]
+    val bp = MemoryStream[String]
+    val raw = AlertOps.bandJoinAlerts(
+      JsonIngest.heartRate(hr.toDF()).withWatermark("ts", "0 seconds"),
+      JsonIngest.bloodPressure(bp.toDF()).withWatermark("ts", "0 seconds"),
+      "15 seconds")
+    val q = raw.writeStream.format("memory").queryName("j2")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_j2").toString)
+      .start()
+
+    // Kafka fixture (golden scenario 3): BP sys=92 then two HR=200
+    bp.addData(bpJson(12345, 92, T0))
+    hr.addData(hrJson(12345, 200, T0 + 1000), hrJson(12345, 200, T0 + 3000))
+    q.processAllAvailable()
+    // HR outside the ±15s band must NOT pair
+    hr.addData(hrJson(12345, 200, T0 + 60000))
+    q.processAllAvailable()
+    // advance both watermarks so joined rows finalize
+    hr.addData(hrJson(99999, 50, T0 + 300000))
+    bp.addData(bpJson(99999, 150, T0 + 300000))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("j2").collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getInt(0) === 12345))
+  }
+
+  test("streaming session-window debounce (T4) emits one alert per burst") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val hr = MemoryStream[String]
+    val alerts = JsonIngest.heartRate(hr.toDF())
+      .withWatermark("ts", "0 seconds")
+      .filter(AlertOps.highHeartRate)
+      .groupBy(session_window(col("ts"), "10 seconds"), col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("first_ts"), col("n"))
+    val q = alerts.writeStream.format("memory").queryName("t4")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_t4").toString)
+      .start()
+
+    // burst 1: three alerts within 10s; burst 2: one alert 60s later.
+    // NOTE: the watermark-advancing events must themselves pass the
+    // heart_rate filter — Catalyst pushes the row filter BELOW the
+    // EventTimeWatermark node, so filtered-out events never advance
+    // the watermark.
+    hr.addData(hrJson(7, 150, T0), hrJson(7, 160, T0 + 3000),
+      hrJson(7, 170, T0 + 6000))
+    q.processAllAvailable()
+    hr.addData(hrJson(7, 180, T0 + 60000))
+    q.processAllAvailable()
+    hr.addData(hrJson(99999, 150, T0 + 300000)) // advance watermark
+    q.processAllAvailable()
+    hr.addData(hrJson(99999, 150, T0 + 301000)) // flush at high watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t4").collect()
+      .filter(_.getInt(0) === 7).sortBy(_.getTimestamp(1).getTime)
+    assert(rows.length === 2, s"got: ${rows.mkString("; ")}")
+    assert(rows(0).getTimestamp(1).getTime === T0 && rows(0).getLong(2) === 3)
+    assert(rows(1).getTimestamp(1).getTime === T0 + 60000 && rows(1).getLong(2) === 1)
+  }
+}
