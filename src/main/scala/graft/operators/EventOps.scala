@@ -204,6 +204,27 @@ object EventOps {
              |           WHERE event_type = 'purchase') p
              |  ON e.user_id = p.user_id AND p.ts <= e.ts""".stripMargin)),
 
+    // ---- q28: salted two-phase aggregation (skew pattern) --------------
+    // event_type has only 5 values → 5 hot reducers at 100 TB. Salt the
+    // key with user_id%16 for the partial aggregate, then combine the
+    // 16 partials per key. Results are identical to a direct groupBy
+    // (integer fixed-point sums are associative), which is exactly what
+    // the oracle checks.
+    QueryDef(
+      "q28_salted_agg",
+      (s, d) => {
+        val partial = ev(s, d)
+          .groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("salt"))
+          .agg(count(lit(1)).as("pn"),
+            sum(expr("cast(round(value * 100, 0) as bigint)")).as("pc"))
+        partial.groupBy(col("event_type"))
+          .agg(sum(col("pn")).as("n"),
+            round(sum(col("pc")) / 100.0, 2).as("sum_value"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+              |  round(${sumFixedSql("value")}, 2) AS sum_value
+              |FROM events GROUP BY 1""".stripMargin)),
+
     // ---- q26: cooldown debounce (T1 semantics, batch form) -------------
     // Greedy leading debounce: per user, emit an alert only if ≥ 24h
     // after the last EMITTED alert. Iterative semantics — not

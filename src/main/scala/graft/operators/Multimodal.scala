@@ -52,6 +52,29 @@ object Multimodal {
              |  md5(text) AS content_md5
              |FROM documents""".stripMargin)),
 
+    // ---- q52: frame sampling (video-style chunking plumbing) -----------
+    // A media payload decomposed into fixed-size frames, each carrying
+    // (position, size, content hash) — the batch shape a video
+    // frame-sampler produces. Chunking is over the payload itself;
+    // no shuffle, parallel per partition.
+    QueryDef(
+      "q52_frame_sample",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(expr(
+              "sequence(0, cast(ceil(length(text) / 256.0) as int) - 1)"))
+              .as("frame_no"))
+          .select(
+            col("doc_id"), col("frame_no"),
+            length(expr("substr(text, frame_no * 256 + 1, 256)")).as("frame_len"),
+            md5(expr("substr(text, frame_no * 256 + 1, 256)")).as("frame_md5")),
+      Some("""SELECT doc_id, g.f AS frame_no,
+             |  CAST(length(substr(text, g.f * 256 + 1, 256)) AS INTEGER) AS frame_len,
+             |  md5(substr(text, g.f * 256 + 1, 256)) AS frame_md5
+             |FROM documents,
+             |  UNNEST(generate_series(0, CAST(ceil(length(text) / 256.0) AS INTEGER) - 1)) AS g(f)""".stripMargin)),
+
     // ---- q51: partition-parallel stub decode (rows-only check) ---------
     // The mapPartitions boundary is where a real batched decoder sits;
     // output is (doc_id, fixed-width feature vector + scalar stats).

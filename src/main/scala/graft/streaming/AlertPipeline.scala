@@ -70,6 +70,24 @@ object AlertPipeline {
         OutputMode.Append, cfg.timeout)(Cooldown(cfg.cooldownMs, cfg.timeout))
   }
 
+  /** Cooldown stage on the Spark 4 `transformWithState` API (same
+    * semantics as [[dedupe]]; TTL'd ValueState instead of GroupState
+    * timeouts). Requires the RocksDB state store provider.
+    */
+  def dedupeTws(alerts: DataFrame, cfg: Config,
+      stateTtl: Boolean = true): Dataset[Alert] = {
+    val spark = alerts.sparkSession
+    import spark.implicits._
+    val timeMode =
+      if (stateTtl) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    alerts.as[Alert]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new graft.state.CooldownProcessor(cfg.cooldownMs, stateTtl),
+        timeMode, OutputMode.Append())
+  }
+
   /** Full pipeline: raw JSON in, deduplicated alerts out. */
   def apply(hrRaw: DataFrame, bpRaw: DataFrame,
       cfg: Config = Config()): Dataset[Alert] =
