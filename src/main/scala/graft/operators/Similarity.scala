@@ -101,6 +101,71 @@ object Similarity {
               |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
               |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- q43: IVF-bucketed approximate NN ------------------------------
+    // Inverted-file index: 16 seed centroids (the first 16 vectors —
+    // a deterministic stand-in for k-means training, which would run
+    // offline at scale), every vector assigned to its nearest
+    // centroid, queries probe the nprobe=2 nearest cells. The
+    // candidate set is an equi-join on cell id — the IVF search shape
+    // used at billion-vector scale. Fully oracle-checked: cosine is
+    // bit-reproducible in both engines, so cell assignments match.
+    QueryDef(
+      "q43_ivf_ann",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = emb(s, d)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val scored = e.select(col("vec_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cents))
+          .withColumn("csim", expr("cosine_sim(qv, cv)"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id").asc)
+        val assign = scored.withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"))
+        val probes = scored.filter(col("vec_id") < 10)
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id").as("q_id"), col("cent_id").as("probe_cell"))
+        val cands = probes
+          .join(assign, col("probe_cell") === col("cell")
+            && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("c_id")).distinct()
+        val withVecs = cands
+          .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+          .join(e.select(col("vec_id").as("c_id"), col("v").as("cv")), "c_id")
+          .withColumn("sim", expr("cosine_sim(qv, cv)"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        withVecs.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+          .select(col("q_id"), col("c_id").as("nn_id"), round(col("sim"), 4).as("sim"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+              |scored AS (SELECT vec_id, v AS qv, cent_id, cv,
+              |             $cosSql AS csim
+              |           FROM e CROSS JOIN cents),
+              |ranked AS (SELECT vec_id, cent_id, row_number() OVER
+              |             (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+              |           FROM scored),
+              |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, cent_id AS probe_cell
+              |           FROM ranked WHERE vec_id < 10 AND rn <= 2),
+              |cands AS (SELECT DISTINCT q_id, a.vec_id AS c_id
+              |          FROM probes JOIN assign a
+              |            ON probe_cell = a.cell AND a.vec_id <> q_id),
+              |sims AS (SELECT q_id, c_id,
+              |           list_dot_product(eq.v, ec.v) /
+              |             (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+              |         FROM cands
+              |         JOIN e eq ON eq.vec_id = q_id
+              |         JOIN e ec ON ec.vec_id = c_id)
+              |SELECT q_id, c_id AS nn_id, round(sim, 4) AS sim
+              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |        ORDER BY sim DESC, c_id) AS rn FROM sims)
+              |WHERE rn = 1""".stripMargin)),
+
     // ---- q42: LSH-bucketed approximate NN ------------------------------
     QueryDef(
       "q42_ann_lsh",

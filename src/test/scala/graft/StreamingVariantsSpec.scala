@@ -52,6 +52,26 @@ class StreamingVariantsSpec extends SparkSpec {
     assert(rows.forall(_.getInt(0) === 12345))
   }
 
+  test("streaming exact dedup via dropDuplicatesWithinWatermark") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val hr = MemoryStream[String]
+    val deduped = JsonIngest.heartRate(hr.toDF())
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "heart_rate"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_dd").toString)
+      .start()
+    // same (user, heart_rate) three times within the watermark window
+    hr.addData(hrJson(5, 150, T0), hrJson(5, 150, T0 + 1000),
+      hrJson(5, 150, T0 + 2000), hrJson(6, 120, T0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dd").collect()
+    assert(rows.map(_.getAs[Int]("user_id")).sorted.toSeq === Seq(5, 6))
+  }
+
   test("streaming session-window debounce (T4) emits one alert per burst") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
