@@ -26,6 +26,12 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
+      // Drain the ContextCleaner BEFORE timing: the previous query's
+      // shuffle/broadcast garbage otherwise gets collected mid-query,
+      // and blocking cleanup contends with the scheduler (measured
+      // 10-50x inflation on the query following a large shuffle).
+      System.gc()
+      Thread.sleep(300)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
