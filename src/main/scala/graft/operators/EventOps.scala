@@ -225,6 +225,24 @@ object EventOps {
               |  round(${sumFixedSql("value")}, 2) AS sum_value
               |FROM events GROUP BY 1""".stripMargin)),
 
+    // ---- q29: pivot (event_type → columns per user) --------------------
+    QueryDef(
+      "q29_pivot",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(col("user_id"))
+          .pivot("event_type",
+            Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L),
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // ---- q26: cooldown debounce (T1 semantics, batch form) -------------
     // Greedy leading debounce: per user, emit an alert only if ≥ 24h
     // after the last EMITTED alert. Iterative semantics — not

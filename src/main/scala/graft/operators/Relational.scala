@@ -267,6 +267,24 @@ object Relational {
           .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
       None),
 
+    // ---- q18/q19: set operators -----------------------------------------
+    QueryDef(
+      "q18_intersect",
+      (s, d) =>
+        cust(s, d).select(col("c_nationkey").as("nk"))
+          .intersect(Tables(s, d, "supplier").select(col("s_nationkey").as("nk"))),
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nk FROM supplier""".stripMargin)),
+    QueryDef(
+      "q19_except",
+      (s, d) =>
+        cust(s, d).select(col("c_nationkey").as("nk"))
+          .except(Tables(s, d, "supplier").select(col("s_nationkey").as("nk"))),
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |EXCEPT
+             |SELECT s_nationkey AS nk FROM supplier""".stripMargin)),
+
     // ---- q15: rollup (grouping sets) ------------------------------------
     QueryDef(
       "q15_rollup",

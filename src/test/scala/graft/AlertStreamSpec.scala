@@ -84,6 +84,33 @@ class AlertStreamSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq === Seq(12346))
   }
 
+  test("continuous alerting re-emits exactly once after cooldown expiry") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val hr = MemoryStream[String]
+    val bp = MemoryStream[String]
+    val q = startQuery(AlertPipeline(hr.toDF(), bp.toDF()), "g4")
+
+    // user 42 alerts continuously for 12s; cooldown is 5s -> the panes
+    // re-trigger at ~+5s and ~+10s after the first emission
+    // (BiometricAlertStreamProcessor.scala:69-73: state expiry re-arms
+    // even under continuous alerting)
+    for (k <- 0 to 12) {
+      bp.addData(bpJson(42, 80, 80, T0 + k * 1000))
+      hr.addData(hrJson(42, 150, T0 + k * 1000))
+    }
+    q.processAllAvailable()
+    hr.addData(hrJson(99999, 50, T0 + 120000))
+    q.processAllAvailable()
+    q.stop()
+
+    val times = spark.table("g4").collect().filter(_.getInt(0) === 42)
+      .map(_.getTimestamp(2).getTime).sorted.toSeq
+    assert(times.nonEmpty && times.length >= 2)
+    // debounce invariant: consecutive emissions >= cooldown apart
+    times.zip(times.drop(1)).foreach { case (a, b) => assert(b - a >= 5000) }
+  }
+
   test("late data beyond watermark is dropped (W4, MaxDelay=0)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
