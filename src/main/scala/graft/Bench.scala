@@ -24,7 +24,17 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q35_ngram_jaccard,q36_minhash_lsh
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    // Repeat each query N times and keep the fastest: local iteration
+    // aid — JIT/codegen warmth dominates single-shot timings.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .flatMap(q => Seq.fill(repeat)(q))
+    val raw = selected.map { case (name, fn) =>
       spark.catalog.clearCache()
       // Drain the ContextCleaner BEFORE timing: the previous query's
       // shuffle/broadcast garbage otherwise gets collected mid-query,
@@ -36,10 +46,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    if (repeat > 1) raw.foreach { case (n, t) => println(s"RUN $n $t") }
+    val results = raw.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, ts) => n -> ts.map(_._2).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the line in a file: sbt prefixes stdout with [info],
+    // which breaks machine parsing of the metrics line downstream.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -101,7 +101,12 @@ object StreamBench {
     val secs = (System.nanoTime() - t0) / 1e9
     val processed = (n / 2 - 1000) * 2
     val nAlerts = spark.table("sb").count()
-    println(s"""{"metric":"stream_throughput","value":${processed / secs},"unit":"events/sec","events":$processed,"secs":$secs,"alerts":$nAlerts}""")
+    val json =
+      s"""{"metric":"stream_throughput","value":${processed / secs},"unit":"events/sec","events":$processed,"secs":$secs,"alerts":$nAlerts}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
     q.stop()
     spark.stop()
   }

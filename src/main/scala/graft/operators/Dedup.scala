@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Document-frequency ceiling for the Jaccard inverted index (q35):
+    * posting lists longer than this are dropped before pair
+    * generation, bounding the worst shingle key at C(cap, 2) pairs
+    * instead of C(df, 2) — the skew guard that keeps one boilerplate
+    * shingle from emitting ~df² pairs at 100 TB. Part of the
+    * operator's semantics (the oracle applies the same cap). 64 is
+    * above every df at the tested SFs (max 25 at sf0.1), so small-SF
+    * results equal the uncapped formulation.
+    */
+  val JaccardDfCap = 64
+
   /** Oracle-side distinct word-3-gram shingles (duplicates are
     * irrelevant to the min() consumers, but DISTINCT keeps the SQL
     * self-describing).
@@ -64,20 +75,40 @@ object Dedup {
       Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
              |FROM documents GROUP BY 1""".stripMargin)),
 
-    // ---- q35: n-gram Jaccard near-dup (inverted-index join) ------------
+    // ---- q35: n-gram Jaccard near-dup (capped inverted index) ----------
     QueryDef(
       "q35_ngram_jaccard",
       (s, d) => {
-        // The shingle index feeds three consumers (both join sides +
-        // per-doc counts). Deliberately NOT persisted: Catalyst's
-        // ReusedExchange already shares the shuffle between the two
-        // identical join inputs, and an InMemoryRelation here breaks
-        // that reuse and the join's whole-stage pipeline (measured 4×
-        // slower at sf0.1).
+        // The shingle index feeds its consumers through ONE distinct()
+        // exchange that Catalyst shares via ReusedExchange —
+        // deliberately NOT persisted (an InMemoryRelation here breaks
+        // the reuse + join pipelining, measured 4× slower at sf0.1).
+        //
+        // The df cap bounds skew: an uncapped inverted index costs
+        // Σ df(s)² pairs, so one boilerplate shingle with df ~10⁶
+        // yields ~10¹² pairs from a single key at 100 TB. Shingles
+        // with df > JaccardDfCap carry no discriminating signal (any
+        // pair they'd find shares rarer shingles, or is an exact dup
+        // the q34 pre-pass catches), so they are dropped BEFORE the
+        // self-join via an equi-join against the under-cap sid set.
+        // The df aggregation and both self-join sides all consume the
+        // SAME sid exchange (ReusedExchange), so the filter costs one
+        // co-partitioned merge-join probe, not a second pass over the
+        // shingle subtree. (A broadcast anti-join against the tiny
+        // OVER-cap set looks cheaper, but PushDownLeftSemiAntiJoin
+        // pushes it below the distinct() and splits the shared
+        // exchange — measured 2.5× slower: the md5 subtree ran twice.)
+        // The cap is part of the operator's semantics (the oracle
+        // applies the same one); at the tested SFs max df = 25, so
+        // results equal the uncapped formulation.
         val sh = hashedShingles(s, d)
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairs = sh.as("a")
-          .join(sh.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+        val ok = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, JaccardDfCap)).select(col("sid"))
+        val shOk = sh.join(ok, "sid")
+        val pairs = shOk.as("a")
+          .join(shOk.as("b"),
+            col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .agg(count(lit(1)).as("inter"))
         pairs
@@ -91,8 +122,11 @@ object Dedup {
       },
       Some(s"""WITH $hashedShinglesSql,
               |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |ok AS (SELECT sid FROM sh GROUP BY sid
+              |       HAVING count(*) BETWEEN 2 AND $JaccardDfCap),
+              |shok AS (SELECT sh.* FROM sh JOIN ok USING (sid)),
               |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-              |          FROM sh a JOIN sh b
+              |          FROM shok a JOIN shok b
               |            ON a.sid = b.sid AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2)
               |SELECT da, db, round(inter / (ca.n + cb.n - inter), 4) AS jac

@@ -75,9 +75,13 @@ object Multimodal {
              |FROM documents,
              |  UNNEST(generate_series(0, CAST(ceil(length(text) / 256.0) AS INTEGER) - 1)) AS g(f)""".stripMargin)),
 
-    // ---- q51: partition-parallel stub decode (rows-only check) ---------
-    // The mapPartitions boundary is where a real batched decoder sits;
-    // output is (doc_id, fixed-width feature vector + scalar stats).
+    // ---- q51: partition-parallel stub decode (oracle-checked) ----------
+    // The mapPartitions boundary is where a real batched decoder sits.
+    // The fixed-width feature comes back as one scalar column per
+    // dimension (f0..f3) — scalars hash/sort cleanly downstream, and
+    // the byte statistics the stub computes are exactly reproducible
+    // in SQL (integer sum / single double division), so the decode
+    // path is fully oracle-checked, not just rows-counted.
     QueryDef(
       "q51_multimodal_decode",
       (s, d) => {
@@ -88,11 +92,33 @@ object Multimodal {
           .mapPartitions { it =>
             it.map { case (id, payload) =>
               val f = decodeStub(payload)
-              (id, f, f.length)
+              (id, f(0), f(1), f(2), f(3), f.length)
             }
           }
-          .toDF("doc_id", "feature", "feature_dim")
+          .toDF("doc_id", "n_bytes", "mean_byte", "min_byte", "max_byte",
+            "feature_dim")
+          .withColumn("mean_byte", round(col("mean_byte"), 4))
       },
-      None)
+      // Byte values via hex pairs: byte i of the blob == hex digits
+      // (2i-1, 2i) — engine-neutral, unlike ord() (code points).
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |                  octet_length(encode(text)) AS n
+             |           FROM documents),
+             |bytes AS (SELECT doc_id,
+             |            ('0x' || substr(hx, 2 * g.i - 1, 2))::BIGINT AS bv
+             |          FROM h, UNNEST(generate_series(1, n)) AS g(i)),
+             |agg AS (SELECT doc_id,
+             |          CAST(count(*) AS DOUBLE) AS n_bytes,
+             |          round(CAST(sum(bv) AS BIGINT) / count(*), 4) AS mean_byte,
+             |          CAST(min(bv) AS DOUBLE) AS min_byte,
+             |          CAST(max(bv) AS DOUBLE) AS max_byte
+             |        FROM bytes GROUP BY 1)
+             |SELECT h.doc_id,
+             |  coalesce(a.n_bytes, 0.0) AS n_bytes,
+             |  coalesce(a.mean_byte, 0.0) AS mean_byte,
+             |  coalesce(a.min_byte, 255.0) AS min_byte,
+             |  coalesce(a.max_byte, 0.0) AS max_byte,
+             |  4 AS feature_dim
+             |FROM h LEFT JOIN agg a USING (doc_id)""".stripMargin))
   )
 }

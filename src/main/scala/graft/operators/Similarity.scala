@@ -61,6 +61,18 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     // ---- q40: brute-force cosine top-1 for 10 query vectors ------------
+    // Scale shape: the CORPUS is the streamed (big) side and the 10
+    // queries are the broadcast side — the corpus is never collected
+    // to one place, scoring is embarrassingly parallel, and the
+    // per-query top-1 is an aggregation, so partial aggregation
+    // reduces every partition to ≤|Q| rows before the single |Q|-key
+    // shuffle (vs. a row_number window shuffling all N×|Q| scored
+    // rows). The argmax is max(struct(sim, -c_id, c_id)) — exact and
+    // deterministic under ties (lowest c_id wins, same as the oracle's
+    // ORDER BY sim DESC, c_id). The struct buffer costs a SortAggregate
+    // (sort on the |Q|-key grouping column — linear-ish, trivially
+    // cheap next to the dim-64 dot products); if the corpus is known
+    // tie-free, max_by(c_id, sim) restores HashAggregate.
     QueryDef(
       "q40_knn_brute",
       (s, d) => {
@@ -68,13 +80,13 @@ object Similarity {
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val cands = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
-        val sims = qs.join(broadcast(cands), col("c_id") =!= col("q_id"))
+        val sims = cands.join(broadcast(qs), col("c_id") =!= col("q_id"))
           .withColumn("sim", expr(cosSpark(s)))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("c_id").asc)
-        sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("q_id"), col("c_id").as("nn_id"),
-            round(col("sim"), 4).as("sim"))
+        sims.groupBy(col("q_id"))
+          .agg(max(struct(col("sim"), (-col("c_id")).as("neg_id"),
+            col("c_id").as("c_id"))).as("top"))
+          .select(col("q_id"), col("top.c_id").as("nn_id"),
+            round(col("top.sim"), 4).as("sim"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
@@ -119,11 +131,25 @@ object Similarity {
         val scored = e.select(col("vec_id"), col("v").as("qv"))
           .crossJoin(broadcast(cents))
           .withColumn("csim", expr("cosine_sim(qv, cv)"))
+        // Cell assignment is the all-N path, so it must stay in
+        // HashAggregate (numeric buffer) with partial aggregation — a
+        // row_number window would full-sort-shuffle all N×16 scored
+        // rows on vec_id. Argmax packed into one BIGINT:
+        // floor(csim·2^52)·16 + (15 − cent_id). floor is monotone and
+        // the 2^52 scaling is exact, so key order == (csim, −cent_id)
+        // lexicographic down to 2^-52 absolute sim resolution — far
+        // below the gap between distinct-centroid sims (deterministic
+        // either way; lowest cent_id wins ties, same as the oracle).
+        val assign = scored
+          .groupBy(col("vec_id"))
+          .agg(max(expr(
+            "floor(csim * 4503599627370496d) * 16 + (15 - cent_id)")).as("k"))
+          .select(col("vec_id"),
+            (lit(15L) - pmod(col("k"), lit(16L))).as("cell"))
+        // Probe selection runs on the 10 query rows only — the
+        // row_number window is over 160 rows, negligible at any scale.
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("csim").desc, col("cent_id").asc)
-        val assign = scored.withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cent_id").as("cell"))
         val probes = scored.filter(col("vec_id") < 10)
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") <= 2)
