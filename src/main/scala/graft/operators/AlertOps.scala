@@ -55,10 +55,42 @@ object AlertOps {
   /** Interval (band) join formulation (J2) — the Kafka Streams
     * `JoinWindows.of(15s)` path (KafkaBiometricAlertStreamProcessor
     * .scala:42–51): pair qualifying HR/BP events within ±`band`.
-    * Opt-in alternative to the window-agg path; inner join only (the
-    * reference's unmatched `(v, null)` rows never produce alerts, so
-    * full-outer adds nothing to alert semantics).
+    * Opt-in alternative to the window-agg path; inner join (the
+    * reference's unmatched `(v, null)` rows never produce alerts — see
+    * [[bandJoinPairs]] for the full-outer emission mode itself).
     */
+  /** Full-outer emission mode of the band join — the reference's Kafka
+    * Streams `outerJoin` (KafkaBiometricAlertStreamProcessor.scala:
+    * 42–51), which surfaces unmatched qualifying events as `(v, null)`
+    * rows: useful when monitoring which half of the alert predicate
+    * fired alone. Alert semantics are unchanged (unmatched rows never
+    * alert — [[bandJoinAlerts]] stays inner), so this is the
+    * operator-level capability on its own.
+    *
+    * Emission-time difference vs the reference (SURVEY §7.5.1): Kafka
+    * Streams emits the `(v, null)` row eagerly per record and may
+    * "repair" it with a joined row later; Spark emits unmatched rows
+    * exactly once, only after the watermark passes the join window
+    * (when no future match can arrive). Final per-key results agree;
+    * the intermediate stream differs. Both inputs must carry
+    * watermarks.
+    */
+  def bandJoinPairs(heartRate: DataFrame, bloodPressure: DataFrame,
+      band: String, joinType: String = "full_outer"): DataFrame = {
+    val hr = heartRate.filter(col("heart_rate") > 100)
+      .select(col("user_id").as("hr_user"), col("ts").as("hr_ts"))
+    val bp = bloodPressure.filter(col("systolic") < 100)
+      .select(col("user_id").as("bp_user"), col("ts").as("bp_ts"))
+    hr.join(bp,
+        col("hr_user") === col("bp_user")
+          && col("bp_ts") >= col("hr_ts") - expr(s"INTERVAL $band")
+          && col("bp_ts") <= col("hr_ts") + expr(s"INTERVAL $band"),
+        joinType)
+      .select(
+        coalesce(col("hr_user"), col("bp_user")).as("user_id"),
+        col("hr_ts"), col("bp_ts"))
+  }
+
   def bandJoinAlerts(heartRate: DataFrame, bloodPressure: DataFrame,
       band: String): DataFrame = {
     val hr = heartRate.filter(col("heart_rate") > 100)

@@ -52,6 +52,43 @@ class StreamingVariantsSpec extends SparkSpec {
     assert(rows.forall(_.getInt(0) === 12345))
   }
 
+  test("streaming full_outer band join emits unmatched (v, null) rows at watermark") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val hr = MemoryStream[String]
+    val bp = MemoryStream[String]
+    val raw = AlertOps.bandJoinPairs(
+      JsonIngest.heartRate(hr.toDF()).withWatermark("ts", "0 seconds"),
+      JsonIngest.bloodPressure(bp.toDF()).withWatermark("ts", "0 seconds"),
+      "15 seconds")
+    val q = raw.writeStream.format("memory").queryName("fo")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_fo").toString)
+      .start()
+
+    // user 1: HR + BP within the band  -> one matched row
+    // user 2: qualifying HR, no BP     -> (hr_ts, null) after watermark
+    // user 3: qualifying BP, no HR     -> (null, bp_ts) after watermark
+    hr.addData(hrJson(1, 200, T0 + 1000), hrJson(2, 180, T0 + 2000))
+    bp.addData(bpJson(1, 92, T0), bpJson(3, 90, T0 + 3000))
+    q.processAllAvailable()
+    // Unmatched rows finalize only once BOTH watermarks pass the join
+    // window (Spark must prove no future match can arrive — the
+    // emit-at-watermark difference vs Kafka Streams' eager emission).
+    // Advancers must survive the qualifying filters (Catalyst pushes
+    // them below the watermark node) and be outside every open band.
+    hr.addData(hrJson(98, 150, T0 + 300000))
+    bp.addData(bpJson(99, 80, T0 + 300000))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fo").collect()
+      .filter(r => r.getInt(0) <= 3)
+      .map(r => (r.getInt(0), r.isNullAt(1), r.isNullAt(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((1, false, false), (2, false, true), (3, true, false)))
+  }
+
   test("streaming exact dedup via dropDuplicatesWithinWatermark") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
