@@ -40,8 +40,13 @@ object Bench {
       // shuffle/broadcast garbage otherwise gets collected mid-query,
       // and blocking cleanup contends with the scheduler (measured
       // 10-50x inflation on the query following a large shuffle).
+      // Two gc passes + a longer settle: cleanup is asynchronous, and
+      // one pass + 300ms left enough backlog to inflate the tail of
+      // the suite once the input-split repartitions added shuffles.
       System.gc()
       Thread.sleep(300)
+      System.gc()
+      Thread.sleep(500)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

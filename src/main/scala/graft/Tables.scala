@@ -23,4 +23,25 @@ object Tables {
       case None => df
     }
   }
+
+  /** Loader for pipelines whose cost is per-row COMPUTE (shingle md5,
+    * minhash, LSH folds, binary decode), not scan bytes. The driver's
+    * sf tables are single-row-group parquet files, so the scan yields
+    * ONE split (parquet can't split below a row group) and the whole
+    * projection would serialize on one core (measured 4s single-core
+    * for the sf0.1 shingle pass alone). A production table is
+    * thousands of splits, so input parallelism is free there; emulate
+    * it locally with a round-robin ONLY when the scan
+    * under-parallelizes — on a properly split table this is a no-op
+    * passthrough, so no shuffle is added at scale. Scan-light
+    * relational queries keep [[apply]]: for them the repartition is
+    * pure shuffle cost (measured 3× on a simple aggregate), and
+    * broadcast-bound dimension tables must not grow an exchange.
+    */
+  def parallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val out = apply(spark, dir, name)
+    if (sys.env.contains("SPARK_GRAFT_NO_PAR")) return out
+    val cores = spark.sparkContext.defaultParallelism
+    if (out.rdd.getNumPartitions * 2 < cores) out.repartition(cores) else out
+  }
 }

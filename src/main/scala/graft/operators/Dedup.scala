@@ -41,21 +41,30 @@ object Dedup {
       |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
       |       WHERE len(t) >= 3)""".stripMargin
 
-  /** Shingles keyed by a 60-bit md5-derived integer id: the join/
-    * shuffle key for the inverted index is 8 bytes instead of a ~20
-    * byte string. Both engines derive the id the same way, so the
-    * (astronomically unlikely) collision would merge identically on
-    * both sides — semantics stay oracle-exact.
+  /** Exploded (doc_id, shingle-id) rows. Shingles are keyed by a
+    * 60-bit md5-derived integer id: the shuffle key for the inverted
+    * index is 8 bytes instead of a ~20 byte string. Both engines
+    * derive the id the same way, so the (astronomically unlikely)
+    * collision would merge identically on both sides — semantics stay
+    * oracle-exact. Rows are NOT pre-deduplicated: the per-doc
+    * duplicate shingles collapse inside the downstream collect_set /
+    * min aggregates, which is free, where a distinct() would be a
+    * full extra shuffle.
+    *
+    * The md5+conv run on FLAT rows (post-explode) so they stay inside
+    * whole-stage codegen — hashing inside the transform lambda is
+    * interpreted per element, measured ~5× slower for the same hash
+    * count.
     */
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
+    Tables.parallel(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), i -> " +
-          "cast(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15), 16, 10) as bigint))"))
-        .as("sid"))
-      .distinct()
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("sid"))
 
   private val hashedShinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -79,37 +88,66 @@ object Dedup {
     QueryDef(
       "q35_ngram_jaccard",
       (s, d) => {
-        // The shingle index feeds its consumers through ONE distinct()
-        // exchange that Catalyst shares via ReusedExchange —
-        // deliberately NOT persisted (an InMemoryRelation here breaks
-        // the reuse + join pipelining, measured 4× slower at sf0.1).
+        // Inverted index as posting lists: the md5 shingle subtree is
+        // shuffled ONCE (the sole sid exchange), each sid's sorted
+        // member list is built by collect_list, and candidate pairs
+        // come from exploding the per-list combinations — no
+        // self-join, so no second/third pass over the shingle subtree
+        // (every join-based cap variant measured 2-3× slower here:
+        // the optimizer either duplicated the md5 subtree around the
+        // broadcast, or paid an extra full shuffle). Per-doc sizes
+        // come from the same row-local arrays (size of the distinct
+        // sid array) — a shuffle-free scan that broadcasts into the
+        // final join.
         //
         // The df cap bounds skew: an uncapped inverted index costs
         // Σ df(s)² pairs, so one boilerplate shingle with df ~10⁶
         // yields ~10¹² pairs from a single key at 100 TB. Shingles
         // with df > JaccardDfCap carry no discriminating signal (any
         // pair they'd find shares rarer shingles, or is an exact dup
-        // the q34 pre-pass catches), so they are dropped BEFORE the
-        // self-join via an equi-join against the under-cap sid set.
-        // The df aggregation and both self-join sides all consume the
-        // SAME sid exchange (ReusedExchange), so the filter costs one
-        // co-partitioned merge-join probe, not a second pass over the
-        // shingle subtree. (A broadcast anti-join against the tiny
-        // OVER-cap set looks cheaper, but PushDownLeftSemiAntiJoin
-        // pushes it below the distinct() and splits the shared
-        // exchange — measured 2.5× slower: the md5 subtree ran twice.)
-        // The cap is part of the operator's semantics (the oracle
-        // applies the same one); at the tested SFs max df = 25, so
-        // results equal the uncapped formulation.
-        val sh = hashedShingles(s, d)
-        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val ok = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
-          .filter(col("df").between(2, JaccardDfCap)).select(col("sid"))
-        val shOk = sh.join(ok, "sid")
-        val pairs = shOk.as("a")
-          .join(shOk.as("b"),
-            col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        // the q34 pre-pass catches), so over-cap posting lists are
+        // dropped before the combination explode — a free filter on
+        // size(ds), bounding the worst key at C(cap, 2) pairs and one
+        // df·8-byte list. The cap is part of the operator's semantics
+        // (the oracle applies the same one); at the tested SFs
+        // max df = 25, so results equal the uncapped formulation.
+        //
+        // ObjectHashAggregate (collect_list) silently falls back to
+        // sort-based merging past 128 distinct keys per task — with
+        // ~thousands of sids per partition that made the posting
+        // build 2× slower than the whole rest of the query. Raise the
+        // threshold so the hash path holds (the buffers are bounded:
+        // one row per sid, lists ≤ df elements).
+        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          (8 * 1024 * 1024).toString)
+        // Per-doc distinct-shingle counts need no hashing at all:
+        // distinct STRINGS == distinct 60-bit ids (modulo the same
+        // astronomically-unlikely collision both engines accept), so
+        // n is size(array_distinct(...)) over the row's own shingle
+        // array — a shuffle-free scan that broadcasts into the final
+        // join. coalesce makes n NON-NULLABLE by construction:
+        // otherwise constraint propagation infers isnotnull(n) from
+        // the jaccard arithmetic, substitutes the alias, and pushes
+        // the whole shingle transform below the exchange into the
+        // scan filter — a second, serial evaluation per join side
+        // (measured 2× the entire query).
+        val cnt = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            coalesce(size(array_distinct(expr(
+              "transform(sequence(0, size(t)-3), i -> " +
+                "concat_ws(' ', t[i], t[i+1], t[i+2]))"))), lit(0))
+              .cast("long").as("n"))
+        val pairs = hashedShingles(s, d)
+          .groupBy(col("sid"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")).between(2, JaccardDfCap))
+          .select(explode(expr(
+            "flatten(transform(sequence(0, size(ds)-2), i -> " +
+              "transform(sequence(i+1, size(ds)-1), j -> " +
+              "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
+          .groupBy(col("p.da").as("da"), col("p.db").as("db"))
           .agg(count(lit(1)).as("inter"))
         pairs
           .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),
@@ -142,17 +180,21 @@ object Dedup {
       "q36_minhash_lsh",
       (s, d) => {
         // All 8 minhashes in ONE partial-aggregating pass over the
-        // shingle set. Minhashes are 60-bit md5-derived BIGINTs, not
-        // hex strings: numeric agg buffers keep the aggregation in
-        // HashAggregate (a string min falls back to SortAggregate —
-        // measured 5× slower). Candidate pairs come from exploding
-        // each LSH bucket's member list — a single pass, no self-join
-        // recomputing the signature subtree on both sides. Per-document
-        // cost is constant: the MinHash/LSH dedup scale path at 100 TB.
-        // No distinct on shingles: min() is duplicate-insensitive, so
-        // the explode feeds the partial aggregate directly (the
-        // dedup shuffle would be pure overhead here).
-        val sh = Tables(s, d, "documents")
+        // exploded shingle rows. The md5 calls run on FLAT rows so
+        // they stay inside whole-stage codegen — hashing inside a
+        // higher-order-function lambda is interpreted per element and
+        // measured ~5× slower for the same hash count. Minhashes are
+        // 60-bit md5-derived BIGINTs, not hex strings: numeric agg
+        // buffers keep the aggregation in HashAggregate (a string min
+        // falls back to SortAggregate — measured 5× slower), and
+        // map-side partial aggregation means the shuffle carries ≤8
+        // longs per (doc, partition), not the shingle rows. No
+        // distinct on shingles: min() is duplicate-insensitive.
+        // Candidate pairs come from exploding each LSH bucket's
+        // member list — a single pass, no self-join recomputing the
+        // signature subtree on both sides. Per-document cost is
+        // constant: the MinHash/LSH dedup scale path at 100 TB.
+        val sh = Tables.parallel(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 3)
           .select(col("doc_id"), explode(expr(

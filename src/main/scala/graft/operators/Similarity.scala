@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,23 +41,37 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane coefficients: sign taken from the high
-    * bit of the first hex digit of md5("<plane>-<dim>").
+    * bit of the first hex digit of md5("<plane>-<dim>"). The 8×64
+    * matrix is a compile-time-sized constant, so it is embedded as
+    * LITERAL arrays on both engines — the per-vector bucket is then a
+    * strict left-to-right fold in the scan projection
+    * (`aggregate(zip_with(...))` == DuckDB `list_dot_product`,
+    * bit-for-bit), with NO explode, NO plane join and NO aggregation
+    * before the bucket equi-join. (The previous posexplode + plane
+    * broadcast + double groupBy shaped N×64×8 intermediate rows and
+    * two shuffles — measured ~3× slower at sf0.1.)
     */
-  private def planes(s: SparkSession): DataFrame =
-    s.range(8).select(col("id").cast("int").as("p"))
-      .crossJoin(s.range(64).select(col("id").cast("int").as("i")))
-      .withColumn("coef",
-        when(substring(md5(concat(col("p").cast("string"), lit("-"),
-          col("i").cast("string"))), 1, 1)
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0))
+  private def planeCoef(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p-$i".getBytes("UTF-8"))
+    if ((d(0) & 0x80) != 0) 1.0 else -1.0
+  }
 
-  private val planesSql =
-    """planes AS (
-      |  SELECT p.p, i.i,
-      |    CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || '-' || CAST(i.i AS VARCHAR)), 1, 1)
-      |           IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS coef
-      |  FROM UNNEST(generate_series(0, 7)) AS p(p),
-      |       UNNEST(generate_series(0, 63)) AS i(i))""".stripMargin
+  /** `bucket` as a single codegen'd projection over the vector col. */
+  private def bucketCol(v: Column): Column =
+    (0 to 7).map { p =>
+      val coefs = array((0 until 64).map(i => lit(planeCoef(p, i))): _*)
+      val dot = aggregate(zip_with(v, coefs, (x, c) => x * c),
+        lit(0.0), (a, x) => a + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql(v: String): String =
+    (0 to 7).map { p =>
+      val lst = (0 until 64).map(i =>
+        if (planeCoef(p, i) > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($v, $lst::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   val defs: Seq[QueryDef] = Seq(
     // ---- q40: brute-force cosine top-1 for 10 query vectors ------------
@@ -102,8 +116,15 @@ object Similarity {
     QueryDef(
       "q41_centroid",
       (s, d) =>
-        emb(s, d)
-          .select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
+        // posexplode of the cast expression INLINE (not of emb()'s
+        // projected alias): exploding an alias lets the optimizer
+        // infer size(v) > 0, substitute the alias, and push the
+        // transform below the exchange for a second, serial
+        // evaluation — same trap as the q35 shingle explode.
+        Tables(s, d, "embeddings")
+          .select(col("label"),
+            posexplode(expr("transform(embedding, x -> cast(x as double))"))
+              .as(Seq("pos", "val")))
           .groupBy(col("label"), col("pos"))
           .agg(round(graft.functions.Exact.sumFixed("val", 6) / count(lit(1)), 4)
             .as("v")),
@@ -197,14 +218,7 @@ object Similarity {
       "q42_ann_lsh",
       (s, d) => {
         val e = emb(s, d)
-        val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "val")))
-        val sums = comp.join(broadcast(planes(s)), col("pos") === col("i"))
-          .groupBy(col("vec_id"), col("p"))
-          .agg(sum(col("coef") * col("val")).as("sp"))
-        val buckets = sums.groupBy(col("vec_id"))
-          .agg(sum(when(col("sp") > 0, expr("shiftleft(1, p)")).otherwise(0))
-            .as("bucket"))
-        val withVec = buckets.join(e.select(col("vec_id"), col("v")), "vec_id")
+        val withVec = e.select(col("vec_id"), bucketCol(col("v")).as("bucket"), col("v"))
         val qs = withVec.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("bucket").as("qb"), col("v").as("qv"))
         val cands = withVec
@@ -217,18 +231,9 @@ object Similarity {
           .select(col("q_id"), col("c_id").as("nn_id"),
             round(col("sim"), 4).as("sim"))
       },
-      Some(s"""WITH $planesSql,
-              |comp AS (SELECT vec_id, g.i - 1 AS pos, embedding[g.i]::DOUBLE AS val
-              |         FROM embeddings,
-              |              UNNEST(generate_series(1, len(embedding))) AS g(i)),
-              |sums AS (SELECT vec_id, p, sum(coef * val) AS sp
-              |         FROM comp JOIN planes ON pos = i GROUP BY 1, 2),
-              |buck AS (SELECT vec_id,
-              |           CAST(sum(CASE WHEN sp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
-              |             AS bucket
-              |         FROM sums GROUP BY 1),
-              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |wv AS (SELECT b.vec_id, bucket, v FROM buck b JOIN e USING (vec_id)),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |wv AS (SELECT vec_id, CAST(${bucketSql("v")} AS BIGINT) AS bucket, v
+              |       FROM e),
               |qs AS (SELECT vec_id AS q_id, bucket AS qb, v AS qv FROM wv WHERE vec_id < 10),
               |sims AS (SELECT q_id, c.vec_id AS c_id, c.v AS cv, qv
               |         FROM qs JOIN wv c ON qb = c.bucket AND c.vec_id <> q_id),
