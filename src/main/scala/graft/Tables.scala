@@ -40,7 +40,6 @@ object Tables {
     */
   def parallel(spark: SparkSession, dir: String, name: String): DataFrame = {
     val out = apply(spark, dir, name)
-    if (sys.env.contains("SPARK_GRAFT_NO_PAR")) return out
     val cores = spark.sparkContext.defaultParallelism
     if (out.rdd.getNumPartitions * 2 < cores) out.repartition(cores) else out
   }
