@@ -235,6 +235,47 @@ object Dedup {
               |  ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
               |     AND x.doc_id < y.doc_id""".stripMargin)),
 
+    // ---- q38: 128-wide MinHash signature (one-buffer sketch agg) -------
+    // The full-resolution signature table a production dedup pipeline
+    // materializes once and reuses for banding at any (bands, rows)
+    // setting. At K=128 the "K parallel min() columns" plan stops
+    // being reasonable (128 aggregate expressions, a 128-column
+    // buffer schema); [[graft.functions.MinHashSignature]] keeps one
+    // long[128] buffer per doc, one update per shingle row (128
+    // multiply-adds over a universal hash family — ONE md5 per
+    // shingle), and merges partials elementwise. Output is the exact
+    // signature digested to scalar columns; the oracle recomputes
+    // every hash value bit-for-bit (integer arithmetic below 2^62).
+    QueryDef(
+      "q38_minhash_sig",
+      (s, d) => {
+        graft.functions.MinHashSignature.register(s)
+        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          (8 * 1024 * 1024).toString)
+        hashedShingles(s, d)
+          .groupBy(col("doc_id"))
+          .agg(expr("minhash_sig(sid)").as("sig"))
+          .select(col("doc_id"),
+            expr("sig[0]").as("mh0"),
+            expr("sig[127]").as("mh127"),
+            expr("aggregate(sig, 0L, (acc, x) -> acc + x)").as("sig_sum"),
+            array_min(col("sig")).as("sig_min"),
+            array_max(col("sig")).as("sig_max"))
+      },
+      Some(s"""WITH $hashedShinglesSql,
+              |coef(k, a, b) AS (VALUES ${graft.functions.MinHashSignature.coefSqlValues}),
+              |mins AS (SELECT doc_id, k,
+              |           min(((sid % ${graft.functions.MinHashSignature.P}) * a + b)
+              |               % ${graft.functions.MinHashSignature.P}) AS mh
+              |         FROM sh CROSS JOIN coef GROUP BY 1, 2)
+              |SELECT doc_id,
+              |  CAST(sum(CASE WHEN k = 0 THEN mh END) AS BIGINT) AS mh0,
+              |  CAST(sum(CASE WHEN k = 127 THEN mh END) AS BIGINT) AS mh127,
+              |  CAST(sum(mh) AS BIGINT) AS sig_sum,
+              |  CAST(min(mh) AS BIGINT) AS sig_min,
+              |  CAST(max(mh) AS BIGINT) AS sig_max
+              |FROM mins GROUP BY doc_id""".stripMargin)),
+
     // ---- q37: SimHash (32-bit, per-bit token-hash majority) ------------
     // Bit j of the fingerprint is the majority vote over distinct tokens
     // of the high bit of hex digit j of md5(token) — md5-derived so the
