@@ -20,9 +20,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: spin executors + codegen + read every table's footer
+    // Warmup: spin executors + codegen + parquet footers, and JIT the
+    // hot code families once (md5/shingle pipeline, window agg, cosine
+    // folds) — single-shot timings otherwise charge C2 compilation to
+    // whichever query runs a path first.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
+    Seq("q1_agg", "q20_sliding_alert", "q35_ngram_jaccard", "q40_knn_brute")
+      .foreach(n => SparkEntry.queries.get(n).foreach { f =>
+        try f(spark, sfDir).count() catch { case _: Throwable => () }
+      })
 
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_BENCH_ONLY=q35_ngram_jaccard,q36_minhash_lsh

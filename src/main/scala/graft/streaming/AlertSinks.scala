@@ -37,6 +37,17 @@ object AlertSinks {
       def close(errorOrNull: Throwable): Unit = ()
     }).start()
 
+  /** K2 batch-granular variant: `foreachBatch` hands each micro-batch
+    * to arbitrary DataFrame code (e.g. an idempotent JDBC upsert or a
+    * merge into a lakehouse table) with the batch id for exactly-once
+    * bookkeeping — the Spark-native shape of the reference's
+    * side-effecting sink when per-element `foreach` is too fine.
+    */
+  def foreachBatch(alerts: Dataset[Alert], checkpoint: String,
+      f: (Dataset[Alert], Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    base(alerts, checkpoint, trigger).foreachBatch(f).start()
+
   /** Durable parquet sink (exactly-once via checkpoint + WAL). */
   def parquet(alerts: Dataset[Alert], path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
