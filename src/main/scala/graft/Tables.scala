@@ -38,6 +38,17 @@ object Tables {
     * pure shuffle cost (measured 3× on a simple aggregate), and
     * broadcast-bound dimension tables must not grow an exchange.
     */
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every driver table as a temp view, so the whole engine
+    * surface is reachable through plain `spark.sql(...)` as well as
+    * the DataFrame API (with `GraftExtensions` the custom functions
+    * resolve there too).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(t => apply(spark, dir, t).createOrReplaceTempView(t))
+
   def parallel(spark: SparkSession, dir: String, name: String): DataFrame = {
     val out = apply(spark, dir, name)
     val cores = spark.sparkContext.defaultParallelism

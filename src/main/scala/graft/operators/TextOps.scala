@@ -89,6 +89,52 @@ object TextOps {
           md5(substring(col("text"), 1, 64)).as("prefix_fp")),
       Some("""SELECT doc_id, md5(text) AS fp,
              |  md5(substr(text, 1, 64)) AS prefix_fp
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- q39: winnowing fingerprints (rolling k-gram window minima) ----
+    // Moss-style winnowing: hash every character 8-gram, slide a
+    // 4-hash window, keep each window's minimum — the classic
+    // position-robust fingerprint set for plagiarism/overlap detection
+    // (a shared substring of ≥ 11 chars guarantees a shared
+    // fingerprint). Entirely row-local array math in the projection —
+    // no explode, no shuffle; the output digests the per-doc
+    // fingerprint SET to exact scalar aggregates. ~300 hashes per doc
+    // make this the heaviest per-row projection in the text family,
+    // hence the parallelized loader.
+    QueryDef(
+      "q39_winnow_fp",
+      (s, d) =>
+        Tables.parallel(s, d, "documents")
+          .filter(length(col("text")) >= 11) // k + w - 1
+          .select(col("doc_id"), expr(
+            "transform(sequence(1, length(text) - 7), i -> " +
+              "cast(conv(substr(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))")
+            .as("khs"))
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(sequence(1, size(khs) - 3), j -> array_min(slice(khs, j, 4)))"))
+            .as("fps"))
+          .select(
+            col("doc_id"),
+            coalesce(size(col("fps")), lit(0)).as("n_fps"),
+            array_min(col("fps")).as("fp_min"),
+            array_max(col("fps")).as("fp_max"),
+            expr("aggregate(fps, 0L, (acc, x) -> acc + pmod(x, 2147483647))")
+              .as("fp_modsum")),
+      Some("""WITH h AS (SELECT doc_id, u.i AS i,
+             |            ('0x' || substr(md5(substr(text, u.i, 8)), 1, 15))::BIGINT AS kh
+             |          FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+             |          WHERE length(text) >= 11),
+             |w AS (SELECT doc_id, i,
+             |        min(kh) OVER (PARTITION BY doc_id ORDER BY i
+             |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             |        max(i) OVER (PARTITION BY doc_id) AS n
+             |      FROM h),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 3)
+             |SELECT doc_id,
+             |  CAST(count(*) AS INTEGER) AS n_fps,
+             |  min(fp) AS fp_min,
+             |  max(fp) AS fp_max,
+             |  CAST(sum(fp % 2147483647) AS BIGINT) AS fp_modsum
+             |FROM fps GROUP BY doc_id""".stripMargin))
   )
 }
