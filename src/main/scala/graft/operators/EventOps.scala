@@ -271,6 +271,29 @@ object EventOps {
           }
           .toDF("user_id", "alert_s")
       },
-      None)
+      None),
+
+    // ---- q49: inter-event gaps (lag over per-user event order) ----------
+    // SQL window functions (the one analytic family the reference's
+    // "window" never means): per-user previous-event delta in exact
+    // integer µs. One shuffle on user_id + in-partition sort; the
+    // (ts, event_id) order key is unique, so the result is
+    // deterministic under timestamp ties. At 100 TB this partitioning
+    // is the same per-user layout every other per-user op here rides.
+    QueryDef(
+      "q49_lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("delta_us", col("us") - lag(col("us"), 1).over(w))
+          .select(col("event_id"), col("user_id"), col("delta_us"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER
+             |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta_us
+             |FROM events""".stripMargin))
   )
 }

@@ -301,6 +301,27 @@ object Relational {
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin))
+             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
+
+    // ---- q48: cube (full grouping-set lattice) --------------------------
+    // CUBE completes the grouping-sets family (q15 covers ROLLUP):
+    // all four (returnflag × linestatus) subtotal combinations in ONE
+    // pass — Catalyst expands the lattice with an Expand node feeding
+    // a single partial+final hash aggregate, so the fact table is
+    // scanned once, not once per grouping set. grouping_id
+    // disambiguates "NULL because aggregated" from a null group value.
+    QueryDef(
+      "q48_cube",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sumFixed("l_quantity"), 2).as("sum_qty"),
+            grouping_id().as("gid")),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |  round(${sumFixedSql("l_quantity")}, 2) AS sum_qty,
+              |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+              |FROM lineitem
+              |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
   )
 }

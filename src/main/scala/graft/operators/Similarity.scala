@@ -318,6 +318,64 @@ object Similarity {
            |         FROM cands JOIN e ea ON ea.vec_id = ia JOIN e eb ON eb.vec_id = ib)
            |SELECT ia AS a_id, ib AS b_id, round(sim, 4) AS sim
            |FROM sims WHERE sim >= 0.5""".stripMargin
+      }),
+
+    // ---- q53: semantic dedup (SemDeDup within LSH cells) ----------------
+    // SemDeDup-style pruning (Abbas et al. 2023, arXiv:2303.09540):
+    // cluster the corpus, and inside each cluster drop every vector
+    // that has a sufficiently-similar lower-id representative. Cells
+    // are the deterministic 8-plane sign-LSH buckets (no iterative
+    // k-means in the oracle path), the within-cell pair explode is
+    // the same posting-list combination as q44 — O(Σ cell²) bounded
+    // by cell granularity, never the global N². The kill rule
+    // ("∃ neighbor with smaller id and sim ≥ τ → drop, keeper =
+    // smallest such id") is a plain aggregation over the pair stream,
+    // so the whole operator is scan → bucket → pair explode → one
+    // groupBy — each stage partial-aggregates. Output is the REMOVED
+    // set (id, its keeper, their similarity); the kept corpus is the
+    // anti-join of ids against it.
+    QueryDef(
+      "q53_semdedup",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = emb(s, d)
+        // 4-plane cells (16 buckets): coarse enough that a sim-0.4
+        // pair collides with p = (1 - θ/π)⁴ ≈ 0.2 per cell — the
+        // granularity/recall trade SemDeDup tunes via cluster count.
+        val cellCol = (0 to 3).map { p =>
+          when(planeDot(col("v"), p) > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val cells = e.select(col("vec_id"), cellCol.as("cell"))
+        val pairs = cells.groupBy(col("cell"))
+          .agg(sort_array(collect_set(col("vec_id"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(expr(
+            "flatten(transform(sequence(0, size(ds)-2), i -> " +
+              "transform(sequence(i+1, size(ds)-1), j -> " +
+              "struct(ds[i] AS ia, ds[j] AS ib))))")).as("p"))
+          .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+        pairs
+          .join(e.select(col("vec_id").as("ia"), col("v").as("qv")), "ia")
+          .join(e.select(col("vec_id").as("ib"), col("v").as("cv")), "ib")
+          .withColumn("sim", expr("cosine_sim(qv, cv)"))
+          .filter(col("sim") >= 0.4)
+          .groupBy(col("ib").as("vec_id"))
+          .agg(min(col("ia")).as("keeper"),
+            round(expr("min_by(sim, ia)"), 4).as("sim"))
+      },
+      Some {
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cells AS (SELECT vec_id, (CASE WHEN ${planeDotSql("v", 0)} > 0 THEN 1 ELSE 0 END + CASE WHEN ${planeDotSql("v", 1)} > 0 THEN 2 ELSE 0 END + CASE WHEN ${planeDotSql("v", 2)} > 0 THEN 4 ELSE 0 END + CASE WHEN ${planeDotSql("v", 3)} > 0 THEN 8 ELSE 0 END) AS cell FROM e),
+           |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+           |          FROM cells a JOIN cells b
+           |            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           |sims AS (SELECT ia, ib,
+           |           list_dot_product(ea.v, eb.v) /
+           |             (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+           |         FROM pairs JOIN e ea ON ea.vec_id = ia JOIN e eb ON eb.vec_id = ib)
+           |SELECT ib AS vec_id, min(ia) AS keeper,
+           |  round(arg_min(sim, ia), 4) AS sim
+           |FROM sims WHERE sim >= 0.4 GROUP BY ib""".stripMargin
       })
   )
 }
