@@ -277,25 +277,95 @@ object Similarity {
     // is unchanged. Candidate generation is part of the operator's
     // semantics and the oracle replicates it exactly, so the result
     // hash-matches despite LSH being approximate by design.
+    //
+    // Execution shape (identical result set to the oracle's
+    // DISTINCT-over-self-join, measured ~2× faster and strictly more
+    // scalable):
+    //  1. FIRST-COLLIDING-BAND dedup instead of a distinct(): each
+    //     posting-list member carries its full 8-bit signature, and a
+    //     pair is emitted only from the first band whose 2-bit keys
+    //     match — every cross-band duplicate dies in a codegen'd
+    //     bitwise filter, so the multi-million-row pair stream never
+    //     shuffles (the old distinct() was a full exchange of every
+    //     candidate pair, the largest dataset in the query).
+    //  2. SALTED BLOCK pair generation: bucket members are split into
+    //     K=4 id-mod chunks and each unordered chunk pair (c1 ≤ c2)
+    //     becomes its own group, so one bucket's C(n,2) combination
+    //     explode fans out over K(K+1)/2 = 10 independent tasks.
+    //     Parallelism is bounded by bands × keys × chunk-pairs (160
+    //     here) instead of bands × keys (16) — and K is the knob that
+    //     keeps per-task pair blocks bounded as buckets grow at
+    //     100 TB. Each pair lands in exactly one chunk-pair group, so
+    //     the salt introduces no duplicates.
     QueryDef(
       "q44_embed_neardup",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
+        val K = 4
         val e = emb(s, d)
-        val bandCols = (0 to 3).map(b =>
-          struct(lit(b).as("band"), bandKeyCol(col("v"), b).as("bk")))
-        val bands = e.select(col("vec_id"), explode(array(bandCols: _*)).as("x"))
-          .select(col("vec_id"), col("x.band").as("band"), col("x.bk").as("bk"))
-        val cands = bands.groupBy(col("band"), col("bk"))
-          .agg(sort_array(collect_set(col("vec_id"))).as("ds"))
-          .filter(size(col("ds")) > 1)
-          .select(explode(expr(
-            "flatten(transform(sequence(0, size(ds)-2), i -> " +
-              "transform(sequence(i+1, size(ds)-1), j -> " +
-              "struct(ds[i] AS ia, ds[j] AS ib))))")).as("p"))
-          .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
-          .distinct()
-        cands
+        // one pass over the 8 plane dots → full signature; band keys
+        // are 2-bit slices of it
+        val bands = e.select(col("vec_id"), bucketCol(col("v")).as("sig"))
+          .select(col("vec_id"), col("sig"), explode(expr(
+            "transform(sequence(0, 3), b -> " +
+              "struct(b AS band, shiftright(sig, 2*b) % 4 AS bk))")).as("x"))
+          .select(col("vec_id"), col("sig"),
+            col("x.band").as("band"), col("x.bk").as("bk"))
+        val chunked = bands
+          .withColumn("c", pmod(col("vec_id"), lit(K)))
+          .withColumn("cc", explode(expr(
+            s"transform(sequence(0, ${K - 1}), g -> " +
+              "struct(least(g, c) AS c1, greatest(g, c) AS c2))")))
+          .select(col("band"), col("bk"),
+            col("cc.c1").as("c1"), col("cc.c2").as("c2"), col("c"),
+            // posting lists carry (id, signature) ONLY — shipping the
+            // vectors in the lists and computing cosine inline at the
+            // explode was measured SLOWER (every pair row copies two
+            // 64-double arrays through the pipeline ≈ 2 GB of array
+            // writes); the broadcast rerank joins touch just the
+            // surviving pair ids
+            struct(col("vec_id").as("id"), col("sig").as("sg")).as("m"))
+        val grouped = chunked
+          .groupBy(col("band"), col("bk"), col("c1"), col("c2"))
+          .agg(
+            sort_array(collect_list(when(col("c") === col("c1"), col("m"))))
+              .as("la"),
+            sort_array(collect_list(when(
+              col("c") === col("c2") && col("c1") =!= col("c2"), col("m"))))
+              .as("lb"))
+          .filter(
+            (col("c1") === col("c2") && size(col("la")) >= 2) ||
+              (col("c1") =!= col("c2") &&
+                size(col("la")) >= 1 && size(col("lb")) >= 1))
+          // The grouped rows are tiny (bands × keys × chunk-pairs rows
+          // of member arrays) but their EXPLODED output is the
+          // million-pair stream — a size AQE cannot see when it
+          // coalesces the agg exchange down to one partition. Spread
+          // the groups explicitly (a shuffle of just these few rows)
+          // so the explode + rerank stage actually uses the cluster.
+          .repartition(s.sparkContext.defaultParallelism)
+        val pairs = grouped
+          .select(col("band"), explode(when(col("c1") === col("c2"), expr(
+            "flatten(transform(sequence(0, size(la)-2), i -> " +
+              "transform(sequence(i+1, size(la)-1), j -> " +
+              "struct(la[i] AS a, la[j] AS b))))"))
+            .otherwise(expr(
+              "flatten(transform(la, x -> " +
+                "transform(lb, y -> struct(x AS a, y AS b))))"))).as("p"))
+          .select(col("band"),
+            when(col("p.a.id") < col("p.b.id"), col("p.a"))
+              .otherwise(col("p.b")).as("pa"),
+            when(col("p.a.id") < col("p.b.id"), col("p.b"))
+              .otherwise(col("p.a")).as("pb"))
+          .select(col("band"), col("pa.id").as("ia"), col("pa.sg").as("sa"),
+            col("pb.id").as("ib"), col("pb.sg").as("sb"))
+          // keep the pair only in its FIRST colliding band
+          .filter((0 to 2).map(bp =>
+            (col("band") <= bp) ||
+              (shiftright(col("sa"), 2 * bp) % 4 =!=
+                shiftright(col("sb"), 2 * bp) % 4)).reduce(_ && _))
+          .select(col("ia"), col("ib"))
+        pairs
           .join(e.select(col("vec_id").as("ia"), col("v").as("qv")), "ia")
           .join(e.select(col("vec_id").as("ib"), col("v").as("cv")), "ib")
           .withColumn("sim", expr("cosine_sim(qv, cv)"))

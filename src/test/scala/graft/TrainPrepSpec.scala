@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the training-prep operators (q45-q55) beyond
+  * the driver's oracle hash-match: the properties a pipeline user
+  * relies on (sample determinism, decontamination correctness against
+  * a planted collision, pack-bin budget, scrub idempotence, semdedup
+  * kill-rule invariants).
+  */
+class TrainPrepSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("q46 sampling is deterministic and respects per-stratum rates") {
+    val a = run("q46_sample_strat").collect().map(_.getLong(0)).sorted
+    val b = run("q46_sample_strat").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "same sample on re-run")
+    val buckets = run("q46_sample_strat")
+      .select(col("lang"), col("bucket")).collect()
+    buckets.foreach { r =>
+      val cap = if (r.getString(0) == "en") 40 else 20
+      assert(r.getLong(1) < cap, s"bucket under stratum cap: $r")
+    }
+  }
+
+  test("q45 flags documents sharing an 8-gram with the benchmark source") {
+    // Every flagged doc must literally share a word-8-gram with some
+    // src0 document — recompute the collision directly on the raw text.
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).sliding(8).filter(_.size == 8)
+          .map(_.mkString(" ")).toSet))
+    val benchGrams = docs.filter(_._2 == "src0").flatMap(_._3).toSet
+    val expected = docs.filter(_._2 != "src0")
+      .filter(_._3.exists(benchGrams.contains)).map(_._1).toSet
+    val flagged = run("q45_decontaminate")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == expected)
+  }
+
+  test("q47 keeps only docs strictly above their language median") {
+    val rows = run("q47_quantile_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(2) > r.getDouble(3)))
+    // roughly half of each language survives a median cut
+    val total = Tables(spark, sf001, "documents").count()
+    assert(rows.length < total * 0.6 && rows.length > total * 0.3)
+  }
+
+  test("q54 pack bins hold the token budget (except single-doc overflow)") {
+    val bins = run("q54_pack_sequences").collect()
+    // budget 512: a bin exceeds it only via its LAST doc (the bin cut
+    // is on the running sum BEFORE each doc), so any bin except a
+    // single-doc overflow stays under budget + max doc length (99).
+    bins.foreach { r =>
+      val tokens = r.getLong(3)
+      assert(tokens < 512 + 128, s"bin within budget+maxdoc: $r")
+    }
+    // bins are dense per source: 0..max with no gaps
+    bins.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1)
+    }
+  }
+
+  test("q55 scrub is idempotent and counts match the replaced terms") {
+    val pat = "\\b(customer|supplier)\\b"
+    val once = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), regexp_replace(col("text"), pat, "<T>").as("c1"))
+      .withColumn("c2", regexp_replace(col("c1"), pat, "<T>"))
+      .filter(col("c1") =!= col("c2")).count()
+    assert(once == 0, "second scrub pass changes nothing")
+    val joined = run("q55_term_scrub")
+      .join(Tables(spark, sf001, "documents"), "doc_id")
+      .withColumn("expect",
+        size(split(col("text"), pat)) - 1)
+      .filter(col("n_redacted") =!= col("expect")).count()
+    assert(joined == 0)
+  }
+
+  test("q53 semdedup kill rule: keeper is a lower id at sim >= tau") {
+    val removed = run("q53_semdedup").collect()
+    removed.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), "keeper has the lower id")
+      assert(r.getDouble(2) >= 0.4, "kill similarity at or above tau")
+    }
+    // removed set and keeper set are disjoint only in the id sense a
+    // user needs: a keeper may itself be removed by an even lower id
+    // (chain), but no id keeps itself.
+    assert(!removed.exists(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("q49 lag deltas are non-negative and null exactly once per user") {
+    val df = run("q49_lag_delta")
+    assert(df.filter(col("delta_us") < 0).count() == 0)
+    val users = Tables(spark, sf001, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(df.filter(col("delta_us").isNull).count() == users)
+  }
+}
