@@ -143,6 +143,13 @@ object Dedup {
           .groupBy(col("sid"))
           .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
           .filter(size(col("ds")).between(2, JaccardDfCap))
+          // The posting rows are small (≤ cap ids each) so AQE
+          // coalesces the agg exchange to ~one partition — but their
+          // EXPLODED output is the pair stream (~50× larger), a size
+          // AQE cannot see. Spread the posting rows explicitly so the
+          // combination explode and the pair-count partial aggregate
+          // run cluster-wide.
+          .repartition(s.sparkContext.defaultParallelism)
           .select(explode(expr(
             "flatten(transform(sequence(0, size(ds)-2), i -> " +
               "transform(sequence(i+1, size(ds)-1), j -> " +

@@ -93,6 +93,62 @@ object Similarity {
     s"(CASE WHEN ${planeDotSql(v, 2 * b)} > 0 THEN 1 ELSE 0 END + " +
       s"CASE WHEN ${planeDotSql(v, 2 * b + 1)} > 0 THEN 2 ELSE 0 END)"
 
+  /** All unordered within-group member pairs, generated in SALTED
+    * chunk-pair blocks: members are split into K id-mod chunks and
+    * each unordered chunk pair (c1 ≤ c2) becomes its own group, so one
+    * group's C(n,2) combination explode fans out over K(K+1)/2
+    * independent tasks — K is the knob that keeps per-task pair
+    * blocks bounded as groups grow at 100 TB. Each pair lands in
+    * exactly ONE chunk-pair group, so the salt introduces no
+    * duplicates.
+    *
+    * Input: one row per group member with the group-key columns and a
+    * struct column `m` whose first field `id` is a distinct
+    * non-negative numeric id (first so `sort_array` orders lists by
+    * it). Output: the key columns plus member structs `pa`, `pb` with
+    * `pa.id < pb.id`.
+    *
+    * The grouped rows are few and tiny (member-id arrays) but their
+    * EXPLODED output is the pair stream — a size AQE cannot see when
+    * it coalesces the agg exchange down to one partition, so the
+    * groups are spread explicitly (a shuffle of just the grouped
+    * rows) and the explode stage actually uses the cluster.
+    */
+  private def saltedPairs(members: DataFrame, keys: Seq[String], K: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    members
+      .withColumn("c", pmod(col("m.id"), lit(K)))
+      .withColumn("cc", explode(expr(
+        s"transform(sequence(0, ${K - 1}), g -> " +
+          "struct(least(g, c) AS c1, greatest(g, c) AS c2))")))
+      .select(keyCols ++ Seq(col("cc.c1").as("c1"), col("cc.c2").as("c2"),
+        col("c"), col("m")): _*)
+      .groupBy(keyCols ++ Seq(col("c1"), col("c2")): _*)
+      .agg(
+        sort_array(collect_list(when(col("c") === col("c1"), col("m"))))
+          .as("la"),
+        sort_array(collect_list(when(
+          col("c") === col("c2") && col("c1") =!= col("c2"), col("m"))))
+          .as("lb"))
+      .filter(
+        (col("c1") === col("c2") && size(col("la")) >= 2) ||
+          (col("c1") =!= col("c2") &&
+            size(col("la")) >= 1 && size(col("lb")) >= 1))
+      .repartition(members.sparkSession.sparkContext.defaultParallelism)
+      .select(keyCols :+ explode(when(col("c1") === col("c2"), expr(
+        "flatten(transform(sequence(0, size(la)-2), i -> " +
+          "transform(sequence(i+1, size(la)-1), j -> " +
+          "struct(la[i] AS a, la[j] AS b))))"))
+        .otherwise(expr(
+          "flatten(transform(la, x -> " +
+            "transform(lb, y -> struct(x AS a, y AS b))))"))).as("p"): _*)
+      .select(keyCols ++ Seq(
+        when(col("p.a.id") < col("p.b.id"), col("p.a"))
+          .otherwise(col("p.b")).as("pa"),
+        when(col("p.a.id") < col("p.b.id"), col("p.b"))
+          .otherwise(col("p.a")).as("pb")): _*)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q40: brute-force cosine top-1 for 10 query vectors ------------
     // Scale shape: the CORPUS is the streamed (big) side and the 10
@@ -288,20 +344,18 @@ object Similarity {
     //     bitwise filter, so the multi-million-row pair stream never
     //     shuffles (the old distinct() was a full exchange of every
     //     candidate pair, the largest dataset in the query).
-    //  2. SALTED BLOCK pair generation: bucket members are split into
-    //     K=4 id-mod chunks and each unordered chunk pair (c1 ≤ c2)
-    //     becomes its own group, so one bucket's C(n,2) combination
-    //     explode fans out over K(K+1)/2 = 10 independent tasks.
-    //     Parallelism is bounded by bands × keys × chunk-pairs (160
-    //     here) instead of bands × keys (16) — and K is the knob that
-    //     keeps per-task pair blocks bounded as buckets grow at
-    //     100 TB. Each pair lands in exactly one chunk-pair group, so
-    //     the salt introduces no duplicates.
+    //  2. [[saltedPairs]] block pair generation (K=4): parallelism is
+    //     bands × keys × chunk-pairs (160 here) instead of
+    //     bands × keys (16).
+    // Posting lists carry (id, signature) ONLY — shipping the vectors
+    // in the lists and computing cosine inline at the explode was
+    // measured SLOWER (every pair row copies two 64-double arrays
+    // through the pipeline ≈ 2 GB of array writes); the broadcast
+    // rerank joins touch just the surviving pair ids.
     QueryDef(
       "q44_embed_neardup",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
-        val K = 4
         val e = emb(s, d)
         // one pass over the 8 plane dots → full signature; band keys
         // are 2-bit slices of it
@@ -309,54 +363,9 @@ object Similarity {
           .select(col("vec_id"), col("sig"), explode(expr(
             "transform(sequence(0, 3), b -> " +
               "struct(b AS band, shiftright(sig, 2*b) % 4 AS bk))")).as("x"))
-          .select(col("vec_id"), col("sig"),
-            col("x.band").as("band"), col("x.bk").as("bk"))
-        val chunked = bands
-          .withColumn("c", pmod(col("vec_id"), lit(K)))
-          .withColumn("cc", explode(expr(
-            s"transform(sequence(0, ${K - 1}), g -> " +
-              "struct(least(g, c) AS c1, greatest(g, c) AS c2))")))
-          .select(col("band"), col("bk"),
-            col("cc.c1").as("c1"), col("cc.c2").as("c2"), col("c"),
-            // posting lists carry (id, signature) ONLY — shipping the
-            // vectors in the lists and computing cosine inline at the
-            // explode was measured SLOWER (every pair row copies two
-            // 64-double arrays through the pipeline ≈ 2 GB of array
-            // writes); the broadcast rerank joins touch just the
-            // surviving pair ids
+          .select(col("x.band").as("band"), col("x.bk").as("bk"),
             struct(col("vec_id").as("id"), col("sig").as("sg")).as("m"))
-        val grouped = chunked
-          .groupBy(col("band"), col("bk"), col("c1"), col("c2"))
-          .agg(
-            sort_array(collect_list(when(col("c") === col("c1"), col("m"))))
-              .as("la"),
-            sort_array(collect_list(when(
-              col("c") === col("c2") && col("c1") =!= col("c2"), col("m"))))
-              .as("lb"))
-          .filter(
-            (col("c1") === col("c2") && size(col("la")) >= 2) ||
-              (col("c1") =!= col("c2") &&
-                size(col("la")) >= 1 && size(col("lb")) >= 1))
-          // The grouped rows are tiny (bands × keys × chunk-pairs rows
-          // of member arrays) but their EXPLODED output is the
-          // million-pair stream — a size AQE cannot see when it
-          // coalesces the agg exchange down to one partition. Spread
-          // the groups explicitly (a shuffle of just these few rows)
-          // so the explode + rerank stage actually uses the cluster.
-          .repartition(s.sparkContext.defaultParallelism)
-        val pairs = grouped
-          .select(col("band"), explode(when(col("c1") === col("c2"), expr(
-            "flatten(transform(sequence(0, size(la)-2), i -> " +
-              "transform(sequence(i+1, size(la)-1), j -> " +
-              "struct(la[i] AS a, la[j] AS b))))"))
-            .otherwise(expr(
-              "flatten(transform(la, x -> " +
-                "transform(lb, y -> struct(x AS a, y AS b))))"))).as("p"))
-          .select(col("band"),
-            when(col("p.a.id") < col("p.b.id"), col("p.a"))
-              .otherwise(col("p.b")).as("pa"),
-            when(col("p.a.id") < col("p.b.id"), col("p.b"))
-              .otherwise(col("p.a")).as("pb"))
+        val pairs = saltedPairs(bands, Seq("band", "bk"), 4)
           .select(col("band"), col("pa.id").as("ia"), col("pa.sg").as("sa"),
             col("pb.id").as("ib"), col("pb.sg").as("sb"))
           // keep the pair only in its FIRST colliding band
@@ -415,15 +424,10 @@ object Similarity {
         val cellCol = (0 to 3).map { p =>
           when(planeDot(col("v"), p) > 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
-        val cells = e.select(col("vec_id"), cellCol.as("cell"))
-        val pairs = cells.groupBy(col("cell"))
-          .agg(sort_array(collect_set(col("vec_id"))).as("ds"))
-          .filter(size(col("ds")) > 1)
-          .select(explode(expr(
-            "flatten(transform(sequence(0, size(ds)-2), i -> " +
-              "transform(sequence(i+1, size(ds)-1), j -> " +
-              "struct(ds[i] AS ia, ds[j] AS ib))))")).as("p"))
-          .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+        val cells = e.select(cellCol.as("cell"),
+          struct(col("vec_id").as("id")).as("m"))
+        val pairs = saltedPairs(cells, Seq("cell"), 4)
+          .select(col("pa.id").as("ia"), col("pb.id").as("ib"))
         pairs
           .join(e.select(col("vec_id").as("ia"), col("v").as("qv")), "ia")
           .join(e.select(col("vec_id").as("ib"), col("v").as("cv")), "ib")
