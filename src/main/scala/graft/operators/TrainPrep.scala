@@ -155,6 +155,46 @@ object TrainPrep {
              |  CAST(sum(n) AS BIGINT) AS tokens
              |FROM b GROUP BY source, bin""".stripMargin)),
 
+    // ---- q56: decontamination behind a bloom prefilter -----------------
+    // Same semantics (and oracle) as q45, executed the way the 100 TB
+    // plan actually looks: the benchmark gram ids are sketched into
+    // ONE bloom filter (a few hundred KB regardless of benchmark
+    // size) embedded as a scalar subquery, and the corpus-side gram
+    // stream tests membership inside its own scan stage —
+    // `bloom_contains` has no false negatives, so the exact confirm
+    // join sees every true hit, and its input is already reduced to
+    // hits + the bloom's false-positive trickle. Uses the engine's
+    // SQL surface end-to-end ([[graft.functions.BloomFunctions]] +
+    // `Tables.registerAll`); the DataFrame-API twin is q45.
+    QueryDef(
+      "q56_decontaminate_bloom",
+      (s, d) => {
+        graft.functions.BloomFunctions.register(s)
+        Tables.registerAll(s, d)
+        s.sql(
+          """WITH toks AS (SELECT doc_id, source, split(text, ' ') AS t
+            |              FROM documents WHERE size(split(text, ' ')) >= 8),
+            |g AS (SELECT doc_id, source,
+            |        cast(conv(substr(md5(concat_ws(' ', slice(t, i, 8))), 1, 15), 16, 10)
+            |             AS bigint) AS gid
+            |      FROM toks LATERAL VIEW explode(sequence(1, size(t) - 7)) AS i),
+            |bench AS (SELECT DISTINCT gid FROM g WHERE source = 'src0'),
+            |filt AS (SELECT doc_id, gid FROM g
+            |         WHERE source <> 'src0'
+            |           AND bloom_contains(
+            |                 (SELECT bloom_agg(gid, 65536L, 524288L) FROM bench),
+            |                 gid))
+            |SELECT f.doc_id, count(DISTINCT f.gid) AS n_hits
+            |FROM filt f JOIN bench b ON f.gid = b.gid
+            |GROUP BY f.doc_id""".stripMargin)
+      },
+      Some(s"""WITH $gramsSql,
+              |bench AS (SELECT DISTINCT gid FROM g WHERE source = 'src0')
+              |SELECT doc_id, count(DISTINCT g.gid) AS n_hits
+              |FROM g JOIN bench USING (gid)
+              |WHERE source <> 'src0'
+              |GROUP BY doc_id""".stripMargin)),
+
     // ---- q55: term scrubbing (regex redaction) -------------------------
     // PII-style scrub: replace a term denylist with a redaction token
     // and fingerprint the scrubbed text. Row-local regex in the scan
