@@ -73,6 +73,58 @@ object Dedup {
       |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
       |       WHERE len(t) >= 3)""".stripMargin
 
+  /** MinHash+LSH candidate pairs (q36's body, reused by the
+    * connected-components resolution in q57): 8 md5-based minhashes in
+    * one partial-aggregating pass, 4 bands × 2 rows, pairs from
+    * exploding each bucket's member list.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.parallel(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+    val sigCols = (0 to 7).map(k => min(expr(
+      s"cast(conv(substr(md5(concat('$k:', s)), 1, 15), 16, 10) as bigint)"))
+      .as(s"mh$k"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 to 3).map(b =>
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
+        col(s"mh${2 * b + 1}").as("h2")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.h1").as("h1"), col("b.h2").as("h2"))
+    bands.groupBy(col("band"), col("h1"), col("h2"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ds)-2), i -> " +
+          "transform(sequence(i+1, size(ds)-1), j -> " +
+          "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[minhashPairs]] as a CTE chain ending in
+    * `pairs(da, db)`.
+    */
+  private val minhashPairsSql =
+    s"""$shinglesSql,
+       |mh AS (SELECT doc_id, g.seed,
+       |         min(('0x' || substr(md5(CAST(g.seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT) AS mh
+       |       FROM sh, UNNEST(generate_series(0, 7)) AS g(seed)
+       |       GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, seed // 2 AS band,
+       |            min(CASE WHEN seed % 2 = 0 THEN mh END) AS h1,
+       |            min(CASE WHEN seed % 2 = 1 THEN mh END) AS h2
+       |          FROM mh GROUP BY 1, 2),
+       |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |          FROM bands x JOIN bands y
+       |            ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+       |               AND x.doc_id < y.doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q34: exact dedup (hash-groupBy on content fingerprint) --------
     QueryDef(
@@ -201,46 +253,66 @@ object Dedup {
         // member list — a single pass, no self-join recomputing the
         // signature subtree on both sides. Per-document cost is
         // constant: the MinHash/LSH dedup scale path at 100 TB.
-        val sh = Tables.parallel(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(col("t")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-            .as("s"))
-        val sigCols = (0 to 7).map(k => min(expr(
-          s"cast(conv(substr(md5(concat('$k:', s)), 1, 15), 16, 10) as bigint)"))
-          .as(s"mh$k"))
-        val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-        val bandCols = (0 to 3).map(b =>
-          struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
-            col(s"mh${2 * b + 1}").as("h2")))
-        val bands = sigs
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"),
-            col("b.h1").as("h1"), col("b.h2").as("h2"))
-        bands.groupBy(col("band"), col("h1"), col("h2"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) > 1)
-          .select(explode(expr(
-            "flatten(transform(sequence(0, size(ds)-2), i -> " +
-              "transform(sequence(i+1, size(ds)-1), j -> " +
-              "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
-          .select(col("p.da").as("da"), col("p.db").as("db"))
-          .distinct()
+        minhashPairs(s, d)
       },
-      Some(s"""WITH $shinglesSql,
-              |mh AS (SELECT doc_id, g.seed,
-              |         min(('0x' || substr(md5(CAST(g.seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT) AS mh
-              |       FROM sh, UNNEST(generate_series(0, 7)) AS g(seed)
-              |       GROUP BY 1, 2),
-              |bands AS (SELECT doc_id, seed // 2 AS band,
-              |            min(CASE WHEN seed % 2 = 0 THEN mh END) AS h1,
-              |            min(CASE WHEN seed % 2 = 1 THEN mh END) AS h2
-              |          FROM mh GROUP BY 1, 2)
-              |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-              |FROM bands x JOIN bands y
-              |  ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
-              |     AND x.doc_id < y.doc_id""".stripMargin)),
+      Some(s"""WITH $minhashPairsSql
+              |SELECT da, db FROM pairs""".stripMargin)),
+
+    // ---- q57: dedup cluster resolution (connected components) ----------
+    // Near-dup PAIRS aren't the end of a dedup pipeline — transitive
+    // matches (A~B, B~C) must collapse into ONE cluster with one
+    // keeper, or the pipeline deletes too little (pairwise keep-min
+    // leaves B∈{B,C} alive) . Components come from iterative min-label
+    // propagation over the q36 candidate graph: every node starts as
+    // its own label, each round takes the min of its neighbors'
+    // labels, fixpoint after O(diameter) rounds (near-dup clusters
+    // are shallow — 2-4 rounds here). Each round is one shuffle of
+    // the (tiny) label frontier joined against the edge list; the
+    // driver loop only reads a converged-yet count, it never touches
+    // the data (this is the label-propagation half of GraphX-style
+    // connected components, without dragging in RDD graphs).
+    // localCheckpoint truncates the per-round lineage so the plan
+    // doesn't grow with iteration count (at cluster scale: reliable
+    // checkpoint to the checkpoint dir instead).
+    QueryDef(
+      "q57_dedup_components",
+      (s, d) => {
+        // materialize the pair graph ONCE before the symmetric union
+        // (both union arms would otherwise re-run the whole minhash
+        // pipeline)
+        val edges = minhashPairs(s, d).localCheckpoint(true)
+        val adj = edges.select(col("da").as("src"), col("db").as("dst"))
+          .union(edges.select(col("db").as("src"), col("da").as("dst")))
+          .localCheckpoint(true)
+        var labels = adj.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+          .localCheckpoint(true)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 25) {
+          val next = adj.join(labels, adj("dst") === labels("id"))
+            .select(adj("src").as("id"), labels("label").as("label"))
+            .union(labels)
+            .groupBy(col("id")).agg(min(col("label")).as("label"))
+            .localCheckpoint(true)
+          converged = next.as("n")
+            .join(labels.as("o"), col("n.id") === col("o.id"))
+            .filter(col("n.label") < col("o.label"))
+            .isEmpty
+          labels = next
+          rounds += 1
+        }
+        labels.select(col("id").as("doc_id"), col("label").as("comp"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |)
+              |SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""".stripMargin)),
 
     // ---- q38: 128-wide MinHash signature (one-buffer sketch agg) -------
     // The full-resolution signature table a production dedup pipeline

@@ -94,6 +94,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(!removed.exists(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("q57 components: edges never straddle clusters, roots are fixpoints") {
+    val comp = run("q57_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    comp.foreach { case (id, c) =>
+      assert(c <= id, "label is the min of the cluster")
+      assert(comp(c) == c, "every label is its own root")
+    }
+    val edges = SparkEntry.queries("q36_minhash_lsh")(spark, sf001).collect()
+    edges.foreach { r =>
+      assert(comp(r.getLong(0)) == comp(r.getLong(1)),
+        s"edge endpoints share a component: $r")
+    }
+  }
+
   test("q49 lag deltas are non-negative and null exactly once per user") {
     val df = run("q49_lag_delta")
     assert(df.filter(col("delta_us") < 0).count() == 0)
