@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Pins the scale-critical physical-plan shapes: these assertions are
+  * what "would survive 100×" means in executable form — a refactor
+  * that silently turns a broadcast into a shuffle, or un-pushes a
+  * scan filter, fails here before it costs anything on a cluster.
+  */
+class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.collect() // let AQE finalize so the string shows final choices
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def formattedOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    // "formatted" includes scan detail (PushedFilters, ReadSchema)
+    org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q2 filter and projection reach the parquet scan") {
+    val f = formattedOf("q2_filter")
+    assert(f.contains("PushedFilters:") && !f.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"expected non-empty pushed filters:\n$f")
+    // projection pruning: the scan must not read the full lineitem row
+    assert(f.contains("ReadSchema"), f)
+    assert(!f.contains("l_comment"), "untouched columns must be pruned")
+  }
+
+  test("q3 joins its dimension side via broadcast, not shuffle") {
+    val p = planOf("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ:\n$p")
+  }
+
+  test("q40 broadcasts the queries and aggregates the corpus side") {
+    val p = planOf("q40_knn_brute")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"), s"expected broadcast of queries:\n$p")
+    // the corpus-side top-1 must be an aggregation (partial-aggregable),
+    // not a row_number window over all scored rows
+    assert(!p.contains("Window"), s"argmax must not use a window:\n$p")
+  }
+
+  test("q34 exact dedup is a single exchange on the fingerprint") {
+    // the AQE plan string repeats the tree under "== Initial Plan ==";
+    // only the final section reflects what actually ran
+    val p = planOf("q34_dedup_exact").split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+  }
+
+  test("q45 corpus grams meet the benchmark set via broadcast") {
+    val p = planOf("q45_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast:\n$p")
+  }
+
+  test("q20 pushes the alert predicate below the window aggregation") {
+    val f = formattedOf("q20_sliding_alert")
+    // the value-range disjunction prunes rows before the window agg:
+    // it must appear in the scan's pushed filters, not only post-agg
+    assert(f.contains("PushedFilters:") && f.contains("value"),
+      s"expected value predicate at the scan:\n$f")
+  }
+}
