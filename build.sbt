@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Every query in the suite whole-stage-codegens fresh classes; the
+  // JDK default 240 MB code cache fills across a long run and JIT'd
+  // methods get flushed/recompiled, inflating later queries.
+  "-XX:ReservedCodeCacheSize=1g",
 )
