@@ -314,6 +314,35 @@ object Dedup {
               |)
               |SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""".stripMargin)),
 
+    // ---- q59: cross-source duplication report ---------------------------
+    // The dedup-ops rollup a data owner actually reads: which source
+    // pairs leak documents into each other. Near-dup pairs (q36's
+    // graph) joined to each endpoint's source — both lookups
+    // broadcast (the pair stream is the small side here after LSH,
+    // but at 100 TB the doc→source map is the dimension side and
+    // broadcasts instead) — then one tiny rollup on the ordered
+    // source pair.
+    QueryDef(
+      "q59_cross_source_dups",
+      (s, d) => {
+        val src = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+        minhashPairs(s, d)
+          .join(src.withColumnRenamed("doc_id", "da").withColumnRenamed("source", "sa"), "da")
+          .join(src.withColumnRenamed("doc_id", "db").withColumnRenamed("source", "sb"), "db")
+          .select(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_dups"))
+      },
+      Some(s"""WITH $minhashPairsSql
+              |SELECT least(x.source, y.source) AS src_a,
+              |       greatest(x.source, y.source) AS src_b,
+              |       count(*) AS n_dups
+              |FROM pairs
+              |JOIN documents x ON pairs.da = x.doc_id
+              |JOIN documents y ON pairs.db = y.doc_id
+              |GROUP BY 1, 2""".stripMargin)),
+
     // ---- q38: 128-wide MinHash signature (one-buffer sketch agg) -------
     // The full-resolution signature table a production dedup pipeline
     // materializes once and reuses for banding at any (bands, rows)

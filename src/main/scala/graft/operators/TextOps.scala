@@ -135,6 +135,26 @@ object TextOps {
              |  min(fp) AS fp_min,
              |  max(fp) AS fp_max,
              |  CAST(sum(fp % 2147483647) AS BIGINT) AS fp_modsum
-             |FROM fps GROUP BY doc_id""".stripMargin))
+             |FROM fps GROUP BY doc_id""".stripMargin)),
+
+    // ---- q58: vocabulary heavy hitters (global top-k terms) ------------
+    // Corpus vocabulary stats: global term frequencies, top 20. The
+    // orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    // top-k then a k-row merge on the driver, NEVER a global sort of
+    // the vocabulary (the scale shape for heavy hitters; at extreme
+    // cardinality you'd front a count-min sketch, same output
+    // contract). Tie-broken on the term so the result is total-order
+    // deterministic.
+    QueryDef(
+      "q58_vocab_topk",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term").asc)
+          .limit(20),
+      Some("""SELECT u.term, count(*) AS n
+             |FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+             |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin))
   )
 }
