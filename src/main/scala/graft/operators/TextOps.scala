@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -155,6 +156,33 @@ object TextOps {
           .limit(20),
       Some("""SELECT u.term, count(*) AS n
              |FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
-             |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin))
+             |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin)),
+
+    // ---- q60: grouped top-k (top terms per language) -------------------
+    // The per-stratum complement of q58: rank inside each language
+    // partition. The rank window re-shuffles only the (lang, term)
+    // AGGREGATE — vocabulary-sized, not corpus-sized — and each
+    // language sorts independently; with a bounded k you'd swap the
+    // window for the q40-style argmax struct when strata are huge.
+    QueryDef(
+      "q60_grouped_topk",
+      (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("term").asc)
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("lang"), col("term"), col("n"), col("rk"))
+      },
+      Some("""WITH c AS (SELECT lang, u.term, count(*) AS n
+             |          FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+             |          GROUP BY 1, 2),
+             |r AS (SELECT lang, term, n,
+             |        CAST(row_number() OVER (PARTITION BY lang
+             |               ORDER BY n DESC, term) AS INTEGER) AS rk
+             |      FROM c)
+             |SELECT lang, term, n, rk FROM r WHERE rk <= 3""".stripMargin))
   )
 }
