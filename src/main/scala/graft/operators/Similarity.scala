@@ -114,7 +114,7 @@ object Similarity {
     * groups are spread explicitly (a shuffle of just the grouped
     * rows) and the explode stage actually uses the cluster.
     */
-  private def saltedPairs(members: DataFrame, keys: Seq[String], K: Int): DataFrame = {
+  private[graft] def saltedPairs(members: DataFrame, keys: Seq[String], K: Int): DataFrame = {
     val keyCols = keys.map(col)
     members
       .withColumn("c", pmod(col("m.id"), lit(K)))
