@@ -34,9 +34,11 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q35_ngram_jaccard,q36_minhash_lsh
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    // Repeat each query N times and keep the fastest: local iteration
-    // aid — JIT/codegen warmth dominates single-shot timings.
-    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
+    // Repeat each query N times and keep the fastest. Default 2:
+    // single-shot timings of a 60-query suite swing ±20-30% run to
+    // run (JIT/GC state when a query's turn arrives); min-of-2 is
+    // stable enough to compare across rounds.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap(q => Seq.fill(repeat)(q))
