@@ -314,6 +314,76 @@ object Dedup {
               |)
               |SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""".stripMargin)),
 
+    // ---- q61: SimHash near-dup pairs (pigeonhole-banded hamming) --------
+    // The pair-finding stage q37's signatures feed: all document pairs
+    // within hamming distance ≤ 3 of a 60-bit SimHash. Banding is the
+    // PIGEONHOLE split — 4 bands × 15 bits, so any pair within
+    // distance 3 agrees exactly on ≥ 1 whole band — which makes this
+    // search EXACT (100% recall by construction, unlike probabilistic
+    // LSH): candidates come from band-key equi-buckets (via
+    // [[Similarity.saltedPairs]] blocks), cross-band duplicates die in
+    // the first-colliding-band bitwise filter (no distinct shuffle),
+    // and the final hamming test is one codegen'd xor+popcount per
+    // candidate. 60 bits (not 64) keeps 1<<j inside signed-BIGINT
+    // range on both engines.
+    QueryDef(
+      "q61_simhash_neardup",
+      (s, d) => {
+        // All 60 bit-sums in ONE partial-aggregating pass over the
+        // (doc, word-hash) rows — no ×60 bit explode, no second
+        // aggregation stage (the exploded two-stage formulation
+        // measured ~2× slower; the oracle keeps it as the readable
+        // spec). Bit j of the majority: +1 votes are s_j of n words,
+        // so the signed sum 2·s_j − n is positive iff 2·s_j > n.
+        val words = Tables.parallel(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("w"))
+          .select(col("doc_id"), md5(col("w")).as("h"))
+        val aggs = (0 until 60).map(j => sum(expr(
+          s"(cast(conv(substr(h, ${j / 4 + 1}, 1), 16, 10) as int) " +
+            s">> ${j % 4}) & 1")).as(s"s$j")) :+ count(lit(1)).as("nw")
+        val sig = words.groupBy(col("doc_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(j =>
+              when(col(s"s$j") * 2 > col("nw"), lit(1L << j)).otherwise(0L))
+              .reduce(_ + _).as("sh"))
+        val bands = sig.select(col("doc_id"), col("sh"), explode(expr(
+          "transform(sequence(0, 3), b -> " +
+            "struct(b AS band, (shiftright(sh, 15*b) & 32767) AS bk))")).as("x"))
+          .select(col("x.band").as("band"), col("x.bk").as("bk"),
+            struct(col("doc_id").as("id"), col("sh").as("sg")).as("m"))
+        Similarity.saltedPairs(bands, Seq("band", "bk"), 4)
+          .select(col("band"), col("pa.id").as("da"), col("pa.sg").as("sa"),
+            col("pb.id").as("db"), col("pb.sg").as("sb"))
+          .filter((0 to 2).map(bp =>
+            (col("band") <= bp) ||
+              ((shiftright(col("sa"), 15 * bp) % 32768) =!=
+                (shiftright(col("sb"), 15 * bp) % 32768))).reduce(_ && _))
+          .withColumn("dist", expr("cast(bit_count(sa ^ sb) as int)"))
+          .filter(col("dist") <= 3)
+          .select(col("da"), col("db"), col("dist"))
+      },
+      Some("""WITH tok AS (SELECT DISTINCT doc_id, u.w
+             |             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+             |bits AS (SELECT doc_id, g.j,
+             |           CASE WHEN ((('0x' || substr(md5(w), (g.j // 4) + 1, 1))::INT
+             |                       >> (g.j % 4)) & 1) = 1 THEN 1 ELSE -1 END AS hb
+             |         FROM tok, UNNEST(generate_series(0, 59)) AS g(j)),
+             |sums AS (SELECT doc_id, j, sum(hb) AS sb FROM bits GROUP BY 1, 2),
+             |sig AS (SELECT doc_id,
+             |          CAST(sum(CASE WHEN sb > 0 THEN (1::BIGINT << j) ELSE 0 END)
+             |               AS BIGINT) AS sh
+             |        FROM sums GROUP BY 1),
+             |bands AS (SELECT doc_id, sh, b.b AS band, (sh >> (15*b.b)) & 32767 AS bk
+             |          FROM sig, UNNEST(generate_series(0, 3)) AS b(b)),
+             |cands AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+             |                 x.sh AS sa, y.sh AS sb
+             |          FROM bands x JOIN bands y
+             |            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+             |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
+             |FROM cands WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin)),
+
     // ---- q59: cross-source duplication report ---------------------------
     // The dedup-ops rollup a data owner actually reads: which source
     // pairs leak documents into each other. Near-dup pairs (q36's
