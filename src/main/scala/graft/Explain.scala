@@ -15,7 +15,8 @@ object Explain {
       else Seq("q1_agg", "q2_filter", "q3_join_agg", "q5_multi_join",
         "q20_sliding_alert", "q35_ngram_jaccard", "q36_minhash_lsh",
         "q38_minhash_sig", "q40_knn_brute", "q42_ann_lsh", "q43_ivf_ann",
-        "q44_embed_neardup")
+        "q44_embed_neardup", "q45_decontaminate", "q56_decontaminate_bloom",
+        "q61_simhash_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

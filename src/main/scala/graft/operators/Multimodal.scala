@@ -52,6 +52,34 @@ object Multimodal {
              |  md5(text) AS content_md5
              |FROM documents""".stripMargin)),
 
+    // ---- q62: resize stub (downscale plumbing) -------------------------
+    // Stands in for an image resize/downscale: the payload is cropped
+    // to its leading quarter (a deterministic stub — a real resize
+    // replaces just this projection with a codec call; the shape,
+    // metadata contract, and no-shuffle scan stay). Output carries the
+    // before/after sizes and the content hash of the resized payload —
+    // what a thumbnailing pass materializes next to the original.
+    QueryDef(
+      "q62_resize_stub",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+          .withColumn("nb", length(col("blob")))
+          .select(
+            col("doc_id"),
+            col("nb").as("orig_bytes"),
+            expr("cast((nb + 3) div 4 as int)").as("new_bytes"),
+            md5(expr("substring(blob, 1, (nb + 3) div 4)")).as("resized_md5")),
+      // DuckDB's md5/substr are VARCHAR-only; the fixture corpus is
+      // ASCII so byte offsets == char offsets and the text crop
+      // hashes identically to the Spark-side binary crop (same
+      // equivalence q50's header_hex oracle relies on).
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS orig_bytes,
+             |  CAST((octet_length(CAST(text AS BLOB)) + 3) // 4 AS INTEGER) AS new_bytes,
+             |  md5(substr(text, 1, (length(text) + 3) // 4)) AS resized_md5
+             |FROM documents""".stripMargin)),
+
     // ---- q52: frame sampling (video-style chunking plumbing) -----------
     // A media payload decomposed into fixed-size frames, each carrying
     // (position, size, content hash) — the batch shape a video

@@ -183,6 +183,31 @@ object TextOps {
              |        CAST(row_number() OVER (PARTITION BY lang
              |               ORDER BY n DESC, term) AS INTEGER) AS rk
              |      FROM c)
-             |SELECT lang, term, n, rk FROM r WHERE rk <= 3""".stripMargin))
+             |SELECT lang, term, n, rk FROM r WHERE rk <= 3""".stripMargin)),
+
+    // ---- q63: BPE-style pretokenization counts -------------------------
+    // Token accounting under a GPT-2-style pretokenizer (letter runs,
+    // digit runs, punctuation runs, whitespace runs — each optionally
+    // space-prefixed), restricted to the RE2-compatible subset (no
+    // lookahead) so Java regex and the oracle's RE2 agree. This is
+    // the "how many tokens will the tokenizer see" estimate a data
+    // mixture is budgeted with — whitespace word counts (q30)
+    // undercount punctuation splits.
+    QueryDef(
+      "q63_bpe_pretokenize",
+      (s, d) => {
+        val pat = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_pretok"),
+          size(array_distinct(regexp_extract_all(col("text"), lit(pat), lit(0))))
+            .as("n_distinct"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             |       AS INTEGER) AS n_pretok,
+             |  CAST(len(list_distinct(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+             |       AS INTEGER) AS n_distinct
+             |FROM documents""".stripMargin))
   )
 }
