@@ -284,8 +284,13 @@ object Dedup {
         val adj = edges.select(col("da").as("src"), col("db").as("dst"))
           .union(edges.select(col("db").as("src"), col("da").as("dst")))
           .localCheckpoint(true)
-        var labels = adj.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id"))
+        // seed one propagation step ahead: min(self, direct neighbors)
+        // falls out of the same aggregation that enumerates the nodes
+        // (replaces a distinct() AND saves a full round)
+        var labels = adj.groupBy(col("src"))
+          .agg(min(col("dst")).as("nbr"))
+          .select(col("src").as("id"),
+            least(col("src"), col("nbr")).as("label"))
           .localCheckpoint(true)
         var converged = false
         var rounds = 0
