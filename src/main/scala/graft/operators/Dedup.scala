@@ -319,6 +319,64 @@ object Dedup {
               |)
               |SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""".stripMargin)),
 
+    // ---- q64: shingle containment (one-sided duplication) --------------
+    // Jaccard misses inclusions: a short document fully quoted inside
+    // a long one scores |A|/|B| ≈ 0 Jaccard but containment
+    // |A∩B|/|A| = 1. Same capped inverted index as q35 (one sid
+    // shuffle, posting-list pair explode, per-doc sizes broadcast
+    // back); only the denominator changes — both directions are
+    // emitted so the consumer can pick "drop the contained side".
+    QueryDef(
+      "q64_containment",
+      (s, d) => {
+        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          (8 * 1024 * 1024).toString)
+        val cnt = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            coalesce(size(array_distinct(expr(
+              "transform(sequence(0, size(t)-3), i -> " +
+                "concat_ws(' ', t[i], t[i+1], t[i+2]))"))), lit(0))
+              .cast("long").as("n"))
+        val pairs = hashedShingles(s, d)
+          .groupBy(col("sid"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")).between(2, JaccardDfCap))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(explode(expr(
+            "flatten(transform(sequence(0, size(ds)-2), i -> " +
+              "transform(sequence(i+1, size(ds)-1), j -> " +
+              "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
+          .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),
+            col("da") === col("da_"))
+          .join(cnt.withColumnRenamed("doc_id", "db_").withColumnRenamed("n", "nb"),
+            col("db") === col("db_"))
+          .filter(greatest(col("inter") / col("na"), col("inter") / col("nb")) >= 0.5)
+          .select(col("da"), col("db"),
+            round(col("inter") / col("na"), 4).as("c_a"),
+            round(col("inter") / col("nb"), 4).as("c_b"))
+      },
+      Some(s"""WITH $hashedShinglesSql,
+              |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |ok AS (SELECT sid FROM sh GROUP BY sid
+              |       HAVING count(*) BETWEEN 2 AND $JaccardDfCap),
+              |shok AS (SELECT sh.* FROM sh JOIN ok USING (sid)),
+              |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+              |          FROM shok a JOIN shok b
+              |            ON a.sid = b.sid AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT da, db,
+              |  round(inter / ca.n, 4) AS c_a,
+              |  round(inter / cb.n, 4) AS c_b
+              |FROM pairs
+              |JOIN cnt ca ON da = ca.doc_id
+              |JOIN cnt cb ON db = cb.doc_id
+              |WHERE greatest(inter / ca.n, inter / cb.n) >= 0.5""".stripMargin)),
+
     // ---- q61: SimHash near-dup pairs (pigeonhole-banded hamming) --------
     // The pair-finding stage q37's signatures feed: all document pairs
     // within hamming distance ≤ 3 of a 60-bit SimHash. Banding is the
