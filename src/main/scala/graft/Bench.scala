@@ -17,6 +17,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill files on tmpfs: with disk-backed /tmp, dirty-page
+      // writeback stalls randomly add seconds to individual queries
+      // (the same finding as StreamBench's checkpoint placement). Falls
+      // back to the default if /dev/shm is absent.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -34,11 +41,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q35_ngram_jaccard,q36_minhash_lsh
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    // Repeat each query N times and keep the fastest. Default 2:
-    // single-shot timings of a 60-query suite swing ±20-30% run to
-    // run (JIT/GC state when a query's turn arrives); min-of-2 is
-    // stable enough to compare across rounds.
-    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2)
+    // Repeat each query N times and keep the fastest. Default 3:
+    // single-shot timings of a 60+-query suite swing ±20-30% run to
+    // run (JIT/GC/writeback state when a query's turn arrives), and
+    // spikes hit 1-2 random queries per pass — min-of-3 keeps the
+    // suite total stable across runs.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(3)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap(q => Seq.fill(repeat)(q))
