@@ -64,20 +64,37 @@ object Bench {
       System.gc()
       Thread.sleep(500)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A throwing query must NOT read as a (fast) success: track the
+      // failure and keep its timing out of min-of-N, so a regression
+      // that breaks a query surfaces as an "errors" entry instead of
+      // a suite speedup.
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          false
+      }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    if (repeat > 1) raw.foreach { case (n, t) => println(s"RUN $n $t") }
-    val results = raw.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (n, ts) => n -> ts.map(_._2).min }
+    if (repeat > 1) raw.foreach { case (n, t, ok) =>
+      println(s"RUN $n $t${if (ok) "" else " FAILED"}") }
+    val byName = raw.groupBy(_._1).toSeq.sortBy(_._1)
+    val errors = byName.collect { case (n, rs) if !rs.exists(_._3) => n }
+    val results = byName
+      .flatMap { case (n, rs) =>
+        val okTimes = rs.collect { case (_, t, true) => t }
+        if (okTimes.isEmpty) None else Some(n -> okTimes.min)
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
-    // Also land the line in a file: sbt prefixes stdout with [info],
-    // which breaks machine parsing of the metrics line downstream.
+    // sbt prefixes stdout with [info] (breaking machine parsing of the
+    // metrics line) but leaves stderr unprefixed — emit there too, and
+    // land the line in a file as the always-clean channel.
+    System.err.println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

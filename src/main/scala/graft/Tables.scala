@@ -17,6 +17,19 @@ import org.apache.spark.sql.types.LongType
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Engine-wide aggregation tuning, applied at the single chokepoint
+    // every query loads tables through (NOT per-query: a query-local
+    // conf.set would leak into whatever runs next on the shared
+    // session and make behavior order-dependent). ObjectHashAggregate
+    // (collect_list/collect_set/TypedImperativeAggregate) silently
+    // falls back to sort-based merging past 128 distinct keys per
+    // task; the dedup posting-list builds and the 128-wide minhash
+    // aggregate carry bounded per-key buffers, and the fallback made
+    // the posting build 2× slower than the rest of its query. 8M keys
+    // × bounded buffers fits the executor-memory budget this engine
+    // sizes partitions for.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (8 * 1024 * 1024).toString)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

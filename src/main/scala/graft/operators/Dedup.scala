@@ -164,14 +164,10 @@ object Dedup {
         // (the oracle applies the same one); at the tested SFs
         // max df = 25, so results equal the uncapped formulation.
         //
-        // ObjectHashAggregate (collect_list) silently falls back to
-        // sort-based merging past 128 distinct keys per task — with
-        // ~thousands of sids per partition that made the posting
-        // build 2× slower than the whole rest of the query. Raise the
-        // threshold so the hash path holds (the buffers are bounded:
-        // one row per sid, lists ≤ df elements).
-        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-          (8 * 1024 * 1024).toString)
+        // ObjectHashAggregate fallback threshold is raised engine-wide
+        // in [[graft.Tables]] (the posting build was 2× slower on the
+        // sort-based path; buffers here are bounded: one row per sid,
+        // lists ≤ df elements).
         // Per-doc distinct-shingle counts need no hashing at all:
         // distinct STRINGS == distinct 60-bit ids (modulo the same
         // astronomically-unlikely collision both engines accept), so
@@ -307,6 +303,14 @@ object Dedup {
           labels = next
           rounds += 1
         }
+        // A component with diameter > the round cap would silently
+        // ship non-converged (wrong) labels — fail loudly instead.
+        // Near-dup clusters converge in 2-4 rounds; hitting 25 means
+        // the pair graph is pathological and the output is not a
+        // transitive closure, which the oracle would catch only as an
+        // opaque hash mismatch.
+        require(converged,
+          s"q57 label propagation did not converge within $rounds rounds")
         labels.select(col("id").as("doc_id"), col("label").as("comp"))
       },
       Some(s"""WITH RECURSIVE $minhashPairsSql,
@@ -329,8 +333,6 @@ object Dedup {
     QueryDef(
       "q64_containment",
       (s, d) => {
-        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-          (8 * 1024 * 1024).toString)
         val cnt = Tables(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 3)
@@ -491,8 +493,6 @@ object Dedup {
       "q38_minhash_sig",
       (s, d) => {
         graft.functions.MinHashSignature.register(s)
-        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-          (8 * 1024 * 1024).toString)
         hashedShingles(s, d)
           .groupBy(col("doc_id"))
           .agg(expr("minhash_sig(sid)").as("sig"))

@@ -245,8 +245,9 @@ object EventOps {
 
     // ---- q26: cooldown debounce (T1 semantics, batch form) -------------
     // Greedy leading debounce: per user, emit an alert only if ≥ 24h
-    // after the last EMITTED alert. Iterative semantics — not
-    // SQL-expressible, so no oracle (driver records rows-only check).
+    // after the last EMITTED alert. Iterative semantics, but still
+    // oracle-checkable: a recursive CTE steps per user through the
+    // emitted chain (each step = min event us ≥ last emitted + 24h).
     // Scalable shape: repartition by user, sort within partitions,
     // single streaming pass (no per-group materialization).
     QueryDef(
@@ -271,7 +272,23 @@ object EventOps {
           }
           .toDF("user_id", "alert_s")
       },
-      None),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id, epoch_us(ts) AS us FROM events
+             |  WHERE event_type = 'error' AND value > 100
+             |),
+             |emit(user_id, us) AS (
+             |  SELECT user_id, min(us) FROM e GROUP BY user_id
+             |  UNION ALL
+             |  SELECT emit.user_id,
+             |    (SELECT min(e2.us) FROM e e2
+             |     WHERE e2.user_id = emit.user_id
+             |       AND e2.us >= emit.us + 86400000000)
+             |  FROM emit
+             |  WHERE (SELECT min(e2.us) FROM e e2
+             |         WHERE e2.user_id = emit.user_id
+             |           AND e2.us >= emit.us + 86400000000) IS NOT NULL
+             |)
+             |SELECT user_id, us // 1000000 AS alert_s FROM emit""".stripMargin)),
 
     // ---- q49: inter-event gaps (lag over per-user event order) ----------
     // SQL window functions (the one analytic family the reference's

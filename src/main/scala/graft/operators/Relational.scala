@@ -258,8 +258,10 @@ object Relational {
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // ---- q17: HLL sketch distinct (approx; engines' sketches differ,
-    // so no value oracle — rows-only check). The 100 TB path for
-    // distinct counting: constant memory, partial-mergeable.
+    // so no value oracle — driver records a rows-only check, and
+    // ApproxDistinctSpec bounds the estimate at ≤5% relative error vs
+    // the exact count). The 100 TB path for distinct counting:
+    // constant memory, partial-mergeable.
     QueryDef(
       "q17_approx_distinct",
       (s, d) =>

@@ -148,8 +148,9 @@ object TrainPrep {
       Some("""WITH d AS (SELECT source, doc_id,
              |            CAST(len(string_split(text, ' ')) AS INTEGER) AS n FROM documents),
              |b AS (SELECT source, n,
-             |        (sum(n) OVER (PARTITION BY source ORDER BY doc_id
-             |                      ROWS UNBOUNDED PRECEDING) - n) // 512 AS bin
+             |        CAST((sum(n) OVER (PARTITION BY source ORDER BY doc_id
+             |                           ROWS UNBOUNDED PRECEDING) - n) // 512
+             |             AS BIGINT) AS bin
              |      FROM d)
              |SELECT source, bin, count(*) AS n_docs,
              |  CAST(sum(n) AS BIGINT) AS tokens
