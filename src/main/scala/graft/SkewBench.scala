@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew stress-bench for the dedup/ANN path: synthesizes a corpus at
+  * ~10× sf0.1 rows whose skew is ADVERSARIAL rather than sampled —
+  * the shapes the small-SF driver tables can never exhibit but a
+  * 100 TB crawl always does:
+  *
+  *  - a boilerplate 12-word prefix on a third of all documents, so
+  *    every 3-gram inside it has df ≈ nDocs/3 ≫ [[Dedup.JaccardDfCap]]
+  *    (the uncapped inverted index would emit ~(nDocs/3)² pairs from
+  *    those shingles alone — the df cap must make them free);
+  *  - a 1000-document near-identical cluster (one unique tail word
+  *    each), which lands every member in the SAME MinHash/LSH bucket
+  *    of every band — the hot-bucket case the salted pair generation
+  *    has to spread across tasks;
+  *  - 200 planted near-dup pairs with document-unique shingles
+  *    (df = 2, under the cap) so the capped Jaccard query still has
+  *    true positives to find;
+  *  - a 2000-vector near-identical embedding cluster that collapses
+  *    into one sign-LSH bucket per band for the q44 path.
+  *
+  * Everything is hash-derived from ids (murmur3 via `hash()`), so the
+  * corpus is bit-identical across runs — timings compare across
+  * commits. Emits one BENCH-style JSON line (plus SKEWBENCH_OUT.json)
+  * with per-query seconds AND result-row counts; the counts prove the
+  * skew materialized (e.g. the hot bucket really yields ≥ C(1000,2)
+  * candidate pairs) instead of silently degenerating into a uniform
+  * corpus.
+  */
+object SkewBench {
+
+  val HotDocs = 1000      // near-identical docs → one LSH bucket
+  val PairBase = 1000     // [PairBase, PairBase+PlantedPairs*2): near-dup pairs
+  val PlantedPairs = 200
+  val HotVecs = 2000      // near-identical embeddings → one sign-LSH bucket
+
+  /** Deterministic skewed corpus; `documents.parquet` + `embeddings.parquet`
+    * under `dir`, schema-identical to the driver tables (TESTDATA.md).
+    */
+  def writeCorpus(spark: SparkSession, dir: String, nDocs: Long, nVecs: Long): Unit = {
+    val boilerplate =
+      "terms of service apply to all content on this site please read carefully"
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      expr(
+        s"""CASE
+           |  WHEN id < $HotDocs THEN concat(
+           |    concat_ws(' ', transform(sequence(0, 58),
+           |      i -> concat('t', pmod(hash(7, i), 997)))),
+           |    ' u', id)
+           |  WHEN id < ${PairBase + 2L * PlantedPairs} THEN concat(
+           |    concat_ws(' ', transform(sequence(0, 59),
+           |      i -> concat('w', pmod(hash(id - id % 2, i), 997)))),
+           |    ' v', id)
+           |  WHEN id % 3 = 0 THEN concat('$boilerplate ',
+           |    concat_ws(' ', transform(sequence(0, 47),
+           |      i -> concat('w', pmod(hash(id, i), 997)))))
+           |  ELSE concat_ws(' ', transform(sequence(0, 59),
+           |    i -> concat('w', pmod(hash(id, i), 997))))
+           |END""".stripMargin).as("text"),
+      expr("CASE WHEN id % 10 = 0 THEN 'de' ELSE 'en' END").as("lang"),
+      expr("concat('crawl-', pmod(id, 4))").as("source"))
+      .withColumn("n_chars", length(col("text")))
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val vecs = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      expr(
+        s"""CASE WHEN id < $HotVecs THEN
+           |  transform(sequence(0, 63), i -> cast(
+           |    pmod(hash(77, i), 1000) / 1000.0
+           |      + pmod(hash(id, i), 7) / 100000.0 + 0.001 as float))
+           |ELSE
+           |  transform(sequence(0, 63), i -> cast(
+           |    (pmod(hash(id, i), 2000) - 1000) / 1000.0 + 0.0005 as float))
+           |END""".stripMargin).as("embedding"),
+      expr("cast(pmod(id, 8) as int)").as("label"))
+    vecs.repartition(8).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** The queries whose plans carry the skew guards under test. */
+  val Targets: Seq[String] = Seq(
+    "q34_dedup_exact", "q35_ngram_jaccard", "q36_minhash_lsh",
+    "q38_minhash_sig", "q44_embed_neardup", "q53_semdedup",
+    "q57_dedup_components", "q61_simhash_neardup", "q64_containment",
+    "q65_ann_scaled")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-skew"
+      else s"${System.getProperty("java.io.tmpdir")}/graft-skew")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_SKEW_DOCS", "50000").toLong
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_SKEW_VECS", "20000").toLong
+    val repeat = sys.env.get("SPARK_GRAFT_SKEW_REPEAT").map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    writeCorpus(spark, dir, nDocs, nVecs)
+
+    // Same timing discipline as [[Bench]]: drain the ContextCleaner
+    // between queries, min-of-N, count() as the action.
+    val selected = Targets.flatMap(n => Seq.fill(repeat)(n))
+    val raw = selected.map { name =>
+      System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(500)
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      (name, (System.nanoTime() - t0) / 1e9, n)
+    }
+    val byName = raw.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, rs) => (n, rs.map(_._2).min, rs.map(_._3).max) }
+    val qs = byName.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rows = byName.map { case (k, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val total = byName.map(_._2).sum
+    val json = s"""{"metric":"skew_total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"rows":$rows,"docs":$nDocs,"vecs":$nVecs}"""
+    println(json)
+    System.err.println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEWBENCH_OUT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

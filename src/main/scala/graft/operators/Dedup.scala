@@ -74,9 +74,20 @@ object Dedup {
       |       WHERE len(t) >= 3)""".stripMargin
 
   /** MinHash+LSH candidate pairs (q36's body, reused by the
-    * connected-components resolution in q57): 8 md5-based minhashes in
-    * one partial-aggregating pass, 4 bands × 2 rows, pairs from
-    * exploding each bucket's member list.
+    * connected-components resolution in q57 and the cross-source
+    * report in q59): 8 md5-based minhashes in one partial-aggregating
+    * pass, 4 bands × 2 rows each, then pair generation through
+    * [[Similarity.saltedPairs]] chunk-pair blocks. Two skew guards
+    * (both result-set-neutral, proven by the unchanged oracle):
+    *  - a hot bucket (one template duplicated n times puts all n
+    *    members in the SAME bucket of every band) explodes per
+    *    chunk-pair BLOCK, so its C(n,2) pairs fan out over
+    *    C(K+1,2) tasks instead of serializing in one;
+    *  - cross-band duplicates die in a codegen'd filter — each
+    *    member carries its full 8-hash signature and a pair is
+    *    emitted only from the FIRST band whose (h1,h2) collide —
+    *    replacing a distinct() that shuffled every candidate pair
+    *    (the largest dataset in the query under duplication skew).
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.parallel(s, d, "documents")
@@ -93,18 +104,20 @@ object Dedup {
       struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
         col(s"mh${2 * b + 1}").as("h2")))
     val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"),
-        col("b.h1").as("h1"), col("b.h2").as("h2"))
-    bands.groupBy(col("band"), col("h1"), col("h2"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ds)-2), i -> " +
-          "transform(sequence(i+1, size(ds)-1), j -> " +
-          "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"))
-      .distinct()
+      .select(col("doc_id"),
+        array((0 to 7).map(k => col(s"mh$k")): _*).as("sig"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.h1").as("h1"),
+        col("b.h2").as("h2"),
+        struct(col("doc_id").as("id"), col("sig").as("sg")).as("m"))
+    Similarity.saltedPairs(bands, Seq("band", "h1", "h2"), 4)
+      // keep the pair only in its FIRST colliding band
+      .filter((0 to 2).map(bp =>
+        (col("band") <= bp) ||
+          (col("pa.sg")(2 * bp) =!= col("pb.sg")(2 * bp)) ||
+          (col("pa.sg")(2 * bp + 1) =!= col("pb.sg")(2 * bp + 1)))
+        .reduce(_ && _))
+      .select(col("pa.id").as("da"), col("pb.id").as("db"))
   }
 
   /** DuckDB mirror of [[minhashPairs]] as a CTE chain ending in

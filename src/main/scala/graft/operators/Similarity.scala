@@ -82,16 +82,23 @@ object Similarity {
       s"(CASE WHEN ${planeDotSql(v, p)} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** Band key for the banded (multi-table) LSH: band `b` uses planes
-    * 2b and 2b+1 → a 2-bit key.
+  /** Full `nPlanes`-bit sign signature as one codegen'd projection
+    * (bit p = sign of plane p); [[bucketCol]] is the 8-plane case.
     */
-  private def bandKeyCol(v: Column, b: Int): Column =
-    when(planeDot(v, 2 * b) > 0, lit(1L)).otherwise(lit(0L)) +
-      when(planeDot(v, 2 * b + 1) > 0, lit(2L)).otherwise(lit(0L))
+  private def sigCol(v: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(planeDot(v, p) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
-  private def bandKeySql(v: String, b: Int): String =
-    s"(CASE WHEN ${planeDotSql(v, 2 * b)} > 0 THEN 1 ELSE 0 END + " +
-      s"CASE WHEN ${planeDotSql(v, 2 * b + 1)} > 0 THEN 2 ELSE 0 END)"
+  /** Band key for the banded (multi-table) LSH: band `b` uses planes
+    * b·ppb … b·ppb+ppb−1 → a ppb-bit key. More planes per band is THE
+    * scale knob: each added plane halves a random bucket's population
+    * (≈4× fewer candidate pairs); bands buy the recall back.
+    */
+  private def bandKeySql(v: String, b: Int, ppb: Int): String =
+    (0 until ppb).map { j =>
+      s"CASE WHEN ${planeDotSql(v, b * ppb + j)} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
 
   /** All unordered within-group member pairs, generated in SALTED
     * chunk-pair blocks: members are split into K id-mod chunks and
@@ -147,6 +154,67 @@ object Similarity {
           .otherwise(col("p.b")).as("pa"),
         when(col("p.a.id") < col("p.b.id"), col("p.b"))
           .otherwise(col("p.a")).as("pb")): _*)
+  }
+
+  /** Banded sign-LSH near-duplicate pairs with exact cosine rerank —
+    * the parameterized core behind q44 (driver-scale defaults) and
+    * q65 (100 TB knob settings). One pass computes the full
+    * ppb·nBands-plane signature; band keys are ppb-bit slices of it;
+    * candidates come from [[saltedPairs]] chunk-pair blocks (hot
+    * near-identical clusters fan out over K(K+1)/2 tasks); cross-band
+    * duplicates die in the codegen'd FIRST-colliding-band filter, so
+    * the candidate stream never shuffles; the exact rerank joins
+    * touch surviving pair ids only.
+    */
+  private def lshNearDup(s: SparkSession, d: String,
+      ppb: Int, nBands: Int, K: Int, simMin: Double): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = emb(s, d)
+    val w = 1L << ppb
+    val bands = e
+      .select(col("vec_id"), sigCol(col("v"), ppb * nBands).as("sig"))
+      .select(col("vec_id"), col("sig"), explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"struct(b AS band, shiftright(sig, $ppb * b) % $w AS bk))")).as("x"))
+      .select(col("x.band").as("band"), col("x.bk").as("bk"),
+        struct(col("vec_id").as("id"), col("sig").as("sg")).as("m"))
+    val pairs = saltedPairs(bands, Seq("band", "bk"), K)
+      .select(col("band"), col("pa.id").as("ia"), col("pa.sg").as("sa"),
+        col("pb.id").as("ib"), col("pb.sg").as("sb"))
+      // keep the pair only in its FIRST colliding band
+      .filter((0 until nBands - 1).map(bp =>
+        (col("band") <= bp) ||
+          (shiftright(col("sa"), ppb * bp) % w =!=
+            shiftright(col("sb"), ppb * bp) % w)).reduce(_ && _))
+      .select(col("ia"), col("ib"))
+    pairs
+      .join(e.select(col("vec_id").as("ia"), col("v").as("qv")), "ia")
+      .join(e.select(col("vec_id").as("ib"), col("v").as("cv")), "ib")
+      .withColumn("sim", expr("cosine_sim(qv, cv)"))
+      .filter(col("sim") >= simMin)
+      .select(col("ia").as("a_id"), col("ib").as("b_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** DuckDB mirror of [[lshNearDup]]: the DISTINCT-over-self-join
+    * formulation over the same generated plane family — identical
+    * result set, so the hash check stays exact at any (ppb, nBands).
+    */
+  private def lshNearDupSql(ppb: Int, nBands: Int, simMin: String): String = {
+    val bandArms = (0 until nBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${bandKeySql("v", b, ppb)} AS bk FROM e")
+      .mkString("\n UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bands AS ($bandArms),
+       |cands AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+       |sims AS (SELECT ia, ib,
+       |           list_dot_product(ea.v, eb.v) /
+       |             (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+       |         FROM cands JOIN e ea ON ea.vec_id = ia JOIN e eb ON eb.vec_id = ib)
+       |SELECT ia AS a_id, ib AS b_id, round(sim, 4) AS sim
+       |FROM sims WHERE sim >= $simMin""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -354,50 +422,24 @@ object Similarity {
     // rerank joins touch just the surviving pair ids.
     QueryDef(
       "q44_embed_neardup",
-      (s, d) => {
-        graft.functions.CosineSimilarity.register(s)
-        val e = emb(s, d)
-        // one pass over the 8 plane dots → full signature; band keys
-        // are 2-bit slices of it
-        val bands = e.select(col("vec_id"), bucketCol(col("v")).as("sig"))
-          .select(col("vec_id"), col("sig"), explode(expr(
-            "transform(sequence(0, 3), b -> " +
-              "struct(b AS band, shiftright(sig, 2*b) % 4 AS bk))")).as("x"))
-          .select(col("x.band").as("band"), col("x.bk").as("bk"),
-            struct(col("vec_id").as("id"), col("sig").as("sg")).as("m"))
-        val pairs = saltedPairs(bands, Seq("band", "bk"), 4)
-          .select(col("band"), col("pa.id").as("ia"), col("pa.sg").as("sa"),
-            col("pb.id").as("ib"), col("pb.sg").as("sb"))
-          // keep the pair only in its FIRST colliding band
-          .filter((0 to 2).map(bp =>
-            (col("band") <= bp) ||
-              (shiftright(col("sa"), 2 * bp) % 4 =!=
-                shiftright(col("sb"), 2 * bp) % 4)).reduce(_ && _))
-          .select(col("ia"), col("ib"))
-        pairs
-          .join(e.select(col("vec_id").as("ia"), col("v").as("qv")), "ia")
-          .join(e.select(col("vec_id").as("ib"), col("v").as("cv")), "ib")
-          .withColumn("sim", expr("cosine_sim(qv, cv)"))
-          .filter(col("sim") >= 0.5)
-          .select(col("ia").as("a_id"), col("ib").as("b_id"),
-            round(col("sim"), 4).as("sim"))
-      },
-      Some {
-        val bandArms = (0 to 3).map(b =>
-          s"SELECT vec_id, $b AS band, ${bandKeySql("v", b)} AS bk FROM e")
-          .mkString("\n UNION ALL ")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |bands AS ($bandArms),
-           |cands AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-           |          FROM bands a JOIN bands b
-           |            ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
-           |sims AS (SELECT ia, ib,
-           |           list_dot_product(ea.v, eb.v) /
-           |             (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
-           |         FROM cands JOIN e ea ON ea.vec_id = ia JOIN e eb ON eb.vec_id = ib)
-           |SELECT ia AS a_id, ib AS b_id, round(sim, 4) AS sim
-           |FROM sims WHERE sim >= 0.5""".stripMargin
-      }),
+      (s, d) => lshNearDup(s, d, ppb = 2, nBands = 4, K = 4, simMin = 0.5),
+      Some(lshNearDupSql(ppb = 2, nBands = 4, simMin = "0.5"))),
+
+    // ---- q65: the same operator at its 100 TB configuration ------------
+    // q44's 2-bit band keys are correct for the driver corpus but
+    // collapse at volume: random vectors spread over only 4 buckets
+    // per band, so candidates grow ~n²/4 per band (measured on the
+    // 20k-vector skew corpus: 136M candidate pairs, 147 s). This is
+    // the SAME operator with the scale knobs turned: 6 planes per
+    // band (64 buckets, ~4096× fewer random candidates), salt K=8
+    // for hot near-identical clusters, rerank at sim ≥ 0.9 (the
+    // near-dup regime where 4×6-plane recall is ~87%). Oracle is
+    // generated from the same plane family, so the result still
+    // hash-matches exactly.
+    QueryDef(
+      "q65_ann_scaled",
+      (s, d) => lshNearDup(s, d, ppb = 6, nBands = 4, K = 8, simMin = 0.9),
+      Some(lshNearDupSql(ppb = 6, nBands = 4, simMin = "0.9"))),
 
     // ---- q53: semantic dedup (SemDeDup within LSH cells) ----------------
     // SemDeDup-style pruning (Abbas et al. 2023, arXiv:2303.09540):

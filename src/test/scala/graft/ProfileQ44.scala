@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   */
 object ProfileQ44 {
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_PROFILE_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -30,8 +30,10 @@ object ProfileQ44 {
     e.count(); e.count()
 
     val fullFn = SparkEntry.queries("q44_embed_neardup")
-    time("full q44 (1)")(fullFn(spark, d).count())
-    time("full q44 (2)")(fullFn(spark, d).count())
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_FULL")) {
+      time("full q44 (1)")(fullFn(spark, d).count())
+      time("full q44 (2)")(fullFn(spark, d).count())
+    }
 
     // stage A: bands projection only
     def planeCoef(p: Int, i: Int): Double = {
@@ -94,6 +96,7 @@ object ProfileQ44 {
     time("N3 +rerank")(nr.count())
     time("N3 again")(nr.count())
 
+    if (!sys.env.contains("SPARK_GRAFT_PROFILE_NAIVE")) { spark.stop(); return }
     val bandCols = (0 to 3).map(b =>
       struct(lit(b).as("band"), bandKeyCol(col("v"), b).as("bk")))
     val bands = e.select(col("vec_id"), explode(array(bandCols: _*)).as("x"))

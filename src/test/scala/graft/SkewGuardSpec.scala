@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Executable form of the dedup skew guards (the full-size version is
+  * [[SkewBench]]): a small adversarial corpus whose pair counts are
+  * known by construction, asserting that
+  *  - q35's df cap silently DROPS the boilerplate cluster (df ≫ cap
+  *    would otherwise emit C(300,2) = 44 850 pairs at J ≈ 0.93) while
+  *    still finding the planted df=2 near-dup pair, and
+  *  - q36's salted first-colliding-band pair generation emits every
+  *    hot-bucket pair exactly ONCE (the set a distinct() would
+  *    produce, without the pair-stream shuffle).
+  */
+class SkewGuardSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-skewspec").toString
+    val boiler = (0 until 30).map(i => s"b$i").mkString(" ")
+    val planted = (0 until 30).map(i => s"p$i").mkString(" ")
+    val hot = (0 until 40).map(i => s"h$i").mkString(" ")
+    val rows =
+      (0 until 300).map(i => (i.toLong, s"$boiler x$i")) ++      // df=300 ≫ cap
+        Seq((300L, s"$planted ya"), (301L, s"$planted yb")) ++   // df=2 pair
+        (0 until 70).map(i => (400L + i, hot))                   // identical; df=70 > cap
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q35 df cap drops the boilerplate cluster, keeps the df=2 pair") {
+    val rows = SparkEntry.queries("q35_ngram_jaccard")(spark, dir).collect()
+    assert(rows.length == 1,
+      s"expected ONLY the planted pair (cap must kill df>64 shingles), got ${rows.length}")
+    assert(rows.head.getLong(0) == 300L && rows.head.getLong(1) == 301L)
+    assert(rows.head.getDouble(2) > 0.9)
+  }
+
+  test("q36 emits each hot-bucket pair exactly once, ordered da < db") {
+    val df = SparkEntry.queries("q36_minhash_lsh")(spark, dir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no cross-band duplicates: the first-colliding-band filter must
+    // reproduce distinct() semantics exactly
+    assert(rows.length == rows.distinct.length,
+      s"duplicate pairs leaked past the first-band filter")
+    assert(rows.forall { case (a, b) => a < b }, "pair order must be da < db")
+    // the 70 identical docs share every shingle, hence every band
+    // bucket: all C(70,2) pairs must be present
+    val hotPairs = rows.filter { case (a, b) => a >= 400L && b >= 400L }
+    assert(hotPairs.length == 70 * 69 / 2,
+      s"expected ${70 * 69 / 2} hot-cluster pairs, got ${hotPairs.length}")
+  }
+}
