@@ -32,6 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Every query in the suite whole-stage-codegens fresh classes; the
   // JDK default 240 MB code cache fills across a long run and JIT'd
-  // methods get flushed/recompiled, inflating later queries.
-  "-XX:ReservedCodeCacheSize=1g",
+  // methods get flushed/recompiled, inflating later queries. 2g after
+  // the suite passed 65 queries × min-of-3 (one late-suite query ran
+  // a stable 2.5× slower inside one JVM at 1g, normal solo) — the
+  // reservation is address space, not committed memory.
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -278,24 +278,64 @@ object Similarity {
               |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
               |GROUP BY 1, 2""".stripMargin)),
 
-    // ---- q43: IVF-bucketed approximate NN ------------------------------
-    // Inverted-file index: 16 seed centroids (the first 16 vectors —
-    // a deterministic stand-in for k-means training, which would run
-    // offline at scale), every vector assigned to its nearest
-    // centroid, queries probe the nprobe=2 nearest cells. The
-    // candidate set is an equi-join on cell id — the IVF search shape
-    // used at billion-vector scale. Fully oracle-checked: cosine is
-    // bit-reproducible in both engines, so cell assignments match.
+    // ---- q43: IVF-bucketed approximate NN (trained centroids) ----------
+    // Inverted-file index with k-means-TRAINED cells: 16 seeds (the
+    // first 16 vectors) refined by two fixed Lloyd iterations, every
+    // vector assigned to its nearest trained centroid, queries probe
+    // the nprobe=2 nearest cells. The candidate set is an equi-join
+    // on cell id — the IVF search shape used at billion-vector scale
+    // (training would run on a sample offline there; here it runs on
+    // the full corpus as two linear passes: broadcast cross-score +
+    // packed-BIGINT argmax + posexplode partial-agg means — no
+    // shuffle wider than 16×64 aggregate rows).
+    //
+    // Fully oracle-checked DESPITE the iterative training: centroid
+    // component means use fixed-point sums (order-independent longs),
+    // truncating integer division (both engines truncate toward
+    // zero), and a 2^30 scale whose final divide is an exact FP op —
+    // so the trained centroids are bit-identical in both engines and
+    // every downstream cosine matches.
     QueryDef(
       "q43_ivf_ann",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
         val e = emb(s, d)
-        val cents = e.filter(col("vec_id") < 16)
+        val F = 1073741824L // 2^30
+
+        def crossScore(cents: DataFrame): DataFrame =
+          e.select(col("vec_id"), col("v").as("qv"))
+            .crossJoin(broadcast(cents))
+            .withColumn("csim", expr("cosine_sim(qv, cv)"))
+
+        // One Lloyd step: nearest-centroid assignment (same packed
+        // argmax as the final index build) + element-wise fixed-point
+        // means back into a 16-row centroid frame.
+        def lloydStep(cents: DataFrame): DataFrame =
+          crossScore(cents)
+            .groupBy(col("vec_id"))
+            .agg(max(expr(
+              "floor(csim * 4503599627370496d) * 16 + (15 - cent_id)")).as("k"))
+            .select(col("vec_id"),
+              (lit(15L) - pmod(col("k"), lit(16L))).as("cell"))
+            .join(e, "vec_id")
+            .select(col("cell"),
+              posexplode(expr(
+                s"transform(v, x -> cast(round(x * ${F}d, 0) as bigint))"))
+                .as(Seq("pos", "fx")))
+            .groupBy(col("cell"), col("pos"))
+            .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+            .select(col("cell"),
+              struct(col("pos"),
+                (expr("sfx div n") / lit(F.toDouble)).as("cval")).as("pv"))
+            .groupBy(col("cell"))
+            .agg(sort_array(collect_list(col("pv"))).as("pvs"))
+            .select(col("cell").as("cent_id"),
+              expr("transform(pvs, p -> p.cval)").as("cv"))
+
+        val cents0 = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val scored = e.select(col("vec_id"), col("v").as("qv"))
-          .crossJoin(broadcast(cents))
-          .withColumn("csim", expr("cosine_sim(qv, cv)"))
+        val cents = lloydStep(lloydStep(cents0))
+        val scored = crossScore(cents)
         // Cell assignment is the all-N path, so it must stay in
         // HashAggregate (numeric buffer) with partial aggregation — a
         // row_number window would full-sort-shuffle all N×16 scored
@@ -332,30 +372,53 @@ object Similarity {
         withVecs.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
           .select(col("q_id"), col("c_id").as("nn_id"), round(col("sim"), 4).as("sim"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
-              |scored AS (SELECT vec_id, v AS qv, cent_id, cv,
-              |             $cosSql AS csim
-              |           FROM e CROSS JOIN cents),
-              |ranked AS (SELECT vec_id, cent_id, row_number() OVER
-              |             (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-              |           FROM scored),
-              |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
-              |probes AS (SELECT vec_id AS q_id, cent_id AS probe_cell
-              |           FROM ranked WHERE vec_id < 10 AND rn <= 2),
-              |cands AS (SELECT DISTINCT q_id, a.vec_id AS c_id
-              |          FROM probes JOIN assign a
-              |            ON probe_cell = a.cell AND a.vec_id <> q_id),
-              |sims AS (SELECT q_id, c_id,
-              |           list_dot_product(eq.v, ec.v) /
-              |             (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
-              |         FROM cands
-              |         JOIN e eq ON eq.vec_id = q_id
-              |         JOIN e ec ON ec.vec_id = c_id)
-              |SELECT q_id, c_id AS nn_id, round(sim, 4) AS sim
-              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-              |        ORDER BY sim DESC, c_id) AS rn FROM sims)
-              |WHERE rn = 1""".stripMargin)),
+      Some {
+        // two unrolled Lloyd iterations as CTE chains; fixed-point
+        // sums + truncating // keep the centroids bit-identical to
+        // the Spark side
+        val lloyd = (1 to 2).map { i =>
+          val prev = s"c${i - 1}"
+          s"""s$i AS (SELECT vec_id, v AS qv, cent_id, cv, $cosSql AS csim
+             |        FROM e CROSS JOIN $prev),
+             |a$i AS (SELECT vec_id, qv, cell FROM (
+             |          SELECT vec_id, qv, cent_id AS cell, row_number() OVER
+             |            (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+             |          FROM s$i) WHERE rn = 1),
+             |m$i AS (SELECT cell, g.i - 1 AS pos,
+             |          sum(CAST(round(qv[g.i] * 1073741824) AS BIGINT)) AS sfx,
+             |          count(*) AS n
+             |        FROM a$i, UNNEST(generate_series(1, len(qv))) AS g(i)
+             |        GROUP BY 1, 2),
+             |c$i AS (SELECT cell AS cent_id,
+             |          list((sfx // n) / 1073741824.0 ORDER BY pos) AS cv
+             |        FROM m$i GROUP BY cell)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |$lloyd,
+           |scored AS (SELECT vec_id, v AS qv, cent_id, cv,
+           |             $cosSql AS csim
+           |           FROM e CROSS JOIN c2),
+           |ranked AS (SELECT vec_id, cent_id, row_number() OVER
+           |             (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+           |           FROM scored),
+           |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+           |probes AS (SELECT vec_id AS q_id, cent_id AS probe_cell
+           |           FROM ranked WHERE vec_id < 10 AND rn <= 2),
+           |cands AS (SELECT DISTINCT q_id, a.vec_id AS c_id
+           |          FROM probes JOIN assign a
+           |            ON probe_cell = a.cell AND a.vec_id <> q_id),
+           |sims AS (SELECT q_id, c_id,
+           |           list_dot_product(eq.v, ec.v) /
+           |             (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+           |         FROM cands
+           |         JOIN e eq ON eq.vec_id = q_id
+           |         JOIN e ec ON ec.vec_id = c_id)
+           |SELECT q_id, c_id AS nn_id, round(sim, 4) AS sim
+           |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |        ORDER BY sim DESC, c_id) AS rn FROM sims)
+           |WHERE rn = 1""".stripMargin
+      }),
 
     // ---- q42: LSH-bucketed approximate NN ------------------------------
     QueryDef(
