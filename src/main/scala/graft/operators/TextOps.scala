@@ -208,6 +208,140 @@ object TextOps {
              |       AS INTEGER) AS n_pretok,
              |  CAST(len(list_distinct(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
              |       AS INTEGER) AS n_distinct
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- q66: repetition stats (Gopher/MassiveText-style) --------------
+    // Per-document repetition signals used by crawl-quality filters:
+    // top-unigram fraction, top-bigram fraction, duplicate-word
+    // fraction. Scale shape: the unigram/bigram counts shuffle
+    // per-DOCUMENT keys (doc_id, term) with map-side partial
+    // aggregation — grouped cardinality is bounded by each doc's own
+    // vocabulary, never the corpus's, and the per-doc maxima collapse
+    // back to one row per document before the 3-way join of tiny
+    // aggregates. All fractions are exact IEEE divisions of counts,
+    // so the oracle compares bit-for-bit.
+    QueryDef(
+      "q66_repetition",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val base = toks.select(
+          col("doc_id"), size(col("t")).as("n"),
+          size(array_distinct(col("t"))).as("nd"))
+        val topUni = toks
+          .select(col("doc_id"), explode(col("t")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("mu"))
+        val topBi = toks
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t)-1), i -> concat_ws(' ', slice(t, i, 2)))"))
+            .as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("mb"))
+        base.join(topUni, Seq("doc_id")).join(topBi, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n").as("n_tokens"),
+            round(col("mu") / col("n"), 4).as("top_uni_frac"),
+            round(coalesce(col("mb"), lit(0L)) / (col("n") - 1), 4)
+              .as("top_bi_frac"),
+            round(lit(1.0) - col("nd") / col("n"), 4).as("dup_word_frac"),
+            (coalesce(col("mb"), lit(0L)) / (col("n") - 1) >= 0.06)
+              .as("repetitive"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |base AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM toks),
+             |uni AS (SELECT doc_id, max(c) AS mu FROM (
+             |          SELECT doc_id, u.term, count(*) AS c
+             |          FROM toks, UNNEST(t) AS u(term) GROUP BY 1, 2) GROUP BY 1),
+             |bi AS (SELECT doc_id, max(c) AS mb FROM (
+             |         SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg, count(*) AS c
+             |         FROM toks, UNNEST(generate_series(1, len(t)-1)) AS s(i)
+             |         WHERE len(t) >= 2 GROUP BY 1, 2) GROUP BY 1)
+             |SELECT base.doc_id, CAST(n AS INTEGER) AS n_tokens,
+             |  round(mu / n, 4) AS top_uni_frac,
+             |  round(coalesce(mb, 0) / (n - 1), 4) AS top_bi_frac,
+             |  round(1.0 - nd / n, 4) AS dup_word_frac,
+             |  (coalesce(mb, 0) / (n - 1) >= 0.06) AS repetitive
+             |FROM base JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)""".stripMargin)),
+
+    // ---- q67: TF-IDF top terms per document ----------------------------
+    // Keyword extraction: per-doc top-3 terms by tf·idf with a
+    // RATIONAL idf (N/df, no transcendental log — ln() is libm-
+    // dependent and not bit-reproducible across engines; N/df ranks
+    // identically for fixed tf and keeps the oracle exact). Two
+    // corpus-sized shuffles — (doc, term) tf and (term) df — both
+    // partial-aggregated; the df side is vocabulary-sized and joins
+    // back onto the tf aggregate, and the doc-count scalar is a
+    // broadcast single row. Final ranking windows over per-doc term
+    // lists only.
+    QueryDef(
+      "q67_tfidf",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score", col("tf") * (col("n_docs") / col("df")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            round(col("score"), 4).as("score"), col("rk"))
+      },
+      Some("""WITH tf AS (SELECT doc_id, u.term, count(*) AS tf
+             |          FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+             |          GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |s AS (SELECT doc_id, term, tf, df,
+             |        tf * ((SELECT count(DISTINCT doc_id) FROM documents) / df) AS score
+             |      FROM tf JOIN df USING (term)),
+             |r AS (SELECT doc_id, term, tf, df, score,
+             |        CAST(row_number() OVER (PARTITION BY doc_id
+             |               ORDER BY score DESC, term) AS INTEGER) AS rk
+             |      FROM s)
+             |SELECT doc_id, term, tf, df, round(score, 4) AS score, rk
+             |FROM r WHERE rk <= 3""".stripMargin)),
+
+    // ---- q70: vocabulary coverage curve --------------------------------
+    // Tokenizer-budget planning: what fraction of all token
+    // occurrences do the top-100 vocabulary terms cover? Term counts
+    // collapse the corpus to vocabulary size with partial
+    // aggregation; the running sum then windows over the VOCABULARY
+    // aggregate ordered by count — a single-partition window, safe
+    // because vocab ≪ corpus (at extreme vocabularies you'd bound it
+    // with the q58 heavy-hitter top-k first, same output contract).
+    // The corpus total rides in as one broadcast row.
+    QueryDef(
+      "q70_vocab_coverage",
+      (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("tot"))
+        val w = Window.orderBy(col("n").desc, col("term").asc)
+        counts.crossJoin(broadcast(total))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cum", sum(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rk") <= 100)
+          .select(col("rk"), col("term"), col("n"),
+            round(col("cum") / col("tot"), 6).as("cum_frac"))
+      },
+      Some("""WITH c AS (SELECT u.term, count(*) AS n
+             |          FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+             |          GROUP BY 1),
+             |r AS (SELECT term, n,
+             |        CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rk,
+             |        sum(n) OVER (ORDER BY n DESC, term
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM c)
+             |SELECT rk, term, n, round(cum / (SELECT sum(n) FROM c), 6) AS cum_frac
+             |FROM r WHERE rk <= 100""".stripMargin))
   )
 }
