@@ -79,25 +79,42 @@ object Bench {
       println(s"RUN $n $t${if (ok) "" else " FAILED"}") }
     val byName = raw.groupBy(_._1).toSeq.sortBy(_._1)
     val errors = byName.collect { case (n, rs) if !rs.exists(_._3) => n }
+    // A query that fails SOME repeats but succeeds others would
+    // otherwise report only the min of its good runs — an intermittent
+    // regression (flaky OOM, races) invisible to machine readers.
+    // Surface those separately so downstream tooling can tell a clean
+    // min-of-N from a partial failure.
+    val flaky = byName.collect {
+      case (n, rs) if rs.exists(_._3) && rs.exists(!_._3) => n
+    }
     val results = byName
       .flatMap { case (n, rs) =>
         val okTimes = rs.collect { case (_, t, true) => t }
         if (okTimes.isEmpty) None else Some(n -> okTimes.min)
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    def jsonLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}"""
+    }
+    val json = jsonLine(_.toString)
     println(json)
-    // sbt prefixes stdout with [info] (breaking machine parsing of the
-    // metrics line) but leaves stderr unprefixed — emit there too, and
-    // land the line in a file as the always-clean channel.
-    System.err.println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    // The driver parses only the LAST ~2000 chars of the run's output:
+    // the full-precision line above is ~2.6 KB, so its opening brace
+    // falls outside that window and the parse fails (BENCH_r03
+    // "parsed": null). Emit a 3-decimal compact replica (~1.7 KB) as
+    // the very last output — after spark.stop() so no shutdown WARNs
+    // land behind it — on both stdout ([info]-prefixed by sbt) and
+    // stderr (unprefixed, the machine-readable channel).
+    val compact = jsonLine(v => f"$v%.3f")
+    println(compact)
+    System.err.println(compact)
   }
 }

@@ -166,7 +166,7 @@ object Similarity {
     * the candidate stream never shuffles; the exact rerank joins
     * touch surviving pair ids only.
     */
-  private def lshNearDup(s: SparkSession, d: String,
+  private[graft] def lshNearDup(s: SparkSession, d: String,
       ppb: Int, nBands: Int, K: Int, simMin: Double): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val e = emb(s, d)
@@ -294,7 +294,12 @@ object Similarity {
     // truncating integer division (both engines truncate toward
     // zero), and a 2^30 scale whose final divide is an exact FP op —
     // so the trained centroids are bit-identical in both engines and
-    // every downstream cosine matches.
+    // every downstream cosine matches. Every centroid RANKING (Lloyd
+    // assignment, final assignment, probe selection) — Spark and
+    // oracle alike — orders by the one quantized key
+    // floor(csim·2^52), so even two centroids whose cosines fall in
+    // the same 2^-52 bin tie-break to the same cell in both engines
+    // by construction (not merely with probability 1 − 2^-52).
     QueryDef(
       "q43_ivf_ann",
       (s, d) => {
@@ -353,8 +358,15 @@ object Similarity {
             (lit(15L) - pmod(col("k"), lit(16L))).as("cell"))
         // Probe selection runs on the 10 query rows only — the
         // row_number window is over 160 rows, negligible at any scale.
+        // Ranked by the SAME floor(csim·2^52) key as the assignment
+        // argmax (and as the oracle's ranked CTEs): every centroid
+        // ranking in this query — both engines — goes through one
+        // quantizer, so a pair of centroids landing in the same
+        // 2^-52 bin tie-breaks identically by construction instead
+        // of "with probability 1 − 2^-52".
         val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cent_id").asc)
+          .orderBy(expr("floor(csim * 4503599627370496d)").desc,
+            col("cent_id").asc)
         val probes = scored.filter(col("vec_id") < 10)
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") <= 2)
@@ -382,7 +394,8 @@ object Similarity {
              |        FROM e CROSS JOIN $prev),
              |a$i AS (SELECT vec_id, qv, cell FROM (
              |          SELECT vec_id, qv, cent_id AS cell, row_number() OVER
-             |            (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+             |            (PARTITION BY vec_id
+             |             ORDER BY floor(csim * 4503599627370496) DESC, cent_id) AS rn
              |          FROM s$i) WHERE rn = 1),
              |m$i AS (SELECT cell, g.i - 1 AS pos,
              |          sum(CAST(round(qv[g.i] * 1073741824) AS BIGINT)) AS sfx,
@@ -400,7 +413,8 @@ object Similarity {
            |             $cosSql AS csim
            |           FROM e CROSS JOIN c2),
            |ranked AS (SELECT vec_id, cent_id, row_number() OVER
-           |             (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+           |             (PARTITION BY vec_id
+           |              ORDER BY floor(csim * 4503599627370496) DESC, cent_id) AS rn
            |           FROM scored),
            |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
            |probes AS (SELECT vec_id AS q_id, cent_id AS probe_cell
@@ -503,6 +517,23 @@ object Similarity {
       "q65_ann_scaled",
       (s, d) => lshNearDup(s, d, ppb = 6, nBands = 4, K = 8, simMin = 0.9),
       Some(lshNearDupSql(ppb = 6, nBands = 4, simMin = "0.9"))),
+
+    // ---- q68: the ppb=6 band slicing verified on NON-empty output ------
+    // q65's sim ≥ 0.9 rerank keeps zero pairs on the driver's random
+    // corpus, which makes its oracle hash-check vacuous: a band-slice
+    // arithmetic bug (the shiftright(sig, ppb·b) % 2^ppb key) would
+    // pass correctness and only misbehave at scale. This is the SAME
+    // 6-plane banding with the rerank dropped to sim ≥ 0.2, where the
+    // candidate stream itself becomes the observable: ~8.4k candidate
+    // pairs / ~1.1k surviving rows at sf0.01, each one a function of
+    // the exact band keys both engines computed — so the wide-key
+    // slicing is cross-engine-verified row by row, not just on the
+    // empty set. (A planted-pair unit test, LshNearDupSpec, covers the
+    // ≥ 0.9 regime q65 runs at.)
+    QueryDef(
+      "q68_lsh_bands",
+      (s, d) => lshNearDup(s, d, ppb = 6, nBands = 4, K = 8, simMin = 0.2),
+      Some(lshNearDupSql(ppb = 6, nBands = 4, simMin = "0.2"))),
 
     // ---- q53: semantic dedup (SemDeDup within LSH cells) ----------------
     // SemDeDup-style pruning (Abbas et al. 2023, arXiv:2303.09540):
