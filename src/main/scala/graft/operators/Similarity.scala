@@ -586,6 +586,111 @@ object Similarity {
            |SELECT ib AS vec_id, min(ia) AS keeper,
            |  round(arg_min(sim, ia), 4) AS sim
            |FROM sims WHERE sim >= 0.4 GROUP BY ib""".stripMargin
-      })
+      }),
+
+    // ---- q71: centroid-distance outlier pruning ------------------------
+    // Embedding-space curation: the K vectors farthest (by cosine)
+    // from the corpus centroid are the mislabeled/garbage candidates
+    // a training pipeline drops or audits. Two linear passes: (1) the
+    // global mean vector as a fixed-point element-wise aggregate
+    // (order-independent integer sums, the q43 idiom, so both engines
+    // compute the identical centroid), broadcast as one row; (2) a
+    // scan-stage cosine per vector, with the global bottom-K via
+    // TakeOrderedAndProject — per-partition top-K then a K-row merge
+    // at the driver, never a full sort. Ranking uses the quantized
+    // floor(sim·2^52) key with vec_id tiebreak on BOTH engines, so
+    // selection at the K boundary is deterministic by construction.
+    QueryDef(
+      "q71_outlier",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = emb(s, d)
+        val F = 1073741824L // 2^30
+        val mean = e
+          .select(posexplode(expr(
+            s"transform(v, x -> cast(round(x * ${F}d, 0) as bigint))"))
+            .as(Seq("pos", "fx")))
+          .groupBy(col("pos"))
+          .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+          .select(struct(col("pos"),
+            (expr("sfx div n") / lit(F.toDouble)).as("cval")).as("pv"))
+          .agg(sort_array(collect_list(col("pv"))).as("pvs"))
+          .select(expr("transform(pvs, p -> p.cval)").as("cv"))
+        e.select(col("vec_id"), col("v").as("qv"))
+          .crossJoin(broadcast(mean))
+          .withColumn("sim", expr("cosine_sim(qv, cv)"))
+          .orderBy(expr("floor(sim * 4503599627370496d)").asc,
+            col("vec_id").asc)
+          .limit(25)
+          .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |m0 AS (SELECT g.i - 1 AS pos,
+              |         sum(CAST(round(v[g.i] * 1073741824) AS BIGINT)) AS sfx,
+              |         count(*) AS n
+              |       FROM e, UNNEST(generate_series(1, len(v))) AS g(i)
+              |       GROUP BY 1),
+              |c AS (SELECT list((sfx // n) / 1073741824.0 ORDER BY pos) AS cv FROM m0),
+              |s AS (SELECT vec_id, v AS qv, cv,
+              |        list_dot_product(v, cv) /
+              |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS sim
+              |      FROM e, c)
+              |SELECT vec_id, round(sim, 4) AS sim FROM s
+              |ORDER BY floor(sim * 4503599627370496), vec_id LIMIT 25""".stripMargin)),
+
+    // ---- q72: product-quantization encode ------------------------------
+    // PQ is how billion-vector indexes fit in memory: each 64-dim
+    // vector becomes 8 codebook ids (one per 8-dim subspace), 8 bytes
+    // instead of 256. Codebook here = the first 16 vectors' subslices
+    // (a k-means codebook drops in via the q43 Lloyd idiom without
+    // changing the encode plan). Encode shape at 100 TB: the 8×16
+    // codebook broadcasts; each vector explodes into its 8 subslices
+    // in the scan stage; the per-(vector, subspace) argmin is a
+    // packed-BIGINT min in HashAggregate — floor(d2·2^50)·64 + code,
+    // so partial aggregation reduces every partition before the one
+    // doc-keyed exchange. Distances use the dot-product expansion
+    // |a−b|² = a·a − 2 a·b + b·b with strict left-to-right folds so
+    // DuckDB's list_dot_product reproduces every double bit-for-bit;
+    // ranking quantizes to 2^-50 with lowest-code tiebreak on both
+    // engines. Output is pure integers (vec_id, subspace, code) —
+    // nothing for FP hashing to disagree on.
+    QueryDef(
+      "q72_pq",
+      (s, d) => {
+        val e = emb(s, d)
+        def dot(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+        val cb = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), explode(expr(
+            "transform(sequence(0, 7), m -> struct(m AS m, slice(v, m*8+1, 8) AS cbv))"))
+            .as("x"))
+          .select(col("x.m").cast("long").as("m"), col("code"), col("x.cbv").as("cbv"))
+        val parts = e.select(col("vec_id"), explode(expr(
+            "transform(sequence(0, 7), m -> struct(m AS m, slice(v, m*8+1, 8) AS sv))"))
+            .as("x"))
+          .select(col("vec_id"), col("x.m").cast("long").as("m"), col("x.sv").as("sv"))
+        parts.join(broadcast(cb), "m")
+          .withColumn("d2",
+            expr(dot("sv", "sv")) - lit(2.0) * expr(dot("sv", "cbv"))
+              + expr(dot("cbv", "cbv")))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(expr(
+            "floor(d2 * 1125899906842624d) * 64 + code")).as("k"))
+          .select(col("vec_id"), col("m"), pmod(col("k"), lit(64L)).as("code"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cb AS (SELECT g.m AS m, vec_id AS code, v[g.m*8+1 : g.m*8+8] AS cbv
+             |       FROM e, UNNEST(generate_series(0, 7)) AS g(m)
+             |       WHERE vec_id < 16),
+             |p AS (SELECT vec_id, g.m AS m, v[g.m*8+1 : g.m*8+8] AS sv
+             |      FROM e, UNNEST(generate_series(0, 7)) AS g(m)),
+             |s AS (SELECT vec_id, p.m, code,
+             |        list_dot_product(sv, sv) - 2 * list_dot_product(sv, cbv)
+             |          + list_dot_product(cbv, cbv) AS d2
+             |      FROM p JOIN cb ON p.m = cb.m)
+             |SELECT vec_id, m,
+             |  CAST(((min(CAST(floor(d2 * 1125899906842624) AS BIGINT) * 64 + code)
+             |         % 64) + 64) % 64 AS BIGINT) AS code
+             |FROM s GROUP BY vec_id, m""".stripMargin))
   )
 }

@@ -342,6 +342,50 @@ object TextOps {
              |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              |      FROM c)
              |SELECT rk, term, n, round(cum / (SELECT sum(n) FROM c), 6) AS cum_frac
-             |FROM r WHERE rk <= 100""".stripMargin))
+             |FROM r WHERE rk <= 100""".stripMargin)),
+
+    // ---- q69: unigram-LM commonness scoring ----------------------------
+    // The rational-arithmetic stand-in for unigram-perplexity quality
+    // filtering: score each document by how common its tokens are in
+    // the corpus unigram model (mean corpus count, minimum count, and
+    // the fraction of tokens rarer than the vocabulary's median
+    // count). Documents of improbable tokens — the perplexity
+    // outliers — surface with low avg_cnt / high rare_frac. Integer
+    // corpus counts stand in for log-probs so the oracle compares
+    // exactly (transcendental log is libm-dependent across engines).
+    //
+    // Scale shape: token counts partial-aggregate the corpus down to
+    // VOCABULARY size; the vocabulary (even BPE-scale, ≤ a few 100k
+    // rows) broadcasts back onto the exploded token stream, so the
+    // corpus is scanned once and the only wide exchange is the final
+    // per-doc aggregation. The median-count threshold is an exact
+    // percentile over the tiny vocab aggregate, broadcast as one row.
+    QueryDef(
+      "q69_unigram",
+      (s, d) => {
+        val toks = Tables.parallel(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val med = vocab.agg(expr("percentile(c, 0.5)").as("med_c"))
+        toks.join(broadcast(vocab), "term").crossJoin(broadcast(med))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            round(sum(col("c")) / count(lit(1)), 4).as("avg_cnt"),
+            min(col("c")).as("min_cnt"),
+            round(sum(when(col("c") < col("med_c"), 1).otherwise(0))
+              / count(lit(1)), 4).as("rare_frac"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, u.term
+             |             FROM documents, UNNEST(string_split(text, ' ')) AS u(term)),
+             |v AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+             |m AS (SELECT quantile_cont(c, 0.5) AS med_c FROM v)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(CAST(sum(c) AS BIGINT) / count(*), 4) AS avg_cnt,
+             |  min(c) AS min_cnt,
+             |  round(CAST(sum(CASE WHEN c < med_c THEN 1 ELSE 0 END) AS BIGINT)
+             |        / count(*), 4) AS rare_frac
+             |FROM toks JOIN v USING (term), m
+             |GROUP BY doc_id""".stripMargin))
   )
 }

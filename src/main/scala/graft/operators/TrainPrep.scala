@@ -216,6 +216,109 @@ object TrainPrep {
              |  CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS INTEGER)
              |    AS n_redacted,
              |  md5(regexp_replace(text, '\b(customer|supplier)\b', '<T>', 'g')) AS scrub_fp
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- q73: contamination overlap-fraction scoring -------------------
+    // q45/q56 FLAG contaminated documents; real decontamination
+    // pipelines SCORE them — a doc sharing 2% of its 8-grams with a
+    // benchmark is boilerplate collision, one sharing 80% is a leaked
+    // test split, and the drop threshold lives between. Same
+    // broadcast-benchmark shape as q45 (the corpus gram stream never
+    // shuffles against the benchmark; the left join resolves in the
+    // scan stage), but every corpus document reaches the output with
+    // its distinct-gram denominator, so the per-doc groupBy carries
+    // the full corpus — still one doc-keyed exchange of (doc_id, gid)
+    // pairs with partial distinct-count aggregation.
+    QueryDef(
+      "q73_overlap",
+      (s, d) => {
+        val g = grams(Tables.parallel(s, d, "documents"))
+        val bench = g.filter(col("source") === "src0")
+          .select(col("gid")).distinct().withColumn("hit", lit(1))
+        g.filter(col("source") =!= "src0")
+          .join(broadcast(bench), Seq("gid"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            countDistinct(col("gid")).as("n_grams"),
+            countDistinct(when(col("hit").isNotNull, col("gid"))).as("n_hits"))
+          .select(col("doc_id"), col("n_grams"), col("n_hits"),
+            round(col("n_hits") / col("n_grams"), 4).as("overlap_frac"))
+      },
+      Some(s"""WITH $gramsSql,
+              |bench AS (SELECT DISTINCT gid FROM g WHERE source = 'src0'),
+              |j AS (SELECT doc_id, g.gid, b.gid AS hit
+              |      FROM g LEFT JOIN bench b ON g.gid = b.gid
+              |      WHERE source <> 'src0')
+              |SELECT doc_id, count(DISTINCT gid) AS n_grams,
+              |  count(DISTINCT CASE WHEN hit IS NOT NULL THEN gid END) AS n_hits,
+              |  round(count(DISTINCT CASE WHEN hit IS NOT NULL THEN gid END)
+              |        / count(DISTINCT gid), 4) AS overlap_frac
+              |FROM j GROUP BY doc_id""".stripMargin)),
+
+    // ---- q74: data-mixture report --------------------------------------
+    // The mixture table every training run is configured from: per
+    // (source, language) document counts, token sums, and each cell's
+    // share of all corpus tokens. The corpus collapses to
+    // |sources|×|langs| rows via partial aggregation in one pass; the
+    // grand total rides back in as a single broadcast row (never a
+    // global window over the corpus).
+    QueryDef(
+      "q74_mixture",
+      (s, d) => {
+        val cells = Tables(s, d, "documents")
+          .withColumn("n", size(split(col("text"), " ")))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+        val total = cells.agg(sum(col("tokens")).as("tot"))
+        cells.crossJoin(broadcast(total))
+          .select(col("source"), col("lang"), col("n_docs"), col("tokens"),
+            round(col("tokens") / col("tot"), 6).as("tok_share"))
+      },
+      Some("""WITH d AS (SELECT source, lang,
+             |            CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+             |          FROM documents),
+             |c AS (SELECT source, lang, count(*) AS n_docs,
+             |        CAST(sum(n) AS BIGINT) AS tokens
+             |      FROM d GROUP BY 1, 2)
+             |SELECT source, lang, n_docs, tokens,
+             |  round(tokens / (SELECT CAST(sum(tokens) AS BIGINT) FROM c), 6)
+             |    AS tok_share
+             |FROM c""".stripMargin)),
+
+    // ---- q75: cross-document duplicated-n-gram fraction ----------------
+    // Exact-substring duplication pressure (the signal behind
+    // suffix-array dedup à la Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better"): per document, the fraction
+    // of its distinct 8-grams that also occur in at least one OTHER
+    // document. Unlike q45/q73 the comparison set is the WHOLE
+    // corpus, so there is no broadcast side: document frequencies
+    // come from one gid-keyed partial aggregation of the distinct
+    // gram stream, and rejoin the same stream in a co-partitioned
+    // sort-merge join on gid — two shuffles of (doc_id, gid) pairs
+    // total, both on integer keys, both partial-aggregated before the
+    // exchange. The df table is gram-cardinality (≈ corpus tokens),
+    // which at 100 TB is exactly the thing you must NEVER broadcast
+    // or collect; this plan never does.
+    QueryDef(
+      "q75_dupgrams",
+      (s, d) => {
+        val dg = grams(Tables.parallel(s, d, "documents"))
+          .select(col("doc_id"), col("gid")).distinct()
+        val df = dg.groupBy(col("gid")).agg(count(lit(1)).as("df"))
+        dg.join(df, "gid")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1).otherwise(0)).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
+            round(col("n_dup") / col("n_grams"), 4).as("dup_frac"))
+      },
+      Some(s"""WITH $gramsSql,
+              |dg AS (SELECT DISTINCT doc_id, gid FROM g),
+              |df AS (SELECT gid, count(*) AS df FROM dg GROUP BY 1)
+              |SELECT doc_id, count(*) AS n_grams,
+              |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              |        / count(*), 4) AS dup_frac
+              |FROM dg JOIN df USING (gid) GROUP BY doc_id""".stripMargin))
   )
 }
