@@ -304,16 +304,22 @@ object Dedup {
         var converged = false
         var rounds = 0
         while (!converged && rounds < 25) {
+          // The round's OLD label rides through the aggregation (the
+          // self-arm of the union carries it; max() recovers it since
+          // each id has exactly one self row), so convergence is a
+          // filter over the just-checkpointed frame — the earlier
+          // formulation re-JOINED next against labels for the probe,
+          // a full extra shuffle per round.
           val next = adj.join(labels, adj("dst") === labels("id"))
-            .select(adj("src").as("id"), labels("label").as("label"))
-            .union(labels)
-            .groupBy(col("id")).agg(min(col("label")).as("label"))
+            .select(adj("src").as("id"), labels("label").as("label"),
+              lit(null).cast("long").as("old"))
+            .union(labels.select(col("id"), col("label"),
+              col("label").as("old")))
+            .groupBy(col("id"))
+            .agg(min(col("label")).as("label"), max(col("old")).as("old"))
             .localCheckpoint(true)
-          converged = next.as("n")
-            .join(labels.as("o"), col("n.id") === col("o.id"))
-            .filter(col("n.label") < col("o.label"))
-            .isEmpty
-          labels = next
+          converged = next.filter(col("label") < col("old")).isEmpty
+          labels = next.select(col("id"), col("label"))
           rounds += 1
         }
         // A component with diameter > the round cap would silently
@@ -413,13 +419,24 @@ object Dedup {
         // measured ~2× slower; the oracle keeps it as the readable
         // spec). Bit j of the majority: +1 votes are s_j of n words,
         // so the signed sum 2·s_j − n is positive iff 2·s_j > n.
+        //
+        // The word hash is parsed hex→long ONCE per row; each bit-sum
+        // is then a shift-and-mask on that long. (The first cut ran
+        // substr+conv per BIT — 60 string parses per row, ~180M at
+        // sf0.1 — and the signature pass dominated the query at
+        // 4.3 s; one parse + integer ops cut it to ~1.6 s.) Bit j in
+        // oracle terms is bit (j%4) of 1-based hex digit (j/4 + 1);
+        // that digit sits at nibble (14 − j/4) of the parsed long, so
+        // the shift is 4·(14 − j/4) + (j%4).
         val words = Tables.parallel(s, d, "documents")
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("w"))
-          .select(col("doc_id"), md5(col("w")).as("h"))
-        val aggs = (0 until 60).map(j => sum(expr(
-          s"(cast(conv(substr(h, ${j / 4 + 1}, 1), 16, 10) as int) " +
-            s">> ${j % 4}) & 1")).as(s"s$j")) :+ count(lit(1)).as("nw")
+          .select(col("doc_id"),
+            expr("cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)").as("hv"))
+        val aggs = (0 until 60).map { j =>
+          val shift = 4 * (14 - j / 4) + (j % 4)
+          sum(expr(s"shiftright(hv, $shift) & 1")).as(s"s$j")
+        } :+ count(lit(1)).as("nw")
         val sig = words.groupBy(col("doc_id"))
           .agg(aggs.head, aggs.tail: _*)
           .select(col("doc_id"),
@@ -537,18 +554,39 @@ object Dedup {
     QueryDef(
       "q37_simhash",
       (s, d) => {
-        val bits = Tables(s, d, "documents")
+        // One partial-aggregating pass, same shape as q61: the word
+        // hash parses hex→long ONCE (two 64-bit halves — bit j is the
+        // HIGH bit of hex digit j+1, so all 32 digits contribute) and
+        // each bit-vote is a shift-and-mask — no ×32 bit explode, no
+        // second aggregation stage. Digit p (1-based) of a 16-digit
+        // half sits at nibble (16−p), so its high bit is shift
+        // 4·(16−p)+3; conv() of 16 digits may wrap negative, which is
+        // harmless — arithmetic shiftright then & 1 still reads the
+        // original bit. Majority of ±1 votes over n words is positive
+        // iff 2·(count of 1s) > n.
+        val words = Tables(s, d, "documents")
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("w"))
-          .select(col("doc_id"), md5(col("w")).as("h"),
-            explode(sequence(lit(0), lit(31))).as("j"))
-          .withColumn("hb",
-            when(expr("substr(h, j + 1, 1)")
-              .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
-        bits.groupBy(col("doc_id"), col("j")).agg(sum(col("hb")).as("sb"))
-          .groupBy(col("doc_id"))
-          .agg(sum(when(col("sb") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
-            .as("simhash"))
+          .select(col("doc_id"), md5(col("w")).as("h"))
+          // toBase −10 → conv renders the 64-bit value as SIGNED, so
+          // halves with the top bit set still cast to BIGINT (the
+          // unsigned rendering overflows the ANSI cast)
+          .select(col("doc_id"),
+            expr("cast(conv(substr(h, 1, 16), 16, -10) as bigint)").as("h1"),
+            expr("cast(conv(substr(h, 17, 16), 16, -10) as bigint)").as("h2"))
+        val aggs = (0 until 32).map { j =>
+          val p = j + 1 // 1-based hex digit position in the 32-digit md5
+          val (half, shift) =
+            if (p <= 16) ("h1", 4 * (16 - p) + 3)
+            else ("h2", 4 * (32 - p) + 3)
+          sum(expr(s"shiftright($half, $shift) & 1")).as(s"s$j")
+        } :+ count(lit(1)).as("nw")
+        words.groupBy(col("doc_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(j =>
+              when(col(s"s$j") * 2 > col("nw"), lit(1L << j)).otherwise(0L))
+              .reduce(_ + _).as("simhash"))
       },
       Some("""WITH tok AS (SELECT DISTINCT doc_id, u.w
              |             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),

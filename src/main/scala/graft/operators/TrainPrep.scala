@@ -305,7 +305,13 @@ object TrainPrep {
         val dg = grams(Tables.parallel(s, d, "documents"))
           .select(col("doc_id"), col("gid")).distinct()
         val df = dg.groupBy(col("gid")).agg(count(lit(1)).as("df"))
-        dg.join(df, "gid")
+        // merge-hinted: df is gram-cardinality, so at any real scale
+        // this join can only ever be a shuffle join — pin that shape
+        // rather than letting toy-scale stats pick a broadcast that
+        // would collect ~corpus-token rows at 100 TB. Both sides
+        // arrive hash-partitioned on gid from the distinct/groupBy
+        // above, so the "extra" sort rides an existing exchange.
+        dg.join(df.hint("merge"), "gid")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("df") >= 2, 1).otherwise(0)).as("n_dup"))

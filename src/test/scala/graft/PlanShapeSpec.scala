@@ -70,4 +70,35 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(f.contains("PushedFilters:") && f.contains("value"),
       s"expected value predicate at the scan:\n$f")
   }
+
+  test("q72 broadcasts the codebook and argmins in HashAggregate") {
+    val p = planOf("q72_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 8x16 codebook must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"the per-(vector, subspace) argmin must not use a window:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q71 selects the bottom-K via TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q71_outlier")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-K must be TakeOrderedAndProject:\n$p")
+  }
+
+  test("q75 never broadcasts the gram-frequency side") {
+    // df is gram-cardinality (corpus-sized): the join MUST be a
+    // shuffle join on the integer gid, whatever AQE estimates at toy
+    // scale — a broadcast here would collect ~corpus-token rows to
+    // the driver at 100 TB.
+    val p = planOf("q75_dupgrams")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"df join must be a shuffle join:\n$p")
+  }
+
+  test("q69 broadcasts the vocabulary onto the token stream") {
+    val p = planOf("q69_unigram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab counts must broadcast:\n$p")
+  }
 }
