@@ -95,26 +95,31 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    def jsonLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def jsonLine(fmt: Double => String, key: String => String): String = {
+      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}"""
     }
-    val json = jsonLine(_.toString)
+    val json = jsonLine(_.toString, identity)
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
-    // The driver parses only the LAST ~2000 chars of the run's output:
-    // the full-precision line above is ~2.6 KB, so its opening brace
-    // falls outside that window and the parse fails (BENCH_r03
-    // "parsed": null). Emit a 3-decimal compact replica (~1.7 KB) as
-    // the very last output — after spark.stop() so no shutdown WARNs
-    // land behind it — on both stdout ([info]-prefixed by sbt) and
-    // stderr (unprefixed, the machine-readable channel).
-    val compact = jsonLine(v => f"$v%.3f")
+    // The driver parses only the LAST 2000 chars of the run's output
+    // (BENCH_r03's tail is exactly 2000, cut mid-line → "parsed":
+    // null). At 75 queries even a 3-decimal line with full query
+    // names is ~2.3 KB — still outside the window once sbt's trailing
+    // "[success] Total time" line (~70 chars) is appended. So the
+    // LAST thing emitted is a ~1.1 KB replica keyed by the qNN prefix
+    // only ("q56" for q56_decontaminate_bloom — full names live in
+    // BENCH_OUT.json), printed after spark.stop() so no shutdown
+    // WARNs land behind it, on stdout (flushed first so the streams
+    // can't interleave mid-line) and stderr (unprefixed by sbt).
+    val compact = jsonLine(v => f"$v%.3f", _.takeWhile(_ != '_'))
     println(compact)
+    System.out.flush()
     System.err.println(compact)
+    System.err.flush()
   }
 }
