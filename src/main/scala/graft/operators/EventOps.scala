@@ -311,6 +311,73 @@ object EventOps {
       Some("""SELECT event_id, user_id,
              |  epoch_us(ts) - lag(epoch_us(ts)) OVER
              |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta_us
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // ---- q78: exponentially-decayed per-user engagement -----------------
+    // Recency-weighted activity (the feature behind "recent usage"
+    // ranking/eviction): each event contributes value·2^−age_days,
+    // halving per day of age relative to the corpus high-water mark.
+    // Reproducible-exact by construction: the age is integer-µs
+    // arithmetic, the weight is a POWER OF TWO built with an integer
+    // bit-shift (1<<d is exact in both engines; pow(2.0,−d) would be
+    // libm-dependent), the per-event product is one exactly-rounded
+    // IEEE multiply, and the sum goes through [[Exact.sumFixed]]'s
+    // fixed-point integers so aggregation order cannot change the
+    // result. One shuffle (the user_id aggregate, partial-aggregated);
+    // the high-water mark is a 1-row broadcast.
+    QueryDef(
+      "q78_time_decay",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("value"),
+          expr("unix_micros(ts)").as("us"))
+        val hw = e.agg(max(col("us")).as("mx"))
+        e.crossJoin(broadcast(hw))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sumFixed(
+              "value / cast(shiftleft(cast(1 as bigint), cast(least((mx - us) div 86400000000, 62) as int)) as double)",
+              6), 4).as("decayed"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+              |m AS (SELECT max(us) AS mx FROM e)
+              |SELECT user_id, count(*) AS n_events,
+              |  round(${sumFixedSql(
+                 "value / ((1::BIGINT << least((mx - us) // 86400000000, 62))::DOUBLE)",
+                 6)}, 4) AS decayed
+              |FROM e, m GROUP BY user_id""".stripMargin)),
+
+    // ---- q79: rolling 1-hour RANGE-frame aggregates ---------------------
+    // Per-event trailing-hour activity (rate features / anomaly
+    // numerators): for every event, the count and fixed-point value
+    // sum of the same user's events in [ts − 1h, ts]. This is the
+    // RANGE window frame — value-based bounds over exact integer µs,
+    // a different window shape from q49's row-offset lag and the
+    // q21/q24 gap sessions; ties share a peer frame identically in
+    // both engines. One shuffle on user_id + in-partition sort, then
+    // the frame evaluates as a two-pointer sliding accumulation —
+    // O(events per user), never O(n²) — on the same per-user layout
+    // every other per-user op here rides.
+    QueryDef(
+      "q79_rolling",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0)
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"),
+            expr("cast(round(value * 100, 0) as bigint)").as("cv"))
+          .withColumn("roll_n", count(lit(1)).over(w))
+          .withColumn("roll_sum", round(sum(col("cv")).over(w) / lit(100.0), 2))
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("roll_n"), col("roll_sum"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+             |            CAST(round(value * 100) AS BIGINT) AS cv FROM events)
+             |SELECT event_id, user_id, us,
+             |  count(*) OVER w AS roll_n,
+             |  round(CAST(sum(cv) OVER w AS BIGINT) / 100.0, 2) AS roll_sum
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 }

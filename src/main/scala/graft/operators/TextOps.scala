@@ -386,6 +386,69 @@ object TextOps {
              |  round(CAST(sum(CASE WHEN c < med_c THEN 1 ELSE 0 END) AS BIGINT)
              |        / count(*), 4) AS rare_frac
              |FROM toks JOIN v USING (term), m
-             |GROUP BY doc_id""".stripMargin))
+             |GROUP BY doc_id""".stripMargin)),
+
+    // ---- q77: BM25 retrieval scoring -----------------------------------
+    // Full-text relevance the way retrieval pipelines actually score
+    // (tf saturation k1=1.2 + length normalization b=0.75), with the
+    // RATIONAL Robertson idf (N−df+0.5)/(df+0.5) — no transcendental
+    // log, so both engines compute bit-identical doubles: +,×,/ are
+    // exactly-rounded IEEE ops and the expression tree is written
+    // identically on both sides (the same trick as q67's N/df idf;
+    // ln() would rank the same but is libm-dependent). Query terms
+    // are the 5 highest-df vocabulary terms — deterministic, data-
+    // derived, non-empty at every sf.
+    //
+    // Scale shape: the (doc,term) tf aggregate is the only corpus-
+    // sized shuffle and is shared by dl/df; query terms and corpus
+    // stats broadcast (5 rows / 1 row); the per-term top-10 windows
+    // over the ~5×matched-docs candidate slice only. At huge corpora
+    // the candidate slice for a high-df term is corpus-sized — there
+    // you bound it with the q58 per-partition top-k merge first; the
+    // scoring arithmetic is unchanged.
+    QueryDef(
+      "q77_bm25",
+      (s, d) => {
+        val tf = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val qterms = dfreq.orderBy(col("df").desc, col("term").asc).limit(5)
+        val w = Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        tf.join(broadcast(qterms), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          // every constant is an explicit DOUBLE literal: a bare 0.5
+          // parses as DECIMAL in both engines, and decimal arithmetic
+          // rounds differently from IEEE doubles
+          .withColumn("score", expr(
+            "((n_docs - df + 0.5D) / (df + 0.5D)) * (tf * 2.2D / (tf + 1.2D * (0.25D + 0.75D * dl / (tot_dl / n_docs))))"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("term"), col("doc_id"), col("tf"),
+            round(col("score"), 4).as("score"), col("rk"))
+      },
+      Some("""WITH tf AS (SELECT doc_id, u.term, count(*) AS tf
+             |          FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+             |          GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
+             |          FROM dl),
+             |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |q AS (SELECT term, df FROM dfr ORDER BY df DESC, term LIMIT 5),
+             |sc AS (SELECT q.term, tf.doc_id, tf.tf,
+             |         ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) * (tf * 2.2::DOUBLE / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (tot_dl / n_docs))))
+             |           AS score
+             |       FROM tf JOIN q ON tf.term = q.term
+             |       JOIN dl ON tf.doc_id = dl.doc_id, stats),
+             |r AS (SELECT term, doc_id, tf, score,
+             |        CAST(row_number() OVER (PARTITION BY term
+             |               ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+             |      FROM sc)
+             |SELECT term, doc_id, tf, round(score, 4) AS score, rk
+             |FROM r WHERE rk <= 10""".stripMargin))
   )
 }

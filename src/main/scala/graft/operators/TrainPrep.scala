@@ -325,6 +325,40 @@ object TrainPrep {
               |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
               |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
               |        / count(*), 4) AS dup_frac
-              |FROM dg JOIN df USING (gid) GROUP BY doc_id""".stripMargin))
+              |FROM dg JOIN df USING (gid) GROUP BY doc_id""".stripMargin)),
+
+    // ---- q76: overlapping token-window chunking ------------------------
+    // The document → training-sequence splitter: fixed 32-token
+    // windows on a 24-token stride (8-token overlap so no boundary
+    // context is lost), each chunk fingerprinted with the engine's
+    // 60-bit md5 id so downstream dedup/packing join on integers.
+    // Tail rule: a trailing fragment shorter than 8 tokens is folded
+    // away (its content is already covered by the previous chunk's
+    // overlap) unless it is the document's ONLY chunk. Entirely
+    // row-local — sequence + slice + md5 in the scan projection,
+    // zero shuffles — so at 100 TB it rides the scan with perfect
+    // input parallelism; output is ~n_tokens/24 rows per doc.
+    QueryDef(
+      "q76_chunk",
+      (s, d) =>
+        Tables.parallel(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), size(col("t")).as("n"), col("t"),
+            explode(expr("sequence(1, size(t), 24)")).as("st"))
+          .filter(col("st") === 1 || col("st") <= col("n") - 7)
+          .select(
+            col("doc_id"),
+            expr("cast((st - 1) div 24 as bigint)").as("chunk_idx"),
+            least(lit(32), col("n") - col("st") + 1).as("chunk_tokens"),
+            expr("cast(conv(substr(md5(concat_ws(' ', slice(t, st, 32))), 1, 15), 16, 10) as bigint)")
+              .as("chunk_fp")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |c AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n, t, g.st
+             |      FROM toks, UNNEST(generate_series(1, len(t), 24)) AS g(st))
+             |SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+             |  CAST(least(32, n - st + 1) AS INTEGER) AS chunk_tokens,
+             |  ('0x' || substr(md5(array_to_string(t[st:st+31], ' ')), 1, 15))::BIGINT
+             |    AS chunk_fp
+             |FROM c WHERE st = 1 OR st <= n - 7""".stripMargin))
   )
 }

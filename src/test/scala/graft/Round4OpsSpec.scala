@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-4 operators (q76–q79) beyond the
+  * driver's oracle hash-match: chunk tiling covers every token with
+  * the promised overlap, BM25 ranks a saturating/length-normalized
+  * score the way the formula says, decay weights halve per day, and
+  * the rolling RANGE frame matches a brute-force recount.
+  */
+class Round4OpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("q76 chunks tile documents: stride 24, window 32, short tails folded") {
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = run("q76_chunk")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(1), r.getInt(2))).sortBy(_._1)
+      }
+    assert(chunks.keySet == docs.keySet, "every document is chunked")
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id)
+      // chunk indexes are the consecutive stride positions whose
+      // window holds ≥8 tokens (plus index 0 unconditionally)
+      val expectedStarts = (1 to n by 24).filter(st => st == 1 || st <= n - 7)
+      assert(cs.map(_._1) sameElements expectedStarts.indices.map(_.toLong),
+        s"doc $id: contiguous chunk indexes")
+      cs.zip(expectedStarts).foreach { case ((_, tok), st) =>
+        assert(tok == math.min(32, n - st + 1), s"doc $id chunk at $st")
+      }
+      // tiling: chunks jointly cover all n tokens (last kept chunk
+      // reaches the end or the folded tail is ≤7 tokens of overlap-
+      // covered text)
+      val lastStart = expectedStarts.last
+      assert(lastStart + 31 >= n || n - (lastStart + 31) <= 7)
+    }
+  }
+
+  test("q77 BM25 scores saturate in tf and penalize long documents") {
+    val rows = run("q77_bm25").collect()
+    assert(rows.nonEmpty)
+    val byTerm = rows.groupBy(_.getString(0))
+    assert(byTerm.size <= 5, "at most 5 query terms")
+    byTerm.values.foreach { rs =>
+      val rks = rs.map(_.getInt(4)).sorted
+      assert(rks.sameElements(1 to rs.length) && rs.length <= 10,
+        "dense ranks 1..k, k ≤ 10")
+      // scores are positive and non-increasing in rank
+      val byRk = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(byRk.forall(_ > 0))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+    // saturation bound: tf·(k1+1)/(tf+k1·…) < k1+1 = 2.2, and the
+    // rational idf is < n_docs, so score < 2.2·n_docs
+    val nDocs = Tables(spark, sf001, "documents").count()
+    assert(rows.forall(_.getDouble(3) < 2.2 * nDocs))
+  }
+
+  test("q78 decayed engagement halves per day of age") {
+    val out = run("q78_time_decay").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute-force recompute with the same fixed-point contract
+    val e = Tables(spark, sf001, "events")
+      .select(col("user_id"), col("value"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val mx = e.map(_._3).max
+    val expected = e.groupBy(_._1).map { case (u, rs) =>
+      val s = rs.map { case (_, v, us) =>
+        val d = math.min((mx - us) / 86400000000L, 62L).toInt
+        math.round(v / (1L << d).toDouble * 1e6)
+      }.sum
+      u -> (rs.length.toLong,
+        BigDecimal(s / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out == expected)
+  }
+
+  test("q79 rolling RANGE frame matches a brute-force trailing-hour recount") {
+    val rows = run("q79_rolling").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._2)
+    byUser.values.foreach { rs =>
+      val evs = rs.map(r => (r._3, r._1)).sortBy(identity) // (us, event_id)
+      rs.foreach { case (_, _, us, n, sum) =>
+        val inFrame = rs.filter(o => o._3 >= us - 3600000000L && o._3 <= us)
+        assert(n == inFrame.length, s"frame count at $us")
+      }
+      val _ = evs
+    }
+    // fixed-point sum agrees on one recomputed user
+    val u = byUser.keys.min
+    val vals = Tables(spark, sf001, "events")
+      .filter(col("user_id") === u)
+      .select(expr("unix_micros(ts)").as("us"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    byUser(u).foreach { case (_, _, us, _, sum) =>
+      val exp = vals.filter(v => v._1 >= us - 3600000000L && v._1 <= us).map(_._2).sum
+      assert(math.abs(sum - exp / 100.0) < 1e-9, s"rolling sum at $us")
+    }
+  }
+}
