@@ -101,4 +101,46 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"),
       s"vocab counts must broadcast:\n$p")
   }
+
+  test("q76 chunking is shuffle-free: generator and md5 ride the scan") {
+    // row-local sequence/slice/md5 — the only allowed exchange is the
+    // input-split round-robin Tables.parallel adds on the driver's
+    // single-row-group files (RoundRobinPartitioning, a no-op on a
+    // properly split production table)
+    val p = planOf("q76_chunk").split("== Initial Plan ==").head
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused")
+        && !l.contains("Broadcast") && !l.contains("RoundRobin"))
+    assert(shuffles == 0, s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q77 broadcasts query terms and corpus stats onto the tf aggregate") {
+    val p = planOf("q77_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5 query terms must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row stats must broadcast:\n$p")
+  }
+
+  test("q78 decayed engagement is one user_id exchange with partial aggregation") {
+    val p = planOf("q78_time_decay").split("== Initial Plan ==").head
+    // the high-water mark's scalar aggregate collapses its partials
+    // over a SinglePartition exchange of ONE row per task — not a
+    // corpus shuffle; the only data-sized exchange is the user_id
+    // hash aggregate
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused")
+        && !l.contains("Broadcast") && !l.contains("SinglePartition"))
+    assert(shuffles == 1, s"expected exactly one shuffle:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q79 rolling frame is one user_id exchange + in-partition sort") {
+    val p = planOf("q79_rolling").split("== Initial Plan ==").head
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(shuffles == 1, s"expected exactly one shuffle:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
 }
