@@ -658,21 +658,11 @@ object Similarity {
       "q72_pq",
       (s, d) => {
         val e = emb(s, d)
-        def dot(a: String, b: String) =
-          s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-        val cb = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("code"), explode(expr(
-            "transform(sequence(0, 7), m -> struct(m AS m, slice(v, m*8+1, 8) AS cbv))"))
-            .as("x"))
-          .select(col("x.m").cast("long").as("m"), col("code"), col("x.cbv").as("cbv"))
-        val parts = e.select(col("vec_id"), explode(expr(
-            "transform(sequence(0, 7), m -> struct(m AS m, slice(v, m*8+1, 8) AS sv))"))
-            .as("x"))
-          .select(col("vec_id"), col("x.m").cast("long").as("m"), col("x.sv").as("sv"))
-        parts.join(broadcast(cb), "m")
-          .withColumn("d2",
-            expr(dot("sv", "sv")) - lit(2.0) * expr(dot("sv", "cbv"))
-              + expr(dot("cbv", "cbv")))
+        val cb = pqSplit(e.filter(col("vec_id") < 16), "code")
+          .withColumnRenamed("sv", "cbv")
+        pqSplit(e, "vec_id")
+          .join(broadcast(cb), "m")
+          .withColumn("d2", pqD2)
           .groupBy(col("vec_id"), col("m"))
           .agg(min(expr(
             "floor(d2 * 1125899906842624d) * 64 + code")).as("k"))
@@ -691,6 +681,151 @@ object Similarity {
              |SELECT vec_id, m,
              |  CAST(((min(CAST(floor(d2 * 1125899906842624) AS BIGINT) * 64 + code)
              |         % 64) + 64) % 64 AS BIGINT) AS code
-             |FROM s GROUP BY vec_id, m""".stripMargin))
+             |FROM s GROUP BY vec_id, m""".stripMargin)),
+
+    // ---- q80: IVF-PQ ADC search (the billion-vector serving shape) -----
+    // q43's inverted file and q72's PQ codes COMPOSED the way FAISS
+    // IVFADC works (Jégou et al., "Product Quantization for Nearest
+    // Neighbor Search", TPAMI 2011): queries probe the nprobe=2
+    // nearest coarse cells, and candidates are ranked WITHOUT
+    // touching their vectors — each query precomputes an 8×16
+    // distance table (its subvector vs every codebook entry, 1280
+    // tiny rows for 10 queries), and a candidate's asymmetric
+    // distance is just 8 integer-keyed lookups summed. At 100 TB the
+    // corpus-side index (cell + 8 codes ≈ 10 bytes/vector) is built
+    // once and the per-query work never reads an embedding again —
+    // that is the entire point of the architecture.
+    //
+    // Exactness: the distance table is fixed-point (round(d2·2^40) as
+    // BIGINT — d2 itself is the same dot-expansion both engines fold
+    // identically), so the ADC sum is an order-independent integer
+    // and the per-query ranking orders by that exact integer with
+    // candidate-id tiebreak: bit-identical across engines by
+    // construction. Cells partition the corpus, so no (q, candidate)
+    // pair can arrive twice — no DISTINCT needed on the probe join.
+    QueryDef(
+      "q80_ivfpq",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = emb(s, d)
+        val seeds = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val scored = e.select(col("vec_id"), col("v").as("qv"))
+          .crossJoin(broadcast(seeds))
+          .withColumn("csim", expr("cosine_sim(qv, cv)"))
+        // corpus → cell: packed argmax in HashAggregate (q43 idiom)
+        val assign = scored.groupBy(col("vec_id"))
+          .agg(max(expr(
+            "floor(csim * 4503599627370496d) * 16 + (15 - cent_id)")).as("k"))
+          .select(col("vec_id"), (lit(15L) - pmod(col("k"), lit(16L))).as("cell"))
+        // corpus → 8 PQ codes (q72's encode, via the shared splitter)
+        val cb = pqSplit(e.filter(col("vec_id") < 16), "code")
+          .withColumnRenamed("sv", "cbv")
+        val codes = pqSplit(e, "c_id")
+          .join(broadcast(cb), "m")
+          .withColumn("d2", pqD2)
+          .groupBy(col("c_id"), col("m"))
+          .agg(min(expr(
+            "floor(d2 * 1125899906842624d) * 64 + code")).as("k"))
+          .select(col("c_id"), col("m"), pmod(col("k"), lit(64L)).as("code"))
+        // query → nprobe=2 cells (ranked by the same quantized key)
+        val wProbe = Window.partitionBy(col("vec_id"))
+          .orderBy(expr("floor(csim * 4503599627370496d)").desc,
+            col("cent_id").asc)
+        val probes = scored.filter(col("vec_id") < 10)
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id").as("q_id"), col("cent_id").as("probe_cell"))
+        // query → fixed-point ADC distance table (10×8×16 rows)
+        val dtab = pqSplit(e.filter(col("vec_id") < 10), "q_id")
+          .join(broadcast(cb), "m")
+          .withColumn("dfx", expr(
+            s"cast(round(($pqD2Sqlless) * 1099511627776d, 0) as bigint)"))
+          .select(col("q_id"), col("m"), col("code"), col("dfx"))
+        val cands = probes
+          .join(assign, col("probe_cell") === col("cell")
+            && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("c_id"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("afx").asc, col("c_id").asc)
+        // the candidate list (queries × probed-cell members) broadcasts
+        // against the corpus-sized code table — the code table itself
+        // must never move for a query batch
+        codes.join(broadcast(cands), "c_id")
+          .join(broadcast(dtab), Seq("q_id", "m", "code"))
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(sum(col("dfx")).as("afx"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"),
+            round(col("afx") / lit(1099511627776d), 4).as("adc"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+              |scored AS (SELECT vec_id, v AS qv, cent_id, cv, $cosSql AS csim
+              |           FROM e CROSS JOIN seeds),
+              |ranked AS (SELECT vec_id, cent_id, row_number() OVER
+              |             (PARTITION BY vec_id
+              |              ORDER BY floor(csim * 4503599627370496) DESC, cent_id) AS rn
+              |           FROM scored),
+              |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, cent_id AS probe_cell
+              |           FROM ranked WHERE vec_id < 10 AND rn <= 2),
+              |cb AS (SELECT g.m AS m, vec_id AS code, v[g.m*8+1 : g.m*8+8] AS cbv
+              |       FROM e, UNNEST(generate_series(0, 7)) AS g(m)
+              |       WHERE vec_id < 16),
+              |p AS (SELECT vec_id, g.m AS m, v[g.m*8+1 : g.m*8+8] AS sv
+              |      FROM e, UNNEST(generate_series(0, 7)) AS g(m)),
+              |sc AS (SELECT vec_id, p.m, code,
+              |         list_dot_product(sv, sv) - 2 * list_dot_product(sv, cbv)
+              |           + list_dot_product(cbv, cbv) AS d2
+              |       FROM p JOIN cb ON p.m = cb.m),
+              |codes AS (SELECT vec_id AS c_id, m,
+              |            CAST(((min(CAST(floor(d2 * 1125899906842624) AS BIGINT) * 64 + code)
+              |                   % 64) + 64) % 64 AS BIGINT) AS code
+              |          FROM sc GROUP BY vec_id, m),
+              |dtab AS (SELECT p.vec_id AS q_id, p.m, code,
+              |           CAST(round((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cbv)
+              |             + list_dot_product(cbv, cbv)) * 1099511627776) AS BIGINT) AS dfx
+              |         FROM p JOIN cb ON p.m = cb.m WHERE p.vec_id < 10),
+              |cands AS (SELECT q_id, a.vec_id AS c_id
+              |          FROM probes JOIN assign a
+              |            ON probe_cell = a.cell AND a.vec_id <> q_id),
+              |adc AS (SELECT q_id, c_id, CAST(sum(dfx) AS BIGINT) AS afx
+              |        FROM cands JOIN codes USING (c_id) JOIN dtab USING (q_id, m, code)
+              |        GROUP BY q_id, c_id),
+              |r AS (SELECT q_id, c_id, afx,
+              |        CAST(row_number() OVER (PARTITION BY q_id
+              |               ORDER BY afx, c_id) AS INTEGER) AS rn
+              |      FROM adc)
+              |SELECT q_id, c_id, round(afx / 1099511627776.0, 4) AS adc, rn
+              |FROM r WHERE rn <= 3""".stripMargin))
   )
+
+  /** 8×8-dim subvector split (PQ m ∈ [0,8)): shared by q72's encode
+    * and q80's codebook/distance-table builds.
+    */
+  private def pqSplit(e: DataFrame, idAs: String): DataFrame =
+    e.select(col("vec_id").as(idAs), explode(expr(
+      "transform(sequence(0, 7), m -> struct(m AS m, slice(v, m*8+1, 8) AS sv))"))
+      .as("x"))
+      .select(col(idAs), col("x.m").cast("long").as("m"), col("x.sv").as("sv"))
+
+  /** |sv−cbv|² via the dot-product expansion, strict left-to-right
+    * folds (== DuckDB list_dot_product bit-for-bit).
+    */
+  private def pqD2: Column = {
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+    expr(dot("sv", "sv")) - lit(2.0) * expr(dot("sv", "cbv")) + expr(dot("cbv", "cbv"))
+  }
+
+  /** [[pqD2]] as a SQL-expression string (for embedding inside larger
+    * Spark expressions).
+    */
+  private def pqD2Sqlless: String = {
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+    s"${dot("sv", "sv")} - 2.0D * ${dot("sv", "cbv")} + ${dot("cbv", "cbv")}"
+  }
 }

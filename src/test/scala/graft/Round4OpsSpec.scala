@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Semantic checks for the round-4 operators (q76–q79) beyond the
+/** Semantic checks for the round-4 operators (q76–q80) beyond the
   * driver's oracle hash-match: chunk tiling covers every token with
   * the promised overlap, BM25 ranks a saturating/length-normalized
-  * score the way the formula says, decay weights halve per day, and
-  * the rolling RANGE frame matches a brute-force recount.
+  * score the way the formula says, decay weights halve per day, the
+  * rolling RANGE frame matches a brute-force recount, and IVF-PQ is
+  * replayed end-to-end by an independent driver-side replica.
   */
 class Round4OpsSpec extends SparkSpec {
 
@@ -105,5 +106,50 @@ class Round4OpsSpec extends SparkSpec {
       val exp = vals.filter(v => v._1 >= us - 3600000000L && v._1 <= us).map(_._2).sum
       assert(math.abs(sum - exp / 100.0) < 1e-9, s"rolling sum at $us")
     }
+  }
+
+  test("q80 IVF-PQ matches an independent single-machine replica") {
+    // full scalar replay of the operator — same fold order (strict
+    // left-to-right), same quantized keys — so any divergence in the
+    // distributed plan (wrong cell, wrong code, wrong table lookup)
+    // shows up as a value difference here
+    val vecs = Tables(spark, sf001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def qk(x: Double): Long = math.floor(x * 4503599627370496d).toLong
+    val seeds = (0L until 16L).map(i => i -> vecs(i)).toMap
+    def cellOf(v: Array[Double]): Long =
+      (0L until 16L).maxBy(c => qk(cos(v, seeds(c))) * 16 + (15 - c))
+    def sub(v: Array[Double], m: Int): Array[Double] = v.slice(m * 8, m * 8 + 8)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    def codeOf(v: Array[Double], m: Int): Long =
+      (0L until 16L).map(c =>
+        math.floor(d2(sub(v, m), sub(seeds(c), m)) * 1125899906842624d).toLong * 64 + c)
+        .min % 64
+    val expected = (0L until 10L).flatMap { q =>
+      val ranked = (0L until 16L).sortBy(c => (-qk(cos(vecs(q), seeds(c))), c))
+      val probed = ranked.take(2).toSet
+      val cands = vecs.keys.filter(c => c != q && probed.contains(cellOf(vecs(c))))
+      val dtab = (for (m <- 0 until 8; c <- 0L until 16L) yield (m, c) ->
+        math.round(d2(sub(vecs(q), m), sub(seeds(c), m)) * 1099511627776d)).toMap
+      cands.map(c => (q, c,
+          (0 until 8).map(m => dtab((m, codeOf(vecs(c), m)))).sum))
+        .toSeq.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((_, c, afx), i) => (q, c,
+          BigDecimal(afx / 1099511627776d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          i + 1) }
+    }.toSet
+    val got = run("q80_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected)
   }
 }
