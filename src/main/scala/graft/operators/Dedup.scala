@@ -138,6 +138,58 @@ object Dedup {
        |            ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
        |               AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** Min-label propagation over the [[minhashPairs]] near-dup graph —
+    * q57's operator body, shared with q83's canonical selection.
+    * Output: (doc_id, comp) for every doc that appears in a pair.
+    */
+  private def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    // materialize the pair graph ONCE before the symmetric union
+    // (both union arms would otherwise re-run the whole minhash
+    // pipeline)
+    val edges = minhashPairs(s, d).localCheckpoint(true)
+    val adj = edges.select(col("da").as("src"), col("db").as("dst"))
+      .union(edges.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true)
+    // seed one propagation step ahead: min(self, direct neighbors)
+    // falls out of the same aggregation that enumerates the nodes
+    // (replaces a distinct() AND saves a full round)
+    var labels = adj.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nbr")).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      // The round's OLD label rides through the aggregation (the
+      // self-arm of the union carries it; max() recovers it since
+      // each id has exactly one self row), so convergence is a
+      // filter over the just-checkpointed frame — the earlier
+      // formulation re-JOINED next against labels for the probe,
+      // a full extra shuffle per round.
+      val next = adj.join(labels, adj("dst") === labels("id"))
+        .select(adj("src").as("id"), labels("label").as("label"),
+          lit(null).cast("long").as("old"))
+        .union(labels.select(col("id"), col("label"),
+          col("label").as("old")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") < col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    // A component with diameter > the round cap would silently
+    // ship non-converged (wrong) labels — fail loudly instead.
+    // Near-dup clusters converge in 2-4 rounds; hitting 25 means
+    // the pair graph is pathological and the output is not a
+    // transitive closure, which the oracle would catch only as an
+    // opaque hash mismatch.
+    require(converged,
+      s"q57 label propagation did not converge within $rounds rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("comp"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q34: exact dedup (hash-groupBy on content fingerprint) --------
     QueryDef(
@@ -285,53 +337,7 @@ object Dedup {
     // checkpoint to the checkpoint dir instead).
     QueryDef(
       "q57_dedup_components",
-      (s, d) => {
-        // materialize the pair graph ONCE before the symmetric union
-        // (both union arms would otherwise re-run the whole minhash
-        // pipeline)
-        val edges = minhashPairs(s, d).localCheckpoint(true)
-        val adj = edges.select(col("da").as("src"), col("db").as("dst"))
-          .union(edges.select(col("db").as("src"), col("da").as("dst")))
-          .localCheckpoint(true)
-        // seed one propagation step ahead: min(self, direct neighbors)
-        // falls out of the same aggregation that enumerates the nodes
-        // (replaces a distinct() AND saves a full round)
-        var labels = adj.groupBy(col("src"))
-          .agg(min(col("dst")).as("nbr"))
-          .select(col("src").as("id"),
-            least(col("src"), col("nbr")).as("label"))
-          .localCheckpoint(true)
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 25) {
-          // The round's OLD label rides through the aggregation (the
-          // self-arm of the union carries it; max() recovers it since
-          // each id has exactly one self row), so convergence is a
-          // filter over the just-checkpointed frame — the earlier
-          // formulation re-JOINED next against labels for the probe,
-          // a full extra shuffle per round.
-          val next = adj.join(labels, adj("dst") === labels("id"))
-            .select(adj("src").as("id"), labels("label").as("label"),
-              lit(null).cast("long").as("old"))
-            .union(labels.select(col("id"), col("label"),
-              col("label").as("old")))
-            .groupBy(col("id"))
-            .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-            .localCheckpoint(true)
-          converged = next.filter(col("label") < col("old")).isEmpty
-          labels = next.select(col("id"), col("label"))
-          rounds += 1
-        }
-        // A component with diameter > the round cap would silently
-        // ship non-converged (wrong) labels — fail loudly instead.
-        // Near-dup clusters converge in 2-4 rounds; hitting 25 means
-        // the pair graph is pathological and the output is not a
-        // transitive closure, which the oracle would catch only as an
-        // opaque hash mismatch.
-        require(converged,
-          s"q57 label propagation did not converge within $rounds rounds")
-        labels.select(col("id").as("doc_id"), col("label").as("comp"))
-      },
+      (s, d) => dedupComponents(s, d),
       Some(s"""WITH RECURSIVE $minhashPairsSql,
               |sym AS (SELECT da AS a, db AS b FROM pairs
               |        UNION ALL SELECT db, da FROM pairs),
@@ -342,6 +348,49 @@ object Dedup {
               |)
               |SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""".stripMargin)),
 
+    // ---- q83: canonical selection within dup clusters -------------------
+    // The stage after component resolution: each near-dup cluster
+    // keeps ONE representative (the longest member, ties to the
+    // lowest id — "best quality wins" drops in by swapping the rank
+    // key) and every other member becomes a drop. The cluster labels
+    // come from the same label propagation as q57; the per-cluster
+    // argmax is a packed struct-max in HashAggregate (never a window
+    // over the corpus), so the added cost on top of q57 is one join
+    // against the doc-length projection plus a cluster-count-sized
+    // aggregate.
+    QueryDef(
+      "q83_canonical",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        dedupComponents(s, d)
+          .join(docs, "doc_id")
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("n_tokens").as("nt"),
+              (-col("doc_id")).as("nid"))).as("b"))
+          .select(col("comp"), (-col("b.nid")).as("canonical"),
+            col("b.nt").as("canon_tokens"), col("n_members"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |lab AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |dt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER)
+              |         AS n_tokens FROM documents),
+              |r AS (SELECT comp, doc_id, n_tokens,
+              |        row_number() OVER (PARTITION BY comp
+              |          ORDER BY n_tokens DESC, doc_id) AS rn,
+              |        count(*) OVER (PARTITION BY comp) AS n_members
+              |      FROM lab JOIN dt USING (doc_id))
+              |SELECT comp, doc_id AS canonical, n_tokens AS canon_tokens,
+              |  n_members
+              |FROM r WHERE rn = 1""".stripMargin)),
     // ---- q64: shingle containment (one-sided duplication) --------------
     // Jaccard misses inclusions: a short document fully quoted inside
     // a long one scores |A|/|B| ≈ 0 Jaccard but containment

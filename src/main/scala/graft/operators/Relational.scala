@@ -324,6 +324,42 @@ object Relational {
               |  round(${sumFixedSql("l_quantity")}, 2) AS sum_qty,
               |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
               |FROM lineitem
-              |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
+              |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- q82: replicate-and-salt skew join ------------------------------
+    // q28 salts a skewed AGGREGATE; this is the join-side counterpart
+    // for when one probe key carries a disproportionate share of the
+    // fact rows (the case AQE's skew-join split also targets — this
+    // is the explicit form you reach for when the skew is known ahead
+    // of time or AQE's per-partition thresholds can't see it, e.g. a
+    // single hot key inside an otherwise-balanced partition). The
+    // dimension side is replicated ×4 with an exploded salt column;
+    // each fact row picks the deterministic salt l_linenumber % 4, so
+    // a hot orderkey's rows spread over 4 reducers instead of one.
+    // Identical results to the plain join by construction — exactly
+    // what the oracle checks (it runs the UNsalted join).
+    QueryDef(
+      "q82_salted_join",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            explode(expr("sequence(0, 3)")).as("salt"))
+        val l = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            pmod(col("l_linenumber"), lit(4)).as("salt"),
+            col("l_extendedprice"), col("l_discount"))
+        l.join(o.hint("merge"),
+            col("l_orderkey") === col("o_orderkey")
+              && l("salt") === o("salt"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sumFixed("l_extendedprice * (1 - l_discount)"), 2)
+              .as("revenue"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+              |  round(${sumFixedSql("l_extendedprice * (1 - l_discount)")}, 2)
+              |    AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY 1""".stripMargin))
   )
 }

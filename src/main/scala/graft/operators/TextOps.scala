@@ -388,6 +388,50 @@ object TextOps {
              |FROM toks JOIN v USING (term), m
              |GROUP BY doc_id""".stripMargin)),
 
+    // ---- q81: robust per-stratum dispersion (median + MAD) -------------
+    // The outlier-threshold statistics quality cutoffs should be set
+    // from: per language, the median token count, the median absolute
+    // deviation, and how many documents sit beyond the 3×MAD robust
+    // z-band (mean/stddev would let the outliers move their own
+    // threshold). Same shape as q47: two tiny per-stratum exact
+    // percentiles (|langs| groups), each broadcast back onto the
+    // scan — the corpus shuffles only into the |langs|-row final
+    // aggregate. Exactness: median of integers (or of the
+    // integer-spaced deviations) interpolates halfway at worst, which
+    // is exact in FP whatever formula the engine uses, so the 3×MAD
+    // comparison is deterministic cross-engine.
+    QueryDef(
+      "q81_mad",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("nt"))
+        val med = docs.groupBy(col("lang"))
+          .agg(expr("percentile(nt, 0.5)").as("med"))
+        val dev = docs.join(broadcast(med), "lang")
+          .withColumn("ad", abs(col("nt") - col("med")))
+        val mad = dev.groupBy(col("lang"))
+          .agg(expr("percentile(ad, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "lang")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(when(col("ad") > lit(3.0) * col("mad"), 1).otherwise(0))
+              .as("n_outliers"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |            CAST(len(string_split(text, ' ')) AS INTEGER) AS nt
+             |          FROM documents),
+             |m AS (SELECT lang, quantile_cont(nt, 0.5) AS med FROM d GROUP BY 1),
+             |dev AS (SELECT d.lang, nt, abs(nt - med) AS ad, med
+             |        FROM d JOIN m USING (lang)),
+             |md AS (SELECT lang, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+             |SELECT dev.lang, count(*) AS n_docs, max(med) AS med, max(mad) AS mad,
+             |  CAST(sum(CASE WHEN ad > 3.0::DOUBLE * mad THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM dev JOIN md USING (lang) GROUP BY dev.lang""".stripMargin)),
+
     // ---- q77: BM25 retrieval scoring -----------------------------------
     // Full-text relevance the way retrieval pipelines actually score
     // (tf saturation k1=1.2 + length normalization b=0.75), with the

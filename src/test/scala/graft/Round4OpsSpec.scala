@@ -152,4 +152,59 @@ class Round4OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(got == expected)
   }
+
+  test("q81 median/MAD match a brute-force recount and bound the outliers") {
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val expected = docs.groupBy(_._1).map { case (lang, rs) =>
+      val nts = rs.map(_._2.toDouble).toSeq
+      val med = median(nts)
+      val ads = nts.map(x => math.abs(x - med))
+      val mad = median(ads)
+      lang -> (rs.length.toLong, med, mad,
+        ads.count(_ > 3.0 * mad).toLong)
+    }
+    val got = run("q81_mad").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
+
+  test("q82 salted join equals the plain unsalted join") {
+    val plain = SparkEntry.queries("q82_salted_join")(spark, sf001) // salted
+    val expected = {
+      val o = Tables(spark, sf001, "orders")
+      val l = Tables(spark, sf001, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(graft.functions.Exact.sumFixed(
+            "l_extendedprice * (1 - l_discount)"), 2).as("revenue"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val got = plain.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q83 picks the longest member of each q57 cluster as canonical") {
+    val labels = run("q57_dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tokens = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = labels.groupBy(_._2).map { case (comp, ms) =>
+      val best = ms.map(_._1).minBy(id => (-tokens(id), id))
+      (comp, best, tokens(best), ms.length.toLong)
+    }.toSet
+    val got = run("q83_canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
 }
