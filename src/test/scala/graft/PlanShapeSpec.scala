@@ -86,14 +86,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"bottom-K must be TakeOrderedAndProject:\n$p")
   }
 
-  test("q75 never broadcasts the gram-frequency side") {
-    // df is gram-cardinality (corpus-sized): the join MUST be a
-    // shuffle join on the integer gid, whatever AQE estimates at toy
-    // scale — a broadcast here would collect ~corpus-token rows to
-    // the driver at 100 TB.
+  test("q75 computes gram frequency without a join or broadcast") {
+    // df is gram-cardinality (corpus-sized): it must never broadcast
+    // (that would collect ~corpus-token rows to the driver at 100 TB)
+    // — and since the window re-plan it must not even be a join: the
+    // count rides the gid partitioning the distinct already produced.
     val p = planOf("q75_dupgrams")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-      s"df join must be a shuffle join:\n$p")
+    assert(p.contains("Window"), s"df must be a window count:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
   }
 
   test("q69 broadcasts the vocabulary onto the token stream") {
