@@ -378,6 +378,42 @@ object EventOps {
              |  round(CAST(sum(cv) OVER w AS BIGINT) / 100.0, 2) AS roll_sum
              |FROM e
              |WINDOW w AS (PARTITION BY user_id ORDER BY us
-             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin))
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- q84: latest-wins compaction (CDC/upsert resolution) ------------
+    // The "current state" materialization every changelog-shaped
+    // table needs: per key, the most recent record wins ((ts,
+    // event_id) is a unique order, so ties cannot flip the winner).
+    // Executed as a struct-max aggregate: the string payload in the
+    // struct keeps it off HashAggregate's primitive-buffer fast path
+    // (Spark plans a SortAggregate), but PARTIAL aggregation still
+    // collapses every partition to one candidate per key before the
+    // exchange — the shuffle carries |keys| rows, not |events|, which
+    // is the property that matters at 100 TB. (The row_number-window
+    // formulation the oracle uses would sort-AND-shuffle the full
+    // changelog; trading the map-side sort away needs a packed-BIGINT
+    // argmax + payload fetch join, a worse deal than sorting.)
+    QueryDef(
+      "q84_compact",
+      (s, d) =>
+        ev(s, d)
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+            col("event_id"), col("event_type"),
+            expr("cast(round(value * 100, 0) as bigint)").as("cv"))
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("us"), col("event_id"), col("event_type"),
+            col("cv"))).as("b"))
+          .select(col("user_id"), col("b.us").as("last_us"),
+            col("b.event_id").as("last_event_id"),
+            col("b.event_type").as("last_event_type"),
+            round(col("b.cv") / 100.0, 2).as("last_value")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |            event_type, CAST(round(value * 100) AS BIGINT) AS cv
+             |          FROM events),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+             |SELECT user_id, us AS last_us, event_id AS last_event_id,
+             |  event_type AS last_event_type, round(cv / 100.0, 2) AS last_value
+             |FROM r WHERE rn = 1""".stripMargin))
   )
 }

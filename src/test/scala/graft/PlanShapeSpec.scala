@@ -136,6 +136,18 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q84 compaction partial-aggregates before the exchange, no window") {
+    // the string payload keeps the struct-max off HashAggregate's
+    // primitive-buffer path (SortAggregate is expected) — what must
+    // hold is partial aggregation (shuffle carries |keys| rows, not
+    // the changelog) and the absence of a row_number window
+    val p = planOf("q84_compact").split("== Initial Plan ==").head
+    assert(p.contains("partial_max"),
+      s"latest-wins must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"a window would sort-shuffle the full changelog:\n$p")
+  }
+
   test("q79 rolling frame is one user_id exchange + in-partition sort") {
     val p = planOf("q79_rolling").split("== Initial Plan ==").head
     val shuffles = p.linesIterator.count(l =>
