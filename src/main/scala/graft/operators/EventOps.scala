@@ -414,6 +414,111 @@ object EventOps {
              |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
              |SELECT user_id, us AS last_us, event_id AS last_event_id,
              |  event_type AS last_event_type, round(cv / 100.0, 2) AS last_value
-             |FROM r WHERE rn = 1""".stripMargin))
+             |FROM r WHERE rn = 1""".stripMargin)),
+
+    // ---- q85: SCD-2 history (validity intervals from a changelog) -------
+    // q84 keeps only the latest record; the other half of CDC
+    // materialization is the FULL slowly-changing-dimension history:
+    // every (user, attribute) version with its validity interval
+    // [valid_from, valid_to), valid_to = next version's timestamp
+    // (NULL while current). One shuffle on (user_id, event_type) +
+    // an in-partition (us, event_id) sort shared by the lead() and
+    // the version row_number — the unique order key makes interval
+    // boundaries deterministic under timestamp ties. At 100 TB this
+    // is the standard changelog→history compaction: the exchange
+    // carries the changelog once, and each partition's history is
+    // produced by a single linear pass.
+    QueryDef(
+      "q85_scd2",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        ev(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("us"),
+            expr("cast(round(value * 100, 0) as bigint)").as("cv"))
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_to", lead(col("us"), 1).over(w))
+          .select(col("user_id"), col("event_type"), col("version"),
+            round(col("cv") / 100.0, 2).as("value"),
+            col("us").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+             |            epoch_us(ts) AS us,
+             |            CAST(round(value * 100) AS BIGINT) AS cv FROM events)
+             |SELECT user_id, event_type,
+             |  CAST(row_number() OVER w AS INTEGER) AS version,
+             |  round(cv / 100.0, 2) AS value,
+             |  us AS valid_from, lead(us) OVER w AS valid_to,
+             |  (lead(us) OVER w IS NULL) AS is_current
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id, event_type
+             |             ORDER BY us, event_id)""".stripMargin)),
+
+    // ---- q87: sessionized funnel (ordered stage conversion) -------------
+    // The product-analytics staple the alert queries don't cover:
+    // within each 4h-gap session (q21's sessionization), did the user
+    // progress view → click → purchase IN THAT ORDER? Stage k counts
+    // only strictly after the first stage-(k−1) completion, so a
+    // purchase before the first click does not convert. Everything —
+    // the lag/cumsum session ids, the three chained stage-min windows,
+    // and the per-session collapse — rides ONE exchange on user_id
+    // with one (us, event_id) in-partition sort; the final per-user
+    // funnel rollup is a partial aggregation of |sessions| rows.
+    QueryDef(
+      "q87_funnel",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val e = ev(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("brk",
+            when(col("us") - lag(col("us"), 1).over(wOrd) >= 14400000000L
+              || lag(col("us"), 1).over(wOrd).isNull, 1).otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wSess = Window.partitionBy(col("user_id"), col("sid"))
+        val staged = e
+          .withColumn("fv", min(when(col("event_type") === "view", col("us"))).over(wSess))
+          .withColumn("fc", min(when(col("event_type") === "click"
+            && col("us") > col("fv"), col("us"))).over(wSess))
+          .withColumn("fp", min(when(col("event_type") === "purchase"
+            && col("us") > col("fc"), col("us"))).over(wSess))
+        staged.groupBy(col("user_id"), col("sid"))
+          .agg(max(col("fv")).as("v"), max(col("fc")).as("c"), max(col("fp")).as("p"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("v").isNotNull, 1).otherwise(0)).as("n_view"),
+            sum(when(col("c").isNotNull, 1).otherwise(0)).as("n_view_click"),
+            sum(when(col("p").isNotNull, 1).otherwise(0)).as("n_full_funnel"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+             |            epoch_us(ts) AS us FROM events),
+             |m AS (SELECT *, CASE WHEN us - lag(us) OVER w >= 14400000000
+             |                       OR lag(us) OVER w IS NULL THEN 1 ELSE 0
+             |                END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+             |st AS (SELECT *,
+             |    min(CASE WHEN event_type = 'view' THEN us END) OVER ws AS fv
+             |  FROM g WINDOW ws AS (PARTITION BY user_id, sid)),
+             |st2 AS (SELECT *,
+             |    min(CASE WHEN event_type = 'click' AND us > fv THEN us END)
+             |      OVER ws AS fc
+             |  FROM st WINDOW ws AS (PARTITION BY user_id, sid)),
+             |st3 AS (SELECT *,
+             |    min(CASE WHEN event_type = 'purchase' AND us > fc THEN us END)
+             |      OVER ws AS fp
+             |  FROM st2 WINDOW ws AS (PARTITION BY user_id, sid)),
+             |sess AS (SELECT user_id, sid, max(fv) AS v, max(fc) AS c, max(fp) AS p
+             |         FROM st3 GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions,
+             |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |  CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+             |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+             |FROM sess GROUP BY user_id""".stripMargin))
   )
 }
