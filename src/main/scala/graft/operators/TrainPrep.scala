@@ -51,6 +51,32 @@ object TrainPrep {
   private val bucketSql =
     "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)"
 
+  /** q76's chunker as a reusable stream: fixed 32-token windows on a
+    * 24-token stride, each fingerprinted with the engine's 60-bit md5
+    * id. Row-local (zero shuffles) — see q76 for the full plan notes.
+    */
+  private def chunks(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"), col("t"),
+        explode(expr("sequence(1, size(t), 24)")).as("st"))
+      .filter(col("st") === 1 || col("st") <= col("n") - 7)
+      .select(
+        col("doc_id"),
+        expr("cast((st - 1) div 24 as bigint)").as("chunk_idx"),
+        least(lit(32), col("n") - col("st") + 1).as("chunk_tokens"),
+        expr("cast(conv(substr(md5(concat_ws(' ', slice(t, st, 32))), 1, 15), 16, 10) as bigint)")
+          .as("chunk_fp"))
+
+  private val chunksSql =
+    """toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |cr AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n, t, g.st
+      |       FROM toks2, UNNEST(generate_series(1, len(t), 24)) AS g(st)),
+      |ch AS (SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+      |         CAST(least(32, n - st + 1) AS INTEGER) AS chunk_tokens,
+      |         ('0x' || substr(md5(array_to_string(t[st:st+31], ' ')), 1, 15))::BIGINT
+      |           AS chunk_fp
+      |       FROM cr WHERE st = 1 OR st <= n - 7)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q45: benchmark decontamination (8-gram collision scan) --------
     // Train/test decontamination: flag training documents sharing any
@@ -344,25 +370,90 @@ object TrainPrep {
     // input parallelism; output is ~n_tokens/24 rows per doc.
     QueryDef(
       "q76_chunk",
-      (s, d) =>
-        Tables.parallel(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .select(col("doc_id"), size(col("t")).as("n"), col("t"),
-            explode(expr("sequence(1, size(t), 24)")).as("st"))
-          .filter(col("st") === 1 || col("st") <= col("n") - 7)
-          .select(
-            col("doc_id"),
-            expr("cast((st - 1) div 24 as bigint)").as("chunk_idx"),
-            least(lit(32), col("n") - col("st") + 1).as("chunk_tokens"),
-            expr("cast(conv(substr(md5(concat_ws(' ', slice(t, st, 32))), 1, 15), 16, 10) as bigint)")
-              .as("chunk_fp")),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |c AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n, t, g.st
-             |      FROM toks, UNNEST(generate_series(1, len(t), 24)) AS g(st))
-             |SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
-             |  CAST(least(32, n - st + 1) AS INTEGER) AS chunk_tokens,
-             |  ('0x' || substr(md5(array_to_string(t[st:st+31], ' ')), 1, 15))::BIGINT
-             |    AS chunk_fp
-             |FROM c WHERE st = 1 OR st <= n - 7""".stripMargin))
+      (s, d) => chunks(Tables.parallel(s, d, "documents")),
+      Some(s"""WITH $chunksSql
+             |SELECT doc_id, chunk_idx, chunk_tokens, chunk_fp FROM ch""".stripMargin)),
+
+    // ---- q86: chunk-level exact dedup (fuzzy-boundary substring dedup) --
+    // Sub-document dedup on q76's overlapping chunk stream:
+    // first-writer-wins per chunk fingerprint (keeper = smallest
+    // (doc_id, chunk_idx), packed into one BIGINT so both engines
+    // order identically; at full scale the pack widens to a 128-bit
+    // or struct key — the plan is unchanged). Catches documents that
+    // share long runs without being whole-document duplicates —
+    // boilerplate headers, quoted passages — the regime between q34's
+    // exact dedup and q35's Jaccard. Two exchanges total, both on
+    // integer keys: the chunk_fp window (partial state: one min per
+    // fp) and the per-doc rollup; the chunk stream itself is produced
+    // shuffle-free in the scan stage.
+    QueryDef(
+      "q86_chunk_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("chunk_fp"))
+        chunks(Tables.parallel(s, d, "documents"))
+          .withColumn("k", col("doc_id") * 1048576 + col("chunk_idx"))
+          .withColumn("kmin", min(col("k")).over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("k") > col("kmin"), 1).otherwise(0)).as("n_dup_chunks"),
+            sum(when(col("k") === col("kmin"), col("chunk_tokens"))
+              .otherwise(0)).as("kept_tokens"))
+      },
+      Some(s"""WITH $chunksSql,
+              |km AS (SELECT doc_id, chunk_tokens,
+              |         doc_id * 1048576 + chunk_idx AS k,
+              |         min(doc_id * 1048576 + chunk_idx)
+              |           OVER (PARTITION BY chunk_fp) AS kmin
+              |       FROM ch)
+              |SELECT doc_id, count(*) AS n_chunks,
+              |  CAST(sum(CASE WHEN k > kmin THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_dup_chunks,
+              |  CAST(sum(CASE WHEN k = kmin THEN chunk_tokens ELSE 0 END) AS BIGINT)
+              |    AS kept_tokens
+              |FROM km GROUP BY doc_id""".stripMargin)),
+
+    // ---- q89: temperature-reweighted mixture sampling -------------------
+    // The rebalancing step after q74's mixture report: sample each
+    // (source, lang) cell at a rate ∝ share^(α−1) with α = 0.5 —
+    // rare cells kept whole (the minimum-token cell anchors at 100%),
+    // dominant cells down-weighted toward √share, the standard
+    // temperature lever for multilingual/multi-source mixes.
+    // Reproducible-exact across engines: the rate arithmetic is one
+    // IEEE division, one sqrt (both correctly rounded), a ×100 and a
+    // floor to integer percent, compared against the same md5 bucket
+    // as q46 — no rand() anywhere, so retried tasks at 100 TB select
+    // identical rows. Plan: the corpus collapses to |cells| rows via
+    // partial aggregation, rates broadcast back onto the scan, and
+    // the filter is scan-local — zero corpus shuffles.
+    QueryDef(
+      "q89_temp_sample",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .withColumn("n", size(split(col("text"), " ")))
+        val cells = docs.groupBy(col("source"), col("lang"))
+          .agg(sum(col("n")).as("toks"))
+        val anchor = cells.agg(min(col("toks")).as("tmin"))
+        val rates = cells.crossJoin(broadcast(anchor))
+          .select(col("source"), col("lang"),
+            expr("cast(floor(100 * sqrt(cast(tmin as double) / cast(toks as double))) as int)")
+              .as("keep_pct"))
+        docs.join(broadcast(rates), Seq("source", "lang"))
+          .filter(bucketCol < col("keep_pct"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("keep_pct"), bucketCol.as("bucket"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, lang,
+              |            CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+              |          FROM documents),
+              |c AS (SELECT source, lang, CAST(sum(n) AS BIGINT) AS toks
+              |      FROM d GROUP BY 1, 2),
+              |m AS (SELECT min(toks) AS tmin FROM c),
+              |r AS (SELECT source, lang,
+              |        CAST(floor(100 * sqrt(tmin::DOUBLE / toks::DOUBLE)) AS INTEGER)
+              |          AS keep_pct
+              |      FROM c, m)
+              |SELECT doc_id, d.source, d.lang, keep_pct, $bucketSql AS bucket
+              |FROM d JOIN r ON d.source = r.source AND d.lang = r.lang
+              |WHERE $bucketSql < keep_pct""".stripMargin))
   )
 }
