@@ -360,6 +360,48 @@ object Relational {
               |  round(${sumFixedSql("l_extendedprice * (1 - l_discount)")}, 2)
               |    AS revenue
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              |GROUP BY 1""".stripMargin))
+              |GROUP BY 1""".stripMargin)),
+
+    // ---- q88: distributed global ranking (two-phase bucket offsets) ----
+    // A total rank over the whole table WITHOUT the single-partition
+    // sort `row_number() OVER (ORDER BY …)` plans (Spark warns and
+    // funnels 100 TB through one task). Two-phase instead, the same
+    // scheme as range-partitioned sort: (1) bucket each row by a
+    // deterministic coarse split of the sort key (price // 1000 —
+    // value-domain buckets, not sampled boundaries, so re-runs and
+    // both engines agree bit-for-bit); (2) per-bucket counts — a
+    // |buckets|-row aggregate — turn into cumulative offsets with a
+    // tiny driver-side window, broadcast back; (3) rank = offset +
+    // row_number within bucket, each bucket ranked independently in
+    // parallel. One corpus shuffle (the bucket window's exchange);
+    // the offsets table is bounded by the value domain, never by the
+    // data. Oracle: the single-window formulation DuckDB can afford
+    // at sf scale — identical output by construction because the
+    // (price DESC, key) order key is unique.
+    QueryDef(
+      "q88_global_rank",
+      (s, d) => {
+        val o = ord(s, d).select(col("o_orderkey"), col("o_totalprice"),
+          floor(col("o_totalprice") / 1000).cast("long").as("b"))
+        // offsets: rows in strictly-higher buckets (rank is descending
+        // by price). The window runs on the post-agg |buckets| rows —
+        // the "No Partition Defined" plan is fine THERE because the
+        // input is bounded by the price domain (~600 rows), not the
+        // corpus; the corpus itself never sees a global sort.
+        val wOff = Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = o.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+          .select(col("b"), col("off"))
+        val wIn = Window.partitionBy(col("b"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.join(broadcast(offs), "b")
+          .withColumn("price_rank", col("off") + row_number().over(wIn))
+          .select(col("o_orderkey"), col("o_totalprice"), col("price_rank"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+             |    AS price_rank
+             |FROM orders""".stripMargin))
   )
 }

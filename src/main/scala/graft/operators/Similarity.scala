@@ -799,7 +799,87 @@ object Similarity {
               |               ORDER BY afx, c_id) AS INTEGER) AS rn
               |      FROM adc)
               |SELECT q_id, c_id, round(afx / 1099511627776.0, 4) AS adc, rn
-              |FROM r WHERE rn <= 3""".stripMargin))
+              |FROM r WHERE rn <= 3""".stripMargin)),
+
+    // ---- q90: ANN recall@k evaluation (index quality measurement) -------
+    // The operator that closes the ANN loop: measure q42's
+    // single-table sign-LSH against exact brute-force ground truth —
+    // recall@5 per query is what decides whether an index
+    // configuration ships. Ground-truth top-5 avoids the 10-reducer
+    // bottleneck of `row_number() OVER (PARTITION BY q_id)` on the
+    // full N×|Q| scored stream: each scan partition first prunes to
+    // its LOCAL top-5 per query (a window keyed by (q_id,
+    // spark_partition_id()) — as many reducers as there are splits,
+    // and provably lossless: every global top-5 row survives its own
+    // partition's cut), then the global window ranks ≤ 5·splits·|Q|
+    // survivors. The ANN side is bucket-limited and tiny by
+    // construction. Final recall join runs on |Q|·k rows — driver
+    // scale. The oracle computes both sides with the single-window
+    // formulation DuckDB can afford; identical by construction since
+    // (sim DESC, c_id) is a unique order both engines rank by.
+    QueryDef(
+      "q90_ann_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val scored = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+          .join(broadcast(qs), col("c_id") =!= col("q_id"))
+          .withColumn("sim", expr(cosSpark(s)))
+        val wLocal = Window.partitionBy(col("q_id"), col("pid"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        val gt = scored.withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal)).filter(col("lrn") <= 5)
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"))
+        val wv = e.select(col("vec_id"), bucketCol(col("v")).as("bucket"), col("v"))
+        val qb = wv.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("bucket").as("qb"), col("v").as("qv"))
+        val ann = wv
+          .select(col("vec_id").as("c_id"), col("bucket").as("cb"), col("v").as("cv"))
+          .join(broadcast(qb), col("qb") === col("cb") && col("c_id") =!= col("q_id"))
+          .withColumn("sim", expr(cosSpark(s)))
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"))
+        val annN = ann.groupBy(col("q_id")).agg(count(lit(1)).as("n_ann"))
+        gt.join(ann.withColumn("h", lit(1)), Seq("q_id", "c_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_gt"),
+            sum(coalesce(col("h"), lit(0))).as("n_hit"))
+          .join(broadcast(annN), Seq("q_id"), "left")
+          .select(col("q_id"), col("n_gt"), coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+            col("n_hit"), round(col("n_hit") / col("n_gt"), 4).as("recall_at_5"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+              |scored AS (SELECT q_id, c.vec_id AS c_id, $cosSql AS sim
+              |           FROM qs, (SELECT vec_id, v AS cv FROM e) c
+              |           WHERE c.vec_id <> q_id),
+              |gt AS (SELECT q_id, c_id FROM
+              |         (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |            ORDER BY sim DESC, c_id) AS rn FROM scored)
+              |       WHERE rn <= 5),
+              |wv AS (SELECT vec_id, CAST(${bucketSql("v")} AS BIGINT) AS bucket, v
+              |       FROM e),
+              |qb AS (SELECT vec_id AS q_id, bucket AS qb, v AS qv FROM wv
+              |       WHERE vec_id < 10),
+              |asc2 AS (SELECT q_id, c.vec_id AS c_id, $cosSql AS sim
+              |         FROM qb JOIN (SELECT vec_id, bucket, v AS cv FROM wv) c
+              |           ON qb = c.bucket AND c.vec_id <> q_id),
+              |ann AS (SELECT q_id, c_id FROM
+              |          (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |             ORDER BY sim DESC, c_id) AS rn FROM asc2)
+              |        WHERE rn <= 5),
+              |an AS (SELECT q_id, count(*) AS n_ann FROM ann GROUP BY 1),
+              |j AS (SELECT gt.q_id, CASE WHEN ann.c_id IS NOT NULL THEN 1 ELSE 0 END AS h
+              |      FROM gt LEFT JOIN ann ON gt.q_id = ann.q_id AND gt.c_id = ann.c_id),
+              |r AS (SELECT q_id, count(*) AS n_gt, CAST(sum(h) AS BIGINT) AS n_hit
+              |      FROM j GROUP BY 1)
+              |SELECT r.q_id, n_gt, coalesce(n_ann, 0) AS n_ann, n_hit,
+              |  round(n_hit / n_gt, 4) AS recall_at_5
+              |FROM r LEFT JOIN an ON r.q_id = an.q_id""".stripMargin))
   )
 
   /** 8×8-dim subvector split (PQ m ∈ [0,8)): shared by q72's encode
