@@ -432,8 +432,15 @@ object TrainPrep {
           .withColumn("n", size(split(col("text"), " ")))
         val cells = docs.groupBy(col("source"), col("lang"))
           .agg(sum(col("n")).as("toks"))
-        val anchor = cells.agg(min(col("toks")).as("tmin"))
-        val rates = cells.crossJoin(broadcast(anchor))
+        // the anchor (minimum cell mass) comes from a whole-frame
+        // window over the |cells| rows — NOT a second aggregate of
+        // the corpus: `cells.agg(min)` would re-derive cells from
+        // scratch and scan the corpus twice. The window's single
+        // partition holds |sources|×|langs| rows, bounded by the
+        // domain, never by the data.
+        val rates = cells
+          .withColumn("tmin", min(col("toks")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
           .select(col("source"), col("lang"),
             expr("cast(floor(100 * sqrt(cast(tmin as double) / cast(toks as double))) as int)")
               .as("keep_pct"))

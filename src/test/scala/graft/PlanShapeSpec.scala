@@ -155,4 +155,64 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles == 1, s"expected exactly one shuffle:\n$p")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("q85 SCD-2 history is one exchange shared by lead() and versioning") {
+    val p = planOf("q85_scd2").split("== Initial Plan ==").head
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(shuffles == 1, s"expected exactly one shuffle:\n$p")
+  }
+
+  test("q87 funnel rides one user_id exchange end to end") {
+    // the session-id cumsum (user_id), the three stage windows
+    // (user_id, sid), and both rollups are all satisfied by the one
+    // hash(user_id) partitioning — subset-clustering must keep it
+    val p = planOf("q87_funnel").split("== Initial Plan ==").head
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(shuffles == 1, s"expected exactly one shuffle:\n$p")
+  }
+
+  test("q86 chunk dedup: shuffle-free chunker, two integer-keyed exchanges") {
+    // RoundRobin is Tables.parallel's input-split emulation (no-op on
+    // a properly split table) — the data exchanges are the fp window
+    // and the doc rollup, nothing else
+    val p = planOf("q86_chunk_dedup").split("== Initial Plan ==").head
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused")
+        && !l.contains("Broadcast") && !l.contains("RoundRobin"))
+    assert(shuffles == 2, s"expected fp window + doc rollup only:\n$p")
+    assert(p.contains("Generate"), s"chunker must ride the scan:\n$p")
+  }
+
+  test("q88 global rank never single-partition-sorts the corpus") {
+    val p = planOf("q88_global_rank").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast onto the corpus:\n$p")
+    // the only SinglePartition exchange allowed is the |buckets|-row
+    // offset window's input — the corpus-side window is bucket-keyed
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    assert(single.size <= 1, s"corpus must not collapse to one partition:\n$p")
+  }
+
+  test("q89 temperature sampling keeps the corpus shuffle-free") {
+    val p = planOf("q89_temp_sample").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell rates must broadcast onto the scan:\n$p")
+    // one exchange builds the |cells| aggregate (plus its 1-row anchor
+    // on SinglePartition); the corpus itself never shuffles
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused")
+        && !l.contains("Broadcast") && !l.contains("SinglePartition"))
+    assert(shuffles == 1, s"only the cells aggregate may shuffle:\n$p")
+  }
+
+  test("q90 recall eval pre-prunes ground truth per scan partition") {
+    val p = planOf("q90_ann_recall").split("== Initial Plan ==").head
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),
+      s"local top-k prune must key on the scan partition:\n$p")
+    assert(p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast against the corpus:\n$p")
+  }
 }
