@@ -96,10 +96,27 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
         .as("s"))
-    val sigCols = (0 to 7).map(k => min(expr(
-      s"cast(conv(substr(md5(concat('$k:', s)), 1, 15), 16, 10) as bigint)"))
-      .as(s"mh$k"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // ONE md5 per shingle; the 8 minhashes are q38's universal family
+    // h_k(x) = (a_k·(x mod P) + b_k) mod P over the Mersenne prime
+    // P = 2³¹−1, with [[graft.functions.MinHashSignature]]'s
+    // md5-derived coefficients (k < 8). The earlier family salted and
+    // re-hashed md5 per seed — 8 digests per shingle row, and the
+    // hash dominated this stage's CPU. (A cheaper-still h1+k·h2
+    // double-hash over the digest halves was tried and REVERTED: one
+    // low-valued shingle tends to win several adjacent k's at once,
+    // so band rows collide together, the candidate graph densifies,
+    // and at sf0.1 label propagation stopped converging — minhash
+    // band rows need pairwise-independent rehashes, which the
+    // multiply-add family provides at the same one-md5 cost.)
+    val P = graft.functions.MinHashSignature.P
+    val hashed = sh.select(col("doc_id"),
+      expr(s"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $P").as("hb"))
+    val sigCols = (0 to 7).map { k =>
+      val (a, b) = (graft.functions.MinHashSignature.A(k),
+        graft.functions.MinHashSignature.B(k))
+      min((lit(a) * col("hb") + lit(b)) % lit(P)).as(s"mh$k")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 to 3).map(b =>
       struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
         col(s"mh${2 * b + 1}").as("h2")))
@@ -125,9 +142,16 @@ object Dedup {
     */
   private val minhashPairsSql =
     s"""$shinglesSql,
-       |mh AS (SELECT doc_id, g.seed,
-       |         min(('0x' || substr(md5(CAST(g.seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT) AS mh
-       |       FROM sh, UNNEST(generate_series(0, 7)) AS g(seed)
+       |hh AS (SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 15))::BIGINT
+       |           % ${graft.functions.MinHashSignature.P} AS hb
+       |       FROM sh),
+       |coef8(seed, a, b) AS (VALUES ${(0 to 7).map(k =>
+            s"(${k}, ${graft.functions.MinHashSignature.A(k)}, " +
+              s"${graft.functions.MinHashSignature.B(k)})").mkString(", ")}),
+       |mh AS (SELECT doc_id, seed,
+       |         min((a * hb + b) % ${graft.functions.MinHashSignature.P}) AS mh
+       |       FROM hh CROSS JOIN coef8
        |       GROUP BY 1, 2),
        |bands AS (SELECT doc_id, seed // 2 AS band,
        |            min(CASE WHEN seed % 2 = 0 THEN mh END) AS h1,
