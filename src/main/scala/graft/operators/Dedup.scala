@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents`: exact (hash-groupBy),
@@ -224,6 +225,49 @@ object Dedup {
           .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n")),
       Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- q91: incremental dedup (new batch vs historical store) ---------
+    // The operational shape q34 doesn't cover: dedup an INCOMING batch
+    // (source 'src4') against the already-ingested store plus itself.
+    // Each batch doc is classified: duplicate of a store fingerprint,
+    // duplicate of an earlier batch doc (first-writer-wins by doc_id),
+    // or kept. At 100 TB the store fingerprint set is corpus-sized —
+    // never broadcastable — so the membership test is a co-partitioned
+    // sort-merge LEFT join on the 128-bit fp, and the within-batch
+    // keeper window rides the SAME fp-hash exchange the join needs
+    // (one shuffle of each side, total). In production the store side
+    // is a bucketed fingerprint table, which deletes its half of the
+    // exchange entirely.
+    QueryDef(
+      "q91_incremental_dedup",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+        val store = docs.filter(col("source") =!= "src4")
+          .select(col("fp")).distinct().withColumn("in_store", lit(1))
+        val wFp = Window.partitionBy(col("fp"))
+        docs.filter(col("source") === "src4")
+          .withColumn("batch_keeper", min(col("doc_id")).over(wFp))
+          .join(store, Seq("fp"), "left")
+          .select(col("doc_id"), col("fp"),
+            when(col("in_store").isNotNull, "dup_of_store")
+              .when(col("doc_id") =!= col("batch_keeper"), "dup_in_batch")
+              .otherwise("kept").as("status"),
+            when(col("in_store").isNull && col("doc_id") =!= col("batch_keeper"),
+              col("batch_keeper")).as("keeper"))
+      },
+      Some("""WITH f AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+             |store AS (SELECT DISTINCT fp FROM f WHERE source <> 'src4'),
+             |b AS (SELECT doc_id, fp,
+             |        min(doc_id) OVER (PARTITION BY fp) AS batch_keeper
+             |      FROM f WHERE source = 'src4')
+             |SELECT doc_id, b.fp,
+             |  CASE WHEN store.fp IS NOT NULL THEN 'dup_of_store'
+             |       WHEN doc_id <> batch_keeper THEN 'dup_in_batch'
+             |       ELSE 'kept' END AS status,
+             |  CASE WHEN store.fp IS NULL AND doc_id <> batch_keeper
+             |       THEN batch_keeper END AS keeper
+             |FROM b LEFT JOIN store ON b.fp = store.fp""".stripMargin)),
 
     // ---- q35: n-gram Jaccard near-dup (capped inverted index) ----------
     QueryDef(

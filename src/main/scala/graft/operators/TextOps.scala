@@ -493,6 +493,64 @@ object TextOps {
              |               ORDER BY score DESC, doc_id) AS INTEGER) AS rk
              |      FROM sc)
              |SELECT term, doc_id, tf, round(score, 4) AS score, rk
-             |FROM r WHERE rk <= 10""".stripMargin))
+             |FROM r WHERE rk <= 10""".stripMargin)),
+
+    // ---- q93: sequence-length histogram (log2 buckets) ------------------
+    // The length-distribution report sequence packing (q54) and
+    // context-window budgeting are planned from: per (source,
+    // power-of-two length bucket) document and token counts. The
+    // bucket is ⌊log2 n⌋ + 1 computed EXACTLY as the binary-digit
+    // count of n (length of the base-2 rendering — pure integer/
+    // string ops on both engines; floor(log2(n)) through libm doubles
+    // can mis-bucket exact powers of two). One partial-aggregating
+    // pass, |sources|×~12 output rows.
+    QueryDef(
+      "q93_length_hist",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).as("n"))
+          .select(col("source"), length(conv(col("n"), 10, 2)).as("len_bucket"),
+            col("n"))
+          .groupBy(col("source"), col("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens")),
+      Some("""WITH d AS (SELECT source,
+             |            CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+             |          FROM documents)
+             |SELECT source, CAST(length(bin(n)) AS INTEGER) AS len_bucket,
+             |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens
+             |FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q94: token-concentration scoring (Simpson index) ---------------
+    // Degenerate-text detection beyond q66's top-share: the FULL
+    // distribution's concentration Σcᵢ²/n² (Simpson index — 1/n for
+    // perfectly diverse text, →1 for one token repeated) plus the
+    // type-token ratio. All-rational arithmetic (integer sums, one
+    // final exactly-rounded divide), so the oracle is exact without
+    // the libm-log entropy formulation this stands in for. Two
+    // exchanges, both partial-aggregated: (doc, token) counts, then
+    // the per-doc moment rollup.
+    QueryDef(
+      "q94_concentration",
+      (s, d) =>
+        Tables.parallel(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).as("c2"))
+          .select(col("doc_id"), col("n"), col("n_types"),
+            round(col("c2") / (col("n") * col("n")), 6).as("simpson"),
+            round(col("n_types") / col("n"), 4).as("ttr")),
+      Some("""WITH tc AS (SELECT doc_id, u.tok, count(*) AS c
+             |          FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+             |          GROUP BY 1, 2),
+             |m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             |        count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS c2
+             |      FROM tc GROUP BY 1)
+             |SELECT doc_id, n, n_types,
+             |  round(c2 / (n * n), 6) AS simpson,
+             |  round(n_types / n, 4) AS ttr
+             |FROM m""".stripMargin))
   )
 }

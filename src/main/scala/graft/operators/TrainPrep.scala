@@ -477,6 +477,40 @@ object TrainPrep {
               |      FROM c, m)
               |SELECT doc_id, d.source, d.lang, keep_pct, $bucketSql AS bucket
               |FROM d JOIN r ON d.source = r.source AND d.lang = r.lang
-              |WHERE $bucketSql < keep_pct""".stripMargin))
+              |WHERE $bucketSql < keep_pct""".stripMargin)),
+
+    // ---- q92: fixed-size per-stratum sample ------------------------------
+    // q46/q89 sample by RATE; eval sets and human-review batches need
+    // a fixed COUNT per stratum ("20 documents per source"). Keep the
+    // 20 smallest md5 ranks per source — deterministic (no rand()),
+    // uniform (md5 order is independent of content), and stable under
+    // re-runs/retries. A per-source row_number window alone would
+    // funnel the corpus through |sources| reducers, so each scan
+    // partition first prunes to its local top-20 per source (keyed by
+    // (source, spark_partition_id()) — lossless, as in q90), and the
+    // global window only ranks ≤ 20·splits·|sources| survivors.
+    QueryDef(
+      "q92_stratum_sample",
+      (s, d) => {
+        val h = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+              .as("hk"))
+        val wLocal = Window.partitionBy(col("source"), col("pid"))
+          .orderBy(col("hk"), col("doc_id"))
+        val wGlobal = Window.partitionBy(col("source"))
+          .orderBy(col("hk"), col("doc_id"))
+        h.withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal)).filter(col("lrn") <= 20)
+          .withColumn("rank", row_number().over(wGlobal)).filter(col("rank") <= 20)
+          .select(col("source"), col("rank"), col("doc_id"))
+      },
+      Some(s"""SELECT source, rank, doc_id FROM
+              |  (SELECT source, doc_id,
+              |     CAST(row_number() OVER (PARTITION BY source
+              |       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+              |                doc_id) AS INTEGER) AS rank
+              |   FROM documents)
+              |WHERE rank <= 20""".stripMargin))
   )
 }
