@@ -207,6 +207,15 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles == 1, s"only the cells aggregate may shuffle:\n$p")
   }
 
+  test("q92 stratum sample pre-prunes per scan partition") {
+    // the per-source window alone would funnel the corpus through
+    // |sources| reducers; the (source, partition-id) local cut must
+    // stay in the plan
+    val p = planOf("q92_stratum_sample").split("== Initial Plan ==").head
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),
+      s"local prune must key on the scan partition:\n$p")
+  }
+
   test("q90 recall eval pre-prunes ground truth per scan partition") {
     val p = planOf("q90_ann_recall").split("== Initial Plan ==").head
     assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),
