@@ -879,7 +879,59 @@ object Similarity {
               |      FROM j GROUP BY 1)
               |SELECT r.q_id, n_gt, coalesce(n_ann, 0) AS n_ann, n_hit,
               |  round(n_hit / n_gt, 4) AS recall_at_5
-              |FROM r LEFT JOIN an ON r.q_id = an.q_id""".stripMargin))
+              |FROM r LEFT JOIN an ON r.q_id = an.q_id""".stripMargin)),
+
+    // ---- q96: multi-probe LSH ANN --------------------------------------
+    // Recall without more hash tables (Lv et al., "Multi-Probe LSH",
+    // VLDB 2007): q42 probes only the query's own bucket, so a
+    // neighbor on the far side of ONE hyperplane is invisible; here
+    // each query also probes the 8 buckets at hamming distance 1
+    // (its sign bit flipped per plane — the perturbations most
+    // likely to hold a near neighbor). 9 probe keys per query
+    // explode from the same 8-plane bucket q42 computes — the
+    // corpus-side index is IDENTICAL (one bucket per vector, no
+    // extra tables, no re-hash); only the tiny query side fans out.
+    // Probe keys are distinct by construction, so no candidate
+    // dedup is needed; exact cosine rerank + top-3 per query rides
+    // the bucket-limited candidate slice.
+    QueryDef(
+      "q96_multiprobe_lsh",
+      (s, d) => {
+        val e = emb(s, d)
+        val wv = e.select(col("vec_id"), bucketCol(col("v")).as("bucket"), col("v"))
+        val qs = wv.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("bucket").as("qb"), col("v").as("qv"))
+          .select(col("q_id"), col("qv"), explode(expr(
+            "array(qb, qb ^ 1, qb ^ 2, qb ^ 4, qb ^ 8, qb ^ 16, qb ^ 32, qb ^ 64, qb ^ 128)"))
+            .as("probe"))
+        val cands = wv
+          .select(col("vec_id").as("c_id"), col("bucket").as("cb"), col("v").as("cv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        cands.join(broadcast(qs),
+            col("probe") === col("cb") && col("c_id") =!= col("q_id"))
+          .withColumn("sim", expr(cosSpark(s)))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id").as("nn_id"),
+            round(col("sim"), 4).as("sim"), col("rn"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |wv AS (SELECT vec_id, CAST(${bucketSql("v")} AS BIGINT) AS bucket, v
+              |       FROM e),
+              |qs AS (SELECT vec_id AS q_id, v AS qv, u.probe
+              |       FROM wv, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
+              |              xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+              |              xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)])
+              |         AS u(probe)
+              |       WHERE vec_id < 10),
+              |sims AS (SELECT q_id, c.vec_id AS c_id, c.v AS cv, qv
+              |         FROM qs JOIN wv c ON probe = c.bucket AND c.vec_id <> q_id),
+              |scored AS (SELECT q_id, c_id, $cosSql AS sim FROM sims)
+              |SELECT q_id, c_id AS nn_id, round(sim, 4) AS sim,
+              |  CAST(rn AS INTEGER) AS rn
+              |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |        ORDER BY sim DESC, c_id) AS rn FROM scored)
+              |WHERE rn <= 3""".stripMargin))
   )
 
   /** 8×8-dim subvector split (PQ m ∈ [0,8)): shared by q72's encode

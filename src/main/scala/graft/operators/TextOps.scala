@@ -551,6 +551,78 @@ object TextOps {
              |SELECT doc_id, n, n_types,
              |  round(c2 / (n * n), 6) AS simpson,
              |  round(n_types / n, 4) AS ttr
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ---- q95: winnowing-fingerprint pair matching (MOSS-style) ----------
+    // The pair-finding stage q39's fingerprints exist FOR (Schleimer
+    // et al., SIGMOD 2003): two documents sharing any ≥8-char run
+    // share a winnow fingerprint by the scheme's guarantee, so
+    // matching docs pair through an inverted index on the SPARSE
+    // fingerprint set — ~1/(w=4) the density of the raw k-gram
+    // index, which is winnowing's entire scale advantage over q35's
+    // full shingle index. Same capped posting-list shape as q35
+    // (df ≤ 64 guards boilerplate keys; the cap is part of the
+    // semantics, mirrored in the oracle), pair counts partial-
+    // aggregate, and the per-doc fingerprint totals rejoin for the
+    // containment-style score shared/min(|A|,|B|).
+    QueryDef(
+      "q95_winnow_pairs",
+      (s, d) => {
+        def fps = Tables.parallel(s, d, "documents")
+          .filter(length(col("text")) >= 11)
+          .select(col("doc_id"), expr(
+            "transform(sequence(1, length(text) - 7), i -> " +
+              "cast(conv(substr(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))")
+            .as("khs"))
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, size(khs) - 3), j -> array_min(slice(khs, j, 4)))")))
+            .as("fp"))
+        val cnt = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = fps.groupBy(col("fp"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")).between(2, 64))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(explode(expr(
+            "flatten(transform(sequence(0, size(ds)-2), i -> " +
+              "transform(sequence(i+1, size(ds)-1), j -> " +
+              "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
+          .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+          .agg(count(lit(1)).as("shared"))
+        pairs.filter(col("shared") >= 2)
+          .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),
+            col("da") === col("da_"))
+          .join(cnt.withColumnRenamed("doc_id", "db_").withColumnRenamed("n", "nb"),
+            col("db") === col("db_"))
+          // ≥ 0.5 containment: random short-vocab text shares plenty
+          // of isolated 8-char runs (92k pairs at sf0.01 with a bare
+          // shared ≥ 2), but real matches dominate the shared/min
+          // ratio — 0.5 keeps exactly the near-dup set here
+          .filter(col("shared") / least(col("na"), col("nb")) >= 0.5)
+          .select(col("da"), col("db"), col("shared"),
+            round(col("shared") / least(col("na"), col("nb")), 4).as("sim"))
+      },
+      Some("""WITH h AS (SELECT doc_id, u.i AS i,
+             |            ('0x' || substr(md5(substr(text, u.i, 8)), 1, 15))::BIGINT AS kh
+             |          FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+             |          WHERE length(text) >= 11),
+             |w AS (SELECT doc_id, i,
+             |        min(kh) OVER (PARTITION BY doc_id ORDER BY i
+             |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             |        max(i) OVER (PARTITION BY doc_id) AS n
+             |      FROM h),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+             |ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+             |fok AS (SELECT fps.* FROM fps JOIN ok USING (fp)),
+             |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+             |          FROM fok a JOIN fok b
+             |            ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT da, db, shared,
+             |  round(shared / least(ca.n, cb.n), 4) AS sim
+             |FROM pairs
+             |JOIN cnt ca ON da = ca.doc_id
+             |JOIN cnt cb ON db = cb.doc_id
+             |WHERE shared >= 2 AND shared / least(ca.n, cb.n) >= 0.5""".stripMargin))
   )
 }
