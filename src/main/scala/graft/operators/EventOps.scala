@@ -519,6 +519,82 @@ object EventOps {
              |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
              |  CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
              |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-             |FROM sess GROUP BY user_id""".stripMargin))
+             |FROM sess GROUP BY user_id""".stripMargin)),
+
+    // ---- q97: rolling z-score anomaly flags ------------------------------
+    // Per-event anomaly detection against the user's OWN trailing hour
+    // (q79's RANGE frame carrying two more moments): flag events more
+    // than 3σ from the trailing mean. Entirely sqrt-free — the test is
+    // (x−μ)² > 9·σ², with μ and σ² from fixed-point integer sums (cv =
+    // value·100 as BIGINT; Σcv and Σcv² are order-independent longs),
+    // so every float op is one exactly-rounded IEEE step both engines
+    // perform identically. One user_id exchange + in-partition sort,
+    // same per-user layout as q49/q79/q84/q85.
+    QueryDef(
+      "q97_rolling_anomaly",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0)
+        ev(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"),
+            expr("cast(round(value * 100, 0) as bigint)").as("cv"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s1", sum(col("cv")).over(w))
+          .withColumn("s2", sum(col("cv") * col("cv")).over(w))
+          .filter(col("n") >= 2)
+          .withColumn("mu", col("s1") / col("n"))
+          .withColumn("var", col("s2") / col("n") - col("mu") * col("mu"))
+          .select(col("event_id"), col("user_id"), col("n"),
+            round(col("mu") / 100.0, 4).as("roll_mean"),
+            ((col("cv") - col("mu")) * (col("cv") - col("mu"))
+              > lit(9.0) * col("var")).as("anomaly"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+             |            CAST(round(value * 100) AS BIGINT) AS cv FROM events),
+             |m AS (SELECT event_id, user_id, cv,
+             |        count(*) OVER w AS n,
+             |        CAST(sum(cv) OVER w AS BIGINT) AS s1,
+             |        CAST(sum(cv * cv) OVER w AS BIGINT) AS s2
+             |      FROM e
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, n,
+             |  round((s1 / n) / 100.0, 4) AS roll_mean,
+             |  ((cv - s1 / n) * (cv - s1 / n)
+             |    > 9.0::DOUBLE * (s2 / n - (s1 / n) * (s1 / n))) AS anomaly
+             |FROM m WHERE n >= 2""".stripMargin)),
+
+    // ---- q98: cohort retention matrix ------------------------------------
+    // The retention table every activity dashboard is built from: users
+    // cohorted by first-seen week, each cell counting cohort members
+    // active k weeks later. The first-seen week is a min over the SAME
+    // user_id partitioning the week-bucketing rides (one exchange, no
+    // self-join back); weeks are exact integer µs division, and the
+    // (user, offset) de-dup collapses map-side before the tiny
+    // cohort×offset rollup.
+    QueryDef(
+      "q98_cohort_retention",
+      (s, d) => {
+        val wU = Window.partitionBy(col("user_id"))
+        ev(s, d)
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+          .withColumn("wk", floor(col("us") / 604800000000L))
+          .withColumn("cohort_week", min(col("wk")).over(wU))
+          .select(col("user_id"), col("cohort_week"),
+            (col("wk") - col("cohort_week")).as("week_offset"))
+          .distinct()
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+             |          FROM events),
+             |c AS (SELECT user_id, wk,
+             |        min(wk) OVER (PARTITION BY user_id) AS cohort_week
+             |      FROM e),
+             |d AS (SELECT DISTINCT user_id, cohort_week,
+             |        wk - cohort_week AS week_offset FROM c)
+             |SELECT cohort_week, week_offset, count(*) AS n_active
+             |FROM d GROUP BY 1, 2""".stripMargin))
   )
 }
