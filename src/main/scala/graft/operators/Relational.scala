@@ -402,6 +402,54 @@ object Relational {
       Some("""SELECT o_orderkey, o_totalprice,
              |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
              |    AS price_rank
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ---- q99: exact distributed deciles (two-phase selection) -----------
+    // Exact order statistics WITHOUT sorting the corpus: q88's
+    // value-domain buckets again, but instead of ranking everything,
+    // the cumulative bucket counts locate which bucket holds each
+    // decile's k-th element (k = ceil(i·N/10)); only rows of the ≤ 10
+    // target buckets are ranked (within-bucket, in parallel) and the
+    // k-th (o_totalprice, o_orderkey) element is picked exactly.
+    // This is the selection-algorithm shape for percentiles at 100 TB
+    // — the corpus is scanned once for counts and once for the
+    // candidate buckets; nothing is globally sorted. (approx_
+    // percentile is the sketch alternative; this one is exact, which
+    // is also what lets the oracle hash-match.)
+    QueryDef(
+      "q99_exact_deciles",
+      (s, d) => {
+        val o = ord(s, d).select(col("o_orderkey"), col("o_totalprice"),
+          floor(col("o_totalprice") / 1000).cast("long").as("b"))
+        val wOff = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = o.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+        val total = o.agg(count(lit(1)).as("n_total"))
+        // target global positions k_i = ceil(i·N/10), i = 1..9
+        val ks = total.select(explode(expr(
+          "transform(sequence(1, 9), i -> " +
+            "struct(i AS decile, cast(ceil(i * n_total / 10.0d) as bigint) AS k))"))
+          .as("t")).select(col("t.decile").as("decile"), col("t.k").as("k"))
+        val targets = ks.join(broadcast(offs),
+            col("k") > col("off") && col("k") <= col("off") + col("bn"))
+          .select(col("decile"), col("k"), col("b"), col("off"))
+        val wIn = Window.partitionBy(col("b"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        o.join(broadcast(targets), "b")
+          .withColumn("rn", row_number().over(wIn))
+          .filter(col("rn") === col("k") - col("off"))
+          .select(col("decile"), col("o_totalprice").as("value"),
+            col("o_orderkey"))
+      },
+      Some("""WITH r AS (SELECT o_orderkey, o_totalprice,
+             |        row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+             |      FROM orders),
+             |n AS (SELECT count(*) AS n_total FROM orders),
+             |ks AS (SELECT i AS decile,
+             |         CAST(ceil(i * n_total / 10.0) AS BIGINT) AS k
+             |       FROM n, UNNEST(generate_series(1, 9)) AS g(i))
+             |SELECT decile, o_totalprice AS value, o_orderkey
+             |FROM ks JOIN r ON r.rn = ks.k""".stripMargin))
   )
 }

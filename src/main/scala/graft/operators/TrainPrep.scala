@@ -511,6 +511,66 @@ object TrainPrep {
               |       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
               |                doc_id) AS INTEGER) AS rank
               |   FROM documents)
-              |WHERE rank <= 20""".stripMargin))
+              |WHERE rank <= 20""".stripMargin)),
+
+    // ---- q100: the composed curation pipeline ----------------------------
+    // The end-to-end "what survives training prep" materialization —
+    // the stages this engine implements individually (quality filter,
+    // exact dedup, benchmark decontamination, deterministic sampling)
+    // composed into one per-document decision table with reason
+    // codes, evaluated in pipeline order (a doc dropped for quality
+    // is never charged to dedup). Plan shape is the UNION of the
+    // stages' shapes and nothing more: quality is scan-local; the
+    // dedup keeper is one fp window; contamination is the q45
+    // broadcast (bench grams are small by construction); sampling is
+    // an md5-bucket compare. The corpus crosses one fp exchange and
+    // one doc_id exchange; every other input rides broadcast.
+    QueryDef(
+      "q100_curation_pipeline",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val base = docs.select(col("doc_id"), col("source"), col("lang"),
+          md5(col("text")).as("fp"),
+          size(split(col("text"), " ")).as("n"))
+        val wFp = Window.partitionBy(col("fp"))
+        // contamination hits per non-benchmark doc (q45's broadcast)
+        val g = grams(Tables.parallel(s, d, "documents"))
+        val bench = g.filter(col("source") === "src0")
+          .select(col("gid")).distinct()
+        val contam = g.filter(col("source") =!= "src0")
+          .join(broadcast(bench), "gid")
+          .select(col("doc_id")).distinct().withColumn("hit", lit(1))
+        base.filter(col("source") =!= "src0")
+          .withColumn("keeper", min(col("doc_id")).over(wFp))
+          .join(broadcast(contam), Seq("doc_id"), "left")
+          .withColumn("reason",
+            when(col("n") < 40, "quality_short")
+              .when(col("doc_id") =!= col("keeper"), "exact_dup")
+              .when(col("hit").isNotNull, "contaminated")
+              .when(bucketCol >= 80, "sampled_out")
+              .otherwise("kept"))
+          .select(col("doc_id"), col("source"), col("lang"), col("n"),
+            (col("reason") === "kept").as("kept"), col("reason"))
+      },
+      Some(s"""WITH $gramsSql,
+              |bench AS (SELECT DISTINCT gid FROM g WHERE source = 'src0'),
+              |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gid)
+              |           WHERE source <> 'src0'),
+              |base AS (SELECT doc_id, source, lang, md5(text) AS fp,
+              |           CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+              |         FROM documents),
+              |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper
+              |      FROM base WHERE source <> 'src0'),
+              |r AS (SELECT doc_id, source, lang, n,
+              |        CASE WHEN n < 40 THEN 'quality_short'
+              |             WHEN doc_id <> keeper THEN 'exact_dup'
+              |             WHEN doc_id IN (SELECT doc_id FROM contam)
+              |               THEN 'contaminated'
+              |             WHEN $bucketSql >= 80 THEN 'sampled_out'
+              |             ELSE 'kept' END AS reason
+              |      FROM k)
+              |SELECT doc_id, source, lang, n,
+              |  (reason = 'kept') AS kept, reason
+              |FROM r""".stripMargin))
   )
 }
