@@ -425,7 +425,10 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, -1)
         val offs = o.groupBy(col("b")).agg(count(lit(1)).as("bn"))
           .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
-        val total = o.agg(count(lit(1)).as("n_total"))
+        // N from the bucket counts — NOT o.agg(count): that would be a
+        // second corpus aggregation (the q89 lesson); offs is already
+        // a |buckets|-row table
+        val total = offs.agg(sum(col("bn")).as("n_total"))
         // target global positions k_i = ceil(i·N/10), i = 1..9
         val ks = total.select(explode(expr(
           "transform(sequence(1, 9), i -> " +
