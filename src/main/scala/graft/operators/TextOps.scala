@@ -568,7 +568,15 @@ object TextOps {
     QueryDef(
       "q95_winnow_pairs",
       (s, d) => {
-        def fps = Tables.parallel(s, d, "documents")
+        // materialized ONCE: the winnow projection hashes every char
+        // position (~8 md5s per fingerprint that survives), and both
+        // consumers below — the per-doc totals and the inverted
+        // index — would re-run it under Spark's plan duplication.
+        // The fingerprint stream is 1/w the corpus' k-gram density,
+        // so pinning it and paying two cheap exchanges (doc_id
+        // partial-aggregates to ≤1 row per task; fp is the index
+        // build) beats rehashing the corpus — at any scale.
+        val fps = Tables.parallel(s, d, "documents")
           .filter(length(col("text")) >= 11)
           .select(col("doc_id"), expr(
             "transform(sequence(1, length(text) - 7), i -> " +
@@ -577,6 +585,7 @@ object TextOps {
           .select(col("doc_id"), explode(array_distinct(expr(
             "transform(sequence(1, size(khs) - 3), j -> array_min(slice(khs, j, 4)))")))
             .as("fp"))
+          .localCheckpoint(true)
         val cnt = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = fps.groupBy(col("fp"))
           .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
