@@ -269,6 +269,73 @@ object Dedup {
              |       THEN batch_keeper END AS keeper
              |FROM b LEFT JOIN store ON b.fp = store.fp""".stripMargin)),
 
+    // ---- q102: prefix-filtering similarity join (PPJoin-style) ----------
+    // The algorithmic upgrade over q35's full inverted index for HIGH
+    // thresholds (Chaudhuri et al. SSJoin / Xiao et al. PPJoin):
+    // order each document's shingle set by global rarity (df, sid)
+    // and index only its PREFIX — the first ⌊n/2⌋+1 elements for
+    // τ = 0.5, the shortest prefix two τ-similar sets must overlap
+    // in. Rare-first ordering makes prefix postings short by
+    // construction, so the candidate count tracks the number of TRUE
+    // near-pairs instead of Σ df² over all shingles — at 100 TB this
+    // is the difference between indexing every shingle and indexing
+    // ~half of each document's rarest. Verification is exact:
+    // intersection on the full sorted sets, and the τ test is the
+    // integer cross-multiplication 3·|A∩B| ≥ |A|+|B| (no float in
+    // the decision). The df table shuffles with the shingle stream
+    // (vocab-sized — only broadcastable when known small); lists are
+    // materialized once and reused for prefix explode and both
+    // verify joins.
+    QueryDef(
+      "q102_prefix_join",
+      (s, d) => {
+        val sh = hashedShingles(s, d)
+          .select(col("doc_id"), col("sid")).distinct()
+        val dfreq = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+        val lists = sh.join(dfreq, "sid")
+          .groupBy(col("doc_id"))
+          .agg(expr("transform(sort_array(collect_list(struct(df, sid))), x -> x.sid)")
+            .as("ts"))
+          .withColumn("n", size(col("ts")))
+          .localCheckpoint(true)
+        val pre = lists
+          .select(col("doc_id"),
+            explode(expr("slice(ts, 1, cast(n div 2 as int) + 1)")).as("psid"))
+        val cands = pre.join(
+            pre.select(col("psid"), col("doc_id").as("db")), "psid")
+          .filter(col("doc_id") < col("db"))
+          .select(col("doc_id").as("da"), col("db")).distinct()
+        cands
+          .join(lists.select(col("doc_id").as("da"), col("ts").as("ta"),
+            col("n").as("na")), "da")
+          .join(lists.select(col("doc_id").as("db"), col("ts").as("tb"),
+            col("n").as("nb")), "db")
+          .withColumn("o", size(array_intersect(col("ta"), col("tb"))))
+          .filter(lit(3) * col("o") >= col("na") + col("nb"))
+          .select(col("da"), col("db"), col("o").as("overlap"),
+            round(col("o") / (col("na") + col("nb") - col("o")), 4).as("jac"))
+      },
+      Some(s"""WITH $hashedShinglesSql,
+              |dfq AS (SELECT sid, count(*) AS df FROM sh GROUP BY 1),
+              |lists AS (SELECT doc_id,
+              |            list(sid ORDER BY df, sid) AS ts,
+              |            CAST(count(*) AS INTEGER) AS n
+              |          FROM sh JOIN dfq USING (sid) GROUP BY doc_id),
+              |pre AS (SELECT doc_id, u.psid
+              |        FROM lists, UNNEST(ts[1 : n // 2 + 1]) AS u(psid)),
+              |cands AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |          FROM pre a JOIN pre b
+              |            ON a.psid = b.psid AND a.doc_id < b.doc_id),
+              |v AS (SELECT da, db,
+              |        CAST(len(list_intersect(la.ts, lb.ts)) AS INTEGER) AS o,
+              |        la.n AS na, lb.n AS nb
+              |      FROM cands
+              |      JOIN lists la ON la.doc_id = da
+              |      JOIN lists lb ON lb.doc_id = db)
+              |SELECT da, db, o AS overlap,
+              |  round(o / (na + nb - o), 4) AS jac
+              |FROM v WHERE 3 * o >= na + nb""".stripMargin)),
+
     // ---- q35: n-gram Jaccard near-dup (capped inverted index) ----------
     QueryDef(
       "q35_ngram_jaccard",

@@ -513,6 +513,44 @@ object TrainPrep {
               |   FROM documents)
               |WHERE rank <= 20""".stripMargin)),
 
+    // ---- q101: weighted sampling without replacement ---------------------
+    // Importance-weighted selection (Efraimidis–Spirakis A-ES shape):
+    // each document draws a deterministic md5 "uniform" hk and gets
+    // priority hk/weight — the 20 smallest priorities win, so heavy
+    // documents (weight = token count: length-proportional sampling)
+    // are proportionally likelier without ever being guaranteed.
+    // Deterministic and exact cross-engine: hk and the weight are
+    // integers, the priority is ONE IEEE divide (identical in both
+    // engines), and (priority, doc_id) is a unique order. Top-20 via
+    // the same partition-local prune as q92 — no single-reducer
+    // global window at scale.
+    QueryDef(
+      "q101_weighted_sample",
+      (s, d) => {
+        val h = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("w"),
+            expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+              .as("hk"))
+          .withColumn("prio", col("hk") / col("w"))
+        val wLocal = Window.partitionBy(col("pid"))
+          .orderBy(col("prio"), col("doc_id"))
+        val wGlobal = Window.orderBy(col("prio"), col("doc_id"))
+        h.withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal)).filter(col("lrn") <= 20)
+          .withColumn("rank", row_number().over(wGlobal)).filter(col("rank") <= 20)
+          .select(col("rank"), col("doc_id"), col("source"), col("w"))
+      },
+      Some("""SELECT rank, doc_id, source, w FROM
+             |  (SELECT doc_id, source,
+             |     CAST(len(string_split(text, ' ')) AS INTEGER) AS w,
+             |     CAST(row_number() OVER (ORDER BY
+             |       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             |         / CAST(len(string_split(text, ' ')) AS INTEGER),
+             |       doc_id) AS INTEGER) AS rank
+             |   FROM documents)
+             |WHERE rank <= 20""".stripMargin)),
+
     // ---- q100: the composed curation pipeline ----------------------------
     // The end-to-end "what survives training prep" materialization —
     // the stages this engine implements individually (quality filter,
