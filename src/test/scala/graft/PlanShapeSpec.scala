@@ -216,6 +216,38 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"local prune must key on the scan partition:\n$p")
   }
 
+  test("q97/q98: the corpus crosses one user_id exchange") {
+    // q97 is exactly one exchange; q98 adds the |cohorts×offsets|
+    // rollup AFTER the (user, cohort, offset) de-dup — which itself
+    // must ride the user exchange (subset clustering), so the second
+    // exchange carries deduped partial-aggregated rows only
+    val p97 = planOf("q97_rolling_anomaly").split("== Initial Plan ==").head
+    assert(p97.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast")) == 1,
+      s"q97: expected exactly one shuffle:\n$p97")
+    val p98 = planOf("q98_cohort_retention").split("== Initial Plan ==").head
+    val ex98 = p98.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast")).toSeq
+    assert(ex98.size == 2 && ex98.exists(_.contains("user_id")),
+      s"q98: user exchange + cell rollup only:\n$p98")
+  }
+
+  test("q99 deciles: targets broadcast, corpus never single-partitions") {
+    val p = planOf("q99_exact_deciles").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"decile targets must broadcast onto the corpus:\n$p")
+    // the offsets window and the 9-row target build may single-
+    // partition (|buckets|-bounded); the corpus-side window is
+    // bucket-keyed
+    assert(p.linesIterator.count(_.contains("SinglePartition")) <= 2, p)
+  }
+
+  test("q101 weighted sample pre-prunes per scan partition") {
+    val p = planOf("q101_weighted_sample").split("== Initial Plan ==").head
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),
+      s"local prune must key on the scan partition:\n$p")
+  }
+
   test("q90 recall eval pre-prunes ground truth per scan partition") {
     val p = planOf("q90_ann_recall").split("== Initial Plan ==").head
     assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),
