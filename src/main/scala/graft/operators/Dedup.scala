@@ -299,11 +299,16 @@ object Dedup {
           .withColumn("n", size(col("ts")))
           .localCheckpoint(true)
         val pre = lists
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("n"),
             explode(expr("slice(ts, 1, cast(n div 2 as int) + 1)")).as("psid"))
+        // length filter: J ≥ τ forces min/max ≥ τ, so τ = 0.5 kills
+        // any candidate whose sizes differ by more than 2× BEFORE the
+        // array-carrying verify joins — the standard SSJoin companion
+        // to the prefix filter, integer-only
         val cands = pre.join(
-            pre.select(col("psid"), col("doc_id").as("db")), "psid")
-          .filter(col("doc_id") < col("db"))
+            pre.select(col("psid"), col("doc_id").as("db"), col("n").as("nb2")), "psid")
+          .filter(col("doc_id") < col("db")
+            && greatest(col("n"), col("nb2")) <= lit(2) * least(col("n"), col("nb2")))
           .select(col("doc_id").as("da"), col("db")).distinct()
         cands
           .join(lists.select(col("doc_id").as("da"), col("ts").as("ta"),
@@ -321,11 +326,12 @@ object Dedup {
               |            list(sid ORDER BY df, sid) AS ts,
               |            CAST(count(*) AS INTEGER) AS n
               |          FROM sh JOIN dfq USING (sid) GROUP BY doc_id),
-              |pre AS (SELECT doc_id, u.psid
+              |pre AS (SELECT doc_id, n, u.psid
               |        FROM lists, UNNEST(ts[1 : n // 2 + 1]) AS u(psid)),
               |cands AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
               |          FROM pre a JOIN pre b
-              |            ON a.psid = b.psid AND a.doc_id < b.doc_id),
+              |            ON a.psid = b.psid AND a.doc_id < b.doc_id
+              |               AND greatest(a.n, b.n) <= 2 * least(a.n, b.n)),
               |v AS (SELECT da, db,
               |        CAST(len(list_intersect(la.ts, lb.ts)) AS INTEGER) AS o,
               |        la.n AS na, lb.n AS nb
