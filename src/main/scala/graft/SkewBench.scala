@@ -88,7 +88,12 @@ object SkewBench {
     "q34_dedup_exact", "q35_ngram_jaccard", "q36_minhash_lsh",
     "q38_minhash_sig", "q44_embed_neardup", "q53_semdedup",
     "q57_dedup_components", "q61_simhash_neardup", "q64_containment",
-    "q65_ann_scaled")
+    "q65_ann_scaled",
+    // round-4 second wave: chunk-level dedup (fp window under hot
+    // duplicate chunks), winnowing pairs (capped postings under
+    // boilerplate), and the prefix-filter join — whose rare-first
+    // prefixes should shrug the boilerplate shingles off entirely
+    "q86_chunk_dedup", "q95_winnow_pairs", "q102_prefix_join")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
