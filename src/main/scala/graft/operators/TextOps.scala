@@ -553,6 +553,71 @@ object TextOps {
              |  round(n_types / n, 4) AS ttr
              |FROM m""".stripMargin)),
 
+    // ---- q103: count-min sketch heavy-hitter estimation ------------------
+    // The frequency sketch q58's exact top-k would be fronted with at
+    // extreme vocabulary cardinality: 4 rows × 1024 buckets of
+    // counters keyed by the engine's universal hash family
+    // ((a_r·h + b_r) mod P mod 1024 — MinHashSignature's coefficients,
+    // so both engines hash identically and, unlike the built-in
+    // count_min_sketch/HLL (q17, rows-only by necessity), the whole
+    // sketch is oracle-exact). The corpus collapses to ≤ 4096 counter
+    // cells via partial aggregation — the sketch IS the shuffle
+    // payload, independent of corpus size; estimates join the true
+    // top-20 (q58's TakeOrderedAndProject) to report the classic
+    // overestimate-only error. est ≥ true always; est == true for
+    // tokens with no bucket collisions.
+    QueryDef(
+      "q103_countmin",
+      (s, d) => {
+        val P = graft.functions.MinHashSignature.P
+        val toks = Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .withColumn("h",
+            expr(s"cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint) % $P"))
+        val rowsExpr = (0 to 3).map { r =>
+          val (a, b) = (graft.functions.MinHashSignature.A(r),
+            graft.functions.MinHashSignature.B(r))
+          s"struct(${r}L AS r, (($a * h + $b) % $P) % 1024 AS bkt)"
+        }.mkString("array(", ", ", ")")
+        val cells = toks
+          .select(explode(expr(rowsExpr)).as("x"))
+          .groupBy(col("x.r").as("r"), col("x.bkt").as("bkt"))
+          .agg(count(lit(1)).as("c"))
+        val top = toks.groupBy(col("term"), col("h"))
+          .agg(count(lit(1)).as("true_n"))
+          .orderBy(col("true_n").desc, col("term").asc).limit(20)
+        val est = top.select(col("term"), col("h"), col("true_n"),
+            explode(expr(rowsExpr)).as("x"))
+          .join(broadcast(cells),
+            col("x.r") === col("r") && col("x.bkt") === col("bkt"))
+          .groupBy(col("term"), col("true_n"))
+          .agg(min(col("c")).as("est_n"))
+        est.select(col("term"), col("true_n"), col("est_n"),
+          (col("est_n") - col("true_n")).as("overcount"))
+      },
+      Some {
+        val P = graft.functions.MinHashSignature.P
+        val coefs = (0 to 3).map(r =>
+          s"(${r}, ${graft.functions.MinHashSignature.A(r)}, " +
+            s"${graft.functions.MinHashSignature.B(r)})").mkString(", ")
+        s"""WITH toks AS (SELECT u.term,
+           |         ('0x' || substr(md5(u.term), 1, 15))::BIGINT % $P AS h
+           |       FROM documents, UNNEST(string_split(text, ' ')) AS u(term)),
+           |coef(r, a, b) AS (VALUES $coefs),
+           |cells AS (SELECT r, ((a * h + b) % $P) % 1024 AS bkt,
+           |            count(*) AS c
+           |          FROM toks CROSS JOIN coef GROUP BY 1, 2),
+           |top AS (SELECT term, h, count(*) AS true_n FROM toks
+           |        GROUP BY 1, 2 ORDER BY true_n DESC, term LIMIT 20),
+           |est AS (SELECT term, true_n, min(c) AS est_n
+           |        FROM top CROSS JOIN coef
+           |        JOIN cells ON cells.r = coef.r
+           |          AND cells.bkt = ((a * h + b) % $P) % 1024
+           |        GROUP BY 1, 2)
+           |SELECT term, true_n, est_n, est_n - true_n AS overcount
+           |FROM est""".stripMargin
+      }),
+
     // ---- q95: winnowing-fingerprint pair matching (MOSS-style) ----------
     // The pair-finding stage q39's fingerprints exist FOR (Schleimer
     // et al., SIGMOD 2003): two documents sharing any ≥8-char run
