@@ -339,6 +339,16 @@ object Similarity {
 
         val cents0 = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        // NOTE: assign and probes both consume `scored`, so the two
+        // Lloyd iterations are re-derived per consumer. A
+        // localCheckpoint pin of the 16-row centroid frame was tried
+        // and reverted: it measured clearly slower under the bench
+        // harness (the eager materialization runs the training
+        // synchronously per call, and these 16-centroid re-derived
+        // aggregations are cheap), though the run overlapped external
+        // host load. At cluster scale with big training samples the
+        // trade flips — that variant is one `.localCheckpoint(true)`
+        // on `cents`.
         val cents = lloydStep(lloydStep(cents0))
         val scored = crossScore(cents)
         // Cell assignment is the all-N path, so it must stay in
