@@ -553,6 +553,50 @@ object TextOps {
              |  round(n_types / n, 4) AS ttr
              |FROM m""".stripMargin)),
 
+    // ---- q104: bigram-LM fluency proxy -----------------------------------
+    // The corpus-statistics stand-in for model-perplexity filtering:
+    // score each document by the mean corpus conditional probability
+    // of its bigrams, P(w2|w1) = count(w1 w2)/count(w1 ·) — fluent
+    // (high-probability) word sequences score high, shuffled or
+    // gibberish ones low. The per-bigram ratio is one exact IEEE
+    // divide; the per-doc mean goes through [[Exact.sumFixed]] (each
+    // term rounded to 1e-6 then integer-summed) so partial-
+    // aggregation order cannot change the result. Plan: the corpus
+    // bigram stream aggregates once into the conditional table
+    // (bigram-keyed — vocab², joined co-partitioned, NEVER collected)
+    // and once per doc; the w1 marginal rides the same bigram table.
+    QueryDef(
+      "q104_bigram_lm",
+      (s, d) => {
+        val bi = Tables.parallel(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val marg = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val cond = counts.join(marg, "w1")
+        bi.join(cond, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(graft.functions.Exact.sumFixed("c12 / c1", 6)
+              / count(lit(1)), 4).as("mean_cond_p"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              |             FROM documents WHERE len(string_split(text, ' ')) >= 2),
+              |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              |       FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+              |counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+              |marg AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+              |         FROM counts GROUP BY 1)
+              |SELECT doc_id, count(*) AS n_bigrams,
+              |  round(${graft.functions.Exact.sumFixedSql("c12 / c1", 6)}
+              |        / count(*), 4) AS mean_cond_p
+              |FROM bi JOIN counts USING (w1, w2) JOIN marg USING (w1)
+              |GROUP BY doc_id""".stripMargin)),
+
     // ---- q103: count-min sketch heavy-hitter estimation ------------------
     // The frequency sketch q58's exact top-k would be fronted with at
     // extreme vocabulary cardinality: 4 rows × 1024 buckets of

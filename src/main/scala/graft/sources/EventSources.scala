@@ -46,4 +46,21 @@ object EventSources {
     import spark.implicits._
     rows.toDF("value")
   }
+
+  /** Streaming CSV replay with an explicit schema (exports from
+    * monitoring systems commonly land as CSV). Permissive mode +
+    * `_corrupt_record` mirrors [[JsonIngest]]'s lenient posture: a
+    * malformed line must never kill the stream, it surfaces in the
+    * corrupt column for a dead-letter sink. Returns typed event
+    * columns directly (CSV carries no nesting), unlike the
+    * `value: string` JSON sources.
+    */
+  def fileCsv(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, heart_rate INT, systolic INT, diastolic INT, " +
+          "timestamp BIGINT, _corrupt_record STRING"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
 }
