@@ -553,6 +553,87 @@ object TextOps {
              |  round(n_types / n, 4) AS ttr
              |FROM m""".stripMargin)),
 
+    // ---- q105: cross-source score calibration (percentile rank) ---------
+    // Quality scores are not comparable across sources (a 0.6 from a
+    // clean crawl ≠ a 0.6 from a noisy one); mixing pipelines
+    // calibrate by replacing each score with its percentile WITHIN
+    // its source. percent_rank = (rank−1)/(n−1): integer rank over a
+    // unique (quality, doc_id) order and ONE exact divide, so both
+    // engines agree bit-for-bit. One exchange on source; at extreme
+    // per-source cardinality the q88 two-phase bucket scheme drops in
+    // for the rank (same output contract).
+    QueryDef(
+      "q105_calibrate",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), col("source"),
+            round(least(lit(1.0), size(col("toks")) / 100.0)
+              * (size(array_distinct(col("toks"))) / size(col("toks"))), 6)
+              .as("quality"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality"), col("doc_id"))
+        docs
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+          .select(col("doc_id"), col("source"), col("quality"),
+            round((col("rk") - 1) / (col("n") - 1), 6).as("pct_rank"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |            round(least(1.0, len(string_split(text, ' ')) / 100.0)
+             |              * (len(list_distinct(string_split(text, ' ')))
+             |                 / len(string_split(text, ' '))), 6) AS quality
+             |          FROM documents)
+             |SELECT doc_id, source, quality,
+             |  round((row_number() OVER (PARTITION BY source
+             |           ORDER BY quality, doc_id) - 1)
+             |        / (count(*) OVER (PARTITION BY source) - 1), 6) AS pct_rank
+             |FROM d""".stripMargin)),
+
+    // ---- q106: exact weighted median per group ---------------------------
+    // The robust-stats companion to q81's MAD: per language, the
+    // token-count value at which HALF the corpus' TOKENS lie below —
+    // the weighted median (weight = the doc's own length), which
+    // resists both outlier documents AND many-tiny-docs skew in a way
+    // the plain median doesn't. Selection rule: smallest value whose
+    // running weight reaches half the total — integer cumulative
+    // sums on one language-keyed exchange, a struct-min argmin, no
+    // sort beyond the in-partition window order.
+    QueryDef(
+      "q106_weighted_median",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("n"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy(col("lang"))
+        docs
+          .withColumn("cum", sum(col("n")).over(w))
+          .withColumn("tot", sum(col("n")).over(wTot))
+          .filter(lit(2) * col("cum") >= col("tot"))
+          .groupBy(col("lang"))
+          .agg(min(struct(col("n"), col("doc_id"))).as("m"),
+            max(col("tot")).as("total_tokens"))
+          .select(col("lang"), col("m.n").as("weighted_median_tokens"),
+            col("total_tokens"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |          FROM documents),
+             |c AS (SELECT lang, doc_id, n,
+             |        sum(n) OVER (PARTITION BY lang ORDER BY n, doc_id
+             |                     ROWS UNBOUNDED PRECEDING) AS cum,
+             |        sum(n) OVER (PARTITION BY lang) AS tot
+             |      FROM d),
+             |k AS (SELECT lang, n, doc_id, tot FROM c WHERE 2 * cum >= tot),
+             |r AS (SELECT lang, n, tot,
+             |        row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn
+             |      FROM k)
+             |SELECT lang, n AS weighted_median_tokens,
+             |  CAST(tot AS BIGINT) AS total_tokens
+             |FROM r WHERE rn = 1""".stripMargin)),
+
     // ---- q104: bigram-LM fluency proxy -----------------------------------
     // The corpus-statistics stand-in for model-perplexity filtering:
     // score each document by the mean corpus conditional probability
