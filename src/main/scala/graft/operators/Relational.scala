@@ -437,7 +437,13 @@ object Relational {
         val targets = ks.join(broadcast(offs),
             col("k") > col("off") && col("k") <= col("off") + col("bn"))
           .select(col("decile"), col("k"), col("b"), col("off"))
-        val wIn = Window.partitionBy(col("b"))
+        // partition by (b, decile), not b alone: the targets join emits
+        // one copy of every bucket row PER decile landing in that
+        // bucket, and ranking the duplicated copies together would make
+        // row_number arbitrary across identical sort keys whenever two
+        // deciles share a bucket — each decile must rank its own full,
+        // un-duplicated copy of the bucket
+        val wIn = Window.partitionBy(col("b"), col("decile"))
           .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
         o.join(broadcast(targets), "b")
           .withColumn("rn", row_number().over(wIn))

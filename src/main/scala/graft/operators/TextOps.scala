@@ -312,11 +312,14 @@ object TextOps {
     // Tokenizer-budget planning: what fraction of all token
     // occurrences do the top-100 vocabulary terms cover? Term counts
     // collapse the corpus to vocabulary size with partial
-    // aggregation; the running sum then windows over the VOCABULARY
-    // aggregate ordered by count — a single-partition window, safe
-    // because vocab ≪ corpus (at extreme vocabularies you'd bound it
-    // with the q58 heavy-hitter top-k first, same output contract).
-    // The corpus total rides in as one broadcast row.
+    // aggregation; the top-100 prefix is then selected with the q58
+    // orderBy+limit shape (TakeOrderedAndProject: per-task 100-row
+    // heaps, driver merges |tasks|·100 rows) so the vocabulary —
+    // which grows with the corpus — never funnels through a
+    // single-partition window. Rank and running sum operate on the
+    // ≤ 100 surviving rows only; the cumulative share at rank ≤ 100
+    // needs exactly that prefix plus the corpus total, which rides in
+    // as one broadcast row.
     QueryDef(
       "q70_vocab_coverage",
       (s, d) => {
@@ -324,12 +327,14 @@ object TextOps {
           .select(explode(split(col("text"), " ")).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("n"))
         val total = counts.agg(sum(col("n")).as("tot"))
+        val top = counts.orderBy(col("n").desc, col("term").asc).limit(100)
+        // the empty-partitionBy window is bounded by the limit above
+        // (≤ 100 rows), not by the vocabulary
         val w = Window.orderBy(col("n").desc, col("term").asc)
-        counts.crossJoin(broadcast(total))
+        top.crossJoin(broadcast(total))
           .withColumn("rk", row_number().over(w))
           .withColumn("cum", sum(col("n")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .filter(col("rk") <= 100)
           .select(col("rk"), col("term"), col("n"),
             round(col("cum") / col("tot"), 6).as("cum_frac"))
       },
@@ -559,9 +564,19 @@ object TextOps {
     // calibrate by replacing each score with its percentile WITHIN
     // its source. percent_rank = (rank−1)/(n−1): integer rank over a
     // unique (quality, doc_id) order and ONE exact divide, so both
-    // engines agree bit-for-bit. One exchange on source; at extreme
-    // per-source cardinality the q88 two-phase bucket scheme drops in
-    // for the rank (same output contract).
+    // engines agree bit-for-bit. The naive per-source window is the
+    // textbook skewed-key shuffle — a handful of sources at 100 TB is
+    // ~20 TB per reducer — so the rank is the q88 two-phase bucket
+    // scheme per source: quality lives in [0,1], so floor(q·100)
+    // gives a deterministic value-domain bucket; per-(source, bucket)
+    // counts (a |sources|·101-row aggregate) turn into cumulative
+    // offsets with a tiny window, broadcast back, and rank = offset +
+    // row_number within (source, bucket) — every reducer holds one
+    // bucket of one source, not a whole source. n per source rides
+    // the same broadcast. Sources of a single document yield NULL on
+    // both engines (the (rk−1)/(n−1) divide is 0/0 there — Spark
+    // Divide returns NULL, DuckDB IEEE division NaN, so the guard
+    // must be explicit and identical).
     QueryDef(
       "q105_calibrate",
       (s, d) => {
@@ -571,13 +586,22 @@ object TextOps {
             round(least(lit(1.0), size(col("toks")) / 100.0)
               * (size(array_distinct(col("toks"))) / size(col("toks"))), 6)
               .as("quality"))
-        val w = Window.partitionBy(col("source"))
+          .withColumn("b", floor(col("quality") * 100).cast("long"))
+        val wOff = Window.partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = docs.groupBy(col("source"), col("b"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("bn"))
+            .over(Window.partitionBy(col("source"))))
+          .select(col("source"), col("b"), col("off"), col("n"))
+        val wIn = Window.partitionBy(col("source"), col("b"))
           .orderBy(col("quality"), col("doc_id"))
-        docs
-          .withColumn("rk", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        docs.join(broadcast(offs), Seq("source", "b"))
+          .withColumn("rk", col("off") + row_number().over(wIn))
           .select(col("doc_id"), col("source"), col("quality"),
-            round((col("rk") - 1) / (col("n") - 1), 6).as("pct_rank"))
+            when(col("n") > 1,
+              round((col("rk") - 1) / (col("n") - 1), 6)).as("pct_rank"))
       },
       Some("""WITH d AS (SELECT doc_id, source,
              |            round(least(1.0, len(string_split(text, ' ')) / 100.0)
@@ -585,9 +609,11 @@ object TextOps {
              |                 / len(string_split(text, ' '))), 6) AS quality
              |          FROM documents)
              |SELECT doc_id, source, quality,
-             |  round((row_number() OVER (PARTITION BY source
-             |           ORDER BY quality, doc_id) - 1)
-             |        / (count(*) OVER (PARTITION BY source) - 1), 6) AS pct_rank
+             |  CASE WHEN count(*) OVER (PARTITION BY source) > 1 THEN
+             |    round((row_number() OVER (PARTITION BY source
+             |             ORDER BY quality, doc_id) - 1)
+             |          / (count(*) OVER (PARTITION BY source) - 1), 6)
+             |  END AS pct_rank
              |FROM d""".stripMargin)),
 
     // ---- q106: exact weighted median per group ---------------------------

@@ -248,6 +248,51 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"local prune must key on the scan partition:\n$p")
   }
 
+  test("q70 ranks only a top-k-limited prefix, never the full vocabulary") {
+    // the vocabulary grows with the corpus, so every empty-partitionBy
+    // window in this plan must consume rows already cut by a top-k
+    // limit (TakeOrderedAndProject / GlobalLimit), not the raw term
+    // aggregate
+    val df = SparkEntry.queries("q70_vocab_coverage")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the rank/cumsum window:\n$plan")
+    windows.foreach { w =>
+      val bounded = collectFirst(w.child) {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+      }
+      assert(bounded.isDefined,
+        s"window must consume a top-k-limited input, not the vocab:\n$plan")
+    }
+  }
+
+  test("q105 never sorts a whole source through one reducer") {
+    // the corpus-side rank window must be keyed by (source, bucket);
+    // a source-only window over corpus rows is the skewed-key shuffle
+    // the two-phase scheme exists to avoid. Windows keyed by source
+    // alone are allowed only over the |sources×buckets| aggregate.
+    val df = SparkEntry.queries("q105_calibrate")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the two-phase windows:\n$plan")
+    windows.foreach { w =>
+      val aggBounded = collectFirst(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(w.partitionSpec.size >= 2 || aggBounded.isDefined,
+        s"source-only window over corpus rows:\n$plan")
+    }
+  }
+
   test("q90 recall eval pre-prunes ground truth per scan partition") {
     val p = planOf("q90_ann_recall").split("== Initial Plan ==").head
     assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),

@@ -106,6 +106,29 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("q99 stays exact when several deciles land in ONE price bucket") {
+    // Adversarial shape the bundled data never hits: every price in
+    // [0, 1000) → one bucket holds all nine deciles. The targets join
+    // then emits nine copies of every bucket row; ranking them in a
+    // b-only window would interleave the copies (identical sort keys,
+    // arbitrary row_number) and pick wrong rows. The (b, decile)
+    // partition must keep each decile's copy intact.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q99bucket").toString
+    val rows = (1L to 97L).map(k => (k, (k * 613 % 997).toDouble + 0.25))
+    rows.toDF("o_orderkey", "o_totalprice")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q99_exact_deciles")(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.size == 9, "all nine deciles emitted exactly once")
+    val sorted = rows.map { case (k, p) => (p, k) }.sorted
+    (1 to 9).foreach { i =>
+      val k = math.ceil(i * sorted.length / 10.0).toInt
+      assert(got(i) == sorted(k - 1), s"decile $i in the shared bucket")
+    }
+  }
+
   test("q100 applies reasons in pipeline order") {
     val rows = run("q100_curation_pipeline").collect()
     assert(rows.nonEmpty)
