@@ -514,14 +514,20 @@ object TrainPrep {
               |WHERE rank <= 20""".stripMargin)),
 
     // ---- q101: weighted sampling without replacement ---------------------
-    // Importance-weighted selection (Efraimidis–Spirakis A-ES shape):
-    // each document draws a deterministic md5 "uniform" hk and gets
-    // priority hk/weight — the 20 smallest priorities win, so heavy
-    // documents (weight = token count: length-proportional sampling)
-    // are proportionally likelier without ever being guaranteed.
-    // Deterministic and exact cross-engine: hk and the weight are
-    // integers, the priority is ONE IEEE divide (identical in both
-    // engines), and (priority, doc_id) is a unique order. Top-20 via
+    // Importance-weighted selection, as a deterministic
+    // weighted-priority heuristic: each document draws a
+    // deterministic md5 "uniform" hk and gets priority hk/weight —
+    // the 20 smallest priorities win, so heavy documents (weight =
+    // token count) are likelier without ever being guaranteed. Note
+    // this is NOT Efraimidis–Spirakis A-ES (whose key is u^(1/w),
+    // equivalently −ln(u)/w, and whose inclusion probabilities are
+    // exactly weight-proportional): min-of-u/w biases toward heavy
+    // documents monotonically but with different inclusion
+    // probabilities. The exact A-ES key needs a transcendental
+    // log/pow, which is libm-dependent and would break the bit-exact
+    // cross-engine oracle — the heuristic keeps hk and the weight
+    // integer, the priority ONE IEEE divide (identical in both
+    // engines), and (priority, doc_id) a unique order. Top-20 via
     // the same partition-local prune as q92 — no single-reducer
     // global window at scale.
     QueryDef(

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 
 /** Grouped-top-k pre-pruning: rewrite
   *
@@ -11,27 +12,52 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * so each INPUT partition first cuts to its local top-k per group
   * before the group-keyed exchange. The naive plan shuffles the entire
   * child through |groups| reducers — the classic bottleneck when a
-  * top-k-per-group query has few groups and 100 TB of input. The
-  * rewrite inserts a window keyed by (p, spark_partition_id()): same
-  * full data volume through the first exchange but spread over
-  * groups × input-splits reducers, after which ≤ k·splits rows per
-  * group reach the original window. Lossless by construction: a row
-  * with global rank ≤ k within its group has rank ≤ k among the subset
-  * of its group that shares its input partition (ranks only shrink
-  * when rows are removed), so every survivor of the original filter
-  * survives the local cut.
+  * top-k-per-group query has few groups and 100 TB of input; with an
+  * EMPTY partition list (global top-k) it is one reducer for the whole
+  * input. The rewrite inserts a window keyed by
+  * (p, spark_partition_id()): same full data volume through the first
+  * exchange but spread over groups × input-splits reducers, after
+  * which ≤ k·splits rows per group reach the original window.
   *
-  * Guards: single row_number window expression, deterministic
+  * Lossless by construction: a row with global rank ≤ k within its
+  * group has rank ≤ k among the subset of its group that shares its
+  * input partition (ranks only shrink when rows are removed), so every
+  * survivor of the original filter survives the local cut — and every
+  * row the original filter keeps has ALL its order-predecessors kept
+  * too (each has smaller rank), so any window function that looks only
+  * at the current row and its predecessors computes the same value on
+  * the pruned input. That closure property is what admits the
+  * STACKED-window shape (e.g. a running cumulative sum over the same
+  * partition/order as the row_number, authored as a second
+  * `withColumn`): the rule peels the chain of same-spec Window nodes
+  * under the filter, requires every window expression in the chain to
+  * be deterministic with a running frame (upper bound at or before
+  * CURRENT ROW), and plants the local cut below the innermost one.
+  * (With a non-unique order key the original query is already
+  * nondeterministic between tied rows; the rewrite preserves the
+  * deterministic case exactly, same contract as the plain rule.)
+  *
+  * Guards: exactly one bounded row_number in the chain, deterministic
   * partition/order expressions, a non-empty order (rank without order
   * is arbitrary), k bounded (the local cut materializes k·splits rows
-  * per group), and an already-pruned child is left alone (the rule
-  * runs in a fixed-point batch). The same idiom appears hand-written
-  * in q90/q92; this rule applies it to any user query on a session
-  * built with [[graft.GraftExtensions]].
+  * per group), and running frames throughout — lead()/following
+  * frames reject the whole chain. Re-application in the fixed-point
+  * batch is prevented by a [[TreeNodeTag]] on every Window node the
+  * rule rewrites or creates: a tag rides along when surrounding rules
+  * (CollapseProject, ColumnPruning) transform the node, unlike the
+  * plan-shape footprint a previous version matched, which those rules
+  * could reshape into a spurious re-match. The same idiom appears
+  * hand-written in q90/q92; this rule applies it to any user query on
+  * a session built with [[graft.GraftExtensions]].
   */
 object GroupedTopKPrune extends Rule[LogicalPlan] {
 
   private val MaxK = 10000L
+
+  /** Set on the rewritten original windows AND the local-cut window,
+    * so neither ever matches the rule again.
+    */
+  private[graft] val PrunedTag = TreeNodeTag[Boolean]("graft.groupedTopKPruned")
 
   /** cond is a bound on `attr`: attr <= k, attr < k, attr = k (any
     * rank-k filter admits pruning to local rank ≤ k).
@@ -53,62 +79,90 @@ object GroupedTopKPrune extends Rule[LogicalPlan] {
     }
   }
 
-  private def isRowNumberSpec(e: NamedExpression): Boolean = e match {
-    case Alias(WindowExpression(RowNumber(), _), _) => true
-    case _ => false
-  }
-
-  /** The rewrite's own footprint: Project(Filter(Window(... pid ...))).
-    * Matching it again would stack prunes forever in the fixed-point
-    * batch.
+  /** Frame upper bound at or before CURRENT ROW: the function can see
+    * the current row and its order-predecessors only, never a row the
+    * local cut might have removed from after the true top-k prefix.
     */
-  private def alreadyPruned(p: LogicalPlan): Boolean = p match {
-    case Project(_, Filter(_, Window(_, part, _, _, _))) =>
-      // the local window keys on the projected pid ATTRIBUTE, so the
-      // SparkPartitionID expression itself is a level further down —
-      // recognize the footprint by the reserved name
-      part.exists {
-        case a: Attribute => a.name == "__graft_pid"
-        case e => e.exists(_.isInstanceOf[SparkPartitionID])
+  private def runningUpper(upper: Expression): Boolean = upper match {
+    case CurrentRow | UnboundedPreceding => true
+    case e if e.foldable =>
+      e.eval() match {
+        case i: java.lang.Integer => i <= 0
+        case l: java.lang.Long => l <= 0L
+        case _ => false
       }
     case _ => false
   }
 
-  /** The rewrite's own LOCAL window is itself a bounded row_number
-    * filter — it must not match the pattern again.
+  /** Deterministic window expression with a running frame (row_number
+    * itself qualifies: its resolved frame is ROWS UNBOUNDED PRECEDING
+    * .. CURRENT ROW).
     */
-  private def isLocalCut(part: Seq[Expression]): Boolean =
-    part.exists {
-      case a: Attribute => a.name == "__graft_pid"
-      case e => e.exists(_.isInstanceOf[SparkPartitionID])
-    }
+  private def isRunning(e: NamedExpression): Boolean = e match {
+    case a @ Alias(WindowExpression(_,
+        WindowSpecDefinition(_, _, SpecifiedWindowFrame(_, _, upper))), _) =>
+      a.deterministic && runningUpper(upper)
+    case _ => false
+  }
+
+  private def sameSpec(a: Window, b: Window): Boolean =
+    a.partitionSpec.length == b.partitionSpec.length &&
+      a.partitionSpec.zip(b.partitionSpec)
+        .forall { case (x, y) => x.semanticEquals(y) } &&
+      a.orderSpec.length == b.orderSpec.length &&
+      a.orderSpec.zip(b.orderSpec)
+        .forall { case (x, y) => x.semanticEquals(y) }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case f @ Filter(cond,
-        w @ Window(Seq(we @ Alias(WindowExpression(RowNumber(), _), _)),
-          part, order, child, _))
-        if isRowNumberSpec(we) && order.nonEmpty &&
-          order.forall(_.deterministic) && part.forall(_.deterministic) &&
-          !isLocalCut(part) && !alreadyPruned(child) =>
-      boundOn(cond, we.toAttribute) match {
-        case Some(k) if k >= 1 && k <= MaxK =>
-          val pid = Alias(SparkPartitionID(), "__graft_pid")()
-          val withPid = Project(child.output :+ pid, child)
-          val localPart = part :+ pid.toAttribute
-          val lrn = Alias(
-            WindowExpression(RowNumber(),
-              WindowSpecDefinition(localPart, order,
-                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
-            "__graft_lrn")()
-          val localWin = Window(Seq(lrn), localPart, order, withPid, None)
-          // row_number is IntegerType; the literal must match exactly —
-          // optimizer-made expressions get no implicit casts, and a
-          // type-mismatched comparison silently unresolves the plan
-          val localCut = Filter(
-            LessThanOrEqual(lrn.toAttribute, Literal(k.toInt)), localWin)
-          val restored = Project(child.output, localCut)
-          f.copy(child = w.copy(child = restored))
-        case _ => f
+    case f @ Filter(_, top: Window) if top.getTagValue(PrunedTag).isEmpty =>
+      rewrite(f, top).getOrElse(f)
+  }
+
+  private def rewrite(f: Filter, top: Window): Option[LogicalPlan] = {
+    // peel the chain of same-(partition, order) Window nodes under the
+    // filter — separate withColumns over one spec plan as a stack of
+    // Window nodes (or one collapsed multi-expression node)
+    def peel(p: LogicalPlan, acc: List[Window]): (List[Window], LogicalPlan) =
+      p match {
+        case w: Window if sameSpec(w, top) && w.getTagValue(PrunedTag).isEmpty =>
+          peel(w.child, acc :+ w)
+        case other => (acc, other)
       }
+    val (chain, child) = peel(top.child, List(top))
+    val part = top.partitionSpec
+    val order = top.orderSpec
+    val exprs = chain.flatMap(_.windowExpressions)
+    val rnAttrs = exprs.collect {
+      case a @ Alias(WindowExpression(RowNumber(), _), _) => a.toAttribute
+    }
+    val bound = rnAttrs.flatMap(a => boundOn(f.condition, a)).headOption
+    bound match {
+      case Some(k) if k >= 1 && k <= MaxK && rnAttrs.size == 1 &&
+          order.nonEmpty && order.forall(_.deterministic) &&
+          part.forall(_.deterministic) && exprs.forall(isRunning) =>
+        val pid = Alias(SparkPartitionID(), "__graft_pid")()
+        val withPid = Project(child.output :+ pid, child)
+        val localPart = part :+ pid.toAttribute
+        val lrn = Alias(
+          WindowExpression(RowNumber(),
+            WindowSpecDefinition(localPart, order,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          "__graft_lrn")()
+        val localWin = Window(Seq(lrn), localPart, order, withPid, None)
+        localWin.setTagValue(PrunedTag, true)
+        // row_number is IntegerType; the literal must match exactly —
+        // optimizer-made expressions get no implicit casts, and a
+        // type-mismatched comparison silently unresolves the plan
+        val localCut = Filter(
+          LessThanOrEqual(lrn.toAttribute, Literal(k.toInt)), localWin)
+        val restored = Project(child.output, localCut)
+        val rebuilt = chain.reverse.foldLeft(restored: LogicalPlan) { (c, w) =>
+          val nw = w.copy(child = c)
+          nw.setTagValue(PrunedTag, true)
+          nw
+        }
+        Some(f.copy(child = rebuilt))
+      case _ => None
+    }
   }
 }

@@ -61,6 +61,90 @@ class GroupedTopKPruneSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("global top-k (empty partitionBy) gets the local cut") {
+    val expected = {
+      val w = Window.orderBy(col("v").desc)
+      fixture.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+        .collect().toSet
+    }
+    spark.experimental.extraOptimizations = Seq(GroupedTopKPrune)
+    try {
+      val w = Window.orderBy(col("v").desc)
+      val df = fixture.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 7)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("SPARK_PARTITION_ID")
+        || plan.contains("spark_partition_id"),
+        s"global top-k must pre-prune per input partition:\n$plan")
+      assert(df.collect().toSet === expected)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("stacked same-spec windows (rank + running sum) still prune") {
+    // the q70 shape: a row_number AND a cumulative sum over the same
+    // partition/order, filter on the rank — the cut must land below
+    // BOTH windows, and the cum values of surviving rows must be
+    // exactly what the unpruned plan computes (their predecessors all
+    // survive the local cut)
+    def q: DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      fixture
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rn") <= 4)
+    }
+    val expected = q.collect().toSet
+    spark.experimental.extraOptimizations = Seq(GroupedTopKPrune)
+    try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("SPARK_PARTITION_ID")
+        || plan.contains("spark_partition_id"),
+        s"stacked windows must still admit the cut:\n$plan")
+      assert(q.collect().toSet === expected)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("a forward-looking stacked window rejects the whole chain") {
+    // lead() reads a row AFTER the current one — a row the local cut
+    // may have removed even though the final filter keeps the current
+    // row; the chain must be left alone
+    spark.experimental.extraOptimizations = Seq(GroupedTopKPrune)
+    try {
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      val df = fixture
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nxt", lead(col("v"), 1).over(w))
+        .filter(col("rn") <= 3)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("SPARK_PARTITION_ID")
+        && !plan.contains("spark_partition_id"),
+        s"lead() must reject the rewrite:\n$plan")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("re-optimizing a pruned plan never stacks a second cut") {
+    // the TreeNodeTag guard, exercised the way the advisor's scenario
+    // described: push an already-optimized (pruned) plan through the
+    // full default batch again — CollapseProject/ColumnPruning will
+    // have reshaped the footprint, and the tag must still block a
+    // re-match
+    spark.experimental.extraOptimizations = Seq(GroupedTopKPrune)
+    try {
+      val once = topk(fixture, 3).queryExecution.optimizedPlan
+      val onceWindows = once.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+      val twice = spark.sessionState.optimizer.execute(once)
+      val twiceWindows = twice.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+      assert(onceWindows == 2, s"one cut + original expected:\n$once")
+      assert(twiceWindows == onceWindows,
+        s"re-optimization stacked windows:\n$twice")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("GraftExtensions registers the rule") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)
