@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Unbounded (streaming) formulations of the two round-4 batch
+  * operators whose natural deployment is continuous — the reference's
+  * whole point is unbounded operation on event streams
+  * (BiometricAlertStreamProcessor.scala:38–41); these give the CDC
+  * compaction (q84) and incremental dedup (q91) semantics the same
+  * treatment.
+  */
+object IncrementalPipelines {
+
+  /** q84's latest-wins compaction as a `foreachBatch` merge: the
+    * stream itself carries NO aggregation state (the checkpoint tracks
+    * offsets only) — each micro-batch is collapsed to one candidate
+    * per key with a struct-max PARTIAL aggregate (the shuffle carries
+    * |batch keys| rows, not |batch events|), then merged with the
+    * persisted store by the same keyed struct-max, and the result is
+    * written as a NEW store version named by the batch id.
+    *
+    * Versioned directories + last-version resolution make the merge
+    * idempotent (a re-delivered batch id overwrites its own version,
+    * never compounds) and keep readers off half-written data — the
+    * poor man's snapshot isolation a lakehouse table format provides
+    * natively; swap [[readStore]]/`saveVersion` for a MERGE INTO on
+    * such a table in production. At 100 TB the store is a bucketed
+    * table on the key, so the merge's store side arrives
+    * co-partitioned (no exchange) and each version rewrites only the
+    * buckets the batch touches.
+    *
+    * Input schema: (user_id: Long, us: Long, event_id: Long,
+    * event_type: String, cv: Long) — q84's changelog projection;
+    * (us, event_id) is the unique latest-wins order.
+    */
+  object LatestWinsStore {
+
+    private val payload =
+      struct(col("us"), col("event_id"), col("event_type"), col("cv"))
+
+    private def versions(spark: SparkSession, storeDir: String): Seq[Long] = {
+      val root = new java.io.File(storeDir)
+      if (!root.exists()) Seq.empty
+      else root.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .map(_.getName.drop(1).toLong)
+    }
+
+    /** The current compacted state: one row per key, the latest
+      * (us, event_id) payload. Empty-schema-compatible before the
+      * first batch lands.
+      */
+    def readStore(spark: SparkSession, storeDir: String): DataFrame = {
+      val vs = versions(spark, storeDir)
+      if (vs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, us BIGINT, event_id BIGINT, " +
+              "event_type STRING, cv BIGINT"))
+      else spark.read.parquet(s"$storeDir/v${vs.max}")
+    }
+
+    private[streaming] def merge(batch: DataFrame, storeDir: String,
+        batchId: Long): Unit = {
+      val spark = batch.sparkSession
+      val compacted = batch
+        .groupBy(col("user_id")).agg(max(payload).as("b"))
+      val merged = readStore(spark, storeDir)
+        .select(col("user_id"), payload.as("b"))
+        .union(compacted)
+        .groupBy(col("user_id")).agg(max(col("b")).as("b"))
+        .select(col("user_id"), col("b.us").as("us"),
+          col("b.event_id").as("event_id"),
+          col("b.event_type").as("event_type"), col("b.cv").as("cv"))
+      merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+    }
+
+    def start(events: DataFrame, storeDir: String,
+        checkpoint: String): StreamingQuery =
+      events.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch((batch: DataFrame, id: Long) =>
+          merge(batch, storeDir, id))
+        .start()
+  }
+
+  /** q91's incremental dedup against a persisted store, unbounded:
+    * within-stream first-writer-wins via
+    * `dropDuplicatesWithinWatermark` on the content fingerprint
+    * (exact-once per fp while the watermark holds, state bounded by
+    * the watermark horizon — the plain `dropDuplicates` would grow
+    * state forever on an unbounded corpus), then a stream-static LEFT
+    * ANTI join against the store fingerprint set: survivors are the
+    * documents worth ingesting. At 100 TB the store is corpus-sized —
+    * never broadcastable — so the static side is a bucketed
+    * fingerprint table and the join a co-partitioned sort-merge, the
+    * same posture as batch q91; locally Spark is free to broadcast
+    * the small fixture store.
+    *
+    * Input schema: (doc_id: Long, text: String, ts: Timestamp);
+    * `store`: (fp: String).
+    */
+  object DedupIngest {
+    def kept(docs: DataFrame, store: DataFrame,
+        watermark: String): DataFrame =
+      docs.withColumn("fp", md5(col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(Seq("fp"))
+        .join(store, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"), col("ts"))
+
+    def start(docs: DataFrame, store: DataFrame, watermark: String,
+        sinkTable: String, checkpoint: String): StreamingQuery =
+      kept(docs, store, watermark).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .format("memory").queryName(sinkTable)
+        .start()
+  }
+}

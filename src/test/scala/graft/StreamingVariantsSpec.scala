@@ -146,4 +146,69 @@ class StreamingVariantsSpec extends SparkSpec {
     assert(rows(0).getTimestamp(1).getTime === T0 && rows(0).getLong(2) === 3)
     assert(rows(1).getTimestamp(1).getTime === T0 + 60000 && rows(1).getLong(2) === 1)
   }
+
+  test("streaming latest-wins compaction (q84 shape) as a foreachBatch store merge") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.IncrementalPipelines.LatestWinsStore
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("q84store").toString
+    val changes = MemoryStream[(Long, Long, Long, String, Long)]
+    val q = LatestWinsStore.start(
+      changes.toDF().toDF("user_id", "us", "event_id", "event_type", "cv"),
+      storeDir, Files.createTempDirectory("ckpt_q84").toString)
+
+    // batch 1: user 1 twice (us 200 wins), user 2 once
+    changes.addData((1L, 100L, 10L, "view", 100L), (1L, 200L, 11L, "click", 250L),
+      (2L, 50L, 12L, "view", 90L))
+    q.processAllAvailable()
+    val after1 = LatestWinsStore.readStore(spark, storeDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after1 === Map(1L -> (200L, 11L), 2L -> (50L, 12L)))
+
+    // batch 2: a LATE change for user 1 (us 150 — must NOT displace
+    // 200), a newer one for user 2, and a brand-new user 3
+    changes.addData((1L, 150L, 13L, "view", 70L), (2L, 300L, 14L, "purchase", 500L),
+      (3L, 10L, 15L, "view", 30L))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = LatestWinsStore.readStore(spark, storeDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(after2 === Map(
+      1L -> (200L, 11L, "click"),
+      2L -> (300L, 14L, "purchase"),
+      3L -> (10L, 15L, "view")),
+      "late update must lose, new key must appear, old winner must persist")
+  }
+
+  test("streaming incremental dedup (q91 shape): store anti-join + within-stream first-writer") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.IncrementalPipelines.DedupIngest
+    import spark.implicits._
+    // store already holds "alpha"
+    val store = spark.range(1).select(md5(lit("alpha")).as("fp"))
+    val docs = MemoryStream[(Long, String, Long)]
+    val q = DedupIngest.start(
+      docs.toDF().toDF("doc_id", "text", "ms")
+        .select(col("doc_id"), col("text"),
+          (col("ms") / 1000).cast("timestamp").as("ts")),
+      store, "10 seconds", "q91kept",
+      Files.createTempDirectory("ckpt_q91").toString)
+
+    // doc 1 duplicates the store; docs 2 & 3 share text (first-writer
+    // 2 wins); doc 4 is novel
+    docs.addData((1L, "alpha", T0), (2L, "beta", T0 + 1000),
+      (3L, "beta", T0 + 2000), (4L, "gamma", T0 + 3000))
+    q.processAllAvailable()
+    // a second micro-batch repeating "beta" within the watermark
+    // horizon must still dedup against batch 1's state
+    docs.addData((5L, "beta", T0 + 4000), (6L, "delta", T0 + 5000))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("q91kept").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(2L, 4L, 6L),
+      "store dup and both within-stream dups must be dropped")
+  }
 }
