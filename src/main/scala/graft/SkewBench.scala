@@ -119,7 +119,11 @@ object SkewBench {
 
     // Same timing discipline as [[Bench]]: drain the ContextCleaner
     // between queries, min-of-N, count() as the action.
-    val selected = Targets.flatMap(n => Seq.fill(repeat)(n))
+    // optional comma-separated subset for single-query iteration
+    val subset = sys.env.get("SPARK_GRAFT_SKEW_ONLY")
+      .map(_.split(",").toSet)
+    val selected = Targets.filter(n => subset.forall(_.contains(n)))
+      .flatMap(n => Seq.fill(repeat)(n))
     val raw = selected.map { name =>
       System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(500)
       val t0 = System.nanoTime()

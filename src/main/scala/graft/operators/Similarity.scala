@@ -142,18 +142,29 @@ object Similarity {
           (col("c1") =!= col("c2") &&
             size(col("la")) >= 1 && size(col("lb")) >= 1))
       .repartition(members.sparkSession.sparkContext.defaultParallelism)
-      .select(keyCols :+ explode(when(col("c1") === col("c2"), expr(
-        "flatten(transform(sequence(0, size(la)-2), i -> " +
-          "transform(sequence(i+1, size(la)-1), j -> " +
-          "struct(la[i] AS a, la[j] AS b))))"))
-        .otherwise(expr(
-          "flatten(transform(la, x -> " +
-            "transform(lb, y -> struct(x AS a, y AS b))))"))).as("p"): _*)
+      // Pair explosion as two NESTED Generates, not one
+      // flatten(transform(transform(...))): the higher-order-function
+      // generator has no codegen path — it materializes each group's
+      // whole C(n,2) block as ONE array through interpreted lambda
+      // calls before explode can iterate it (measured: 26 s of q44's
+      // 27 s on the skew corpus, and ~100 MB single allocations for
+      // hot buckets). Stacked explodes stream each pair row through
+      // WholeStageCodegen — the block never exists, and downstream
+      // filters (first-colliding-band, the self-pair id order) reject
+      // rows before anything materializes. Self-pair blocks
+      // (c1 == c2) iterate la × la and keep the id-ordered half;
+      // cross blocks iterate la × lb whole (disjoint chunks — each
+      // pair appears exactly once either way).
+      .select(keyCols ++ Seq(col("c1"), col("c2"), col("la"), col("lb")): _*)
+      .withColumn("a", explode(col("la")))
+      .withColumn("b", explode(when(col("c1") === col("c2"), col("la"))
+        .otherwise(col("lb"))))
+      .filter(col("c1") =!= col("c2") || col("a.id") < col("b.id"))
       .select(keyCols ++ Seq(
-        when(col("p.a.id") < col("p.b.id"), col("p.a"))
-          .otherwise(col("p.b")).as("pa"),
-        when(col("p.a.id") < col("p.b.id"), col("p.b"))
-          .otherwise(col("p.a")).as("pb")): _*)
+        when(col("a.id") < col("b.id"), col("a"))
+          .otherwise(col("b")).as("pa"),
+        when(col("a.id") < col("b.id"), col("b"))
+          .otherwise(col("a")).as("pb")): _*)
   }
 
   /** Banded sign-LSH near-duplicate pairs with exact cosine rerank —

@@ -29,6 +29,20 @@ class SkewGuardSpec extends SparkSpec {
       .withColumn("source", lit("test"))
       .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // embeddings: a 50-vector near-identical cluster (pairwise cosine
+    // ≈ 1 — every pair must survive the banded LSH + rerank) plus 30
+    // pseudo-random background vectors (few enough that no random
+    // pair crosses sim 0.5 by chance)
+    def vec(id: Long): Array[Float] =
+      if (id < 50)
+        Array.tabulate(64)(i =>
+          ((i * 31 + 7) % 97) / 97.0f + ((id * 13 + i) % 5) * 1e-4f)
+      else
+        Array.tabulate(64)(i =>
+          (((id * 2654435761L + i * 40503) % 2000) - 1000) / 1000.0f)
+    (0L until 80L).map(id => (id, vec(id), (id % 8).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -53,5 +67,19 @@ class SkewGuardSpec extends SparkSpec {
     val hotPairs = rows.filter { case (a, b) => a >= 400L && b >= 400L }
     assert(hotPairs.length == 70 * 69 / 2,
       s"expected ${70 * 69 / 2} hot-cluster pairs, got ${hotPairs.length}")
+  }
+
+  test("q44 emits every hot-cluster embedding pair exactly once, ordered") {
+    // the near-identical cluster collapses into ONE sign-LSH bucket of
+    // every band — the salted pair generation + first-colliding-band
+    // dedup must still produce each of the C(50,2) pairs exactly once
+    val rows = SparkEntry.queries("q44_embed_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length,
+      "duplicate pairs leaked past the first-band filter")
+    assert(rows.forall { case (a, b) => a < b }, "pair order must be a < b")
+    val hot = rows.filter { case (a, b) => a < 50 && b < 50 }.toSet
+    assert(hot.size == 50 * 49 / 2,
+      s"expected ${50 * 49 / 2} hot-cluster pairs, got ${hot.size}")
   }
 }
