@@ -44,6 +44,34 @@ object Cooldown {
       if (state.hasTimedOut) {
         state.remove()
         Iterator.empty
+      } else if (timeoutConf == GroupStateTimeout.ProcessingTimeTimeout) {
+        // Reference-parity arm: T1/T2/T3 measure the cooldown on the
+        // WALL clock (`new Date()` — BiometricAlertStreamProcessor
+        // .scala:69–77), so here live state means suppress, and
+        // re-alerting happens only after the TTL removes the state.
+        // triggeredAtMs stores the PROCESSING time of the emit in this
+        // mode — the clock the suppression window is defined on.
+        val sorted = alerts.toArray.sortBy(_.ts.getTime)
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          val now = state.getCurrentProcessingTimeMs()
+          if (state.exists) {
+            // GroupState CLEARS a pending timeout on every invocation:
+            // re-arm with the REMAINING window, not the full duration
+            // (resetting the full duration under continuous alerting
+            // would turn the leading debounce into a trailing one and
+            // never re-alert — the reference keeps the ORIGINAL
+            // trigger time for exactly this reason)
+            val remaining =
+              math.max(1L, state.get.triggeredAtMs + cooldownMs - now)
+            state.setTimeoutDuration(remaining)
+            Iterator.empty
+          } else {
+            state.update(CooldownState(now))
+            state.setTimeoutDuration(cooldownMs)
+            Iterator.single(sorted.head)
+          }
+        }
       } else {
         val sorted = alerts.toArray.sortBy(_.ts.getTime)
         var last: Option[Long] = state.getOption.map(_.triggeredAtMs)
@@ -57,16 +85,21 @@ object Cooldown {
             armed = true
           }
         }
-        if (armed) {
-          state.update(CooldownState(last.get))
-          if (timeoutConf == GroupStateTimeout.EventTimeTimeout) {
-            // must be past the watermark; clamp defensively
-            val wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(math.max(last.get + cooldownMs, wm + 1))
-          } else if (timeoutConf == GroupStateTimeout.ProcessingTimeTimeout) {
-            state.setTimeoutDuration(cooldownMs)
-          } // else NoTimeout (batch): state dies with the query
-        }
+        if (armed) state.update(CooldownState(last.get))
+        // Re-arm the GC timeout on EVERY invocation that leaves state
+        // behind, not only emitting ones: GroupState clears a pending
+        // timeout each time the function runs for the group, so a
+        // suppressed invocation that skipped this would leave the
+        // state unexpirable — an unbounded-state leak under
+        // alert-suppress-alert traffic (T2's HashMap bug, the one
+        // this timeout exists to fix).
+        if (state.exists &&
+            timeoutConf == GroupStateTimeout.EventTimeTimeout) {
+          // must be past the watermark; clamp defensively
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(
+            math.max(state.get.triggeredAtMs + cooldownMs, wm + 1))
+        } // else NoTimeout (batch): state dies with the query
         emitted.result().iterator
       }
     }

@@ -46,6 +46,11 @@ class CooldownSpec extends AnyFunSuite {
     val out = fn(1, Iterator(alert(T0 + 2000)), state).toSeq
     assert(out.isEmpty)
     assert(state.get === CooldownState(T0)) // original trigger time kept
+    // a suppressed invocation must still re-arm the GC timeout:
+    // GroupState clears any pending timeout on each invocation, and
+    // skipping the re-arm here would leave the state unexpirable
+    // (unbounded-state leak under alert-suppress-alert traffic)
+    assert(state.getTimeoutTimestampMs.get() === T0 + cooldown)
   }
 
   test("live state: alert at exactly cooldown expiry re-emits") {
