@@ -404,11 +404,14 @@ object Dedup {
           // combination explode and the pair-count partial aggregate
           // run cluster-wide.
           .repartition(s.sparkContext.defaultParallelism)
-          .select(explode(expr(
-            "flatten(transform(sequence(0, size(ds)-2), i -> " +
-              "transform(sequence(i+1, size(ds)-1), j -> " +
-              "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
-          .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+          // nested codegen explodes, not flatten(transform(...)): the
+          // HOF generator builds each posting's whole pair block
+          // through interpreted lambdas (see saltedPairs); ds is
+          // sorted-distinct, so da < db keeps exactly the i < j pairs
+          .withColumn("da", explode(col("ds")))
+          .withColumn("db", explode(col("ds")))
+          .filter(col("da") < col("db"))
+          .groupBy(col("da"), col("db"))
           .agg(count(lit(1)).as("inter"))
         pairs
           .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),
@@ -555,11 +558,14 @@ object Dedup {
           .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
           .filter(size(col("ds")).between(2, JaccardDfCap))
           .repartition(s.sparkContext.defaultParallelism)
-          .select(explode(expr(
-            "flatten(transform(sequence(0, size(ds)-2), i -> " +
-              "transform(sequence(i+1, size(ds)-1), j -> " +
-              "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
-          .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+          // nested codegen explodes, not flatten(transform(...)): the
+          // HOF generator builds each posting's whole pair block
+          // through interpreted lambdas (see saltedPairs); ds is
+          // sorted-distinct, so da < db keeps exactly the i < j pairs
+          .withColumn("da", explode(col("ds")))
+          .withColumn("db", explode(col("ds")))
+          .filter(col("da") < col("db"))
+          .groupBy(col("da"), col("db"))
           .agg(count(lit(1)).as("inter"))
         pairs
           .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),

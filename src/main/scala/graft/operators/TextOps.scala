@@ -807,11 +807,12 @@ object TextOps {
           .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
           .filter(size(col("ds")).between(2, 64))
           .repartition(s.sparkContext.defaultParallelism)
-          .select(explode(expr(
-            "flatten(transform(sequence(0, size(ds)-2), i -> " +
-              "transform(sequence(i+1, size(ds)-1), j -> " +
-              "struct(ds[i] AS da, ds[j] AS db))))")).as("p"))
-          .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+          // nested codegen explodes (see saltedPairs): ds is
+          // sorted-distinct, so da < db keeps exactly the i < j pairs
+          .withColumn("da", explode(col("ds")))
+          .withColumn("db", explode(col("ds")))
+          .filter(col("da") < col("db"))
+          .groupBy(col("da"), col("db"))
           .agg(count(lit(1)).as("shared"))
         pairs.filter(col("shared") >= 2)
           .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),
