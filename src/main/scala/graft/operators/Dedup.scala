@@ -215,6 +215,107 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("comp"))
   }
 
+
+  /** q35's capped-inverted-index exact Jaccard pairs (da, db, jac) —
+    * shared with the q110 sketch-accuracy eval.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+        // Inverted index as posting lists: the md5 shingle subtree is
+        // shuffled ONCE (the sole sid exchange), each sid's sorted
+        // member list is built by collect_list, and candidate pairs
+        // come from exploding the per-list combinations — no
+        // self-join, so no second/third pass over the shingle subtree
+        // (every join-based cap variant measured 2-3× slower here:
+        // the optimizer either duplicated the md5 subtree around the
+        // broadcast, or paid an extra full shuffle). Per-doc sizes
+        // come from the same row-local arrays (size of the distinct
+        // sid array) — a shuffle-free scan that broadcasts into the
+        // final join.
+        //
+        // The df cap bounds skew: an uncapped inverted index costs
+        // Σ df(s)² pairs, so one boilerplate shingle with df ~10⁶
+        // yields ~10¹² pairs from a single key at 100 TB. Shingles
+        // with df > JaccardDfCap carry no discriminating signal (any
+        // pair they'd find shares rarer shingles, or is an exact dup
+        // the q34 pre-pass catches), so over-cap posting lists are
+        // dropped before the combination explode — a free filter on
+        // size(ds), bounding the worst key at C(cap, 2) pairs and one
+        // df·8-byte list. The cap is part of the operator's semantics
+        // (the oracle applies the same one); at the tested SFs
+        // max df = 25, so results equal the uncapped formulation.
+        //
+        // ObjectHashAggregate fallback threshold is raised engine-wide
+        // in [[graft.Tables]] (the posting build was 2× slower on the
+        // sort-based path; buffers here are bounded: one row per sid,
+        // lists ≤ df elements).
+        // Per-doc distinct-shingle counts need no hashing at all:
+        // distinct STRINGS == distinct 60-bit ids (modulo the same
+        // astronomically-unlikely collision both engines accept), so
+        // n is size(array_distinct(...)) over the row's own shingle
+        // array — a shuffle-free scan that broadcasts into the final
+        // join. coalesce makes n NON-NULLABLE by construction:
+        // otherwise constraint propagation infers isnotnull(n) from
+        // the jaccard arithmetic, substitutes the alias, and pushes
+        // the whole shingle transform below the exchange into the
+        // scan filter — a second, serial evaluation per join side
+        // (measured 2× the entire query).
+        val cnt = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            coalesce(size(array_distinct(expr(
+              "transform(sequence(0, size(t)-3), i -> " +
+                "concat_ws(' ', t[i], t[i+1], t[i+2]))"))), lit(0))
+              .cast("long").as("n"))
+        val pairs = hashedShingles(s, d)
+          .groupBy(col("sid"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")).between(2, JaccardDfCap))
+          // The posting rows are small (≤ cap ids each) so AQE
+          // coalesces the agg exchange to ~one partition — but their
+          // EXPLODED output is the pair stream (~50× larger), a size
+          // AQE cannot see. Spread the posting rows explicitly so the
+          // combination explode and the pair-count partial aggregate
+          // run cluster-wide.
+          .repartition(s.sparkContext.defaultParallelism)
+          // nested codegen explodes, not flatten(transform(...)): the
+          // HOF generator builds each posting's whole pair block
+          // through interpreted lambdas (see saltedPairs); ds is
+          // sorted-distinct, so da < db keeps exactly the i < j pairs
+          .withColumn("da", explode(col("ds")))
+          .withColumn("db", explode(col("ds")))
+          .filter(col("da") < col("db"))
+          .groupBy(col("da"), col("db"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),
+            col("da") === col("da_"))
+          .join(cnt.withColumnRenamed("doc_id", "db_").withColumnRenamed("n", "nb"),
+            col("db") === col("db_"))
+          .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jac") >= 0.2)
+          .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** DuckDB mirror of [[jaccardPairs]] as a CTE chain ending in
+    * `jp(da, db, jac)`.
+    */
+  private val jaccardPairsSql =
+    s"""$hashedShinglesSql,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |ok AS (SELECT sid FROM sh GROUP BY sid
+       |       HAVING count(*) BETWEEN 2 AND $JaccardDfCap),
+       |shok AS (SELECT sh.* FROM sh JOIN ok USING (sid)),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |          FROM shok a JOIN shok b
+       |            ON a.sid = b.sid AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jp AS (SELECT da, db, round(inter / (ca.n + cb.n - inter), 4) AS jac
+       |       FROM pairs
+       |       JOIN cnt ca ON da = ca.doc_id
+       |       JOIN cnt cb ON db = cb.doc_id
+       |       WHERE inter / (ca.n + cb.n - inter) >= 0.2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q34: exact dedup (hash-groupBy on content fingerprint) --------
     QueryDef(
@@ -345,97 +446,9 @@ object Dedup {
     // ---- q35: n-gram Jaccard near-dup (capped inverted index) ----------
     QueryDef(
       "q35_ngram_jaccard",
-      (s, d) => {
-        // Inverted index as posting lists: the md5 shingle subtree is
-        // shuffled ONCE (the sole sid exchange), each sid's sorted
-        // member list is built by collect_list, and candidate pairs
-        // come from exploding the per-list combinations — no
-        // self-join, so no second/third pass over the shingle subtree
-        // (every join-based cap variant measured 2-3× slower here:
-        // the optimizer either duplicated the md5 subtree around the
-        // broadcast, or paid an extra full shuffle). Per-doc sizes
-        // come from the same row-local arrays (size of the distinct
-        // sid array) — a shuffle-free scan that broadcasts into the
-        // final join.
-        //
-        // The df cap bounds skew: an uncapped inverted index costs
-        // Σ df(s)² pairs, so one boilerplate shingle with df ~10⁶
-        // yields ~10¹² pairs from a single key at 100 TB. Shingles
-        // with df > JaccardDfCap carry no discriminating signal (any
-        // pair they'd find shares rarer shingles, or is an exact dup
-        // the q34 pre-pass catches), so over-cap posting lists are
-        // dropped before the combination explode — a free filter on
-        // size(ds), bounding the worst key at C(cap, 2) pairs and one
-        // df·8-byte list. The cap is part of the operator's semantics
-        // (the oracle applies the same one); at the tested SFs
-        // max df = 25, so results equal the uncapped formulation.
-        //
-        // ObjectHashAggregate fallback threshold is raised engine-wide
-        // in [[graft.Tables]] (the posting build was 2× slower on the
-        // sort-based path; buffers here are bounded: one row per sid,
-        // lists ≤ df elements).
-        // Per-doc distinct-shingle counts need no hashing at all:
-        // distinct STRINGS == distinct 60-bit ids (modulo the same
-        // astronomically-unlikely collision both engines accept), so
-        // n is size(array_distinct(...)) over the row's own shingle
-        // array — a shuffle-free scan that broadcasts into the final
-        // join. coalesce makes n NON-NULLABLE by construction:
-        // otherwise constraint propagation infers isnotnull(n) from
-        // the jaccard arithmetic, substitutes the alias, and pushes
-        // the whole shingle transform below the exchange into the
-        // scan filter — a second, serial evaluation per join side
-        // (measured 2× the entire query).
-        val cnt = Tables(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(col("t")) >= 3)
-          .select(col("doc_id"),
-            coalesce(size(array_distinct(expr(
-              "transform(sequence(0, size(t)-3), i -> " +
-                "concat_ws(' ', t[i], t[i+1], t[i+2]))"))), lit(0))
-              .cast("long").as("n"))
-        val pairs = hashedShingles(s, d)
-          .groupBy(col("sid"))
-          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")).between(2, JaccardDfCap))
-          // The posting rows are small (≤ cap ids each) so AQE
-          // coalesces the agg exchange to ~one partition — but their
-          // EXPLODED output is the pair stream (~50× larger), a size
-          // AQE cannot see. Spread the posting rows explicitly so the
-          // combination explode and the pair-count partial aggregate
-          // run cluster-wide.
-          .repartition(s.sparkContext.defaultParallelism)
-          // nested codegen explodes, not flatten(transform(...)): the
-          // HOF generator builds each posting's whole pair block
-          // through interpreted lambdas (see saltedPairs); ds is
-          // sorted-distinct, so da < db keeps exactly the i < j pairs
-          .withColumn("da", explode(col("ds")))
-          .withColumn("db", explode(col("ds")))
-          .filter(col("da") < col("db"))
-          .groupBy(col("da"), col("db"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),
-            col("da") === col("da_"))
-          .join(cnt.withColumnRenamed("doc_id", "db_").withColumnRenamed("n", "nb"),
-            col("db") === col("db_"))
-          .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jac") >= 0.2)
-          .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
-      },
-      Some(s"""WITH $hashedShinglesSql,
-              |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-              |ok AS (SELECT sid FROM sh GROUP BY sid
-              |       HAVING count(*) BETWEEN 2 AND $JaccardDfCap),
-              |shok AS (SELECT sh.* FROM sh JOIN ok USING (sid)),
-              |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-              |          FROM shok a JOIN shok b
-              |            ON a.sid = b.sid AND a.doc_id < b.doc_id
-              |          GROUP BY 1, 2)
-              |SELECT da, db, round(inter / (ca.n + cb.n - inter), 4) AS jac
-              |FROM pairs
-              |JOIN cnt ca ON da = ca.doc_id
-              |JOIN cnt cb ON db = cb.doc_id
-              |WHERE inter / (ca.n + cb.n - inter) >= 0.2""".stripMargin)),
+      (s, d) => jaccardPairs(s, d),
+      Some(s"""WITH $jaccardPairsSql
+              |SELECT da, db, jac FROM jp""".stripMargin)),
 
     // ---- q36: MinHash + LSH candidate pairs ----------------------------
     // 8 md5-based minhashes, 4 bands × 2 rows: candidate iff some band's
@@ -795,6 +808,63 @@ object Dedup {
              |SELECT doc_id,
              |  CAST(sum(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
              |       AS BIGINT) AS simhash
-             |FROM sums GROUP BY 1""".stripMargin))
+             |FROM sums GROUP BY 1""".stripMargin)),
+
+    // ---- q110: MinHash sketch-accuracy eval (est vs true Jaccard) ------
+    // The q90-style eval for the DEDUP sketches: how well does the
+    // 8-hash minhash family estimate the true Jaccard on the pairs
+    // the pipeline actually acts on? Slot-agreement fraction
+    // (matches/8 — an exact power-of-two divide, bit-identical
+    // cross-engine) against q35's exact Jaccard for its near-dup
+    // pair set. Production tuning reads this table to decide band
+    // geometry (more hashes vs more bands) the way q90's recall@k
+    // tunes the ANN probes. Scale shape: the pair set is the q35
+    // output (already bounded), the signature table aggregates the
+    // shingle stream once, and both rejoin on doc ids — no new
+    // corpus-sized dataset appears.
+    QueryDef(
+      "q110_minhash_error",
+      (s, d) => {
+        val P = graft.functions.MinHashSignature.P
+        val sigCols = (0 to 7).map { k =>
+          val (a, b) = (graft.functions.MinHashSignature.A(k),
+            graft.functions.MinHashSignature.B(k))
+          min((lit(a) * (col("sid") % P) + lit(b)) % lit(P)).as(s"mh$k")
+        }
+        val sigs = hashedShingles(s, d)
+          .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        val sa = sigs.select(col("doc_id").as("da") +:
+          (0 to 7).map(k => col(s"mh$k").as(s"a$k")): _*)
+        val sb = sigs.select(col("doc_id").as("db") +:
+          (0 to 7).map(k => col(s"mh$k").as(s"b$k")): _*)
+        jaccardPairs(s, d)
+          .join(sa, "da").join(sb, "db")
+          .withColumn("matches",
+            (0 to 7).map(k =>
+              when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+              .reduce(_ + _))
+          .select(col("da"), col("db"), col("jac"),
+            (col("matches") / lit(8.0)).as("est"),
+            round(col("matches") / lit(8.0) - col("jac"), 4).as("err"))
+      },
+      Some(s"""WITH $jaccardPairsSql,
+              |coefq(seed, a, b) AS (VALUES ${(0 to 7).map(k =>
+                s"(${k}, ${graft.functions.MinHashSignature.A(k)}, " +
+                  s"${graft.functions.MinHashSignature.B(k)})").mkString(", ")}),
+              |mhq AS (SELECT doc_id, seed,
+              |          min((a * (sid % ${graft.functions.MinHashSignature.P}) + b)
+              |              % ${graft.functions.MinHashSignature.P}) AS mh
+              |        FROM sh CROSS JOIN coefq GROUP BY 1, 2),
+              |agree AS (SELECT jp.da, jp.db, jp.jac,
+              |            CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+              |                 AS BIGINT) AS matches
+              |          FROM jp
+              |          JOIN mhq x ON x.doc_id = jp.da
+              |          JOIN mhq y ON y.doc_id = jp.db AND y.seed = x.seed
+              |          GROUP BY 1, 2, 3)
+              |SELECT da, db, jac,
+              |  matches / CAST(8 AS DOUBLE) AS est,
+              |  round(matches / CAST(8 AS DOUBLE) - jac, 4) AS err
+              |FROM agree""".stripMargin))
   )
 }

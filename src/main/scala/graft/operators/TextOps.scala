@@ -19,6 +19,26 @@ object TextOps {
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val enStopSql = enStop.map(w => s"'$w'").mkString(", ")
 
+  /** The deterministic quality score shared by the calibration
+    * queries (q105, q109): length saturation × distinct-token ratio,
+    * rounded once so both engines carry the identical double.
+    */
+  private def qualityDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        round(least(lit(1.0), size(col("toks")) / 100.0)
+          * (size(array_distinct(col("toks"))) / size(col("toks"))), 6)
+          .as("quality"))
+
+  private val qualitySql =
+    """d AS (SELECT doc_id, source,
+      |        round(least(1.0, len(string_split(text, ' ')) / 100.0)
+      |          * (len(list_distinct(string_split(text, ' ')))
+      |             / len(string_split(text, ' '))), 6) AS quality
+      |      FROM documents)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q30: token counting (whitespace + alpha-regex) ----------------
     QueryDef(
@@ -580,12 +600,7 @@ object TextOps {
     QueryDef(
       "q105_calibrate",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"), col("source"),
-            round(least(lit(1.0), size(col("toks")) / 100.0)
-              * (size(array_distinct(col("toks"))) / size(col("toks"))), 6)
-              .as("quality"))
+        val docs = qualityDocs(s, d)
           .withColumn("b", floor(col("quality") * 100).cast("long"))
         val wOff = Window.partitionBy(col("source")).orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -603,18 +618,14 @@ object TextOps {
             when(col("n") > 1,
               round((col("rk") - 1) / (col("n") - 1), 6)).as("pct_rank"))
       },
-      Some("""WITH d AS (SELECT doc_id, source,
-             |            round(least(1.0, len(string_split(text, ' ')) / 100.0)
-             |              * (len(list_distinct(string_split(text, ' ')))
-             |                 / len(string_split(text, ' '))), 6) AS quality
-             |          FROM documents)
-             |SELECT doc_id, source, quality,
-             |  CASE WHEN count(*) OVER (PARTITION BY source) > 1 THEN
-             |    round((row_number() OVER (PARTITION BY source
-             |             ORDER BY quality, doc_id) - 1)
-             |          / (count(*) OVER (PARTITION BY source) - 1), 6)
-             |  END AS pct_rank
-             |FROM d""".stripMargin)),
+      Some(s"""WITH $qualitySql
+              |SELECT doc_id, source, quality,
+              |  CASE WHEN count(*) OVER (PARTITION BY source) > 1 THEN
+              |    round((row_number() OVER (PARTITION BY source
+              |             ORDER BY quality, doc_id) - 1)
+              |          / (count(*) OVER (PARTITION BY source) - 1), 6)
+              |  END AS pct_rank
+              |FROM d""".stripMargin)),
 
     // ---- q106: exact weighted median per group ---------------------------
     // The robust-stats companion to q81's MAD: per language, the
@@ -849,6 +860,118 @@ object TextOps {
              |FROM pairs
              |JOIN cnt ca ON da = ca.doc_id
              |JOIN cnt cb ON db = cb.doc_id
-             |WHERE shared >= 2 AND shared / least(ca.n, cb.n) >= 0.5""".stripMargin))
+             |WHERE shared >= 2 AND shared / least(ca.n, cb.n) >= 0.5""".stripMargin)),
+
+    // ---- q107: text normalization (canonical form + fingerprint) --------
+    // The first stage of every real ingestion pipeline: lowercase,
+    // strip non-alphanumerics, collapse runs of whitespace — then
+    // fingerprint the CANONICAL form, so near-identical crawls that
+    // differ only in case/punctuation dedup exactly (q34 on norm_fp
+    // instead of raw text). Entirely row-local (regexes run inside
+    // whole-stage codegen over the scan, no shuffle, no UDF); the
+    // character classes are shared by Java regex and RE2, so both
+    // engines canonicalize identically.
+    QueryDef(
+      "q107_normalize",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            trim(regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+          .select(col("doc_id"), md5(col("norm")).as("norm_fp"),
+            size(split(col("norm"), " ")).as("n_norm"),
+            (col("norm") =!= col("text")).as("changed")),
+      Some("""WITH n AS (SELECT doc_id, text,
+             |            trim(regexp_replace(regexp_replace(lower(text),
+             |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             |          FROM documents)
+             |SELECT doc_id, md5(norm) AS norm_fp,
+             |  CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_norm,
+             |  norm <> text AS changed
+             |FROM n""".stripMargin)),
+
+    // ---- q108: adjacent-repetition profile (run-length quality) ---------
+    // The degenerate-generation signal q66's n-gram repetition does
+    // not isolate: immediately repeated tokens ("the the", stuttering
+    // model output). Counts adjacent-equal positions per document and
+    // the run-collapsed length — row-local array arithmetic, no
+    // shuffle; the sequence guard avoids Spark's descending-sequence
+    // surprise on single-token documents.
+    QueryDef(
+      "q108_token_runs",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), size(col("t")).as("n"),
+            expr("CASE WHEN size(t) < 2 THEN 0 ELSE " +
+              "size(filter(sequence(1, size(t)-1), i -> t[i] = t[i-1])) END")
+              .as("adj_dups"))
+          .select(col("doc_id"), col("n"), col("adj_dups"),
+            (col("n") - col("adj_dups")).as("collapsed_n"),
+            round(col("adj_dups") / col("n"), 4).as("adj_frac")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+             |          FROM documents),
+             |r AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n,
+             |        CASE WHEN len(t) < 2 THEN 0 ELSE
+             |          CAST(len(list_filter(generate_series(2, len(t)),
+             |            i -> t[i] = t[i-1])) AS INTEGER) END AS adj_dups
+             |      FROM t)
+             |SELECT doc_id, n, adj_dups, n - adj_dups AS collapsed_n,
+             |  round(adj_dups / n, 4) AS adj_frac
+             |FROM r""".stripMargin)),
+
+    // ---- q109: per-source exact quality deciles (calibration map) -------
+    // The FIT half of q105's calibration: the nine exact decile
+    // boundaries of the quality score per source — the piecewise map
+    // a mixing pipeline persists and applies to future batches.
+    // Same two-phase selection as q99, but GROUPED: value-domain
+    // buckets (quality ∈ [0,1] → floor(q·100)), per-(source, bucket)
+    // counts to cumulative offsets over a |sources|·101-row aggregate,
+    // then only the target buckets rank — partitioned by (source, b,
+    // decile) so deciles sharing a bucket rank their own copy (the
+    // q99 shared-bucket lesson). The corpus crosses one exchange; no
+    // source ever funnels through one reducer.
+    QueryDef(
+      "q109_source_deciles",
+      (s, d) => {
+        val docs = qualityDocs(s, d)
+          .withColumn("b", floor(col("quality") * 100).cast("long"))
+        val wOff = Window.partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = docs.groupBy(col("source"), col("b"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("bn"))
+            .over(Window.partitionBy(col("source"))))
+        val ks = offs.select(col("source"), col("n")).distinct()
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, 9), i -> " +
+              "struct(i AS decile, cast(ceil(i * n / 10.0d) as bigint) AS k))"))
+            .as("t"))
+          .select(col("source"), col("t.decile").as("decile"),
+            col("t.k").as("k"))
+        val targets = ks.join(offs, "source")
+          .filter(col("k") > col("off") && col("k") <= col("off") + col("bn"))
+          .select(col("source"), col("decile"), col("k"), col("b"),
+            col("off"))
+        val wIn = Window.partitionBy(col("source"), col("b"), col("decile"))
+          .orderBy(col("quality"), col("doc_id"))
+        docs.join(broadcast(targets), Seq("source", "b"))
+          .withColumn("rn", row_number().over(wIn))
+          .filter(col("rn") === col("k") - col("off"))
+          .select(col("source"), col("decile"),
+            col("quality").as("value"), col("doc_id"))
+      },
+      Some(s"""WITH $qualitySql,
+              |r AS (SELECT source, doc_id, quality,
+              |        row_number() OVER (PARTITION BY source
+              |          ORDER BY quality, doc_id) AS rn,
+              |        count(*) OVER (PARTITION BY source) AS n
+              |      FROM d),
+              |ks AS (SELECT DISTINCT source, i AS decile,
+              |         CAST(ceil(i * n / 10.0) AS BIGINT) AS k
+              |       FROM r, UNNEST(generate_series(1, 9)) AS g(i))
+              |SELECT r.source, ks.decile, r.quality AS value, r.doc_id
+              |FROM ks JOIN r ON r.source = ks.source AND r.rn = ks.k""".stripMargin))
   )
 }

@@ -293,6 +293,26 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q109 grouped deciles: targets broadcast, sources never single-reduce") {
+    val df = SparkEntry.queries("q109_source_deciles")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"decile targets must broadcast onto the corpus:\n$plan")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach { w =>
+      val aggBounded = collectFirst(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(w.partitionSpec.size >= 2 || aggBounded.isDefined,
+        s"source-only window over corpus rows:\n$plan")
+    }
+  }
+
   test("q90 recall eval pre-prunes ground truth per scan partition") {
     val p = planOf("q90_ann_recall").split("== Initial Plan ==").head
     assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-5 operators (q107–q110) beyond the
+  * driver's oracle hash-match: normalization is idempotent and its
+  * fingerprint matches the unchanged text, the run profile matches a
+  * driver-side brute force, the per-source deciles equal the fully
+  * sorted per-source arrays' k-th elements, and the minhash error
+  * table covers exactly the q35 pair set with estimates in [0, 1].
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("q107 fingerprint equals md5 of text whenever nothing changed") {
+    val rows = run("q107_normalize")
+      .join(Tables(spark, sf001, "documents"), "doc_id")
+      .select(col("doc_id"), col("norm_fp"), col("changed"),
+        md5(col("text")).as("raw_fp"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.getBoolean(2)).foreach { r =>
+      assert(r.getString(1) == r.getString(3),
+        s"doc ${r.getLong(0)}: unchanged text must keep its raw fingerprint")
+    }
+  }
+
+  test("q108 run profile matches a driver-side brute force") {
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("q108_token_runs").collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val t = docs(r.getLong(0)).split(" ", -1)
+      val adj = t.indices.drop(1).count(i => t(i) == t(i - 1))
+      assert(r.getInt(1) == t.length && r.getInt(2) == adj
+        && r.getInt(3) == t.length - adj,
+        s"doc ${r.getLong(0)}: n/adj_dups/collapsed_n")
+    }
+  }
+
+  test("q109 deciles equal each source's fully sorted k-th elements") {
+    val per = qualityBrute()
+    val got = run("q109_source_deciles").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.size == per.size * 9, "nine deciles per source, each once")
+    per.foreach { case (src, sorted) =>
+      (1 to 9).foreach { i =>
+        val k = math.ceil(i * sorted.length / 10.0).toInt
+        assert(got((src, i)) == sorted(k - 1), s"$src decile $i")
+      }
+    }
+  }
+
+  test("q110 covers exactly the q35 pair set with est in [0, 1]") {
+    val jac = run("q35_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = run("q110_minhash_error").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == jac.keySet)
+    rows.foreach { r =>
+      val (est, err) = (r.getDouble(3), r.getDouble(4))
+      assert(est >= 0.0 && est <= 1.0 && est * 8 == math.rint(est * 8),
+        s"est must be k/8: $est")
+      val expected = BigDecimal(est - jac((r.getLong(0), r.getLong(1))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(err - expected) < 1e-9, s"err mismatch: $err")
+    }
+  }
+
+  /** Per-source quality values, sorted by (quality, doc_id), computed
+    * with the same arithmetic as the engine (exact doubles).
+    */
+  private def qualityBrute(): Map[String, Array[(Double, Long)]] =
+    Tables(spark, sf001, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        round(least(lit(1.0), size(col("toks")) / 100.0)
+          * (size(array_distinct(col("toks"))) / size(col("toks"))), 6)
+          .as("quality"))
+      .collect()
+      .map(r => (r.getString(1), (r.getDouble(2), r.getLong(0))))
+      .groupBy(_._1)
+      .map { case (s, vs) => s -> vs.map(_._2).sorted }
+}
