@@ -972,6 +972,61 @@ object TextOps {
               |         CAST(ceil(i * n / 10.0) AS BIGINT) AS k
               |       FROM r, UNNEST(generate_series(1, 9)) AS g(i))
               |SELECT r.source, ks.decile, r.quality AS value, r.doc_id
-              |FROM ks JOIN r ON r.source = ks.source AND r.rn = ks.k""".stripMargin))
+              |FROM ks JOIN r ON r.source = ks.source AND r.rn = ks.k""".stripMargin)),
+
+    // ---- q111: per-source over-represented terms (distribution drift) ---
+    // Mixture monitoring: which terms does each source use FAR more
+    // than the corpus does? Lift = (c_st/N_s)/(c_t/N), computed as
+    // the single IEEE divide of two INTEGER products (c_st·N and
+    // N_s·c_t) so both engines produce the identical double from
+    // identical integers — no float accumulation anywhere. The token
+    // stream partial-aggregates to (source, term) in one exchange;
+    // term totals are an aggregate OF that aggregate (vocab-sized,
+    // term-keyed); source totals and the corpus total broadcast. The
+    // per-source top-10 pre-prunes per scan partition (the q92/q101
+    // idiom) — the vocabulary-sized score table never funnels
+    // through |sources| reducers. A c_st ≥ 5 floor keeps one-off
+    // terms from claiming infinite lift.
+    QueryDef(
+      "q111_source_overrep",
+      (s, d) => {
+        val st = Tables.parallel(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("c_st"))
+        val t = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+        val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+        val tot = ns.agg(sum(col("n_s")).as("n_tot"))
+        val scored = st.join(t, "term")
+          .join(broadcast(ns), "source").crossJoin(broadcast(tot))
+          .filter(col("c_st") >= 5)
+          .withColumn("ratio",
+            (col("c_st") * col("n_tot")) / (col("n_s") * col("c_t")))
+        val wL = Window.partitionBy(col("source"), col("pid"))
+          .orderBy(col("ratio").desc, col("term"))
+        val wG = Window.partitionBy(col("source"))
+          .orderBy(col("ratio").desc, col("term"))
+        scored.withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wL)).filter(col("lrn") <= 10)
+          .withColumn("rk", row_number().over(wG)).filter(col("rk") <= 10)
+          .select(col("source"), col("rk"), col("term"), col("c_st"),
+            round(col("ratio"), 4).as("ratio"))
+      },
+      Some("""WITH tk AS (SELECT source, u.term
+             |           FROM documents, UNNEST(string_split(text, ' ')) AS u(term)),
+             |st AS (SELECT source, term, count(*) AS c_st FROM tk GROUP BY 1, 2),
+             |t AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+             |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM ns),
+             |sc AS (SELECT source, term, c_st,
+             |         (c_st * n_tot) / (n_s * c_t) AS ratio
+             |       FROM st JOIN t USING (term) JOIN ns USING (source), tot
+             |       WHERE c_st >= 5),
+             |r AS (SELECT source, term, c_st, ratio,
+             |        CAST(row_number() OVER (PARTITION BY source
+             |          ORDER BY ratio DESC, term) AS INTEGER) AS rk
+             |      FROM sc)
+             |SELECT source, rk, term, c_st, round(ratio, 4) AS ratio
+             |FROM r WHERE rk <= 10""".stripMargin))
   )
 }

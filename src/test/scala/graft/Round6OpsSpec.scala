@@ -71,6 +71,28 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("q111 lift ranking matches a driver-side brute force") {
+    val toks = Tables(spark, sf001, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cst = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ct = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nTot = toks.length.toLong
+    val expected = cst.collect {
+      case ((s, t), c) if c >= 5 =>
+        (s, t, (c * nTot).toDouble / (ns(s) * ct(t)).toDouble)
+    }.toSeq.groupBy(_._1).map { case (s, vs) =>
+      s -> vs.sortBy(v => (-v._3, v._2)).take(10).map(_._2)
+    }
+    val got = run("q111_source_overrep").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).map { case (s, vs) =>
+        s -> vs.sortBy(_._2).map(_._3).toSeq
+      }
+    assert(got == expected, "per-source top-10 lift terms")
+  }
+
   /** Per-source quality values, sorted by (quality, doc_id), computed
     * with the same arithmetic as the engine (exact doubles).
     */
