@@ -14,8 +14,11 @@ import org.apache.spark.sql.streaming.Trigger
   * (AkkaBiometricAlertStreamProcessor.scala:39-40). Spark's analog is
   * per-trigger admission: the source hands each micro-batch a bounded
   * slice (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`) and the rest
-  * WAITS at the source — deferral, never loss (there is no dropHead
-  * analog; Spark is pull-based, so overload cannot shed data).
+  * WAITS at the source — deferral, never loss, because Spark is
+  * pull-based and overload cannot implicitly shed data. The
+  * reference's dropHead LOSS semantics are available as the opt-in
+  * [[graft.streaming.Shedding]] policy inside foreachBatch, tested
+  * below.
   */
 class AdmissionControlSpec extends SparkSpec {
 
@@ -62,6 +65,36 @@ class AdmissionControlSpec extends SparkSpec {
     // one qualifying HR with no BP pair yields zero alerts, and the
     // sink still observed the (possibly empty) batches exactly once.
     assert(!seen.isEmpty)
+  }
+
+  test("opt-in drop-oldest shedding keeps the newest rows and counts the shed") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long)] // (event_id, ts-millis)
+    val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val shed = new java.util.concurrent.atomic.AtomicLong()
+    val q = in.toDF().toDF("event_id", "ms")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_shed").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (keep, n) = graft.streaming.Shedding
+          .dropOldestByTime(batch, budget = 3, "ms", "event_id")
+        shed.addAndGet(n)
+        keep.collect().foreach(r => kept.add(r.getLong(0)))
+      }
+      .start()
+    val t0 = 1700000000000L
+    // one overloaded trigger: 5 rows against a budget of 3 — the two
+    // OLDEST must be the casualties (dropHead), deterministically
+    in.addData((1L, t0 + 10), (2L, t0 + 50), (3L, t0 + 20),
+      (4L, t0 + 40), (5L, t0 + 30))
+    q.processAllAvailable()
+    q.stop()
+    assert(kept.toArray.map(_.asInstanceOf[Long]).sorted.toSeq
+      === Seq(2L, 4L, 5L), s"newest three survive: $kept")
+    assert(shed.get() === 2L, "shed metric counts the dropped rows")
   }
 
   test("fileJson replay source feeds the same parser as live sources") {
