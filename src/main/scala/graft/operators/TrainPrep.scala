@@ -615,6 +615,46 @@ object TrainPrep {
               |      FROM k)
               |SELECT doc_id, source, lang, n,
               |  (reason = 'kept') AS kept, reason
-              |FROM r""".stripMargin))
+              |FROM r""".stripMargin)),
+
+    // ---- q112: deterministic train/val/test split report ----------------
+    // The split stage every training-prep pipeline ends with: an
+    // 80/10/10 assignment by salted content-independent hash
+    // (md5('split-'||doc_id) mod 100 — re-run-stable, join-stable,
+    // and independent of the q46/q100 sampling hashes because of the
+    // salt; hashing the ID rather than the text keeps near-dup pairs
+    // from straddling splits after dedup collapsed them to one
+    // keeper). Row-local assignment, one tiny (source, split)
+    // rollup, per-source fractions over the |sources|·3-row
+    // aggregate — at 100 TB the corpus crosses one partial-aggregated
+    // exchange and nothing else.
+    QueryDef(
+      "q112_split_assign",
+      (s, d) => {
+        val assigned = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("pmod(cast(conv(substr(md5(concat('split-', " +
+              "cast(doc_id as string))), 1, 15), 16, 10) as bigint), 100)")
+              .as("h"))
+          .withColumn("split",
+            when(col("h") < 80, "train")
+              .when(col("h") < 90, "val").otherwise("test"))
+        assigned.groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("frac", round(col("n")
+            / sum(col("n")).over(Window.partitionBy(col("source"))), 4))
+      },
+      Some("""WITH a AS (SELECT doc_id, source,
+             |            ('0x' || substr(md5('split-' || doc_id::VARCHAR), 1, 15))::BIGINT
+             |              % 100 AS h
+             |          FROM documents),
+             |sp AS (SELECT source,
+             |         CASE WHEN h < 80 THEN 'train'
+             |              WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+             |       FROM a)
+             |SELECT source, split, count(*) AS n,
+             |  round(count(*) / CAST(sum(count(*))
+             |          OVER (PARTITION BY source) AS DOUBLE), 4) AS frac
+             |FROM sp GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -93,6 +93,22 @@ class Round6OpsSpec extends SparkSpec {
     assert(got == expected, "per-source top-10 lift terms")
   }
 
+  test("q112 split report partitions every source's documents") {
+    val total = Tables(spark, sf001, "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("q112_split_assign").collect()
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.keySet == total.keySet)
+    bySource.foreach { case (s, vs) =>
+      assert(vs.map(_.getLong(2)).sum == total(s),
+        s"$s: split sizes must partition the source")
+      val fracSum = vs.map(_.getDouble(3)).sum
+      assert(math.abs(fracSum - 1.0) < 0.001, s"$s: fractions sum to ~1")
+    }
+  }
+
   /** Per-source quality values, sorted by (quality, doc_id), computed
     * with the same arithmetic as the engine (exact doubles).
     */
