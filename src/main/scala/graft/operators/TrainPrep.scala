@@ -655,6 +655,56 @@ object TrainPrep {
              |SELECT source, split, count(*) AS n,
              |  round(count(*) / CAST(sum(count(*))
              |          OVER (PARTITION BY source) AS DOUBLE), 4) AS frac
-             |FROM sp GROUP BY 1, 2""".stripMargin))
+             |FROM sp GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q113: aligned chunk-run duplication (shared-substring pairs) ---
+    // The pairwise half of q86: which document PAIRS share long
+    // aligned runs of text? Two docs sharing ≥ 24 consecutive tokens
+    // share ≥ 2 consecutive chunks of q76's 32/24 chunking at a
+    // constant index offset, so grouping shared-fingerprint matches
+    // by their index DIAGONAL (ia − ib) and counting per diagonal
+    // approximates the suffix-array "longest duplicated substring"
+    // report at chunk granularity — the practical detector for
+    // quoted passages and mirrored articles that bag-of-chunks
+    // counts cannot see. Same capped-posting shape as q35 (df ≤ 64
+    // guards template chunks; the cap is mirrored in the oracle),
+    // nested codegen explodes for the match pairs, two integer-keyed
+    // aggregations after — nothing corpus-unbounded anywhere.
+    QueryDef(
+      "q113_aligned_dups",
+      (s, d) => {
+        val ch = chunks(Tables.parallel(s, d, "documents"))
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"))
+        val matches = ch.groupBy(col("chunk_fp"))
+          .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
+            col("chunk_idx").as("ix")))).as("ds"))
+          .filter(size(col("ds")).between(2, 64))
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("a", explode(col("ds")))
+          .withColumn("b", explode(col("ds")))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("da"), col("b.id").as("db"),
+            (col("a.ix") - col("b.ix")).as("diag"))
+        matches.groupBy(col("da"), col("db"), col("diag"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy(col("da"), col("db"))
+          .agg(max(col("run")).as("max_aligned_run"),
+            sum(col("run")).as("shared_chunks"))
+          .filter(col("max_aligned_run") >= 2)
+      },
+      Some(s"""WITH $chunksSql,
+              |okc AS (SELECT chunk_fp FROM ch GROUP BY chunk_fp
+              |        HAVING count(*) BETWEEN 2 AND 64),
+              |m AS (SELECT a.doc_id AS da, b.doc_id AS db,
+              |        a.chunk_idx - b.chunk_idx AS diag
+              |      FROM ch a JOIN ch b ON a.chunk_fp = b.chunk_fp
+              |        AND a.doc_id < b.doc_id
+              |      JOIN okc ON okc.chunk_fp = a.chunk_fp),
+              |r AS (SELECT da, db, diag, count(*) AS run
+              |      FROM m GROUP BY 1, 2, 3)
+              |SELECT da, db, CAST(max(run) AS BIGINT) AS max_aligned_run,
+              |  CAST(sum(run) AS BIGINT) AS shared_chunks
+              |FROM r GROUP BY 1, 2
+              |HAVING max(run) >= 2""".stripMargin))
   )
 }

@@ -109,6 +109,27 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("q113 detects the planted aligned run and nothing else") {
+    // doc 2 embeds doc 1's 80-token prefix at EXACTLY one stride (24
+    // tokens) in: the 32/24 chunking then produces three identical
+    // chunk windows (s0-31, s24-55, s48-79) at a constant index
+    // offset — one diagonal of length 3. Doc 3 shares nothing.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q113").toString
+    val shared = (0 until 80).map(i => s"s$i").mkString(" ")
+    Seq(
+      (1L, shared + " " + (0 until 10).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 24).map(i => s"b$i").mkString(" ") + " " + shared +
+        " " + (0 until 10).map(i => s"c$i").mkString(" ")),
+      (3L, (0 until 90).map(i => s"r$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q113_aligned_dups")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3L)),
+      s"expected the planted pair with a 3-chunk aligned run: ${got.toSeq}")
+  }
+
   /** Per-source quality values, sorted by (quality, doc_id), computed
     * with the same arithmetic as the engine (exact doubles).
     */
