@@ -5,6 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Scratch profiler for q44 stage costs (not a test; run via
   * Test/runMain graft.ProfileQ44).
+  *
+  * NOTE: the inline N1/N2/N3 stages reproduce the ROUND-4 pair
+  * generation (one flatten(transform(transform(...))) block per
+  * group) and are kept as the A/B record against the round-5
+  * production path (stacked codegen explodes in
+  * Similarity.saltedPairs): on the skew corpus the old N2 stage alone
+  * costs ~37 s while `full q44` — the production query — runs ~3 s.
   */
 object ProfileQ44 {
   def main(args: Array[String]): Unit = {
