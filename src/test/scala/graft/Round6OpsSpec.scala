@@ -130,6 +130,29 @@ class Round6OpsSpec extends SparkSpec {
       s"expected the planted pair with a 3-chunk aligned run: ${got.toSeq}")
   }
 
+  test("q105 yields NULL pct_rank for a single-document source") {
+    // the (rk-1)/(n-1) divide is 0/0 there; Spark would return NULL
+    // and DuckDB NaN, so the explicit guard must fire on BOTH engines
+    // — this fixture covers the input shape the driver corpus never
+    // produces
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q105solo").toString
+    Seq(
+      (1L, "only doc here", "solo"),
+      (2L, "first of three alpha beta", "trio"),
+      (3L, "second of three gamma", "trio"),
+      (4L, "third of three delta epsilon zeta", "trio"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q105_calibrate")(spark, dir).collect()
+    val solo = rows.filter(_.getString(1) == "solo")
+    assert(solo.length == 1 && solo.head.isNullAt(3),
+      "single-doc source must calibrate to NULL, not 0/0")
+    val trio = rows.filter(_.getString(1) == "trio")
+      .map(_.getDouble(3)).sorted.toSeq
+    assert(trio == Seq(0.0, 0.5, 1.0), s"3-doc source spans [0,1]: $trio")
+  }
+
   /** Per-source quality values, sorted by (quality, doc_id), computed
     * with the same arithmetic as the engine (exact doubles).
     */
