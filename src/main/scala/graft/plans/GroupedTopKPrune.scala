@@ -19,28 +19,42 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   * exchange but spread over groups × input-splits reducers, after
   * which ≤ k·splits rows per group reach the original window.
   *
-  * Lossless by construction: a row with global rank ≤ k within its
-  * group has rank ≤ k among the subset of its group that shares its
-  * input partition (ranks only shrink when rows are removed), so every
-  * survivor of the original filter survives the local cut — and every
-  * row the original filter keeps has ALL its order-predecessors kept
-  * too (each has smaller rank), so any window function that looks only
-  * at the current row and its predecessors computes the same value on
-  * the pruned input. That closure property is what admits the
-  * STACKED-window shape (e.g. a running cumulative sum over the same
-  * partition/order as the row_number, authored as a second
-  * `withColumn`): the rule peels the chain of same-spec Window nodes
-  * under the filter, requires every window expression in the chain to
-  * be deterministic with a running frame (upper bound at or before
-  * CURRENT ROW), and plants the local cut below the innermost one.
-  * (With a non-unique order key the original query is already
+  * The filter may bound `row_number()` or `rank()`. The local cut is
+  * always a local RANK (not row_number): rank never separates tied
+  * order keys, which is what makes the rewrite lossless AND
+  * value-preserving under ties. Concretely, for any row the original
+  * filter keeps, (1) the row itself passes the cut — its local rank is
+  * at most its global rank, which is at most the bounded attribute;
+  * (2) every strict order-predecessor passes the cut — its global rank
+  * is below the kept row's, so at most k; and (3) every TIED peer
+  * passes the cut — equal keys have equal global rank. (2)+(3) mean a
+  * running window frame — ROWS or RANGE, upper at or before CURRENT
+  * ROW — evaluates over exactly the rows it saw unpruned: a RANGE
+  * CURRENT ROW frame includes all order-key peers of the current row,
+  * and a row_number-based cut could remove a peer the frame needs
+  * (changing e.g. a default-frame cumulative sum under ties); the
+  * rank-based cut cannot. Re-evaluated rank values are exact on the
+  * pruned input (for a row of global rank r ≤ k, the r−1 globally
+  * smaller rows all survive; for global rank > k, the k globally
+  * smallest strict predecessors all survive, pinning the pruned rank
+  * above k), so the re-applied filter keeps exactly the original rows.
+  * That closure property is what admits the STACKED-window shape
+  * (e.g. a running cumulative sum over the same partition/order as the
+  * row_number, authored as a second `withColumn`): the rule peels the
+  * chain of same-spec Window nodes under the filter, requires every
+  * window expression in the chain to be deterministic with a running
+  * frame, and plants the local cut below the innermost one. (With a
+  * non-unique order key, ROW-frame functions are already
   * nondeterministic between tied rows; the rewrite preserves the
-  * deterministic case exactly, same contract as the plain rule.)
+  * deterministic case exactly and never produces a value no unpruned
+  * tie order could, same contract as the plain rule. RANGE-frame
+  * values are deterministic and preserved exactly.)
   *
-  * Guards: exactly one bounded row_number in the chain, deterministic
-  * partition/order expressions, a non-empty order (rank without order
-  * is arbitrary), k bounded (the local cut materializes k·splits rows
-  * per group), and running frames throughout — lead()/following
+  * Guards: exactly one bounded rank-like (row_number/rank) in the
+  * chain, deterministic partition/order expressions, a non-empty
+  * order (rank without order is arbitrary), k bounded (the local cut
+  * materializes k·splits rows per group, plus tied peers under rank),
+  * and running frames throughout — lead()/following
   * frames reject the whole chain. Re-application in the fixed-point
   * batch is prevented by a [[TreeNodeTag]] on every Window node the
   * rule rewrites or creates: a tag rides along when surrounding rules
@@ -132,25 +146,30 @@ object GroupedTopKPrune extends Rule[LogicalPlan] {
     val part = top.partitionSpec
     val order = top.orderSpec
     val exprs = chain.flatMap(_.windowExpressions)
-    val rnAttrs = exprs.collect {
-      case a @ Alias(WindowExpression(RowNumber(), _), _) => a.toAttribute
+    val rankLike = exprs.collect {
+      case a @ Alias(WindowExpression(fn, _), _)
+          if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] =>
+        a.toAttribute
     }
-    val bound = rnAttrs.flatMap(a => boundOn(f.condition, a)).headOption
+    val bound = rankLike.flatMap(a => boundOn(f.condition, a)).headOption
     bound match {
-      case Some(k) if k >= 1 && k <= MaxK && rnAttrs.size == 1 &&
+      case Some(k) if k >= 1 && k <= MaxK && rankLike.size == 1 &&
           order.nonEmpty && order.forall(_.deterministic) &&
           part.forall(_.deterministic) && exprs.forall(isRunning) =>
         val pid = Alias(SparkPartitionID(), "__graft_pid")()
         val withPid = Project(child.output :+ pid, child)
         val localPart = part :+ pid.toAttribute
+        // local RANK, not row_number: under tied order keys the cut
+        // must keep every peer of a surviving row or a RANGE CURRENT
+        // ROW frame above would aggregate a set no unpruned run saw
         val lrn = Alias(
-          WindowExpression(RowNumber(),
+          WindowExpression(Rank(order.map(_.child)),
             WindowSpecDefinition(localPart, order,
               SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
           "__graft_lrn")()
         val localWin = Window(Seq(lrn), localPart, order, withPid, None)
         localWin.setTagValue(PrunedTag, true)
-        // row_number is IntegerType; the literal must match exactly —
+        // rank is IntegerType; the literal must match exactly —
         // optimizer-made expressions get no implicit casts, and a
         // type-mismatched comparison silently unresolves the plan
         val localCut = Filter(

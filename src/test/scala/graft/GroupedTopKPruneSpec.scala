@@ -105,6 +105,80 @@ class GroupedTopKPruneSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  // ties that cross the cut boundary: 4 groups × values 1,1,2,2,3,3,…
+  // — at k=3 the third-smallest value is tied between two rows, so a
+  // row_number-based local cut could split the tied pair between
+  // input partitions and change rank/RANGE-frame results
+  private def tiedFixture = {
+    import spark.implicits._
+    (1 to 4000).map(i => (i % 4, (i / 8) % 25, i))
+      .toDF("g", "v", "id").repartition(8)
+  }
+
+  test("rank() filters prune, and tied rows crossing the cut all survive") {
+    def q: DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      tiedFixture.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    }
+    val expected = q.collect().toSet // rank is tie-invariant: a set compare is exact
+    spark.experimental.extraOptimizations = Seq(GroupedTopKPrune)
+    try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("SPARK_PARTITION_ID")
+        || plan.contains("spark_partition_id"),
+        s"rank() <= k must admit the local cut:\n$plan")
+      assert(q.collect().toSet === expected)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("default-frame (RANGE CURRENT ROW) running sum under ties is exact") {
+    // the advisor's scenario: sum().over(partitionBy.orderBy) resolves
+    // to RANGE UNBOUNDED PRECEDING .. CURRENT ROW, whose frame includes
+    // ALL order-key peers of the current row — a local cut that
+    // separates tied peers would hand surviving rows aggregate values
+    // no unpruned execution could produce. The rank-based cut keeps
+    // every peer of every survivor, so the multiset of (g, v, cum)
+    // must match the unpruned plan exactly
+    def q: DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      tiedFixture
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum(col("id")).over(w)) // default RANGE frame
+        .filter(col("rn") <= 5)
+        .select(col("g"), col("v"), col("cum"))
+    }
+    val expected = q.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    spark.experimental.extraOptimizations = Seq(GroupedTopKPrune)
+    try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("SPARK_PARTITION_ID")
+        || plan.contains("spark_partition_id"),
+        s"range-frame stacked window must still admit the cut:\n$plan")
+      val got = q.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === expected)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rank cut keeps tied peers: local cut is a rank, not row_number") {
+    // direct plan evidence for the mechanism the two tests above rely
+    // on: the inserted local window computes rank(), whose value never
+    // separates equal order keys
+    spark.experimental.extraOptimizations = Seq(GroupedTopKPrune)
+    try {
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      val df = tiedFixture.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("_graft_lrn"), plan)
+      val lrnLine = plan.linesIterator
+        .find(l => l.contains("Window [") && l.contains("_graft_lrn")).get
+      assert(lrnLine.toLowerCase.contains("rank"),
+        s"local cut must be rank-based:\n$lrnLine")
+      assert(!lrnLine.toLowerCase.contains("row_number"),
+        s"row_number cut splits tied peers:\n$lrnLine")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("a forward-looking stacked window rejects the whole chain") {
     // lead() reads a row AFTER the current one — a row the local cut
     // may have removed even though the final filter keeps the current
