@@ -22,11 +22,19 @@ object IncrementalPipelines {
     * written as a NEW store version named by the batch id.
     *
     * Versioned directories + last-version resolution make the merge
-    * idempotent (a re-delivered batch id overwrites its own version,
-    * never compounds) and keep readers off half-written data — the
-    * poor man's snapshot isolation a lakehouse table format provides
-    * natively; swap [[readStore]]/`saveVersion` for a MERGE INTO on
-    * such a table in production. At 100 TB the store is a bucketed
+    * idempotent: a batch merges from the greatest version STRICTLY
+    * BELOW its own batch id — never `versions.max` — so a re-delivered
+    * batch (foreachBatch re-runs the last uncommitted batch after
+    * every restart) recomputes its version from the same predecessor
+    * instead of reading the very path it is about to overwrite (which
+    * Spark rejects: "Cannot overwrite a path that is also being read
+    * from"), and never compounds its own output. Version directories
+    * without a `_SUCCESS` marker are ignored everywhere — a crashed
+    * half-write is invisible to readers and simply rewritten by the
+    * re-delivery. The poor man's snapshot isolation a lakehouse table
+    * format provides natively; swap [[readStore]]/`saveVersion` for a
+    * MERGE INTO on such a table in production. At 100 TB the store is
+    * a bucketed
     * table on the key, so the merge's store side arrives
     * co-partitioned (no exchange) and each version rewrites only the
     * buckets the batch touches.
@@ -40,20 +48,21 @@ object IncrementalPipelines {
     private val payload =
       struct(col("us"), col("event_id"), col("event_type"), col("cv"))
 
+    /** Committed versions only: a directory without parquet's
+      * `_SUCCESS` marker is a crashed half-write and must never be
+      * served as authoritative state.
+      */
     private def versions(spark: SparkSession, storeDir: String): Seq[Long] = {
       val root = new java.io.File(storeDir)
       if (!root.exists()) Seq.empty
       else root.listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .filter(f => f.isDirectory && f.getName.startsWith("v")
+          && new java.io.File(f, "_SUCCESS").exists())
         .map(_.getName.drop(1).toLong)
     }
 
-    /** The current compacted state: one row per key, the latest
-      * (us, event_id) payload. Empty-schema-compatible before the
-      * first batch lands.
-      */
-    def readStore(spark: SparkSession, storeDir: String): DataFrame = {
-      val vs = versions(spark, storeDir)
+    private def storeAt(spark: SparkSession, storeDir: String,
+        vs: Seq[Long]): DataFrame =
       if (vs.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -61,14 +70,24 @@ object IncrementalPipelines {
             "user_id BIGINT, us BIGINT, event_id BIGINT, " +
               "event_type STRING, cv BIGINT"))
       else spark.read.parquet(s"$storeDir/v${vs.max}")
-    }
+
+    /** The current compacted state: one row per key, the latest
+      * (us, event_id) payload. Empty-schema-compatible before the
+      * first batch lands.
+      */
+    def readStore(spark: SparkSession, storeDir: String): DataFrame =
+      storeAt(spark, storeDir, versions(spark, storeDir))
 
     private[streaming] def merge(batch: DataFrame, storeDir: String,
         batchId: Long): Unit = {
       val spark = batch.sparkSession
       val compacted = batch
         .groupBy(col("user_id")).agg(max(payload).as("b"))
-      val merged = readStore(spark, storeDir)
+      // merge base: greatest committed version STRICTLY before this
+      // batch id — on re-delivery vs.max == batchId, the path this
+      // merge overwrites
+      val base = versions(spark, storeDir).filter(_ < batchId)
+      val merged = storeAt(spark, storeDir, base)
         .select(col("user_id"), payload.as("b"))
         .union(compacted)
         .groupBy(col("user_id")).agg(max(col("b")).as("b"))
