@@ -380,19 +380,40 @@ object TextOps {
     // exactly (transcendental log is libm-dependent across engines).
     //
     // Scale shape: token counts partial-aggregate the corpus down to
-    // VOCABULARY size; the vocabulary (even BPE-scale, ≤ a few 100k
-    // rows) broadcasts back onto the exploded token stream, so the
-    // corpus is scanned once and the only wide exchange is the final
-    // per-doc aggregation. The median-count threshold is an exact
-    // percentile over the tiny vocab aggregate, broadcast as one row.
+    // VOCABULARY size — but RAW whitespace vocabulary grows with the
+    // corpus (typos, URLs, numbers reach 10⁸–10⁹ terms at 100 TB), so
+    // the vocab join back onto the token stream carries NO broadcast
+    // hint: it is a term-keyed shuffle join the planner is free to
+    // turn into a broadcast only when runtime stats say the build side
+    // fits (as they do at test SF) — the q104 posture, not a forced
+    // OOM. The median-count threshold is likewise computed in the
+    // VALUE domain (counts-of-counts: ≤ ~√(2·corpus_tokens) distinct
+    // count values by the pigeonhole sum bound, ~4.5M rows at 10¹³
+    // tokens) rather than `percentile(c, 0.5)`, whose exact
+    // implementation buffers every one of the vocab's count values in
+    // a single aggregation buffer — the same unbounded-vocab hazard
+    // as the broadcast. Interpolation ranks ⌊h⌋+1/⌈h⌉+1 (h=(V−1)/2)
+    // reproduce percentile_cont exactly: halfway interpolation of two
+    // Longs is exact in FP, so the c < med_c comparison stays
+    // deterministic cross-engine.
     QueryDef(
       "q69_unigram",
       (s, d) => {
         val toks = Tables.parallel(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-        val med = vocab.agg(expr("percentile(c, 0.5)").as("med_c"))
-        toks.join(broadcast(vocab), "term").crossJoin(broadcast(med))
+        val wOrd = Window.orderBy(col("c"))
+        val cc = vocab.groupBy(col("c")).agg(count(lit(1)).as("k"))
+          .withColumn("cumk", sum(col("k")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("v", sum(col("k")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        val med = cc
+          .agg(
+            min(when(col("cumk") >= expr("(v - 1) div 2 + 1"), col("c"))).as("c_lo"),
+            min(when(col("cumk") >= expr("v div 2 + 1"), col("c"))).as("c_hi"))
+          .select(((col("c_lo") + col("c_hi")) / 2).as("med_c"))
+        toks.join(vocab, "term").crossJoin(broadcast(med))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_tokens"),
@@ -633,27 +654,38 @@ object TextOps {
     // the weighted median (weight = the doc's own length), which
     // resists both outlier documents AND many-tiny-docs skew in a way
     // the plain median doesn't. Selection rule: smallest value whose
-    // running weight reaches half the total — integer cumulative
-    // sums on one language-keyed exchange, a struct-min argmin, no
-    // sort beyond the in-partition window order.
+    // running weight reaches half the total.
+    //
+    // Two-phase value-domain plan (the q99/q105/q109 scheme): docs
+    // partial-aggregate to per-(lang, n) weight sums in ONE map-side-
+    // combinable exchange; the cumulative/total windows then run over
+    // that DISTINCT-VALUE table — |values per lang| rows through each
+    // reducer, never |docs| (the doc-granular per-language sort window
+    // this replaces funnels a language's entire corpus through one
+    // reducer at 100 TB). The collapse to the value domain is exact:
+    // the first doc (ordered by n, doc_id) whose running weight
+    // crosses half sits inside the first VALUE whose value-level
+    // cumulative crosses half — every doc before it contributes to
+    // strictly-smaller values' cumulative, every doc tied with it to
+    // the same value's. The DOC-granular oracle is kept verbatim as
+    // the executable proof of that equivalence.
     QueryDef(
       "q106_weighted_median",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).cast("long").as("n"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("n"), col("doc_id"))
+        val byValue = Tables(s, d, "documents")
+          .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+          .groupBy(col("lang"), col("n"))
+          .agg(sum(col("n")).as("w"))
+        val wCum = Window.partitionBy(col("lang")).orderBy(col("n"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wTot = Window.partitionBy(col("lang"))
-        docs
-          .withColumn("cum", sum(col("n")).over(w))
-          .withColumn("tot", sum(col("n")).over(wTot))
+        byValue
+          .withColumn("cum", sum(col("w")).over(wCum))
+          .withColumn("tot", sum(col("w")).over(wTot))
           .filter(lit(2) * col("cum") >= col("tot"))
           .groupBy(col("lang"))
-          .agg(min(struct(col("n"), col("doc_id"))).as("m"),
+          .agg(min(col("n")).as("weighted_median_tokens"),
             max(col("tot")).as("total_tokens"))
-          .select(col("lang"), col("m.n").as("weighted_median_tokens"),
-            col("total_tokens"))
       },
       Some("""WITH d AS (SELECT doc_id, lang,
              |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n
@@ -977,9 +1009,13 @@ object TextOps {
     // ---- q111: per-source over-represented terms (distribution drift) ---
     // Mixture monitoring: which terms does each source use FAR more
     // than the corpus does? Lift = (c_st/N_s)/(c_t/N), computed as
-    // the single IEEE divide of two INTEGER products (c_st·N and
-    // N_s·c_t) so both engines produce the identical double from
-    // identical integers — no float accumulation anywhere. The token
+    // (double(c_st)·N) / (double(N_s)·c_t): the first factor of each
+    // product is cast to double BEFORE multiplying, in BOTH engines —
+    // a pure-integer product c_st·N overflows Long at corpus scale
+    // (N ≈ 10^13 token occurrences at 100 TB), where Spark wraps
+    // silently and DuckDB raises; two correctly-rounded IEEE
+    // multiplies plus one divide are bit-identical across engines, so
+    // parity survives without the 63-bit product bound. The token
     // stream partial-aggregates to (source, term) in one exchange;
     // term totals are an aggregate OF that aggregate (vocab-sized,
     // term-keyed); source totals and the corpus total broadcast. The
@@ -1001,7 +1037,8 @@ object TextOps {
           .join(broadcast(ns), "source").crossJoin(broadcast(tot))
           .filter(col("c_st") >= 5)
           .withColumn("ratio",
-            (col("c_st") * col("n_tot")) / (col("n_s") * col("c_t")))
+            (col("c_st").cast("double") * col("n_tot")) /
+              (col("n_s").cast("double") * col("c_t")))
         val wL = Window.partitionBy(col("source"), col("pid"))
           .orderBy(col("ratio").desc, col("term"))
         val wG = Window.partitionBy(col("source"))
@@ -1019,7 +1056,8 @@ object TextOps {
              |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
              |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM ns),
              |sc AS (SELECT source, term, c_st,
-             |         (c_st * n_tot) / (n_s * c_t) AS ratio
+             |         (CAST(c_st AS DOUBLE) * n_tot) /
+             |           (CAST(n_s AS DOUBLE) * c_t) AS ratio
              |       FROM st JOIN t USING (term) JOIN ns USING (source), tot
              |       WHERE c_st >= 5),
              |r AS (SELECT source, term, c_st, ratio,

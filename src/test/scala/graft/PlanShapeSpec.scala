@@ -96,10 +96,27 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Join"), s"no join expected:\n$p")
   }
 
-  test("q69 broadcasts the vocabulary onto the token stream") {
+  test("q69 never FORCES the vocabulary broadcast") {
+    // raw whitespace vocabulary grows with the corpus (10⁸–10⁹ terms
+    // at 100 TB): a broadcast() hint on the vocab join is a forced
+    // OOM at exactly the scale the engine targets. The planner may
+    // still pick BHJ from stats at this SF — what's pinned is that no
+    // equi-join carries a hint (the 1-row median crossJoin may).
+    val df = SparkEntry.queries("q69_unigram")(spark, sf001)
+    val equiHints = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isDefined => j.hint
+    }
+    assert(equiHints.nonEmpty, "expected the term-keyed vocab join")
+    equiHints.foreach { h =>
+      assert(h.leftHint.isEmpty && h.rightHint.isEmpty,
+        s"vocab-sized join side must not be hint-forced: $h")
+    }
+    // the exact median must come from the value-domain counts-of-
+    // counts, not percentile()'s single-buffer-of-all-values agg
     val p = planOf("q69_unigram")
-    assert(p.contains("BroadcastHashJoin"),
-      s"vocab counts must broadcast:\n$p")
+    assert(!p.contains("percentile"),
+      s"median must be value-domain, not a buffering percentile:\n$p")
   }
 
   test("q76 chunking is shuffle-free: generator and md5 ride the scan") {
@@ -290,6 +307,29 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       }
       assert(w.partitionSpec.size >= 2 || aggBounded.isDefined,
         s"source-only window over corpus rows:\n$plan")
+    }
+  }
+
+  test("q106 weighted median windows run over the value-domain aggregate") {
+    // the two-phase scheme: every per-lang window must consume the
+    // (lang, n) weight-sum aggregate — a lang-keyed window directly
+    // over doc rows is the skewed-key full shuffle (a language's
+    // whole corpus through one reducer) the re-plan removed
+    val df = SparkEntry.queries("q106_weighted_median")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the two-phase windows:\n$plan")
+    windows.foreach { w =>
+      val aggBounded = collectFirst(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(aggBounded.isDefined,
+        s"per-lang window must sit above the value-domain aggregate:\n$plan")
     }
   }
 
