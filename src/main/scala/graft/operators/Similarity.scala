@@ -678,6 +678,7 @@ object Similarity {
     QueryDef(
       "q72_pq",
       (s, d) => {
+        graft.functions.SquaredDistance.register(s)
         val e = emb(s, d)
         val cb = pqSplit(e.filter(col("vec_id") < 16), "code")
           .withColumnRenamed("sv", "cbv")
@@ -728,6 +729,7 @@ object Similarity {
       "q80_ivfpq",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
+        graft.functions.SquaredDistance.register(s)
         val e = emb(s, d)
         val seeds = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
@@ -965,20 +967,16 @@ object Similarity {
       .select(col(idAs), col("x.m").cast("long").as("m"), col("x.sv").as("sv"))
 
   /** |sv−cbv|² via the dot-product expansion, strict left-to-right
-    * folds (== DuckDB list_dot_product bit-for-bit).
+    * folds (== DuckDB list_dot_product bit-for-bit). Native codegen
+    * expression ([[graft.functions.SquaredDistance]]) — the
+    * aggregate/zip_with HOF chain it replaces evaluated interpreted
+    * and blocked whole-stage codegen on the corpus-sized encode path
+    * (the round-5 q44 lesson). Caller must have registered `l2sq`.
     */
-  private def pqD2: Column = {
-    def dot(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-    expr(dot("sv", "sv")) - lit(2.0) * expr(dot("sv", "cbv")) + expr(dot("cbv", "cbv"))
-  }
+  private def pqD2: Column = expr(pqD2Sqlless)
 
   /** [[pqD2]] as a SQL-expression string (for embedding inside larger
     * Spark expressions).
     */
-  private def pqD2Sqlless: String = {
-    def dot(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-    s"${dot("sv", "sv")} - 2.0D * ${dot("sv", "cbv")} + ${dot("cbv", "cbv")}"
-  }
+  private def pqD2Sqlless: String = "l2sq(sv, cbv)"
 }
