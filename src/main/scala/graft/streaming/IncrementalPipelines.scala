@@ -78,23 +78,36 @@ object IncrementalPipelines {
     def readStore(spark: SparkSession, storeDir: String): DataFrame =
       storeAt(spark, storeDir, versions(spark, storeDir))
 
+    /** The keyed latest-wins merge itself: store FULL OUTER JOIN
+      * batch-compacted on the key, `greatest` of the two payload
+      * structs (null-skipping, so a key on one side only keeps that
+      * side). Semantically identical to union + keyed struct-max —
+      * both sides carry one row per key — but join-shaped on purpose:
+      * with the store persisted as a table bucketed on the key, the
+      * corpus-sized store side arrives co-partitioned and only the
+      * BATCH side shuffles (a union + groupBy re-shuffles the whole
+      * store every micro-batch). BucketedStoreSpec pins that plan.
+      */
+    def mergeFrames(store: DataFrame, batch: DataFrame): DataFrame = {
+      val compacted = batch
+        .groupBy(col("user_id")).agg(max(payload).as("cb"))
+      store.select(col("user_id"), payload.as("sb"))
+        .join(compacted, Seq("user_id"), "full_outer")
+        .select(col("user_id"), greatest(col("sb"), col("cb")).as("b"))
+        .select(col("user_id"), col("b.us").as("us"),
+          col("b.event_id").as("event_id"),
+          col("b.event_type").as("event_type"), col("b.cv").as("cv"))
+    }
+
     private[streaming] def merge(batch: DataFrame, storeDir: String,
         batchId: Long): Unit = {
       val spark = batch.sparkSession
-      val compacted = batch
-        .groupBy(col("user_id")).agg(max(payload).as("b"))
       // merge base: greatest committed version STRICTLY before this
       // batch id — on re-delivery vs.max == batchId, the path this
       // merge overwrites
       val base = versions(spark, storeDir).filter(_ < batchId)
-      val merged = storeAt(spark, storeDir, base)
-        .select(col("user_id"), payload.as("b"))
-        .union(compacted)
-        .groupBy(col("user_id")).agg(max(col("b")).as("b"))
-        .select(col("user_id"), col("b.us").as("us"),
-          col("b.event_id").as("event_id"),
-          col("b.event_type").as("event_type"), col("b.cv").as("cv"))
-      merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+      mergeFrames(storeAt(spark, storeDir, base), batch)
+        .write.mode("overwrite").parquet(s"$storeDir/v$batchId")
     }
 
     def start(events: DataFrame, storeDir: String,
