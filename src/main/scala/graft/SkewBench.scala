@@ -93,7 +93,14 @@ object SkewBench {
     // duplicate chunks), winnowing pairs (capped postings under
     // boilerplate), and the prefix-filter join — whose rare-first
     // prefixes should shrug the boilerplate shingles off entirely
-    "q86_chunk_dedup", "q95_winnow_pairs", "q102_prefix_join")
+    "q86_chunk_dedup", "q95_winnow_pairs", "q102_prefix_join",
+    // round-6 wave: minhash-vs-exact error (inherits q35's pair set —
+    // the banding-tuning eval must survive the same boilerplate), and
+    // aligned chunk runs (the planted near-dup pairs share their
+    // first 60 tokens → 2 aligned chunks at diagonal 0 each, so
+    // rows == PlantedPairs proves recall; the 1000-doc hot cluster's
+    // shared chunk has df ≫ 64 and must be capped away)
+    "q110_minhash_error", "q113_aligned_dups")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -69,6 +69,50 @@ class SkewGuardSpec extends SparkSpec {
       s"expected ${70 * 69 / 2} hot-cluster pairs, got ${hotPairs.length}")
   }
 
+  test("q110 error table covers exactly the capped pair set") {
+    // q110 inherits q35's candidate generation: under the boilerplate
+    // cluster its pair set must stay the single planted df=2 pair,
+    // with the 8-slot estimate a valid probability
+    val rows = SparkEntry.queries("q110_minhash_error")(spark, dir).collect()
+    assert(rows.length == 1, s"expected only the planted pair, got ${rows.length}")
+    val est = rows.head.getDouble(rows.head.fieldIndex("est"))
+    assert(est >= 0.0 && est <= 1.0)
+  }
+
+  // q113 needs multi-chunk documents (32-token windows, 24 stride):
+  // a planted pair sharing a 72-token run at a 24-token offset — two
+  // aligned chunks on diagonal 1 — plus 70 identical template docs
+  // whose chunks all have df = 70 > 64 and must be capped away
+  private lazy val alignedDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-alignedspec").toString
+    val shared = (0 until 72).map(i => s"s$i").mkString(" ")
+    val prefA = (0 until 24).map(i => s"a$i").mkString(" ")
+    val tailB = (0 until 24).map(i => s"b$i").mkString(" ")
+    val template = (0 until 96).map(i => s"m$i").mkString(" ")
+    val rows =
+      Seq((0L, s"$prefA $shared"), (1L, s"$shared $tailB")) ++
+        (0 until 70).map(i => (100L + i, template))
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q113 finds the planted aligned run; template chunks are capped") {
+    val rows = SparkEntry.queries("q113_aligned_dups")(spark, alignedDir).collect()
+    assert(rows.length == 1,
+      s"expected only the planted aligned pair (df cap must drop the " +
+        s"70-doc template cluster), got ${rows.mkString("; ")}")
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("da")) == 0L && r.getLong(r.fieldIndex("db")) == 1L)
+    assert(r.getLong(r.fieldIndex("max_aligned_run")) == 2L,
+      s"the 72-token shared run spans 2 aligned chunks, got $r")
+    assert(r.getLong(r.fieldIndex("shared_chunks")) == 2L)
+  }
+
   test("q44 emits every hot-cluster embedding pair exactly once, ordered") {
     // the near-identical cluster collapses into ONE sign-LSH bucket of
     // every band — the salted pair generation + first-colliding-band
