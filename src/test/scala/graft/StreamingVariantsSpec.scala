@@ -182,6 +182,82 @@ class StreamingVariantsSpec extends SparkSpec {
       "late update must lose, new key must appear, old winner must persist")
   }
 
+  test("curation capstone: ingest → normalize → dedup → shed → cooldown, restart-surviving") {
+    // the streaming mirror of batch q100, all round-5/6 pieces in one
+    // scenario: q107 normalization feeds the watermarked in-stream
+    // dedup and the persisted-store anti-join; survivors shed to a
+    // per-batch budget into a curated parquet landing zone; a second
+    // checkpointed query streams the landing zone through the
+    // per-source event-time cooldown. BOTH queries are stopped and
+    // restarted mid-scenario — the dedup state (a restart replay of a
+    // known fingerprint must still drop) and the cooldown state (a
+    // source's window must keep suppressing) both come back from
+    // their checkpoints.
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val curatedDir = Files.createTempDirectory("cur_land").toString
+    val alertDir = Files.createTempDirectory("cur_alerts").toString
+    val ckptCur = Files.createTempDirectory("ckpt_cur").toString
+    val ckptMon = Files.createTempDirectory("ckpt_mon").toString
+    val store = spark.range(1).select(md5(lit("old news")).as("fp"))
+    val docs = MemoryStream[(Long, Int, String, Long)]
+    val shedTotal = new java.util.concurrent.atomic.AtomicLong
+    def stream = docs.toDF().toDF("doc_id", "src_id", "text", "ms")
+      .select(col("doc_id"), col("src_id"), col("text"),
+        (col("ms") / 1000).cast("timestamp").as("ts"))
+    def startCur() = CurationPipeline.startCuration(
+      stream, store, "10 seconds", 2, curatedDir, ckptCur,
+      shedTotal.addAndGet(_))
+    def startMon() = CurationPipeline.startMonitor(
+      spark, curatedDir, 60000L, "10 seconds", alertDir, ckptMon)
+
+    // phase 1: d1 kept; d2 a normalized in-stream dup of d1; d3 a
+    // store dup after normalization; d4 novel (same source as d1, so
+    // its notification is cooldown-suppressed)
+    var q1 = startCur(); var q2 = startMon()
+    docs.addData((1L, 0, "Hello,   World!", T0),
+      (2L, 0, "hello world", T0 + 1000),
+      (3L, 1, "Old   News.", T0 + 2000),
+      (4L, 0, "fresh content alpha", T0 + 3000))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    def curated() = spark.read.schema(CurationPipeline.curatedSchema)
+      .parquet(curatedDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(curated() === Seq(1L, 4L), "phase 1 must keep exactly d1, d4")
+
+    // phase 2, after restart: d5 replays d1's fingerprint — only the
+    // RESTORED dedup state can drop it; d6 is a novel doc from a new
+    // source
+    q1 = startCur(); q2 = startMon()
+    docs.addData((5L, 0, "HELLO world!!", T0 + 5000),
+      (6L, 1, "brand new beta", T0 + 6000))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    // burst batch over the budget of 2: the OLDEST (d7) is shed
+    docs.addData((7L, 2, "gamma one", T0 + 80000),
+      (8L, 2, "gamma two", T0 + 81000),
+      (9L, 2, "gamma three", T0 + 82000))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    // d10: same source as d1/d4, now past the 60 s cooldown window
+    docs.addData((10L, 0, "delta final", T0 + 90000))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    assert(curated() === Seq(1L, 4L, 6L, 8L, 9L, 10L),
+      s"restored dedup must drop d5, shed must drop d7: ${curated()}")
+    assert(shedTotal.get() === 1L, s"exactly d7 is shed, got $shedTotal")
+
+    // golden notifications: one per source per cooldown window, the
+    // suppressions spanning the restart
+    val alerts = spark.read.parquet(alertDir).collect()
+      .map(r => (r.getInt(r.fieldIndex("user_id")),
+        r.getTimestamp(r.fieldIndex("ts")).getTime - T0))
+      .sortBy(x => (x._2, x._1)).toSeq
+    assert(alerts === Seq((0, 0L), (1, 6000L), (2, 81000L), (0, 90000L)),
+      s"got $alerts")
+  }
+
   test("streaming incremental dedup (q91 shape): store anti-join + within-stream first-writer") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.IncrementalPipelines.DedupIngest
