@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -865,6 +865,84 @@ object Dedup {
               |SELECT da, db, jac,
               |  matches / CAST(8 AS DOUBLE) AS est,
               |  round(matches / CAST(8 AS DOUBLE) - jac, 4) AS err
-              |FROM agree""".stripMargin))
+              |FROM agree""".stripMargin)),
+
+    // ---- q114: train/val/test near-dup leakage audit --------------------
+    // The audit that must run AFTER splitting: q112 assigns splits by
+    // a salted doc_id hash, and exact dedup collapses identical texts
+    // to one keeper — but NEAR-dup pairs that survive dedup can still
+    // straddle splits, silently leaking eval content into train.
+    // Cross-tabulates q35's capped near-dup pair set by both members'
+    // split assignment (the q112 hash, recomputed row-locally on each
+    // side): off-diagonal rows are the leak report, with the pair
+    // count and the worst-case similarity of a leaked pair. Scale
+    // shape: the pair set is q35's output (banded, df-capped,
+    // bounded); the rollup is a ≤ 6-row aggregate.
+    QueryDef(
+      "q114_split_leakage",
+      (s, d) => {
+        def splitOf(c: String): Column = {
+          val h = s"pmod(cast(conv(substr(md5(concat('split-', " +
+            s"cast($c as string))), 1, 15), 16, 10) as bigint), 100)"
+          expr(s"CASE WHEN $h < 80 THEN 'train' " +
+            s"WHEN $h < 90 THEN 'val' ELSE 'test' END")
+        }
+        jaccardPairs(s, d)
+          .withColumn("sa", splitOf("da"))
+          .withColumn("sb", splitOf("db"))
+          .select(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"), col("jac"))
+          .groupBy(col("split_lo"), col("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(max(col("jac")), 4).as("max_jac"))
+      },
+      Some(s"""WITH $jaccardPairsSql,
+              |sp AS (SELECT jac,
+              |         CASE WHEN ('0x'||substr(md5('split-'||da::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
+              |              WHEN ('0x'||substr(md5('split-'||da::VARCHAR),1,15))::BIGINT % 100 < 90 THEN 'val'
+              |              ELSE 'test' END AS sa,
+              |         CASE WHEN ('0x'||substr(md5('split-'||db::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
+              |              WHEN ('0x'||substr(md5('split-'||db::VARCHAR),1,15))::BIGINT % 100 < 90 THEN 'val'
+              |              ELSE 'test' END AS sb
+              |       FROM jp)
+              |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+              |  count(*) AS n_pairs, round(max(jac), 4) AS max_jac
+              |FROM sp GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q115: per-source n-gram novelty (content originality) ---------
+    // Mixture curation signal the lift table (q111) cannot give:
+    // what fraction of a source's DISTINCT 3-gram shingles appears in
+    // no other source? Low novelty means the source mostly mirrors
+    // content already held elsewhere — a candidate for down-weighting
+    // before training. Plan: distinct (source, sid) in one
+    // shingle-keyed exchange; the per-shingle source count is an
+    // aggregate OF that aggregate and rejoins co-partitioned on sid;
+    // the final rollup is |sources| rows. The novelty ratio divides
+    // two identically-derived integers — exact cross-engine.
+    QueryDef(
+      "q115_ngram_novelty",
+      (s, d) => {
+        val ss = hashedShingles(s, d)
+          .join(Tables(s, d, "documents")
+            .select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("sid")).distinct()
+        val ns = ss.groupBy(col("sid")).agg(count(lit(1)).as("n_src"))
+        ss.join(ns, "sid")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("novel"),
+            round(sum(when(col("n_src") === 1, 1L).otherwise(0L))
+              / count(lit(1)), 4).as("novelty"))
+      },
+      Some(s"""WITH $hashedShinglesSql,
+              |ss AS (SELECT DISTINCT d.source, sh.sid
+              |       FROM sh JOIN documents d USING (doc_id)),
+              |ns AS (SELECT sid, CAST(count(*) AS BIGINT) AS n_src
+              |       FROM ss GROUP BY sid)
+              |SELECT source, count(*) AS n_shingles,
+              |  CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+              |  round(CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |        / count(*), 4) AS novelty
+              |FROM ss JOIN ns USING (sid) GROUP BY source""".stripMargin))
   )
 }

@@ -954,7 +954,72 @@ object Similarity {
               |  CAST(rn AS INTEGER) AS rn
               |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
               |        ORDER BY sim DESC, c_id) AS rn FROM scored)
-              |WHERE rn <= 3""".stripMargin))
+              |WHERE rn <= 3""".stripMargin)),
+
+    // ---- q116: per-label embedding centroid drift ----------------------
+    // Dataset monitoring for the embedding space: how far has each
+    // label's centroid drifted from the corpus centroid? A label
+    // whose centroid sits near cos=1 of the global mean adds little
+    // signal; one far away marks a subpopulation (or a labeling
+    // bug). The q71/q43 fixed-point idiom makes both centroids exact
+    // cross-engine: elements quantize to round(x·2^30) BIGINTs whose
+    // per-(label, pos) sums are order-independent integers; each
+    // centroid element is then ONE IEEE divide sfx/(n·2^30) — no
+    // integer floor/truncate division anywhere, so engine div
+    // semantics never matter. Plan: one corpus-wide (label, pos)
+    // partial-aggregated exchange (64·|labels| rows out); the global
+    // centroid is an aggregate OF that aggregate; the 1-row global
+    // vector broadcasts onto the |labels|-row table for the cosine.
+    QueryDef(
+      "q116_centroid_drift",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val F = 1073741824L // 2^30
+        val bl = emb(s, d)
+          .select(col("label"), posexplode(expr(
+            s"transform(v, x -> cast(round(x * ${F}d, 0) as bigint))"))
+            .as(Seq("pos", "fx")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+        val lc = bl
+          .select(col("label"), col("n"), struct(col("pos"),
+            (col("sfx") / (col("n") * lit(F.toDouble))).as("cval")).as("pv"))
+          .groupBy(col("label"))
+          .agg(sort_array(collect_list(col("pv"))).as("pvs"),
+            max(col("n")).as("n_vecs"))
+          .select(col("label"), col("n_vecs"),
+            expr("transform(pvs, p -> p.cval)").as("lv"))
+        val gc = bl.groupBy(col("pos"))
+          .agg(sum(col("sfx")).as("gsfx"), sum(col("n")).as("gn"))
+          .select(struct(col("pos"),
+            (col("gsfx") / (col("gn") * lit(F.toDouble))).as("cval")).as("pv"))
+          .agg(sort_array(collect_list(col("pv"))).as("pvs"))
+          .select(expr("transform(pvs, p -> p.cval)").as("gv"))
+        lc.crossJoin(broadcast(gc))
+          .select(col("label"), col("n_vecs"),
+            round(expr("cosine_sim(lv, gv)"), 6).as("centroid_cos"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |fx AS (SELECT label, g.i - 1 AS pos,
+             |         CAST(round(v[g.i] * 1073741824) AS BIGINT) AS fx
+             |       FROM e, UNNEST(generate_series(1, len(v))) AS g(i)),
+             |bl AS (SELECT label, pos, CAST(sum(fx) AS BIGINT) AS sfx,
+             |         CAST(count(*) AS BIGINT) AS n
+             |       FROM fx GROUP BY 1, 2),
+             |lc AS (SELECT label,
+             |         list(sfx / (n * 1073741824.0) ORDER BY pos) AS lv,
+             |         max(n) AS n_vecs
+             |       FROM bl GROUP BY label),
+             |gp AS (SELECT pos, CAST(sum(sfx) AS BIGINT) AS gsfx,
+             |         CAST(sum(n) AS BIGINT) AS gn
+             |       FROM bl GROUP BY pos),
+             |gc AS (SELECT list(gsfx / (gn * 1073741824.0) ORDER BY pos) AS gv
+             |       FROM gp)
+             |SELECT label, n_vecs,
+             |  round(list_dot_product(lv, gv) /
+             |    (sqrt(list_dot_product(lv, lv)) * sqrt(list_dot_product(gv, gv))), 6)
+             |    AS centroid_cos
+             |FROM lc, gc""".stripMargin))
   )
 
   /** 8×8-dim subvector split (PQ m ∈ [0,8)): shared by q72's encode

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-6 operators (q114–q116) beyond the
+  * driver's oracle hash-match: the leakage audit partitions exactly
+  * q35's pair set, novelty is a valid fraction of each source's
+  * shingle inventory, and the per-label centroid drift is a valid
+  * cosine over all vectors.
+  */
+class Round7OpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("q114 partitions q35's pair set exactly across split combos") {
+    val total = run("q114_split_leakage")
+      .agg(sum(col("n_pairs"))).collect().head.getLong(0)
+    val pairs = run("q35_ngram_jaccard").count()
+    assert(total === pairs,
+      s"every near-dup pair lands in exactly one split combo: $total vs $pairs")
+    val combos = run("q114_split_leakage")
+      .select(col("split_lo"), col("split_hi")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(combos.forall { case (lo, hi) => lo <= hi }, combos.mkString(";"))
+  }
+
+  test("q115 novelty is a valid fraction of each source's inventory") {
+    val rows = run("q115_ngram_novelty").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, novel, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(novel >= 0 && novel <= n, r.toString)
+      assert(frac >= 0.0 && frac <= 1.0, r.toString)
+    }
+  }
+
+  test("q116 drift is a valid cosine and covers every vector") {
+    val rows = run("q116_centroid_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cos = r.getDouble(2)
+      assert(cos >= -1.0 && cos <= 1.0, r.toString)
+    }
+    val covered = rows.map(_.getLong(1)).sum
+    val vecs = Tables(spark, sf001, "embeddings").count()
+    assert(covered === vecs, s"per-label counts must cover the corpus: $covered vs $vecs")
+  }
+}
