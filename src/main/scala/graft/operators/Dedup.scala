@@ -943,6 +943,35 @@ object Dedup {
               |  CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
               |  round(CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
               |        / count(*), 4) AS novelty
-              |FROM ss JOIN ns USING (sid) GROUP BY source""".stripMargin))
+              |FROM ss JOIN ns USING (sid) GROUP BY source""".stripMargin)),
+
+    // ---- q118: shingle document-frequency spectrum ----------------------
+    // The corpus-health report behind the df cap: how is posting mass
+    // distributed across df buckets, and how much of it does the cap
+    // (df > 64) shave off the inverted-index queries? A boilerplate-
+    // heavy crawl shows its pathology here before any pair query
+    // runs. Buckets are ⌊log2 df⌋+1 via the exact binary-digit count
+    // (the q93 idiom — libm log2 can mis-bucket exact powers of two).
+    // One distinct + one shingle-keyed aggregate, ≤ ~30 output rows.
+    QueryDef(
+      "q118_df_spectrum",
+      (s, d) => {
+        hashedShingles(s, d).distinct()
+          .groupBy(col("sid")).agg(count(lit(1)).as("df"))
+          .select(length(conv(col("df"), 10, 2)).as("df_bucket"), col("df"))
+          .groupBy(col("df_bucket"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(col("df")).as("postings"),
+            sum(when(col("df") > JaccardDfCap, col("df")).otherwise(0L))
+              .as("capped_postings"))
+      },
+      Some(s"""WITH $hashedShinglesSql,
+              |dfq AS (SELECT sid, CAST(count(*) AS BIGINT) AS df
+              |        FROM sh GROUP BY sid)
+              |SELECT CAST(length(bin(df)) AS INTEGER) AS df_bucket,
+              |  count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS postings,
+              |  CAST(sum(CASE WHEN df > $JaccardDfCap THEN df ELSE 0 END) AS BIGINT)
+              |    AS capped_postings
+              |FROM dfq GROUP BY 1""".stripMargin))
   )
 }

@@ -727,102 +727,64 @@ object Similarity {
     // pair can arrive twice — no DISTINCT needed on the probe join.
     QueryDef(
       "q80_ivfpq",
-      (s, d) => {
-        graft.functions.CosineSimilarity.register(s)
-        graft.functions.SquaredDistance.register(s)
-        val e = emb(s, d)
-        val seeds = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val scored = e.select(col("vec_id"), col("v").as("qv"))
-          .crossJoin(broadcast(seeds))
-          .withColumn("csim", expr("cosine_sim(qv, cv)"))
-        // corpus → cell: packed argmax in HashAggregate (q43 idiom)
-        val assign = scored.groupBy(col("vec_id"))
-          .agg(max(expr(
-            "floor(csim * 4503599627370496d) * 16 + (15 - cent_id)")).as("k"))
-          .select(col("vec_id"), (lit(15L) - pmod(col("k"), lit(16L))).as("cell"))
-        // corpus → 8 PQ codes (q72's encode, via the shared splitter)
-        val cb = pqSplit(e.filter(col("vec_id") < 16), "code")
-          .withColumnRenamed("sv", "cbv")
-        val codes = pqSplit(e, "c_id")
-          .join(broadcast(cb), "m")
-          .withColumn("d2", pqD2)
-          .groupBy(col("c_id"), col("m"))
-          .agg(min(expr(
-            "floor(d2 * 1125899906842624d) * 64 + code")).as("k"))
-          .select(col("c_id"), col("m"), pmod(col("k"), lit(64L)).as("code"))
-        // query → nprobe=2 cells (ranked by the same quantized key)
-        val wProbe = Window.partitionBy(col("vec_id"))
-          .orderBy(expr("floor(csim * 4503599627370496d)").desc,
-            col("cent_id").asc)
-        val probes = scored.filter(col("vec_id") < 10)
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= 2)
-          .select(col("vec_id").as("q_id"), col("cent_id").as("probe_cell"))
-        // query → fixed-point ADC distance table (10×8×16 rows)
-        val dtab = pqSplit(e.filter(col("vec_id") < 10), "q_id")
-          .join(broadcast(cb), "m")
-          .withColumn("dfx", expr(
-            s"cast(round(($pqD2Sqlless) * 1099511627776d, 0) as bigint)"))
-          .select(col("q_id"), col("m"), col("code"), col("dfx"))
-        val cands = probes
-          .join(assign, col("probe_cell") === col("cell")
-            && col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("c_id"))
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("afx").asc, col("c_id").asc)
-        // the candidate list (queries × probed-cell members) broadcasts
-        // against the corpus-sized code table — the code table itself
-        // must never move for a query batch
-        codes.join(broadcast(cands), "c_id")
-          .join(broadcast(dtab), Seq("q_id", "m", "code"))
-          .groupBy(col("q_id"), col("c_id"))
-          .agg(sum(col("dfx")).as("afx"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 3)
-          .select(col("q_id"), col("c_id"),
-            round(col("afx") / lit(1099511627776d), 4).as("adc"), col("rn"))
-      },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
-              |scored AS (SELECT vec_id, v AS qv, cent_id, cv, $cosSql AS csim
-              |           FROM e CROSS JOIN seeds),
-              |ranked AS (SELECT vec_id, cent_id, row_number() OVER
-              |             (PARTITION BY vec_id
-              |              ORDER BY floor(csim * 4503599627370496) DESC, cent_id) AS rn
-              |           FROM scored),
-              |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
-              |probes AS (SELECT vec_id AS q_id, cent_id AS probe_cell
-              |           FROM ranked WHERE vec_id < 10 AND rn <= 2),
-              |cb AS (SELECT g.m AS m, vec_id AS code, v[g.m*8+1 : g.m*8+8] AS cbv
-              |       FROM e, UNNEST(generate_series(0, 7)) AS g(m)
-              |       WHERE vec_id < 16),
-              |p AS (SELECT vec_id, g.m AS m, v[g.m*8+1 : g.m*8+8] AS sv
-              |      FROM e, UNNEST(generate_series(0, 7)) AS g(m)),
-              |sc AS (SELECT vec_id, p.m, code,
-              |         list_dot_product(sv, sv) - 2 * list_dot_product(sv, cbv)
-              |           + list_dot_product(cbv, cbv) AS d2
-              |       FROM p JOIN cb ON p.m = cb.m),
-              |codes AS (SELECT vec_id AS c_id, m,
-              |            CAST(((min(CAST(floor(d2 * 1125899906842624) AS BIGINT) * 64 + code)
-              |                   % 64) + 64) % 64 AS BIGINT) AS code
-              |          FROM sc GROUP BY vec_id, m),
-              |dtab AS (SELECT p.vec_id AS q_id, p.m, code,
-              |           CAST(round((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cbv)
-              |             + list_dot_product(cbv, cbv)) * 1099511627776) AS BIGINT) AS dfx
-              |         FROM p JOIN cb ON p.m = cb.m WHERE p.vec_id < 10),
-              |cands AS (SELECT q_id, a.vec_id AS c_id
-              |          FROM probes JOIN assign a
-              |            ON probe_cell = a.cell AND a.vec_id <> q_id),
-              |adc AS (SELECT q_id, c_id, CAST(sum(dfx) AS BIGINT) AS afx
-              |        FROM cands JOIN codes USING (c_id) JOIN dtab USING (q_id, m, code)
-              |        GROUP BY q_id, c_id),
-              |r AS (SELECT q_id, c_id, afx,
-              |        CAST(row_number() OVER (PARTITION BY q_id
-              |               ORDER BY afx, c_id) AS INTEGER) AS rn
-              |      FROM adc)
+      (s, d) => ivfpqAdc(s, d)
+        .select(col("q_id"), col("c_id"),
+          round(col("afx") / lit(1099511627776d), 4).as("adc"), col("rn")),
+      Some(s"""WITH $ivfpqCtes
               |SELECT q_id, c_id, round(afx / 1099511627776.0, 4) AS adc, rn
               |FROM r WHERE rn <= 3""".stripMargin)),
+
+    // ---- q117: IVF-PQ recall@3 (closing the q80 eval loop) --------------
+    // q90 measures the sign-LSH index; this measures q80's IVFADC —
+    // how much of the EXACT cosine top-3 does the nprobe=2 +
+    // 8×16-code compressed search return? Losses come from two
+    // places the eval cannot separate but the sum of which is what
+    // ships: candidates outside the probed cells, and ADC ranking
+    // inverting near-ties. Ground truth reuses q90's two-stage
+    // top-k (local (q_id, pid) pre-prune, then the global window on
+    // ≤ 3·splits·|Q| survivors); the ADC side is q80's own subtree.
+    // Output joins run at |Q|·k — driver scale.
+    QueryDef(
+      "q117_ivfpq_recall",
+      (s, d) => {
+        val adc3 = ivfpqAdc(s, d).select(col("q_id"), col("c_id"))
+        val e = emb(s, d)
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val scored = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+          .join(broadcast(qs), col("c_id") =!= col("q_id"))
+          .withColumn("sim", expr(cosSpark(s)))
+        val wLocal = Window.partitionBy(col("q_id"), col("pid"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        val gt = scored.withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal)).filter(col("lrn") <= 3)
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"))
+        gt.join(adc3.withColumn("h", lit(1)), Seq("q_id", "c_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_gt"),
+            sum(coalesce(col("h"), lit(0))).as("n_hit"))
+          .select(col("q_id"), col("n_gt"), col("n_hit"),
+            round(col("n_hit") / col("n_gt"), 4).as("recall_at_3"))
+      },
+      Some(s"""WITH $ivfpqCtes,
+              |adc3 AS (SELECT q_id, c_id FROM r WHERE rn <= 3),
+              |qs2 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+              |sc2 AS (SELECT q_id, c.vec_id AS c_id, $cosSql AS sim
+              |        FROM qs2, (SELECT vec_id, v AS cv FROM e) c
+              |        WHERE c.vec_id <> q_id),
+              |gt AS (SELECT q_id, c_id FROM
+              |         (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |            ORDER BY sim DESC, c_id) AS rn FROM sc2)
+              |       WHERE rn <= 3),
+              |j AS (SELECT gt.q_id, CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS h
+              |      FROM gt LEFT JOIN adc3 a
+              |        ON gt.q_id = a.q_id AND gt.c_id = a.c_id)
+              |SELECT q_id, count(*) AS n_gt, CAST(sum(h) AS BIGINT) AS n_hit,
+              |  round(CAST(sum(h) AS BIGINT) / count(*), 4) AS recall_at_3
+              |FROM j GROUP BY q_id""".stripMargin)),
 
     // ---- q90: ANN recall@k evaluation (index quality measurement) -------
     // The operator that closes the ANN loop: measure q42's
@@ -1021,6 +983,110 @@ object Similarity {
              |    AS centroid_cos
              |FROM lc, gc""".stripMargin))
   )
+
+
+  /** q80's IVFADC subtree (assignment, PQ encode, probes, distance
+    * table, candidate ADC ranking), shared with the q117 recall
+    * eval. Returns (q_id, c_id, afx, rn) with rn ≤ 3 by exact
+    * integer ADC order.
+    */
+  private def ivfpqAdc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    graft.functions.SquaredDistance.register(s)
+    val e = emb(s, d)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val scored = e.select(col("vec_id"), col("v").as("qv"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("csim", expr("cosine_sim(qv, cv)"))
+    // corpus → cell: packed argmax in HashAggregate (q43 idiom)
+    val assign = scored.groupBy(col("vec_id"))
+      .agg(max(expr(
+        "floor(csim * 4503599627370496d) * 16 + (15 - cent_id)")).as("k"))
+      .select(col("vec_id"), (lit(15L) - pmod(col("k"), lit(16L))).as("cell"))
+    // corpus → 8 PQ codes (q72's encode, via the shared splitter)
+    val cb = pqSplit(e.filter(col("vec_id") < 16), "code")
+      .withColumnRenamed("sv", "cbv")
+    val codes = pqSplit(e, "c_id")
+      .join(broadcast(cb), "m")
+      .withColumn("d2", pqD2)
+      .groupBy(col("c_id"), col("m"))
+      .agg(min(expr(
+        "floor(d2 * 1125899906842624d) * 64 + code")).as("k"))
+      .select(col("c_id"), col("m"), pmod(col("k"), lit(64L)).as("code"))
+    // query → nprobe=2 cells (ranked by the same quantized key)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(expr("floor(csim * 4503599627370496d)").desc,
+        col("cent_id").asc)
+    val probes = scored.filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("probe_cell"))
+    // query → fixed-point ADC distance table (10×8×16 rows)
+    val dtab = pqSplit(e.filter(col("vec_id") < 10), "q_id")
+      .join(broadcast(cb), "m")
+      .withColumn("dfx", expr(
+        s"cast(round(($pqD2Sqlless) * 1099511627776d, 0) as bigint)"))
+      .select(col("q_id"), col("m"), col("code"), col("dfx"))
+    val cands = probes
+      .join(assign, col("probe_cell") === col("cell")
+        && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("afx").asc, col("c_id").asc)
+    // the candidate list (queries × probed-cell members) broadcasts
+    // against the corpus-sized code table — the code table itself
+    // must never move for a query batch
+    codes.join(broadcast(cands), "c_id")
+      .join(broadcast(dtab), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("dfx")).as("afx"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+  }
+
+  /** DuckDB mirror of [[ivfpqAdc]] as a CTE chain ending in
+    * `r(q_id, c_id, afx, rn)` (shared by q80 and q117).
+    */
+  private def ivfpqCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+              |scored AS (SELECT vec_id, v AS qv, cent_id, cv, $cosSql AS csim
+              |           FROM e CROSS JOIN seeds),
+              |ranked AS (SELECT vec_id, cent_id, row_number() OVER
+              |             (PARTITION BY vec_id
+              |              ORDER BY floor(csim * 4503599627370496) DESC, cent_id) AS rn
+              |           FROM scored),
+              |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, cent_id AS probe_cell
+              |           FROM ranked WHERE vec_id < 10 AND rn <= 2),
+              |cb AS (SELECT g.m AS m, vec_id AS code, v[g.m*8+1 : g.m*8+8] AS cbv
+              |       FROM e, UNNEST(generate_series(0, 7)) AS g(m)
+              |       WHERE vec_id < 16),
+              |p AS (SELECT vec_id, g.m AS m, v[g.m*8+1 : g.m*8+8] AS sv
+              |      FROM e, UNNEST(generate_series(0, 7)) AS g(m)),
+              |sc AS (SELECT vec_id, p.m, code,
+              |         list_dot_product(sv, sv) - 2 * list_dot_product(sv, cbv)
+              |           + list_dot_product(cbv, cbv) AS d2
+              |       FROM p JOIN cb ON p.m = cb.m),
+              |codes AS (SELECT vec_id AS c_id, m,
+              |            CAST(((min(CAST(floor(d2 * 1125899906842624) AS BIGINT) * 64 + code)
+              |                   % 64) + 64) % 64 AS BIGINT) AS code
+              |          FROM sc GROUP BY vec_id, m),
+              |dtab AS (SELECT p.vec_id AS q_id, p.m, code,
+              |           CAST(round((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cbv)
+              |             + list_dot_product(cbv, cbv)) * 1099511627776) AS BIGINT) AS dfx
+              |         FROM p JOIN cb ON p.m = cb.m WHERE p.vec_id < 10),
+              |cands AS (SELECT q_id, a.vec_id AS c_id
+              |          FROM probes JOIN assign a
+              |            ON probe_cell = a.cell AND a.vec_id <> q_id),
+              |adc AS (SELECT q_id, c_id, CAST(sum(dfx) AS BIGINT) AS afx
+              |        FROM cands JOIN codes USING (c_id) JOIN dtab USING (q_id, m, code)
+              |        GROUP BY q_id, c_id),
+              |r AS (SELECT q_id, c_id, afx,
+              |        CAST(row_number() OVER (PARTITION BY q_id
+              |               ORDER BY afx, c_id) AS INTEGER) AS rn
+              |      FROM adc)"""
 
   /** 8×8-dim subvector split (PQ m ∈ [0,8)): shared by q72's encode
     * and q80's codebook/distance-table builds.

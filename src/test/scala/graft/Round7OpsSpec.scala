@@ -35,6 +35,37 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q117 recall is a valid fraction per query, GT is 3 rows each") {
+    val rows = run("q117_ivfpq_recall").collect()
+    assert(rows.length == 10, s"one row per query, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_gt")) === 3L, r.toString)
+      val rec = r.getDouble(r.fieldIndex("recall_at_3"))
+      assert(rec >= 0.0 && rec <= 1.0, r.toString)
+      assert(r.getLong(r.fieldIndex("n_hit")) <= 3L, r.toString)
+    }
+  }
+
+  test("q118 spectrum accounts for every posting exactly once") {
+    val rows = run("q118_df_spectrum").collect()
+    assert(rows.nonEmpty)
+    val postings = rows.map(r => r.getLong(r.fieldIndex("postings"))).sum
+    // independent recount: distinct (doc, shingle) pairs in the corpus
+    val expected = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .distinct().count()
+    assert(postings === expected,
+      s"bucket posting mass must sum to the corpus posting count: $postings vs $expected")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("capped_postings"))
+        <= r.getLong(r.fieldIndex("postings")), r.toString)
+    }
+  }
+
   test("q116 drift is a valid cosine and covers every vector") {
     val rows = run("q116_centroid_drift").collect()
     assert(rows.nonEmpty)
