@@ -972,6 +972,38 @@ object Dedup {
               |  count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS postings,
               |  CAST(sum(CASE WHEN df > $JaccardDfCap THEN df ELSE 0 END) AS BIGINT)
               |    AS capped_postings
-              |FROM dfq GROUP BY 1""".stripMargin))
+              |FROM dfq GROUP BY 1""".stripMargin)),
+
+    // ---- q120: near-dup cluster-size histogram --------------------------
+    // The dedup-impact report: after q57 resolves candidate pairs
+    // into connected components, how big are the clusters? n_docs −
+    // n_clusters summed over buckets is exactly the row count dedup
+    // will remove; a fat tail means template/boilerplate families
+    // (and predicts q83's canonical-selection cost). Buckets are the
+    // exact binary-digit count (q93/q118 idiom). Cost is q57's
+    // subtree + two tiny aggregates — the histogram itself is ≤ ~30
+    // rows.
+    QueryDef(
+      "q120_cluster_hist",
+      (s, d) =>
+        dedupComponents(s, d)
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .select(length(conv(col("sz"), 10, 2)).as("sz_bucket"), col("sz"))
+          .groupBy(col("sz_bucket"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs")),
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |compt AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+              |       FROM compt GROUP BY comp)
+              |SELECT CAST(length(bin(sz)) AS INTEGER) AS sz_bucket,
+              |  count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
+              |FROM cs GROUP BY 1""".stripMargin))
   )
 }

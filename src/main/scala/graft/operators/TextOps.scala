@@ -1065,6 +1065,40 @@ object TextOps {
              |          ORDER BY ratio DESC, term) AS INTEGER) AS rk
              |      FROM sc)
              |SELECT source, rk, term, c_st, round(ratio, 4) AS ratio
-             |FROM r WHERE rk <= 10""".stripMargin))
+             |FROM r WHERE rk <= 10""".stripMargin)),
+
+    // ---- q119: language-ID confusion matrix -----------------------------
+    // The eval for q31's classifier: cross-tabulate the stopword-
+    // ratio guess against the labeled lang column, with per-label
+    // recall fractions — the number that decides whether the
+    // heuristic's 0.15 threshold ships or needs tuning per corpus.
+    // One partial-aggregated exchange into a |langs|·|guesses| table;
+    // the fraction window runs over that aggregate. The ratio divides
+    // two identically-derived integers — exact cross-engine.
+    QueryDef(
+      "q119_langid_confusion",
+      (s, d) => {
+        val g = Tables(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_stop",
+            size(filter(col("toks"), t => t.isin(enStop: _*))))
+          .select(col("lang"),
+            when(col("n_stop") / size(col("toks")) >= 0.15, "en")
+              .otherwise("other").as("guess"))
+        g.groupBy(col("lang"), col("guess"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("frac", round(col("n")
+            / sum(col("n")).over(Window.partitionBy(col("lang"))), 4))
+      },
+      Some(s"""WITH g AS (SELECT lang,
+              |            CASE WHEN len(list_filter(string_split(text, ' '),
+              |                        t -> t IN ($enStopSql)))
+              |                   / len(string_split(text, ' ')) >= 0.15
+              |                 THEN 'en' ELSE 'other' END AS guess
+              |          FROM documents)
+              |SELECT lang, guess, count(*) AS n,
+              |  round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
+              |                        AS DOUBLE), 4) AS frac
+              |FROM g GROUP BY 1, 2""".stripMargin))
   )
 }

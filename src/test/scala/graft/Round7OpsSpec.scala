@@ -66,6 +66,28 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q119 confusion matrix covers every document, fractions sum to 1") {
+    val rows = run("q119_langid_confusion").collect()
+    val total = rows.map(r => r.getLong(r.fieldIndex("n"))).sum
+    val docs = Tables(spark, sf001, "documents").count()
+    assert(total === docs, s"every doc lands in one cell: $total vs $docs")
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val fracSum = cells.map(r => r.getDouble(r.fieldIndex("frac"))).sum
+      assert(math.abs(fracSum - 1.0) < 1e-3, s"$lang fracs sum to $fracSum")
+    }
+  }
+
+  test("q120 histogram docs/clusters reconcile with q57's components") {
+    val rows = run("q120_cluster_hist").collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    val nClusters = rows.map(r => r.getLong(r.fieldIndex("n_clusters"))).sum
+    val comp = run("q57_dedup_components")
+    assert(nDocs === comp.count(), "every clustered doc is bucketed once")
+    assert(nClusters === comp.select(col("comp")).distinct().count())
+    assert(nClusters <= nDocs)
+  }
+
   test("q116 drift is a valid cosine and covers every vector") {
     val rows = run("q116_centroid_drift").collect()
     assert(rows.nonEmpty)
