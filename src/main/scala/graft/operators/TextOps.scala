@@ -1099,6 +1099,62 @@ object TextOps {
               |SELECT lang, guess, count(*) AS n,
               |  round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
               |                        AS DOUBLE), 4) AS frac
-              |FROM g GROUP BY 1, 2""".stripMargin))
+              |FROM g GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q121: length-decile × quality calibration grid -----------------
+    // Length-bias detection for the quality score: mean quality per
+    // length decile — a score that mostly tracks document length
+    // (monotone grid) is measuring size, not quality, and will skew
+    // any quality-weighted mixture. Decile assignment is pure value
+    // domain (each length VALUE takes the decile of its first doc:
+    // 1 + ⌊10·off/tot⌋ from per-value counts — no per-value doc
+    // window, so a hot length value cannot create a hot reducer);
+    // the value→decile table is value-domain-bounded and broadcasts.
+    // Mean quality goes through the Exact fixed-point sum so
+    // partial-aggregation order cannot change the result.
+    QueryDef(
+      "q121_length_quality_grid",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n"),
+            round(least(lit(1.0), size(col("toks")) / 100.0)
+              * (size(array_distinct(col("toks"))) / size(col("toks"))), 6)
+              .as("q"))
+        val wOff = Window.orderBy(col("n"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.orderBy(col("n"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val vd = docs.groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .withColumn("tot", sum(col("cnt")).over(wAll))
+          .select(col("n"),
+            (lit(1L) + expr("(10 * off) div tot")).as("len_decile"))
+        docs.join(broadcast(vd), "n")
+          .groupBy(col("len_decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(graft.functions.Exact.sumFixed("q", 6) / count(lit(1)), 6)
+              .as("mean_quality"))
+      },
+      Some(s"""WITH dq AS (SELECT doc_id,
+              |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+              |            round(least(1.0, len(string_split(text, ' ')) / 100.0)
+              |              * (len(list_distinct(string_split(text, ' ')))
+              |                 / len(string_split(text, ' '))), 6) AS q
+              |          FROM documents),
+              |vd AS (SELECT n, CAST(count(*) AS BIGINT) AS cnt FROM dq GROUP BY n),
+              |vo AS (SELECT n,
+              |         CAST(coalesce(sum(cnt) OVER (ORDER BY n
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |           AS BIGINT) AS off,
+              |         CAST(sum(cnt) OVER () AS BIGINT) AS tot
+              |       FROM vd),
+              |dd AS (SELECT n, CAST(1 + (10 * off) // tot AS BIGINT) AS len_decile
+              |       FROM vo)
+              |SELECT len_decile, count(*) AS n_docs,
+              |  round((${graft.functions.Exact.sumFixedSql("q", 6)}) / count(*), 6)
+              |    AS mean_quality
+              |FROM dq JOIN dd USING (n) GROUP BY 1""".stripMargin))
   )
 }

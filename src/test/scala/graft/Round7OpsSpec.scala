@@ -88,6 +88,19 @@ class Round7OpsSpec extends SparkSpec {
     assert(nClusters <= nDocs)
   }
 
+  test("q121 grid covers every document; deciles are 1..10 and balanced") {
+    val rows = run("q121_length_quality_grid").collect()
+    val total = rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    val docs = Tables(spark, sf001, "documents").count()
+    assert(total === docs, s"every doc lands in one decile: $total vs $docs")
+    val deciles = rows.map(_.getLong(0)).sorted
+    assert(deciles.forall(d => d >= 1 && d <= 10), deciles.mkString(","))
+    rows.foreach { r =>
+      val mq = r.getDouble(r.fieldIndex("mean_quality"))
+      assert(mq >= 0.0 && mq <= 1.0, r.toString)
+    }
+  }
+
   test("q116 drift is a valid cosine and covers every vector") {
     val rows = run("q116_centroid_drift").collect()
     assert(rows.nonEmpty)
