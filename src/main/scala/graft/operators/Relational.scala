@@ -459,6 +459,68 @@ object Relational {
              |         CAST(ceil(i * n_total / 10.0) AS BIGINT) AS k
              |       FROM n, UNNEST(generate_series(1, 9)) AS g(i))
              |SELECT decile, o_totalprice AS value, o_orderkey
-             |FROM ks JOIN r ON r.rn = ks.k""".stripMargin))
+             |FROM ks JOIN r ON r.rn = ks.k""".stripMargin)),
+
+    // ---- q126: one-pass-per-column data-profiling report -----------------
+    // The schema-health table every ingest lands behind: per column,
+    // row/null/exact-distinct counts and min/max rendered to strings.
+    // Plan shape is ONE BRANCH PER COLUMN unioned, not one aggregate
+    // with k count(distinct)s: multi-distinct plans through Expand
+    // (k× the scan's rows into the shuffle), while each branch here
+    // scans ONLY its column (parquet column pruning — ReadSchema is
+    // single-field per branch) and partial-aggregates to one row, so
+    // the whole report moves k·|distinct| keys and k result rows. On
+    // a 100 TB columnar table that is k cheap column scans instead of
+    // one k×-amplified shuffle. Timestamps profile as exact integer
+    // µs (the engine-wide rule — no engine-formatted timestamp
+    // strings); the double column renders through round→DECIMAL so
+    // both engines print identical fixed-scale strings.
+    QueryDef(
+      "q126_profile",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        def prof(name: String, v: org.apache.spark.sql.Column,
+            fmt: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+            : DataFrame =
+          ev.select(v.as("v"))
+            .agg(count(lit(1)).as("n_rows"),
+              (count(lit(1)) - count(col("v"))).as("n_nulls"),
+              countDistinct(col("v")).as("n_distinct"),
+              fmt(min(col("v"))).as("min_s"),
+              fmt(max(col("v"))).as("max_s"))
+            .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("min_s"), col("max_s"))
+        val asStr = (c: org.apache.spark.sql.Column) => c.cast("string")
+        val asDec = (c: org.apache.spark.sql.Column) =>
+          round(c, 2).cast("decimal(18,2)").cast("string")
+        prof("event_id", col("event_id"), asStr)
+          .unionAll(prof("ts_us", unix_micros(col("ts")), asStr))
+          .unionAll(prof("user_id", col("user_id"), asStr))
+          .unionAll(prof("event_type", col("event_type"), asStr))
+          .unionAll(prof("value", col("value"), asDec))
+          .unionAll(prof("props", col("props"), asStr))
+      },
+      Some {
+        def branch(name: String, v: String, mn: String, mx: String) =
+          s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($v) AS n_nulls,
+             |  CAST(count(DISTINCT $v) AS BIGINT) AS n_distinct,
+             |  $mn AS min_s, $mx AS max_s
+             |FROM events""".stripMargin
+        def s(v: String) = branch(v, v,
+          s"CAST(min($v) AS VARCHAR)", s"CAST(max($v) AS VARCHAR)")
+        Seq(
+          s("event_id"),
+          branch("ts_us", "epoch_us(ts)",
+            "CAST(min(epoch_us(ts)) AS VARCHAR)",
+            "CAST(max(epoch_us(ts)) AS VARCHAR)"),
+          s("user_id"),
+          s("event_type"),
+          branch("value", "value",
+            "CAST(CAST(round(min(value), 2) AS DECIMAL(18,2)) AS VARCHAR)",
+            "CAST(CAST(round(max(value), 2) AS DECIMAL(18,2)) AS VARCHAR)"),
+          s("props")
+        ).mkString("\nUNION ALL\n")
+      })
   )
 }

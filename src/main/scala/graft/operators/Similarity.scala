@@ -981,7 +981,115 @@ object Similarity {
              |  round(list_dot_product(lv, gv) /
              |    (sqrt(list_dot_product(lv, lv)) * sqrt(list_dot_product(gv, gv))), 6)
              |    AS centroid_cos
-             |FROM lc, gc""".stripMargin))
+             |FROM lc, gc""".stripMargin)),
+
+    // ---- q123: IVF cell-balance report -----------------------------------
+    // The index-health check every IVF deployment runs before serving:
+    // per-cell population and mean similarity-to-nearest-centroid over
+    // the q80/q117 seed partitioning. Cell-size skew is THE failure
+    // mode of IVF at scale — a cell holding 30% of the corpus makes
+    // every probe of it a linear scan, and nprobe tuning is blind
+    // without this table. Assignment is the q43/q80 packed-argmax
+    // HashAggregate (the all-N path never touches a window); the
+    // nearest-centroid similarity rides the same aggregate as
+    // max(csim) — the true maximum, which by definition belongs to
+    // the nearest centroid (if two centroids' cosines fall in the
+    // same 2^-52 argmax bin the reported max is still THE max, an
+    // identical double in both engines). Per-cell means go through
+    // [[graft.functions.Exact.sumFixed]] on 1e-6-rounded terms, so
+    // partial-aggregation order cannot change the result. Output is
+    // 16 rows from one linear corpus pass — nothing here grows with N
+    // except the scan.
+    QueryDef(
+      "q123_ivf_balance",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = emb(s, d)
+        val seeds = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val scored = e.select(col("vec_id"), col("v").as("qv"))
+          .crossJoin(broadcast(seeds))
+          .withColumn("csim", expr("cosine_sim(qv, cv)"))
+        scored.groupBy(col("vec_id"))
+          .agg(max(expr(
+            "floor(csim * 4503599627370496d) * 16 + (15 - cent_id)")).as("k"),
+            round(max(col("csim")), 6).as("b6"))
+          .select((lit(15L) - pmod(col("k"), lit(16L))).as("cell"), col("b6"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(graft.functions.Exact.sumFixed("b6", 6) / count(lit(1)), 6)
+              .as("mean_cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+              |scored AS (SELECT vec_id, v AS qv, cent_id, cv, $cosSql AS csim
+              |           FROM e CROSS JOIN seeds),
+              |a AS (SELECT vec_id,
+              |        max(CAST(floor(csim * 4503599627370496) AS BIGINT) * 16
+              |            + (15 - cent_id)) AS k,
+              |        round(max(csim), 6) AS b6
+              |      FROM scored GROUP BY vec_id),
+              |c AS (SELECT 15 - ((k % 16) + 16) % 16 AS cell, b6 FROM a)
+              |SELECT cell, count(*) AS n_vecs,
+              |  round(${graft.functions.Exact.sumFixedSql("b6", 6)}
+              |        / count(*), 6) AS mean_cos
+              |FROM c GROUP BY cell""".stripMargin)),
+
+    // ---- q124: PQ reconstruction-error report ----------------------------
+    // The codebook-quality eval for q72/q80's product quantizer: per
+    // subspace, the mean squared distance between each sub-vector and
+    // its chosen (argmin) codeword, plus how many of the 64 codes the
+    // corpus actually uses. High mean_err in one subspace means that
+    // slice of the embedding is poorly covered (retrain or split it);
+    // codes_used ≪ 64 means dead codewords — both numbers drive the
+    // retrain-the-codebook decision a 100 TB ANN deployment makes
+    // before re-encoding. The reconstruction error IS min(d2) over
+    // the 64 codes (the same native l2sq expression as the encode —
+    // codegen'd, not an interpreted HOF); the chosen code comes from
+    // q80's quantized packed argmin, so both engines agree on ties.
+    // One linear pass over the corpus-sized (vec, m) split against
+    // the broadcast 16-row codebook, collapsing to 8 output rows.
+    QueryDef(
+      "q124_pq_error",
+      (s, d) => {
+        graft.functions.SquaredDistance.register(s)
+        val e = emb(s, d)
+        val cb = pqSplit(e.filter(col("vec_id") < 16), "code")
+          .withColumnRenamed("sv", "cbv")
+        pqSplit(e, "c_id")
+          .join(broadcast(cb), "m")
+          .withColumn("d2", pqD2)
+          .groupBy(col("c_id"), col("m"))
+          .agg(min(expr(
+            "floor(d2 * 1125899906842624d) * 64 + code")).as("k"),
+            round(min(col("d2")), 6).as("e6"))
+          .select(col("m"), pmod(col("k"), lit(64L)).as("code"), col("e6"))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct(col("code")).as("codes_used"),
+            round(graft.functions.Exact.sumFixed("e6", 6) / count(lit(1)), 6)
+              .as("mean_err"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cb AS (SELECT g.m AS m, vec_id AS code, v[g.m*8+1 : g.m*8+8] AS cbv
+             |       FROM e, UNNEST(generate_series(0, 7)) AS g(m)
+             |       WHERE vec_id < 16),
+             |p AS (SELECT vec_id, g.m AS m, v[g.m*8+1 : g.m*8+8] AS sv
+             |      FROM e, UNNEST(generate_series(0, 7)) AS g(m)),
+             |sc AS (SELECT vec_id, p.m, code,
+             |         list_dot_product(sv, sv) - 2 * list_dot_product(sv, cbv)
+             |           + list_dot_product(cbv, cbv) AS d2
+             |       FROM p JOIN cb ON p.m = cb.m),
+             |a AS (SELECT vec_id, m,
+             |        ((min(CAST(floor(d2 * 1125899906842624) AS BIGINT) * 64 + code)
+             |          % 64) + 64) % 64 AS code,
+             |        round(min(d2), 6) AS e6
+             |      FROM sc GROUP BY vec_id, m)
+             |SELECT m, count(*) AS n_vecs,
+             |  CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+             |  round((sum(CAST(round((e6) * 1000000) AS BIGINT)) / 1000000.0)
+             |        / count(*), 6) AS mean_err
+             |FROM a GROUP BY m""".stripMargin))
   )
 
 

@@ -1155,6 +1155,126 @@ object TextOps {
               |SELECT len_decile, count(*) AS n_docs,
               |  round((${graft.functions.Exact.sumFixedSql("q", 6)}) / count(*), 6)
               |    AS mean_quality
-              |FROM dq JOIN dd USING (n) GROUP BY 1""".stripMargin))
+              |FROM dq JOIN dd USING (n) GROUP BY 1""".stripMargin)),
+
+    // ---- q122: collocation mining (bigram lift / PMI proxy) -------------
+    // The phrase-discovery pass tokenizer training and stop-phrase
+    // lists are built from: rank bigrams by lift
+    // c12·N / (c1·c2) — the rational form of PMI (its exp), so the
+    // oracle stays exact without libm log. Marginals ride the bigram
+    // table itself (left marginal = Σ over w2, right = Σ over w1,
+    // N = Σ c12), so the corpus token stream aggregates ONCE; the
+    // min-support filter (c12 ≥ 5) prunes the join probe side before
+    // either marginal join, and neither join carries a broadcast
+    // hint — at web scale the raw-token marginal tables are
+    // vocabulary-sized and unbounded (the q69 lesson), so the planner
+    // must choose from stats. The global top-25 plans as
+    // TakeOrderedAndProject (partition-local heaps, 25 rows per task
+    // to the driver — never a global sort). Lift multiplies the FIRST
+    // factor into double before the product (the q111 overflow
+    // lesson: c12·N on BIGINTs overflows at ~10^13 tokens).
+    QueryDef(
+      "q122_collocations",
+      (s, d) => {
+        val bi = Tables.parallel(s, d, "documents")
+          .select(split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+            .as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val counts = bi.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val left = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val right = counts.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+        val tot = counts.agg(sum(col("c12")).as("n_tot"))
+        counts.filter(col("c12") >= 5)
+          .join(left, "w1")
+          .join(right, "w2")
+          .crossJoin(broadcast(tot))
+          .withColumn("lift", round(
+            (col("c12").cast("double") * col("n_tot"))
+              / (col("c1").cast("double") * col("c2")), 6))
+          .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+          .limit(25)
+          .select(col("w1"), col("w2"), col("c12"), col("lift"))
+      },
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+             |             WHERE len(string_split(text, ' ')) >= 2),
+             |bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+             |       FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+             |counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+             |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+             |      FROM counts GROUP BY 1),
+             |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2
+             |      FROM counts GROUP BY 1),
+             |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_tot FROM counts)
+             |SELECT w1, w2, c12,
+             |  round((CAST(c12 AS DOUBLE) * n_tot)
+             |        / (CAST(c1 AS DOUBLE) * c2), 6) AS lift
+             |FROM counts JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+             |WHERE c12 >= 5
+             |ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin)),
+
+    // ---- q125: per-source length-distribution drift (TV distance) -------
+    // Mixture monitoring one level deeper than q74's share table: for
+    // each source, the total-variation distance between its
+    // token-length distribution and the corpus-wide one —
+    // ½·Σ_b |c_sb/n_s − c_b/N| over q93's exact log2 length buckets.
+    // A source whose TV jumps between crawls changed its content
+    // shape (truncation bug, new template, spam flood) even if its
+    // row share (q74) is unchanged. Everything flows from ONE
+    // (source, bucket) partial-aggregated exchange; the per-source
+    // and per-bucket marginals are aggregates OF that aggregate. The
+    // |sources|×|buckets| comparison grid is built by crossing the
+    // source totals with the BROADCAST bucket marginal (≤ ~60 rows —
+    // value-domain-bounded, the one justified broadcast) so sources
+    // missing a bucket still contribute that bucket's |0 − c_b/N|
+    // term. Each term is two IEEE divides of identically-derived
+    // integers (exact cross-engine), rounded to 1e-9 and summed
+    // fixed-point — order-independent.
+    QueryDef(
+      "q125_source_drift",
+      (s, d) => {
+        val sb = Tables(s, d, "documents")
+          .select(col("source"),
+            length(conv(size(split(col("text"), " ")), 10, 2)).as("bkt"))
+          .groupBy(col("source"), col("bkt"))
+          .agg(count(lit(1)).as("c_sb"))
+        val srcTot = sb.groupBy(col("source")).agg(sum(col("c_sb")).as("n_s"))
+        val gb = sb.groupBy(col("bkt")).agg(sum(col("c_sb")).as("c_b"))
+        val tot = sb.agg(sum(col("c_sb")).as("n_all"))
+        srcTot.crossJoin(broadcast(gb))
+          .join(sb, Seq("source", "bkt"), "left")
+          .withColumn("c_sb", coalesce(col("c_sb"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("term", round(abs(
+            col("c_sb") / col("n_s") - col("c_b") / col("n_all")), 9))
+          .groupBy(col("source"))
+          .agg(max(col("n_s")).as("n_docs"),
+            round(graft.functions.Exact.sumFixed("term", 9) / 2.0, 6)
+              .as("tv_dist"))
+      },
+      Some(s"""WITH d AS (SELECT source,
+              |            length(bin(CAST(len(string_split(text, ' ')) AS INTEGER)))
+              |              AS bkt
+              |          FROM documents),
+              |sb AS (SELECT source, bkt, count(*) AS c_sb FROM d GROUP BY 1, 2),
+              |st AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s
+              |       FROM sb GROUP BY 1),
+              |gb AS (SELECT bkt, CAST(sum(c_sb) AS BIGINT) AS c_b
+              |       FROM sb GROUP BY 1),
+              |n AS (SELECT CAST(sum(c_sb) AS BIGINT) AS n_all FROM sb),
+              |grid AS (SELECT source, n_s, gb.bkt, c_b,
+              |           coalesce(c_sb, 0) AS c_sb, n_all
+              |         FROM st CROSS JOIN gb
+              |         LEFT JOIN sb USING (source, bkt) CROSS JOIN n),
+              |t AS (SELECT source, n_s,
+              |        round(abs(c_sb / n_s - c_b / n_all), 9) AS term
+              |      FROM grid)
+              |SELECT source, max(n_s) AS n_docs,
+              |  round(${graft.functions.Exact.sumFixedSql("term", 9)} / 2.0, 6)
+              |    AS tv_dist
+              |FROM t GROUP BY source""".stripMargin))
   )
 }

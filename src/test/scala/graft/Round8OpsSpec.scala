@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-6 additions q122–q126 beyond the
+  * driver's oracle hash-match: collocation support/top-k contracts and
+  * the q69-style no-forced-broadcast pin, IVF balance mass
+  * conservation, PQ error-report invariants, TV-distance bounds, and
+  * the profiler's per-branch column pruning.
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("q122 respects min support, caps at 25, and never forces the marginal joins") {
+    val rows = run("q122_collocations").collect()
+    assert(rows.length == 25, s"top-25 contract, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("c12")) >= 5L, r.toString)
+      assert(r.getDouble(r.fieldIndex("lift")) > 0.0, r.toString)
+    }
+    val df = run("q122_collocations")
+    // both marginal tables are vocabulary-sized at web scale (the q69
+    // lesson): the equi-joins must carry no broadcast hint — only the
+    // 1-row N total may be hint-broadcast
+    val equiHints = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isDefined => j.hint
+    }
+    assert(equiHints.nonEmpty, "expected the two marginal equi-joins")
+    equiHints.foreach { h =>
+      assert(h.leftHint.isEmpty && h.rightHint.isEmpty,
+        s"vocabulary-sized join side must not be hint-forced: $h")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-25 must be TakeOrderedAndProject, not a sort:\n$p")
+  }
+
+  test("q123 conserves the corpus across cells with valid means") {
+    val rows = run("q123_ivf_balance").collect()
+    val n = Tables(spark, sf001, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === n,
+      "every vector lands in exactly one cell")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("cell")) >= 0L
+        && r.getLong(r.fieldIndex("cell")) <= 15L, r.toString)
+      val m = r.getDouble(r.fieldIndex("mean_cos"))
+      assert(m >= -1.0 && m <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("q124 reports all 8 subspaces over the full corpus") {
+    val rows = run("q124_pq_error").collect()
+    assert(rows.length == 8, s"one row per subspace, got ${rows.length}")
+    val n = Tables(spark, sf001, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_vecs")) === n, r.toString)
+      // the codebook holds 16 codewords (vec_id < 16)
+      assert(r.getLong(r.fieldIndex("codes_used")) <= 16L, r.toString)
+      assert(r.getDouble(r.fieldIndex("mean_err")) >= 0.0, r.toString)
+    }
+  }
+
+  test("q125 TV distances are bounded and doc mass is conserved") {
+    val rows = run("q125_source_drift").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    val docs = Tables(spark, sf001, "documents").count()
+    assert(total === docs, s"per-source doc counts must sum to the corpus: $total vs $docs")
+    rows.foreach { r =>
+      val tv = r.getDouble(r.fieldIndex("tv_dist"))
+      assert(tv >= 0.0 && tv <= 1.0, r.toString)
+    }
+  }
+
+  test("q126 profiles consistently and each branch scan prunes to its column") {
+    val df = run("q126_profile")
+    val rows = df.collect()
+    assert(rows.length == 6, s"one row per profiled column, got ${rows.length}")
+    val nRows = rows.map(_.getLong(rows.head.fieldIndex("n_rows"))).distinct
+    assert(nRows.length == 1, s"all branches scan the same table: $nRows")
+    rows.foreach { r =>
+      val (nulls, dist) = (r.getLong(r.fieldIndex("n_nulls")),
+        r.getLong(r.fieldIndex("n_distinct")))
+      assert(nulls >= 0L && dist <= nRows.head - nulls, r.toString)
+      assert(r.getString(r.fieldIndex("min_s")).nonEmpty
+        && r.getString(r.fieldIndex("max_s")).nonEmpty, r.toString)
+    }
+    // pushdown evidence: every parquet scan in the plan reads exactly
+    // one of the six event columns (ReadSchema single-field) — the
+    // point of the union-of-branches shape over a k×Expand aggregate
+    val evCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val scans = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema:")).toSeq
+    assert(scans.nonEmpty, "expected parquet scans in the plan")
+    scans.foreach { l =>
+      val read = evCols.count(c => l.contains(c + ":"))
+      assert(read <= 1, s"branch scan must prune to one column: $l")
+    }
+  }
+}
