@@ -100,7 +100,13 @@ object SkewBench {
     // first 60 tokens → 2 aligned chunks at diagonal 0 each, so
     // rows == PlantedPairs proves recall; the 1000-doc hot cluster's
     // shared chunk has df ≫ 64 and must be capped away)
-    "q110_minhash_error", "q113_aligned_dups")
+    "q110_minhash_error", "q113_aligned_dups",
+    // round-6 third wave: collocation mining — the boilerplate
+    // bigrams ("terms of", "of service", …) occur in a third of the
+    // corpus, making them the hot keys of the (w1, w2) aggregate and
+    // of both marginal joins; partial aggregation must collapse them
+    // map-side and the unhinted joins must not tip over
+    "q122_collocations")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -361,4 +361,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       || p.contains("BroadcastNestedLoopJoin"),
       s"queries must broadcast against the corpus:\n$p")
   }
+
+  test("q122 re-reads the bigram aggregate, not the corpus, per marginal") {
+    // counts(w1, w2) feeds four consumers (probe side, both
+    // marginals, the N total): Spark inlines each, but exchange reuse
+    // must collapse them onto ONE corpus-token explode+aggregate —
+    // otherwise every marginal re-scans the corpus at 100 TB
+    val p = planOf("q122_collocations")
+    assert(p.contains("ReusedExchange"),
+      s"marginals must reuse the bigram-counts exchange:\n$p")
+  }
 }
