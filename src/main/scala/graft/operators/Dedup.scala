@@ -1004,6 +1004,48 @@ object Dedup {
               |       FROM compt GROUP BY comp)
               |SELECT CAST(length(bin(sz)) AS INTEGER) AS sz_bucket,
               |  count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
-              |FROM cs GROUP BY 1""".stripMargin))
+              |FROM cs GROUP BY 1""".stripMargin)),
+
+    // ---- q127: cross-source duplicate provenance -------------------------
+    // WHO is duplicating WHOM: for every unordered source pair, the
+    // number of q57 near-dup clusters with members in both — the
+    // provenance table behind "crawl B is 60% re-hosted crawl A"
+    // decisions (drop a source vs dedup it). The per-component source
+    // inventory collapses each cluster to ≤ |sources| DISTINCT rows
+    // before the pair self-join, so a 10⁶-doc template cluster
+    // contributes the same ≤ |sources|² join rows as a 2-doc one —
+    // the self-join is value-domain-bounded, never corpus-bounded.
+    // (comp, src_a, src_b) is unique after the `<` filter, so the
+    // flow count is a plain count(*), no count-distinct pass.
+    QueryDef(
+      "q127_dup_provenance",
+      (s, d) => {
+        val srcs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        val ps = dedupComponents(s, d)
+          .join(srcs, "doc_id")
+          .select(col("comp"), col("source")).distinct()
+        ps.as("x").join(ps.as("y"),
+            col("x.comp") === col("y.comp")
+              && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("n_clusters"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |compt AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |ps AS (SELECT DISTINCT comp, source
+              |       FROM compt JOIN documents USING (doc_id))
+              |SELECT x.source AS src_a, y.source AS src_b,
+              |  count(*) AS n_clusters
+              |FROM ps x JOIN ps y
+              |  ON x.comp = y.comp AND x.source < y.source
+              |GROUP BY 1, 2""".stripMargin))
   )
 }

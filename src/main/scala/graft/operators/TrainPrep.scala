@@ -705,6 +705,74 @@ object TrainPrep {
               |SELECT da, db, CAST(max(run) AS BIGINT) AS max_aligned_run,
               |  CAST(sum(run) AS BIGINT) AS shared_chunks
               |FROM r GROUP BY 1, 2
-              |HAVING max(run) >= 2""".stripMargin))
+              |HAVING max(run) >= 2""".stripMargin)),
+
+    // ---- q128: token-budget waterfilling allocation ----------------------
+    // Mixture planning under a hard token budget (here: half the
+    // corpus): every source keeps its tokens up to a common cap C,
+    // where C is the LARGEST integer with Σ_s min(n_s, C) ≤ B — the
+    // waterfilling allocation that funds small sources fully and
+    // levels the big ones, the dual of q89's temperature rates. The
+    // solve is exact integer arithmetic on the |sources|-row
+    // aggregate: rank sources ascending by n_s, and for each rank i
+    // the candidate cap (B − cum_{i−1}) div (K−i+1) is valid iff the
+    // previous source still fits fully and this one is capped —
+    // exactly one candidate is valid when B < total (none when the
+    // budget covers everything, in which case no cap applies). All
+    // windows run over the |sources|-row table — value-domain-
+    // bounded, never corpus rows; the corpus contributes one
+    // partial-aggregated (source, Σ tokens) exchange. The div is
+    // truncating on Spark and flooring (`//`)  on DuckDB, but every
+    // VALID candidate has a non-negative numerator (prevN ≤ cap
+    // forces cap ≥ 0), where the two semantics agree; invalid
+    // negative candidates fail `prevN ≤ cap` under both.
+    QueryDef(
+      "q128_budget_waterfill",
+      (s, d) => {
+        val st = Tables(s, d, "documents")
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+          .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+        val b = st.agg(sum(col("n_tokens")).as("tot"))
+          .select(expr("tot div 2").as("budget"))
+        val w = Window.orderBy(col("n_tokens"), col("source"))
+        val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val cap = st.crossJoin(broadcast(b))
+          .withColumn("i", row_number().over(w))
+          .withColumn("cum", sum(col("n_tokens")).over(wCum))
+          .withColumn("k", count(lit(1)).over(wAll))
+          .withColumn("prevN", lag(col("n_tokens"), 1, 0L).over(w))
+          .withColumn("cap", expr("(budget - (cum - n_tokens)) div (k - i + 1)"))
+          .filter(col("cap") < col("n_tokens") && col("prevN") <= col("cap"))
+          .agg(min(col("cap")).as("cap"))
+        st.crossJoin(broadcast(cap))
+          .select(col("source"), col("n_tokens"),
+            least(col("n_tokens"),
+              coalesce(col("cap"), col("n_tokens"))).as("alloc"),
+            when(col("n_tokens") > coalesce(col("cap"), col("n_tokens")), 1)
+              .otherwise(0).as("capped"))
+      },
+      Some("""WITH st AS (SELECT source,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |       FROM documents GROUP BY 1),
+             |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM st),
+             |r AS (SELECT source, n_tokens, budget,
+             |        row_number() OVER (ORDER BY n_tokens, source) AS i,
+             |        CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |        CAST(count(*) OVER () AS BIGINT) AS k,
+             |        CAST(coalesce(lag(n_tokens) OVER (ORDER BY n_tokens, source), 0)
+             |          AS BIGINT) AS prevN
+             |      FROM st CROSS JOIN b),
+             |capt AS (SELECT min((budget - (cum - n_tokens)) // (k - i + 1)) AS cap
+             |         FROM r
+             |         WHERE (budget - (cum - n_tokens)) // (k - i + 1) < n_tokens
+             |           AND prevN <= (budget - (cum - n_tokens)) // (k - i + 1))
+             |SELECT source, n_tokens,
+             |  least(n_tokens, coalesce(cap, n_tokens)) AS alloc,
+             |  CASE WHEN n_tokens > coalesce(cap, n_tokens) THEN 1 ELSE 0 END
+             |    AS capped
+             |FROM st CROSS JOIN capt""".stripMargin))
   )
 }

@@ -100,4 +100,49 @@ class Round8OpsSpec extends SparkSpec {
       assert(read <= 1, s"branch scan must prune to one column: $l")
     }
   }
+
+  test("q127 flow counts match an independent per-pair recount") {
+    val flows = run("q127_dup_provenance").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(flows.nonEmpty)
+    flows.keys.foreach { case (a, b) => assert(a < b, s"unordered pair: $a,$b") }
+    // recount from q57's public component table
+    val ps = run("q57_dedup_components")
+      .join(Tables(spark, sf001, "documents")
+        .select(col("doc_id"), col("source")), "doc_id")
+      .select(col("comp"), col("source")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).values
+      .flatMap { g =>
+        val ss = g.map(_._2).distinct.sorted
+        for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(flows === ps, s"engine $flows vs recount $ps")
+  }
+
+  test("q128 waterfilling is budget-feasible and the cap is maximal") {
+    val rows = run("q128_budget_waterfill").collect()
+    val docs = Tables(spark, sf001, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    val budget = docs / 2
+    val byCap = rows.map { r =>
+      (r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("alloc")),
+        r.getInt(r.fieldIndex("capped")))
+    }
+    byCap.foreach { case (n, a, c) =>
+      assert(a <= n && (c == 1) == (a < n), s"($n,$a,$c)")
+    }
+    val total = byCap.map(_._2).sum
+    assert(total <= budget, s"allocation $total must fit the budget $budget")
+    val capped = byCap.filter(_._3 == 1)
+    if (capped.nonEmpty) {
+      val cap = capped.map(_._2).distinct
+      assert(cap.length == 1, s"all capped sources level at one cap: ${cap.toSeq}")
+      // maximality: raising the cap by one token overshoots the budget
+      val plusOne = byCap.map { case (n, _, _) => math.min(n, cap.head + 1) }.sum
+      assert(plusOne > budget, s"cap ${cap.head} must be maximal: $plusOne <= $budget")
+    }
+  }
 }
