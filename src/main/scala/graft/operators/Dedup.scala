@@ -1046,6 +1046,64 @@ object Dedup {
               |  count(*) AS n_clusters
               |FROM ps x JOIN ps y
               |  ON x.comp = y.comp AND x.source < y.source
-              |GROUP BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q129: cluster-density histogram ---------------------------------
+    // HOW TRUSTWORTHY are the q57 clusters: per component, the edge
+    // density 2·|direct pairs| / (sz·(sz−1)) — 1.0 means every member
+    // pair was independently detected (a clique: safe to collapse),
+    // ~2/sz means a transitive chain where the endpoints may share
+    // nothing (the classic over-merge failure of connected-component
+    // dedup; Gopher/RefinedWeb both flag it). Reported as a
+    // value-domain histogram (density decile × cluster/doc counts +
+    // exact mean), so the output is ≤ 10 rows however many clusters
+    // exist. Edges re-aggregate per component on the SAME comp
+    // partitioning the size count uses; density is one double divide
+    // of identically-derived integers, its decile one floor — exact
+    // cross-engine. sz·(sz−1) stays in BIGINT: a cluster would need
+    // 3·10⁹ members to overflow, at which point the dedup config is
+    // the bug being reported.
+    QueryDef(
+      "q129_cluster_density",
+      (s, d) => {
+        val comp = dedupComponents(s, d)
+        val direct = minhashPairs(s, d)
+          .join(comp.select(col("doc_id").as("da"), col("comp")), "da")
+          .groupBy(col("comp")).agg(count(lit(1)).as("n_edges"))
+        comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .join(direct, "comp")
+          .withColumn("density",
+            (lit(2.0) * col("n_edges")) / (col("sz") * (col("sz") - 1)))
+          .withColumn("bucket", least(lit(9L), floor(col("density") * 10)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+            round(graft.functions.Exact.sumFixed("round(density, 6)", 6)
+              / count(lit(1)), 6).as("mean_density"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |compt AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |e AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_edges
+              |      FROM pairs JOIN compt ON pairs.da = compt.doc_id
+              |      GROUP BY 1),
+              |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+              |       FROM compt GROUP BY 1),
+              |bc AS (SELECT comp, sz, n_edges,
+              |         (2.0 * n_edges) / (sz * (sz - 1)) AS density
+              |       FROM cs JOIN e USING (comp)),
+              |b AS (SELECT least(9, CAST(floor(density * 10) AS BIGINT)) AS bucket,
+              |        sz, density
+              |      FROM bc)
+              |SELECT bucket, count(*) AS n_clusters,
+              |  CAST(sum(sz) AS BIGINT) AS n_docs,
+              |  round(${graft.functions.Exact.sumFixedSql("round(density, 6)", 6)}
+              |        / count(*), 6) AS mean_density
+              |FROM b GROUP BY 1""".stripMargin))
   )
 }

@@ -121,6 +121,23 @@ class Round8OpsSpec extends SparkSpec {
     assert(flows === ps, s"engine $flows vs recount $ps")
   }
 
+  test("q129 conserves clusters and docs across density buckets") {
+    val rows = run("q129_cluster_density").collect()
+    val comp = run("q57_dedup_components")
+    val docs = comp.count()
+    val clusters = comp.select(col("comp")).distinct().count()
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum === docs,
+      "every clustered doc lands in exactly one density bucket")
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_clusters"))).sum === clusters,
+      "every cluster lands in exactly one density bucket")
+    rows.foreach { r =>
+      val m = r.getDouble(r.fieldIndex("mean_density"))
+      assert(m > 0.0 && m <= 1.0, r.toString)
+      val b = r.getLong(r.fieldIndex("bucket"))
+      assert(b >= 0L && b <= 9L, r.toString)
+    }
+  }
+
   test("q128 waterfilling is budget-feasible and the cap is maximal") {
     val rows = run("q128_budget_waterfill").collect()
     val docs = Tables(spark, sf001, "documents")
