@@ -1089,18 +1089,91 @@ object Similarity {
              |  CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
              |  round((sum(CAST(round((e6) * 1000000) AS BIGINT)) / 1000000.0)
              |        / count(*), 6) AS mean_err
-             |FROM a GROUP BY m""".stripMargin))
+             |FROM a GROUP BY m""".stripMargin)),
+
+    // ---- q130: IVF-PQ nprobe tuning curve --------------------------------
+    // THE tuning artifact an IVF deployment is configured from:
+    // recall@3 vs exact ground truth at nprobe ∈ {1, 2, 4} — where
+    // the curve flattens is where probing more cells stops paying.
+    // The curve need NOT be monotone: the candidate set only grows
+    // with nprobe, but recall@k compares the fixed top-k ADC cut, and
+    // extra cells bring quantization-error imposters that can push
+    // true neighbors out of it — a dipping curve says the PQ
+    // codebook, not the probe count, is the binding error (visible
+    // on this corpus's random vectors; Round8OpsSpec documents it).
+    // The whole sweep shares ONE corpus pass ([[ivfpqAdcSweep]]):
+    // each candidate's cell is probed at exactly one rank, so the
+    // nprobe=k candidate set is a `prn ≤ k` filter over the SAME
+    // ADC aggregate, and only the per-query top-3 ranking (bounded
+    // rows) re-runs per sweep point — at a billion vectors the sweep
+    // costs the same scan as a single eval. Ground truth is q117's
+    // exact cosine top-3 with the q90 partition-local pre-prune.
+    QueryDef(
+      "q130_probe_curve",
+      (s, d) => {
+        val sweep = ivfpqAdcSweep(s, d, Seq(1, 2, 4), 3)
+          .select(col("nprobe"), col("q_id"), col("c_id"))
+        val e = emb(s, d)
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val scored = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+          .join(broadcast(qs), col("c_id") =!= col("q_id"))
+          .withColumn("sim", expr(cosSpark(s)))
+        val wLocal = Window.partitionBy(col("q_id"), col("pid"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)
+        val gt = scored.withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal)).filter(col("lrn") <= 3)
+          .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"))
+        gt.withColumn("nprobe", explode(array(Seq(1, 2, 4).map(lit(_)): _*)))
+          .join(sweep.withColumn("h", lit(1)),
+            Seq("nprobe", "q_id", "c_id"), "left")
+          .groupBy(col("nprobe"))
+          .agg(count(lit(1)).as("n_gt"),
+            sum(coalesce(col("h"), lit(0))).as("n_hit"))
+          .select(col("nprobe"), col("n_gt"), col("n_hit"),
+            round(col("n_hit") / col("n_gt"), 4).as("recall_at_3"))
+      },
+      Some(s"""WITH ${ivfpqSweepCtes(Seq(1, 2, 4))},
+              |adck AS (SELECT nprobe, q_id, c_id FROM rs WHERE rn <= 3),
+              |qs2 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+              |sc2 AS (SELECT q_id, c.vec_id AS c_id, $cosSql AS sim
+              |        FROM qs2, (SELECT vec_id, v AS cv FROM e) c
+              |        WHERE c.vec_id <> q_id),
+              |gt AS (SELECT q_id, c_id FROM
+              |         (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |            ORDER BY sim DESC, c_id) AS rn FROM sc2)
+              |       WHERE rn <= 3),
+              |g3 AS (SELECT np.nprobe, q_id, c_id
+              |       FROM gt CROSS JOIN (VALUES (1), (2), (4)) np(nprobe)),
+              |j AS (SELECT g3.nprobe, g3.q_id,
+              |        CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS h
+              |      FROM g3 LEFT JOIN adck a
+              |        ON g3.nprobe = a.nprobe AND g3.q_id = a.q_id
+              |          AND g3.c_id = a.c_id)
+              |SELECT nprobe, count(*) AS n_gt, CAST(sum(h) AS BIGINT) AS n_hit,
+              |  round(CAST(sum(h) AS BIGINT) / count(*), 4) AS recall_at_3
+              |FROM j GROUP BY nprobe""".stripMargin))
   )
 
 
-  /** q80's IVFADC subtree (assignment, PQ encode, probes, distance
-    * table, candidate ADC ranking), shared with the q117 recall
-    * eval. Returns (q_id, c_id, afx, rn) with rn ≤ 3 by exact
-    * integer ADC order.
+  /** The IVFADC subtree (assignment, PQ encode, probes, distance
+    * table, candidate ADC ranking), generalized over an nprobe SWEEP:
+    * every sweep point shares ONE corpus pass — a candidate's cell is
+    * probed at exactly one probe rank `prn` (each vector lives in one
+    * cell), so the nprobe=k candidate set is just `prn ≤ k`, and only
+    * the tiny per-query ranking re-runs per sweep point. Returns
+    * (nprobe, q_id, c_id, afx, rn) with rn ≤ `k` per (nprobe, q_id)
+    * by exact integer ADC order. Shared by q80/q117 (single point
+    * nprobe=2 via [[ivfpqAdc]]) and q130's tuning curve.
     */
-  private def ivfpqAdc(s: SparkSession, d: String): DataFrame = {
+  private def ivfpqAdcSweep(s: SparkSession, d: String,
+      nprobes: Seq[Int], k: Int): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     graft.functions.SquaredDistance.register(s)
+    val maxNp = nprobes.max
     val e = emb(s, d)
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
@@ -1122,14 +1195,16 @@ object Similarity {
       .agg(min(expr(
         "floor(d2 * 1125899906842624d) * 64 + code")).as("k"))
       .select(col("c_id"), col("m"), pmod(col("k"), lit(64L)).as("code"))
-    // query → nprobe=2 cells (ranked by the same quantized key)
+    // query → up-to-maxNp probe cells, keeping the probe rank
+    // (ranked by the same quantized key as the assignment argmax)
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(expr("floor(csim * 4503599627370496d)").desc,
         col("cent_id").asc)
     val probes = scored.filter(col("vec_id") < 10)
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
-      .select(col("vec_id").as("q_id"), col("cent_id").as("probe_cell"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= maxNp)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("probe_cell"),
+        col("prn"))
     // query → fixed-point ADC distance table (10×8×16 rows)
     val dtab = pqSplit(e.filter(col("vec_id") < 10), "q_id")
       .join(broadcast(cb), "m")
@@ -1139,24 +1214,38 @@ object Similarity {
     val cands = probes
       .join(assign, col("probe_cell") === col("cell")
         && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("afx").asc, col("c_id").asc)
+      .select(col("q_id"), col("vec_id").as("c_id"), col("prn"))
     // the candidate list (queries × probed-cell members) broadcasts
     // against the corpus-sized code table — the code table itself
-    // must never move for a query batch
-    codes.join(broadcast(cands), "c_id")
+    // must never move for a query batch; prn is functionally
+    // dependent on (q_id, c_id) so the extra group key changes
+    // nothing but carries the sweep admission rank through
+    val adc = codes.join(broadcast(cands), "c_id")
       .join(broadcast(dtab), Seq("q_id", "m", "code"))
-      .groupBy(col("q_id"), col("c_id"))
+      .groupBy(col("q_id"), col("c_id"), col("prn"))
       .agg(sum(col("dfx")).as("afx"))
+    val wTop = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("afx").asc, col("c_id").asc)
+    adc
+      .withColumn("nprobe", explode(array(nprobes.map(lit(_)): _*)))
+      .filter(col("prn") <= col("nprobe"))
       .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
+      .select(col("nprobe"), col("q_id"), col("c_id"), col("afx"), col("rn"))
   }
 
-  /** DuckDB mirror of [[ivfpqAdc]] as a CTE chain ending in
-    * `r(q_id, c_id, afx, rn)` (shared by q80 and q117).
+  /** q80's single-point IVFADC: nprobe=2, top-3 by exact integer ADC
+    * order. Returns (q_id, c_id, afx, rn).
     */
-  private def ivfpqCtes: String =
+  private def ivfpqAdc(s: SparkSession, d: String): DataFrame =
+    ivfpqAdcSweep(s, d, Seq(2), 3).drop("nprobe")
+
+  /** DuckDB mirror of [[ivfpqAdcSweep]] as a CTE chain ending in
+    * `rs(nprobe, q_id, c_id, afx, rn)` (rn unfiltered).
+    */
+  private def ivfpqSweepCtes(nprobes: Seq[Int]): String = {
+    val maxNp = nprobes.max
+    val npRows = nprobes.map(n => s"($n)").mkString(", ")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
               |scored AS (SELECT vec_id, v AS qv, cent_id, cv, $cosSql AS csim
@@ -1166,8 +1255,8 @@ object Similarity {
               |              ORDER BY floor(csim * 4503599627370496) DESC, cent_id) AS rn
               |           FROM scored),
               |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
-              |probes AS (SELECT vec_id AS q_id, cent_id AS probe_cell
-              |           FROM ranked WHERE vec_id < 10 AND rn <= 2),
+              |probes AS (SELECT vec_id AS q_id, cent_id AS probe_cell, rn AS prn
+              |           FROM ranked WHERE vec_id < 10 AND rn <= $maxNp),
               |cb AS (SELECT g.m AS m, vec_id AS code, v[g.m*8+1 : g.m*8+8] AS cbv
               |       FROM e, UNNEST(generate_series(0, 7)) AS g(m)
               |       WHERE vec_id < 16),
@@ -1185,16 +1274,28 @@ object Similarity {
               |           CAST(round((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cbv)
               |             + list_dot_product(cbv, cbv)) * 1099511627776) AS BIGINT) AS dfx
               |         FROM p JOIN cb ON p.m = cb.m WHERE p.vec_id < 10),
-              |cands AS (SELECT q_id, a.vec_id AS c_id
+              |cands AS (SELECT q_id, a.vec_id AS c_id, prn
               |          FROM probes JOIN assign a
               |            ON probe_cell = a.cell AND a.vec_id <> q_id),
-              |adc AS (SELECT q_id, c_id, CAST(sum(dfx) AS BIGINT) AS afx
+              |adc AS (SELECT q_id, c_id, prn, CAST(sum(dfx) AS BIGINT) AS afx
               |        FROM cands JOIN codes USING (c_id) JOIN dtab USING (q_id, m, code)
-              |        GROUP BY q_id, c_id),
-              |r AS (SELECT q_id, c_id, afx,
-              |        CAST(row_number() OVER (PARTITION BY q_id
-              |               ORDER BY afx, c_id) AS INTEGER) AS rn
-              |      FROM adc)"""
+              |        GROUP BY q_id, c_id, prn),
+              |sweep AS (SELECT np.nprobe, q_id, c_id, afx
+              |          FROM adc JOIN (VALUES $npRows) np(nprobe)
+              |            ON prn <= np.nprobe),
+              |rs AS (SELECT nprobe, q_id, c_id, afx,
+              |         CAST(row_number() OVER (PARTITION BY nprobe, q_id
+              |                ORDER BY afx, c_id) AS INTEGER) AS rn
+              |       FROM sweep)"""
+  }
+
+  /** DuckDB mirror of [[ivfpqAdc]] — the nprobe=2 slice of the sweep,
+    * as a chain ending in `r(q_id, c_id, afx, rn)` (shared by q80 and
+    * q117).
+    */
+  private def ivfpqCtes: String =
+    s"""${ivfpqSweepCtes(Seq(2))},
+              |r AS (SELECT q_id, c_id, afx, rn FROM rs)"""
 
   /** 8×8-dim subvector split (PQ m ∈ [0,8)): shared by q72's encode
     * and q80's codebook/distance-table builds.

@@ -138,6 +138,30 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q130 sweep points are complete and reproduce the single-point eval") {
+    val rows = run("q130_probe_curve").collect()
+      .map(r => (r.getInt(r.fieldIndex("nprobe")),
+        r.getLong(r.fieldIndex("n_gt")), r.getLong(r.fieldIndex("n_hit")),
+        r.getDouble(r.fieldIndex("recall_at_3")))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4), rows.mkString(";"))
+    rows.foreach { case (_, gt, hit, rec) =>
+      assert(gt === 30L, s"10 queries x top-3 GT: $gt")
+      assert(hit >= 0L && hit <= gt && rec >= 0.0 && rec <= 1.0, s"$hit/$gt")
+    }
+    // NOTE deliberately NOT asserted: recall monotonicity in nprobe.
+    // The candidate SET is monotone, but recall@3 compares the fixed
+    // top-3 ADC cut — extra candidates from more cells bring their
+    // quantization-error imposters, which can push true neighbors out
+    // of the cut (observed on the random sf0.001 vectors: 8/30 at
+    // nprobe=1 vs 6/30 at nprobe=2). That dip is the phenomenon the
+    // curve exists to expose, not a bug.
+    // The nprobe=2 slice must agree with q117's per-query recall eval:
+    val q117hits = run("q117_ivfpq_recall")
+      .agg(sum(col("n_hit"))).collect().head.getLong(0)
+    assert(rows.find(_._1 == 2).get._3 === q117hits,
+      "sweep point nprobe=2 must reproduce the single-point eval")
+  }
+
   test("q128 waterfilling is budget-feasible and the cap is maximal") {
     val rows = run("q128_budget_waterfill").collect()
     val docs = Tables(spark, sf001, "documents")
