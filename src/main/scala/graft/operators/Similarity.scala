@@ -1155,7 +1155,80 @@ object Similarity {
               |          AND g3.c_id = a.c_id)
               |SELECT nprobe, count(*) AS n_gt, CAST(sum(h) AS BIGINT) AS n_hit,
               |  round(CAST(sum(h) AS BIGINT) / count(*), 4) AS recall_at_3
-              |FROM j GROUP BY nprobe""".stripMargin))
+              |FROM j GROUP BY nprobe""".stripMargin)),
+
+    // ---- q131: nearest-centroid label purity -----------------------------
+    // Label-noise detection for the embedding table: classify every
+    // vector to its nearest LABEL centroid (q116's exact fixed-point
+    // centroids) and report per-label accuracy — a label whose
+    // members mostly classify elsewhere is mislabeled, split, or
+    // semantically empty. Per-label confusion is the geometric
+    // sibling of q119's text-side confusion matrix. One corpus pass
+    // against the broadcast |labels|-row centroid table; assignment
+    // is the q43 packed-argmax in HashAggregate (labels < 16 fit the
+    // same ×16 packing), ranked by the one quantized key
+    // floor(csim·2^52) with lowest-label tiebreak on both engines.
+    QueryDef(
+      "q131_label_purity",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val F = 1073741824L // 2^30
+        val e = emb(s, d)
+        val bl = e
+          .select(col("label"), posexplode(expr(
+            s"transform(v, x -> cast(round(x * ${F}d, 0) as bigint))"))
+            .as(Seq("pos", "fx")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+        val lc = bl
+          .select(col("label"), struct(col("pos"),
+            (col("sfx") / (col("n") * lit(F.toDouble))).as("cval")).as("pv"))
+          .groupBy(col("label"))
+          .agg(sort_array(collect_list(col("pv"))).as("pvs"))
+          .select(col("label").as("clabel"),
+            expr("transform(pvs, p -> p.cval)").as("cv"))
+        val assign = e.select(col("vec_id"), col("label"), col("v").as("qv"))
+          .crossJoin(broadcast(lc))
+          .withColumn("csim", expr("cosine_sim(qv, cv)"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max(expr(
+            "floor(csim * 4503599627370496d) * 16 + (15 - clabel)")).as("k"))
+          .select(col("label"),
+            (lit(15L) - pmod(col("k"), lit(16L))).as("guess"))
+        assign.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("label") === col("guess"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("label"), col("n_vecs"), col("n_correct"),
+            round(col("n_correct") / col("n_vecs"), 4).as("accuracy"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+              |          FROM embeddings),
+              |fx AS (SELECT vec_id, label, g.i - 1 AS pos,
+              |         CAST(round(v[g.i] * 1073741824) AS BIGINT) AS fx
+              |       FROM e, UNNEST(generate_series(1, len(v))) AS g(i)),
+              |bl AS (SELECT label, pos, CAST(sum(fx) AS BIGINT) AS sfx,
+              |         CAST(count(*) AS BIGINT) AS n
+              |       FROM fx GROUP BY 1, 2),
+              |lc AS (SELECT label AS clabel,
+              |         list(sfx / (n * 1073741824.0) ORDER BY pos) AS cv
+              |       FROM bl GROUP BY label),
+              |scored AS (SELECT vec_id, label, clabel,
+              |             list_dot_product(qv, cv) /
+              |               (sqrt(list_dot_product(qv, qv))
+              |                * sqrt(list_dot_product(cv, cv))) AS csim
+              |           FROM (SELECT vec_id, label, v AS qv FROM e)
+              |           CROSS JOIN lc),
+              |a AS (SELECT label,
+              |        15 - ((max(CAST(floor(csim * 4503599627370496) AS BIGINT) * 16
+              |                   + (15 - clabel)) % 16) + 16) % 16 AS guess
+              |      FROM scored GROUP BY vec_id, label)
+              |SELECT label, count(*) AS n_vecs,
+              |  CAST(sum(CASE WHEN label = guess THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_correct,
+              |  round(CAST(sum(CASE WHEN label = guess THEN 1 ELSE 0 END) AS BIGINT)
+              |        / count(*), 4) AS accuracy
+              |FROM a GROUP BY label""".stripMargin))
   )
 
 

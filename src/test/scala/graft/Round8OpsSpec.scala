@@ -162,6 +162,20 @@ class Round8OpsSpec extends SparkSpec {
       "sweep point nprobe=2 must reproduce the single-point eval")
   }
 
+  test("q131 covers every label and vector with valid accuracies") {
+    val rows = run("q131_label_purity").collect()
+    val e = Tables(spark, sf001, "embeddings")
+    val perLabel = e.groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(rows.length === perLabel.size, "one row per label")
+    rows.foreach { r =>
+      val (l, n, c, a) = (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getDouble(3))
+      assert(n === perLabel(l), s"label $l: $n vs ${perLabel(l)}")
+      assert(c >= 0L && c <= n && a >= 0.0 && a <= 1.0, r.toString)
+    }
+  }
+
   test("q128 waterfilling is budget-feasible and the cap is maximal") {
     val rows = run("q128_budget_waterfill").collect()
     val docs = Tables(spark, sf001, "documents")
