@@ -595,6 +595,44 @@ object EventOps {
              |d AS (SELECT DISTINCT user_id, cohort_week,
              |        wk - cohort_week AS week_offset FROM c)
              |SELECT cohort_week, week_offset, count(*) AS n_active
-             |FROM d GROUP BY 1, 2""".stripMargin))
+             |FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q133: behavioral trigram mining ---------------------------------
+    // The top per-user event-type trigrams across the corpus — the
+    // sequence-pattern miner funnels (q87) are designed FROM (what do
+    // users actually do in threes?). No per-user arrays: two lead()
+    // windows on ONE user_id exchange stream each user's ordered
+    // events through the reducer (bounded memory however hot the
+    // user), ordered by the unique (ts, event_id) key so both engines
+    // see identical sequences. The trigram aggregate collapses
+    // map-side; the global top-20 is a TakeOrderedAndProject with
+    // full tiebreak, never a global sort.
+    QueryDef(
+      "q133_event_trigrams",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("t1"))
+          .withColumn("t2", lead(col("t1"), 1).over(w))
+          .withColumn("t3", lead(col("t1"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .groupBy(col("t1"), col("t2"), col("t3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1").asc, col("t2").asc,
+            col("t3").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT event_type AS t1,
+             |         lead(event_type, 1) OVER w AS t2,
+             |         lead(event_type, 2) OVER w AS t3
+             |       FROM events
+             |       WINDOW w AS (PARTITION BY user_id
+             |                    ORDER BY ts, event_id))
+             |SELECT t1, t2, t3, count(*) AS n
+             |FROM t WHERE t3 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin))
   )
 }

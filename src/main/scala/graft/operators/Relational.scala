@@ -521,6 +521,72 @@ object Relational {
             "CAST(CAST(round(max(value), 2) AS DECIMAL(18,2)) AS VARCHAR)"),
           s("props")
         ).mkString("\nUNION ALL\n")
+      }),
+
+    // ---- q132: referential-integrity audit -------------------------------
+    // The FK-orphan report an ingest runs before trusting joins: for
+    // every foreign-key edge in the star schema, child rows whose key
+    // matches no parent (NULL keys count as orphans — they would
+    // silently vanish from every inner join downstream). Each edge is
+    // one left join against the DISTINCT parent keys (anti-join
+    // semantics, one pass, partial-aggregated to a single row): the
+    // dimension-side edges broadcast from stats, and the one
+    // fact-to-fact edge (lineitem→orders) is the key-keyed shuffle
+    // join it would be at 100 TB. LEFT JOIN + NULL-flag rather than
+    // NOT IN in the oracle, so the engines share null semantics.
+    QueryDef(
+      "q132_fk_audit",
+      (s, d) => {
+        def edge(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame =
+          child.select(col(ck).as("k"))
+            .join(parent.select(col(pk).as("k"), lit(1).as("hit")).distinct(),
+              Seq("k"), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+              round(col("n_orphans") / col("n_rows"), 6).as("orphan_rate"))
+        val li = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        val su = Tables(s, d, "supplier")
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+          .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+            Tables(s, d, "part"), "p_partkey"))
+          .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            su, "s_suppkey"))
+          .unionAll(edge("orders.o_custkey->customer", o, "o_custkey",
+            c, "c_custkey"))
+          .unionAll(edge("customer.c_nationkey->nation", c, "c_nationkey",
+            Tables(s, d, "nation"), "n_nationkey"))
+          .unionAll(edge("supplier.s_nationkey->nation", su, "s_nationkey",
+            Tables(s, d, "nation"), "n_nationkey"))
+      },
+      Some {
+        def edge(name: String, child: String, ck: String,
+            parent: String, pk: String) =
+          s"""SELECT '$name' AS fk_edge, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_orphans,
+             |  round(CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |        / count(*), 6) AS orphan_rate
+             |FROM (SELECT $ck AS k FROM $child) ch
+             |LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS hit FROM $parent) p
+             |  USING (k)""".stripMargin
+        Seq(
+          edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          edge("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+          edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey")
+        ).mkString("\nUNION ALL\n")
       })
   )
 }

@@ -176,6 +176,40 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q132 audits every FK edge with an anti-join-consistent count") {
+    val rows = run("q132_fk_audit").collect()
+    assert(rows.length === 6, s"six FK edges, got ${rows.length}")
+    rows.foreach { r =>
+      val (n, orph, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(orph >= 0L && orph <= n && rate >= 0.0 && rate <= 1.0, r.toString)
+    }
+    // independent recount of one edge via a real anti-join
+    val li = Tables(spark, sf001, "lineitem")
+    val o = Tables(spark, sf001, "orders")
+    val expected = li.join(o,
+      li("l_orderkey") === o("o_orderkey"), "left_anti").count()
+    val reported = rows
+      .find(_.getString(0) == "lineitem.l_orderkey->orders").get.getLong(2)
+    assert(reported === expected, s"$reported vs anti-join $expected")
+  }
+
+  test("q133 mines trigrams in order with a conserved total") {
+    val df = run("q133_event_trigrams")
+    val rows = df.collect()
+    assert(rows.length === 20, s"top-20 contract, got ${rows.length}")
+    val ns = rows.map(r => r.getLong(r.fieldIndex("n")))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"descending counts: ${ns.toSeq}")
+    // every user with c events contributes exactly max(0, c-2) trigrams
+    val totalTrigrams = Tables(spark, sf001, "events")
+      .groupBy(col("user_id")).count()
+      .agg(sum(greatest(col("count") - 2, lit(0L)))).collect().head.getLong(0)
+    assert(ns.sum <= totalTrigrams, s"${ns.sum} > corpus total $totalTrigrams")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "global top-20 must be TakeOrderedAndProject")
+  }
+
   test("q128 waterfilling is budget-feasible and the cap is maximal") {
     val rows = run("q128_budget_waterfill").collect()
     val docs = Tables(spark, sf001, "documents")
