@@ -61,4 +61,43 @@ class TrendingTermsSpec extends SparkSpec {
         "late data behind the watermark must not re-open a window")
     } finally q.stop()
   }
+
+  test("restart from checkpoint neither re-finalizes nor drops windows") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("ckpt_trend_rs").toString
+    val got = ArrayBuffer.empty[Row]
+    def sink(b: org.apache.spark.sql.DataFrame): Unit =
+      got.synchronized { got ++= b.collect() }
+    def winStarts = got.synchronized(
+      got.map(_.getTimestamp(0).getTime).toSet)
+
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("text"))
+    def start() = TrendingTerms.start(docs, k = 1, watermark = "0 seconds",
+      win = "60 seconds", slide = "60 seconds", ckpt, sink)
+
+    val q1 = start()
+    in.addData((T0 + 1000L, "a a b"))
+    q1.processAllAvailable()
+    in.addData((T0 + 90000L, "c"))   // watermark passes window 1
+    q1.processAllAvailable()
+    q1.stop()
+    val afterFirst = got.synchronized(got.size)
+    assert(afterFirst === 1 && winStarts === Set(T0),
+      s"window 1 finalized exactly once before the restart: $got")
+
+    // restart from the same checkpoint and source; new data advances
+    // the watermark past the c-window
+    val q2 = start()
+    try {
+      in.addData((T0 + 200000L, "d"))
+      q2.processAllAvailable()
+      assert(winStarts === Set(T0, T0 + 60000L),
+        s"the c-window must finalize after restart, once: $winStarts")
+      assert(got.synchronized(got.count(_.getTimestamp(0).getTime == T0)) === 1,
+        s"window 1 must not re-finalize across the restart: $got")
+    } finally q2.stop()
+  }
 }
