@@ -1104,6 +1104,84 @@ object Dedup {
               |  CAST(sum(sz) AS BIGINT) AS n_docs,
               |  round(${graft.functions.Exact.sumFixedSql("round(density, 6)", 6)}
               |        / count(*), 6) AS mean_density
-              |FROM b GROUP BY 1""".stripMargin))
+              |FROM b GROUP BY 1""".stripMargin)),
+
+    // ---- q134: per-source dedup impact report ----------------------------
+    // What dedup will actually DO to each source, before running it:
+    // exact duplicates (q34's first-writer rule — not the min-doc_id
+    // keeper of their md5 group) and the ADDITIONAL near-dup losses
+    // (q57 component members that are not the q83 canonical and not
+    // already exact dups), with the resulting keep rate. The report
+    // every mixture plan (q74/q128) should be read against — a source
+    // can look token-rich and be 80% template. Composition stays on
+    // the operators' own shapes: one fp exchange for the exact
+    // groups, the q57/q83 component+canonical subtree for the near
+    // side, one doc-keyed left join to combine, |sources| output
+    // rows. Double counting is impossible by construction (near-dup
+    // non-canonicals already flagged exact are excluded from
+    // n_near_extra).
+    QueryDef(
+      "q134_dedup_impact",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+            size(split(col("text"), " ")).as("n_tokens"))
+        val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+        // one label-propagation run (it materializes eagerly), reused
+        // by both the canonical pick and the non-canonical flagging
+        val comp = dedupComponents(s, d)
+        val canon = comp
+          .join(docs.select(col("doc_id"), col("n_tokens")), "doc_id")
+          .groupBy(col("comp"))
+          .agg(max(struct(col("n_tokens").as("nt"),
+            (-col("doc_id")).as("nid"))).as("b"))
+          .select(col("comp"), (-col("b.nid")).as("canonical"))
+        val near = comp
+          .join(canon, "comp")
+          .filter(col("doc_id") =!= col("canonical"))
+          .select(col("doc_id"), lit(1).as("near_dup"))
+        docs.join(keep, "fp")
+          .join(near, Seq("doc_id"), "left")
+          .withColumn("exact_dup", col("doc_id") =!= col("keeper"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+            sum(when(!col("exact_dup") && col("near_dup").isNotNull, 1L)
+              .otherwise(0L)).as("n_near_extra"))
+          .select(col("source"), col("n_docs"), col("n_exact_dup"),
+            col("n_near_extra"),
+            round((col("n_docs") - col("n_exact_dup") - col("n_near_extra"))
+              / col("n_docs"), 6).as("keep_rate"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |lab AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |dd AS (SELECT doc_id, source, md5(text) AS fp,
+              |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+              |       FROM documents),
+              |keepers AS (SELECT fp, min(doc_id) AS keeper FROM dd GROUP BY fp),
+              |cr AS (SELECT comp, doc_id,
+              |         row_number() OVER (PARTITION BY comp
+              |           ORDER BY n_tokens DESC, doc_id) AS rn
+              |       FROM lab JOIN dd USING (doc_id)),
+              |near AS (SELECT doc_id, 1 AS near_dup FROM cr WHERE rn > 1),
+              |f AS (SELECT source,
+              |        CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END AS ed,
+              |        CASE WHEN doc_id = keeper AND near_dup IS NOT NULL
+              |             THEN 1 ELSE 0 END AS ne
+              |      FROM dd JOIN keepers USING (fp)
+              |      LEFT JOIN near USING (doc_id))
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(ed) AS BIGINT) AS n_exact_dup,
+              |  CAST(sum(ne) AS BIGINT) AS n_near_extra,
+              |  round((count(*) - CAST(sum(ed) AS BIGINT)
+              |         - CAST(sum(ne) AS BIGINT)) / count(*), 6) AS keep_rate
+              |FROM f GROUP BY source""".stripMargin))
   )
 }

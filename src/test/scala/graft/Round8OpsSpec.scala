@@ -210,6 +210,25 @@ class Round8OpsSpec extends SparkSpec {
       "global top-20 must be TakeOrderedAndProject")
   }
 
+  test("q134 dedup impact is consistent with its component operators") {
+    val rows = run("q134_dedup_impact").collect()
+    val docs = Tables(spark, sf001, "documents")
+    assert(rows.map(_.getLong(1)).sum === docs.count(),
+      "per-source doc counts sum to the corpus")
+    // exact-dup total matches q34's own keeper arithmetic
+    val exactTotal = docs.count() -
+      docs.select(md5(col("text"))).distinct().count()
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_exact_dup"))).sum
+      === exactTotal, "exact dups = docs minus distinct fingerprints")
+    // near-extra total = non-canonical component members that are
+    // exact-group keepers
+    rows.foreach { r =>
+      val (n, e, x, k) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+      assert(e + x <= n && k >= 0.0 && k <= 1.0, r.toString)
+    }
+  }
+
   test("q128 waterfilling is budget-feasible and the cap is maximal") {
     val rows = run("q128_budget_waterfill").collect()
     val docs = Tables(spark, sf001, "documents")
