@@ -633,6 +633,40 @@ object EventOps {
              |SELECT t1, t2, t3, count(*) AS n
              |FROM t WHERE t3 IS NOT NULL
              |GROUP BY 1, 2, 3
-             |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin))
+             |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
+
+    // ---- q135: per-window trending terms (batch) -------------------------
+    // The batch twin of the streaming `TrendingTerms` operator — the
+    // oracle-checked statement of its core semantics: per tumbling
+    // hour, the top-3 event types by count with the same (n DESC,
+    // term) tiebreak the stream uses. Windows are exact integer-µs
+    // division (never engine timestamp arithmetic); the rank
+    // partition is one (window) key whose per-partition row count is
+    // the type cardinality — bounded however long the history — and
+    // the count aggregate collapses map-side first, so the window
+    // ranks |windows|·|types| rows, not events. (This rank ≤ k on a
+    // grouped count is exactly the shape `GroupedTopKPrune` pre-cuts
+    // when the extension is injected.)
+    QueryDef(
+      "q135_trending_batch",
+      (s, d) => {
+        val w = Window.partitionBy(col("win"))
+          .orderBy(col("n").desc, col("term").asc)
+        ev(s, d)
+          .select(expr("unix_micros(ts) div 3600000000").as("win"),
+            col("event_type").as("term"))
+          .groupBy(col("win"), col("term"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 3600000000 AS win,
+             |         event_type AS term, count(*) AS n
+             |       FROM events GROUP BY 1, 2)
+             |SELECT win, term, n,
+             |  CAST(rk AS INTEGER) AS rk
+             |FROM (SELECT *, row_number() OVER (PARTITION BY win
+             |        ORDER BY n DESC, term) AS rk FROM c)
+             |WHERE rk <= 3""".stripMargin))
   )
 }

@@ -229,6 +229,25 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q135 ranks every hour window with at most three ordered rows") {
+    val rows = run("q135_trending_batch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val byWin = rows.groupBy(_._1)
+    val expectedWins = Tables(spark, sf001, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("w"))
+      .distinct().count()
+    assert(byWin.size.toLong === expectedWins,
+      s"every hour window ranked: ${byWin.size} vs $expectedWins")
+    byWin.values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.length <= 3 && sorted.map(_._4).toSeq ===
+        (1 to sorted.length), g.mkString(";"))
+      val ns = sorted.map(_._3)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"counts descend within the window: ${ns.toSeq}")
+    }
+  }
+
   test("q128 waterfilling is budget-feasible and the cap is maximal") {
     val rows = run("q128_budget_waterfill").collect()
     val docs = Tables(spark, sf001, "documents")
