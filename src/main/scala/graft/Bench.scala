@@ -17,6 +17,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extension surface as Verify: timings reflect the engine
+      // with its own optimizer rule active, as deployed
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // Shuffle/spill files on tmpfs: with disk-backed /tmp, dirty-page
       // writeback stalls randomly add seconds to individual queries
       // (the same finding as StreamBench's checkpoint placement). Falls

@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine's own extension (native fns + GroupedTopKPrune):
+      // every oracle query runs under the custom optimizer rule, so
+      // the driver's hash-compare doubles as a semantics-preservation
+      // proof for it across the whole surface
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // wipe stale outputs: a failed query must not leave a previous

@@ -163,6 +163,17 @@ object Dedup {
        |            ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
        |               AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** Cross-operator surface: the q57 component table (for composers
+    * outside this file — q136's cluster-safe split keys on it).
+    */
+  def components(s: SparkSession, d: String): DataFrame =
+    dedupComponents(s, d)
+
+  /** Cross-operator surface: [[minhashPairsSql]] for oracle chains
+    * built outside this file (must run under `WITH RECURSIVE`).
+    */
+  def minhashPairsCtes: String = minhashPairsSql
+
   /** Min-label propagation over the [[minhashPairs]] near-dup graph —
     * q57's operator body, shared with q83's canonical selection.
     * Output: (doc_id, comp) for every doc that appears in a pair.

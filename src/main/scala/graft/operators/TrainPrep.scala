@@ -773,6 +773,67 @@ object TrainPrep {
              |  least(n_tokens, coalesce(cap, n_tokens)) AS alloc,
              |  CASE WHEN n_tokens > coalesce(cap, n_tokens) THEN 1 ELSE 0 END
              |    AS capped
-             |FROM st CROSS JOIN capt""".stripMargin))
+             |FROM st CROSS JOIN capt""".stripMargin)),
+
+    // ---- q136: cluster-safe train/val/test split -------------------------
+    // The FIX for what q114's leakage audit finds: split by the
+    // near-dup CLUSTER, not the document. Every member of a q57
+    // component hashes the component's canonical id, so a near-dup
+    // pair can never straddle train/eval — by construction, not by
+    // post-hoc filtering; unclustered docs hash their own id (the
+    // q112 salted scheme, same 80/10/10 cut). Output is the per-split
+    // doc/token report a data card needs. The components table joins
+    // doc-keyed onto the corpus (left join — most docs are
+    // unclustered and never touch the component subtree); everything
+    // after is one (split) aggregate. The zero-leakage property is
+    // asserted in spec against q35's pair set.
+    QueryDef(
+      "q136_cluster_safe_split",
+      (s, d) =>
+        clusterSafeAssignment(s, d)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens")),
+      Some(s"""WITH RECURSIVE ${graft.operators.Dedup.minhashPairsCtes},
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |compt AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |dd AS (SELECT doc_id,
+              |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              |       FROM documents),
+              |k AS (SELECT doc_id, n, coalesce(comp, doc_id) AS split_key
+              |      FROM dd LEFT JOIN compt USING (doc_id)),
+              |h AS (SELECT n,
+              |        ('0x' || substr(md5('graft-split-' || split_key::VARCHAR), 1, 15))::BIGINT
+              |          % 100 AS h
+              |      FROM k),
+              |sp AS (SELECT n, CASE WHEN h < 80 THEN 'train'
+              |                      WHEN h < 90 THEN 'val'
+              |                      ELSE 'test' END AS split
+              |       FROM h)
+              |SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+              |FROM sp GROUP BY split""".stripMargin))
   )
+
+  /** q136's per-document assignment — (doc_id, n, split) with every
+    * q57 component member keyed on the component id (so near-dup
+    * pairs cannot straddle splits; Round8OpsSpec proves it against
+    * q35's pair set).
+    */
+  def clusterSafeAssignment(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .join(graft.operators.Dedup.components(s, d), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("comp"), col("doc_id")))
+      .withColumn("h",
+        expr("pmod(cast(conv(substr(md5(concat('graft-split-', " +
+          "cast(split_key as string))), 1, 15), 16, 10) as bigint), 100)"))
+      .withColumn("split",
+        when(col("h") < 80, "train")
+          .when(col("h") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("n"), col("split"))
 }

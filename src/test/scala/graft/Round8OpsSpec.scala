@@ -248,6 +248,36 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q136 split has ZERO near-dup leakage and conserves the corpus") {
+    val rows = run("q136_cluster_safe_split").collect()
+    val docs = Tables(spark, sf001, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === docs, "every doc assigned once")
+    // the property the operator exists for: no q35 pair straddles splits
+    val assign = graft.operators.TrainPrep
+      .clusterSafeAssignment(spark, sf001)
+      .select(col("doc_id"), col("split"))
+    val pairs = run("q35_ngram_jaccard").select(col("da"), col("db"))
+    val leaked = pairs
+      .join(assign.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+      .join(assign.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaked === 0L, s"$leaked near-dup pairs straddle splits")
+    // sanity: the doc-keyed q112 scheme DOES leak on this corpus, so
+    // the zero above is earned by cluster keying, not by luck
+    val docKeyed = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), expr("pmod(cast(conv(substr(md5(concat('split-', " +
+        "cast(doc_id as string))), 1, 15), 16, 10) as bigint), 100)").as("h"))
+      .withColumn("split", when(col("h") < 80, "train")
+        .when(col("h") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    val naiveLeaked = pairs
+      .join(docKeyed.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+      .join(docKeyed.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(naiveLeaked > 0L,
+      "fixture must contain cross-split near-dup pairs under doc keying")
+  }
+
   test("q128 waterfilling is budget-feasible and the cap is maximal") {
     val rows = run("q128_budget_waterfill").collect()
     val docs = Tables(spark, sf001, "documents")
