@@ -19,7 +19,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // same extension surface as Verify: timings reflect the engine
       // with its own optimizer rule active, as deployed
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // (SPARK_GRAFT_NO_EXT=1 disables it, for A/B noise attribution)
+      .config("spark.sql.extensions",
+        if (sys.env.contains("SPARK_GRAFT_NO_EXT")) ""
+        else "graft.GraftExtensions")
       // Shuffle/spill files on tmpfs: with disk-backed /tmp, dirty-page
       // writeback stalls randomly add seconds to individual queries
       // (the same finding as StreamBench's checkpoint placement). Falls
