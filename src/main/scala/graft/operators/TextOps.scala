@@ -1275,6 +1275,75 @@ object TextOps {
               |SELECT source, max(n_s) AS n_docs,
               |  round(${graft.functions.Exact.sumFixedSql("term", 9)} / 2.0, 6)
               |    AS tv_dist
-              |FROM t GROUP BY source""".stripMargin))
+              |FROM t GROUP BY source""".stripMargin)),
+
+    // ---- q137: per-source quality~length regression ----------------------
+    // Does the quality score just measure length, PER SOURCE? The
+    // least-squares slope of quality on token count — q121's global
+    // grid as one exact statistic per source: a source whose slope is
+    // large is length-confounded there even if the global grid looks
+    // flat. Moments (Σx, Σy, Σxy, Σx²) accumulate as EXACT integers
+    // (quality quantized to 1e-6, per-row products fit BIGINT up to
+    // ~10⁶-token docs; the per-source sums go through DECIMAL(38)/
+    // HUGEINT so corpus size never overflows them) in ONE partial-
+    // aggregated exchange; the slope/intercept combine happens on
+    // doubles cast from identical exact integers — every FP op has
+    // identical operands in identical order on both engines, so the
+    // oracle matches without any fixed-point epsilon. Degenerate
+    // sources (all docs the same length ⇒ zero variance) are
+    // filtered, not divided by zero.
+    QueryDef(
+      "q137_quality_length_slope",
+      (s, d) => {
+        val dq = Tables(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("source"),
+            size(col("toks")).cast("long").as("x"),
+            expr("""cast(round(round(least(1.0d, size(toks) / 100.0d)
+                * (size(array_distinct(toks)) / size(toks)), 6) * 1000000d, 0)
+                as bigint)""").as("yf"))
+        val m = dq.groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("yf").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("yf")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+        m.select(col("source"), col("n").as("n_docs"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("sxy").cast("double").as("sxyd"),
+            col("sxx").cast("double").as("sxxd"))
+          .withColumn("den", col("nd") * col("sxxd") - col("sxd") * col("sxd"))
+          .filter(col("den") =!= 0.0)
+          .withColumn("slope_raw",
+            (col("nd") * col("sxyd") - col("sxd") * col("syd")) / col("den"))
+          .select(col("source"), col("n_docs"),
+            round(col("slope_raw"), 6).as("slope_microq_per_token"),
+            round((col("syd") - col("slope_raw") * col("sxd")) / col("nd"), 6)
+              .as("intercept_microq"))
+      },
+      Some("""WITH dq AS (SELECT source,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+             |            CAST(round(round(least(1.0, len(string_split(text, ' ')) / 100.0)
+             |              * (len(list_distinct(string_split(text, ' ')))
+             |                 / len(string_split(text, ' '))), 6) * 1000000) AS BIGINT)
+             |              AS yf
+             |          FROM documents),
+             |m AS (SELECT source, count(*) AS n,
+             |        sum(x) AS sx, sum(yf) AS sy,
+             |        sum(x * yf) AS sxy, sum(x * x) AS sxx
+             |      FROM dq GROUP BY source),
+             |c AS (SELECT source, n AS n_docs,
+             |        n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+             |        sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd
+             |      FROM m),
+             |f AS (SELECT *, nd * sxxd - sxd * sxd AS den FROM c
+             |      WHERE nd * sxxd - sxd * sxd <> 0),
+             |r AS (SELECT *, (nd * sxyd - sxd * syd) / den AS slope_raw FROM f)
+             |SELECT source, n_docs,
+             |  round(slope_raw, 6) AS slope_microq_per_token,
+             |  round((syd - slope_raw * sxd) / nd, 6) AS intercept_microq
+             |FROM r""".stripMargin))
   )
 }

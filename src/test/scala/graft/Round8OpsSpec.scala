@@ -278,6 +278,38 @@ class Round8OpsSpec extends SparkSpec {
       "fixture must contain cross-split near-dup pairs under doc keying")
   }
 
+  test("q137 slopes match a driver-side recomputation from exact moments") {
+    val rows = run("q137_quality_length_slope").collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(r.fieldIndex("slope_microq_per_token")),
+        r.getDouble(r.fieldIndex("intercept_microq")))).toMap
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), size(col("t")).cast("long").as("x"),
+        expr("""cast(round(round(least(1.0d, size(t) / 100.0d)
+            * (size(array_distinct(t)) / size(t)), 6) * 1000000d, 0)
+            as bigint)""").as("yf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    docs.groupBy(_._1).foreach { case (src, g) =>
+      val n = g.length.toDouble
+      val (sx, sy) = (g.map(_._2).sum.toDouble, g.map(_._3).sum.toDouble)
+      val sxy = g.map(p => BigInt(p._2) * BigInt(p._3)).sum.toDouble
+      val sxx = g.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+      val den = n * sxx - sx * sx
+      if (den == 0.0) assert(!rows.contains(src), s"$src must be filtered")
+      else {
+        val slope = (n * sxy - sx * sy) / den
+        val (nDocs, s6, i6) = rows(src)
+        assert(nDocs === g.length.toLong, src)
+        assert(math.abs(s6 - math.rint(slope * 1e6) / 1e6) < 1e-9,
+          s"$src slope $s6 vs recomputed $slope")
+        assert(math.abs(i6 - math.rint((sy - slope * sx) / n * 1e6) / 1e6)
+          < 1e-9, s"$src intercept $i6")
+      }
+    }
+  }
+
   test("q128 waterfilling is budget-feasible and the cap is maximal") {
     val rows = run("q128_budget_waterfill").collect()
     val docs = Tables(spark, sf001, "documents")
