@@ -667,6 +667,42 @@ object EventOps {
              |  CAST(rk AS INTEGER) AS rk
              |FROM (SELECT *, row_number() OVER (PARTITION BY win
              |        ORDER BY n DESC, term) AS rk FROM c)
-             |WHERE rk <= 3""".stripMargin))
+             |WHERE rk <= 3""".stripMargin)),
+
+    // ---- q138: ingestion gap audit ---------------------------------------
+    // The freshness monitor a pipeline SLO hangs off: per event type,
+    // the largest inter-arrival gap and how many gaps exceeded five
+    // minutes — a type whose max gap spikes stopped flowing (producer
+    // bug, partition loss) even while its row counts still look
+    // plausible. Gaps are exact integer µs (lag over the unique
+    // (ts, event_id) order — never engine timestamp subtraction);
+    // everything runs on ONE event_type exchange, each type streamed
+    // through its reducer by the window (bounded memory, no arrays),
+    // collapsing to |types| rows.
+    QueryDef(
+      "q138_gap_audit",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        ev(s, d)
+          .select(col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("gap")).as("max_gap_us"),
+            sum(when(col("gap") > 300000000L, 1L).otherwise(0L))
+              .as("gaps_over_5m"))
+      },
+      Some("""WITH g AS (SELECT event_type,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+             |           (PARTITION BY event_type
+             |            ORDER BY epoch_us(ts), event_id) AS gap
+             |       FROM events)
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+             |  CAST(sum(CASE WHEN gap > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS gaps_over_5m
+             |FROM g GROUP BY event_type""".stripMargin))
   )
 }

@@ -310,6 +310,20 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q138 gap audit conserves events and bounds gaps by the span") {
+    val rows = run("q138_gap_audit").collect()
+    val ev = Tables(spark, sf001, "events")
+    assert(rows.map(_.getLong(1)).sum === ev.count(),
+      "every event counted under exactly one type")
+    val span = ev.agg(expr("max(unix_micros(ts)) - min(unix_micros(ts))"))
+      .collect().head.getLong(0)
+    rows.foreach { r =>
+      val (n, mx, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mx > 0L && mx <= span, r.toString)
+      assert(over >= 0L && over <= n - 1, r.toString)
+    }
+  }
+
   test("q128 waterfilling is budget-feasible and the cap is maximal") {
     val rows = run("q128_budget_waterfill").collect()
     val docs = Tables(spark, sf001, "documents")
