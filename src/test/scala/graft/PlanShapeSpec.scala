@@ -371,4 +371,30 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("ReusedExchange"),
       s"marginals must reuse the bigram-counts exchange:\n$p")
   }
+
+  test("q124/q131 broadcast their codebook/centroid tables, never cartesian") {
+    // the 16-row PQ codebook and the |labels|-row centroid table are
+    // the ONLY things allowed to move — the corpus side must stream
+    // against a broadcast, and no crossJoin may degrade to a
+    // CartesianProduct (which would partition-multiply corpus rows)
+    for (q <- Seq("q124_pq_error", "q131_label_purity")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin")
+        || p.contains("BroadcastNestedLoopJoin"),
+        s"$q must broadcast its small side:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q must never plan a cartesian product:\n$p")
+    }
+  }
+
+  test("q125 broadcasts the value-domain bucket marginal") {
+    // the source×bucket comparison grid crosses the source totals
+    // with the ≤ ~60-row bucket marginal: that cross must be a
+    // broadcast nested-loop, not a cartesian shuffle
+    val p = planOf("q125_source_drift")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bucket marginal must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product in the grid build:\n$p")
+  }
 }
