@@ -21,13 +21,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * final combine is evaluated as ((aa − 2·ab) + bb) — the same
   * associativity the SQL `x - 2 * y + z` parses to — so every double
   * is bit-identical to the oracle's. Returns null if either side is
-  * null.
+  * null, if the lengths differ, or if any element is null — the same
+  * answers the `aggregate(zip_with(...))` HOF it replaced would give,
+  * rather than silently truncating or reading a garbage slot (the
+  * function is registered session-wide, so SQL callers beyond the
+  * non-null fixed-width PQ paths inherit these semantics).
   */
 case class SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2sq"
+  // null is also produced VALUE-wise (length mismatch, null element),
+  // not only when a child is null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -43,10 +50,12 @@ case class SquaredDistance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var aa = 0.0; var ab = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       aa += xi * xi; ab += xi * yi; bb += yi * yi
       i += 1
@@ -64,14 +73,19 @@ case class SquaredDistance(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $aa = 0.0; double $ab = 0.0; double $bb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = $a.getDouble($i);
-         |  final double $yi = $b.getDouble($i);
-         |  $aa += $xi * $xi; $ab += $xi * $yi; $bb += $yi * $yi;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $aa = 0.0; double $ab = 0.0; double $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $b.getDouble($i);
+         |    $aa += $xi * $xi; $ab += $xi * $yi; $bb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = ($aa - 2.0 * $ab) + $bb; }
          |}
-         |${ev.value} = ($aa - 2.0 * $ab) + $bb;
        """.stripMargin
     })
 

@@ -55,13 +55,44 @@ object CurationPipeline {
       .join(store, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("src_id"), col("fp"), col("ts"))
 
-  /** Schema of the curated landing zone (what [[startMonitor]] reads). */
+  /** Schema of the curated landing zone (what [[startMonitor]] reads).
+    * `batch_id` is the Hive-style partition directory each micro-batch
+    * lands in — see [[landBatch]].
+    */
   val curatedSchema: StructType = StructType.fromDDL(
-    "doc_id BIGINT, src_id INT, fp STRING, ts TIMESTAMP")
+    "doc_id BIGINT, src_id INT, fp STRING, ts TIMESTAMP, batch_id BIGINT")
+
+  /** One micro-batch's landing, IDEMPOTENT under foreachBatch's
+    * at-least-once re-delivery: shed to the budget, then overwrite the
+    * batch's OWN `batch_id=<id>` partition directory. A crash after a
+    * partial/full write but before the checkpoint commit re-runs the
+    * batch with the same id, and the overwrite replaces the earlier
+    * attempt instead of appending it again — the landing zone never
+    * accumulates duplicate doc_ids (same versioned-directory posture as
+    * [[IncrementalPipelines.LatestWinsStore]]; `_SUCCESS` marks the
+    * committed write). `onShed` fires on every delivery, so treat it as
+    * an at-least-once metrics signal, not an exact counter.
+    */
+  private[graft] def landBatch(batch: DataFrame, budgetPerBatch: Int,
+      curatedDir: String, batchId: Long, onShed: Long => Unit): Unit = {
+    val (kept, shed) = Shedding.dropOldest(batch, budgetPerBatch,
+      col("ts").desc, col("doc_id").desc)
+    onShed(shed)
+    kept.write.mode("overwrite").parquet(s"$curatedDir/batch_id=$batchId")
+  }
 
   /** The curation query: admission → per-batch drop-oldest shedding →
-    * parquet landing zone. `onShed` surfaces the shed count (a metrics
-    * sink in production).
+    * parquet landing zone, one committed `batch_id=` directory per
+    * micro-batch ([[landBatch]] makes re-delivery idempotent).
+    *
+    * The downstream monitor is a file-stream reader, which tracks seen
+    * FILE NAMES — in the narrow crash window where a partial attempt
+    * was already read before its re-delivery overwrote it, the monitor
+    * can observe a doc twice (at-least-once, like any file-source
+    * consumer of a rewritten file). The landing zone itself is
+    * duplicate-free, and the monitor's per-source cooldown debounce
+    * absorbs the repeat; an exactly-once monitor would read only
+    * committed batch dirs through a transactional table format.
     */
   def startCuration(docs: DataFrame, store: DataFrame, watermark: String,
       budgetPerBatch: Int, curatedDir: String, checkpoint: String,
@@ -69,11 +100,8 @@ object CurationPipeline {
     accepted(docs, store, watermark).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (kept, shed) = Shedding.dropOldest(batch, budgetPerBatch,
-          col("ts").desc, col("doc_id").desc)
-        onShed(shed)
-        kept.write.mode("append").parquet(curatedDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        landBatch(batch, budgetPerBatch, curatedDir, id, onShed)
       }
       .start()
 

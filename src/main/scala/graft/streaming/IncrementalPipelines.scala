@@ -99,13 +99,26 @@ object IncrementalPipelines {
           col("b.event_type").as("event_type"), col("b.cv").as("cv"))
     }
 
-    private[streaming] def merge(batch: DataFrame, storeDir: String,
+    private[graft] def merge(batch: DataFrame, storeDir: String,
         batchId: Long): Unit = {
       val spark = batch.sparkSession
+      val vs = versions(spark, storeDir)
+      // A committed version ABOVE the incoming batch id means the
+      // checkpoint was reset/relocated while the store was kept: batch
+      // ids restarted from 0, so this merge would base on an empty (or
+      // ancient) predecessor and write a low version that readStore
+      // ignores — state silently forking. Fail loudly instead; == is
+      // fine (the batch's own crashed re-delivery).
+      require(!vs.exists(_ > batchId),
+        s"LatestWinsStore at $storeDir has committed version " +
+          s"v${vs.max} > incoming batch id $batchId: the streaming " +
+          "checkpoint was reset while the store was kept. Clear or " +
+          "migrate the store directory (or restore the checkpoint) " +
+          "before restarting.")
       // merge base: greatest committed version STRICTLY before this
       // batch id — on re-delivery vs.max == batchId, the path this
       // merge overwrites
-      val base = versions(spark, storeDir).filter(_ < batchId)
+      val base = vs.filter(_ < batchId)
       mergeFrames(storeAt(spark, storeDir, base), batch)
         .write.mode("overwrite").parquet(s"$storeDir/v$batchId")
     }

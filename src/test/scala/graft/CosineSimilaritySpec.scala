@@ -49,4 +49,33 @@ class CosineSimilaritySpec extends SparkSpec {
       .toDF("a", "b").selectExpr("cosine_sim(a, b) AS sim")
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("length mismatch and null elements yield null, not a truncated/garbage value (codegen)") {
+    CosineSimilarity.register(spark)
+    graft.functions.SquaredDistance.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1D, 2D), array(1D)) AS c_len,
+        |  l2sq(array(1D, 2D), array(1D)) AS l_len,
+        |  cosine_sim(array(1D, cast(null AS double)), array(1D, 2D)) AS c_nul,
+        |  l2sq(array(1D, cast(null AS double)), array(1D, 2D)) AS l_nul,
+        |  l2sq(array(1D, 2D), array(3D, 5D)) AS l_ok
+        |""".stripMargin).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDouble(4) === 13.0)
+  }
+
+  test("length mismatch and null elements yield null on the interpreted eval path too") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def arr(xs: Seq[Any]) = Literal.create(xs, ArrayType(DoubleType, containsNull = true))
+    val short = arr(Seq(1.0))
+    val full = arr(Seq(1.0, 2.0))
+    val holed = arr(Seq(1.0, null))
+    assert(CosineSimilarity(full, short).eval(null) === null)
+    assert(graft.functions.SquaredDistance(full, short).eval(null) === null)
+    assert(CosineSimilarity(holed, full).eval(null) === null)
+    assert(graft.functions.SquaredDistance(holed, full).eval(null) === null)
+    assert(graft.functions.SquaredDistance(full, arr(Seq(3.0, 5.0))).eval(null) === 13.0)
+  }
 }

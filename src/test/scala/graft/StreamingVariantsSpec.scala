@@ -258,6 +258,49 @@ class StreamingVariantsSpec extends SparkSpec {
       s"got $alerts")
   }
 
+  test("curation landing is idempotent under foreachBatch re-delivery (mid-batch crash)") {
+    // foreachBatch is at-least-once: a crash after the parquet write
+    // but before the checkpoint commit re-delivers the batch with the
+    // SAME id. landBatch must overwrite its own batch_id= directory,
+    // never append a second copy of the docs.
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val curatedDir = Files.createTempDirectory("cur_redeliver").toString
+    val shed = new java.util.concurrent.atomic.AtomicLong
+    def batch = Seq((1L, 0, "fp1", T0), (2L, 0, "fp2", T0 + 1000),
+      (3L, 1, "fp3", T0 + 2000))
+      .toDF("doc_id", "src_id", "fp", "ms")
+      .select(col("doc_id"), col("src_id"), col("fp"),
+        (col("ms") / 1000).cast("timestamp").as("ts"))
+    // first delivery, then the re-delivery after a simulated crash
+    CurationPipeline.landBatch(batch, 2, curatedDir, 7L, shed.addAndGet(_))
+    CurationPipeline.landBatch(batch, 2, curatedDir, 7L, shed.addAndGet(_))
+    val docs = spark.read.schema(CurationPipeline.curatedSchema)
+      .parquet(curatedDir).collect()
+    assert(docs.map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L),
+      "landing zone must hold each kept doc exactly once (budget 2, oldest shed)")
+    assert(docs.map(r => r.getLong(r.fieldIndex("batch_id"))).toSet === Set(7L))
+    assert(shed.get() === 2L, "onShed is at-least-once by contract: fires per delivery")
+  }
+
+  test("latest-wins merge fails fast when the checkpoint was reset under a kept store") {
+    // a committed version ABOVE the incoming batch id means batch ids
+    // restarted from 0 (checkpoint deleted, store kept): merging would
+    // silently fork state, so merge must abort loudly instead
+    import graft.streaming.IncrementalPipelines.LatestWinsStore
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("q84reset").toString
+    val batch = Seq((1L, 100L, 10L, "view", 100L))
+      .toDF("user_id", "us", "event_id", "event_type", "cv")
+    LatestWinsStore.merge(batch, storeDir, 5L) // store now holds committed v5
+    val ex = intercept[IllegalArgumentException] {
+      LatestWinsStore.merge(batch, storeDir, 0L) // restarted checkpoint: batch id 0
+    }
+    assert(ex.getMessage.contains("checkpoint was reset"))
+    // the batch's own re-delivery (== id) must still be allowed
+    LatestWinsStore.merge(batch, storeDir, 5L)
+  }
+
   test("streaming incremental dedup (q91 shape): store anti-join + within-stream first-writer") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.IncrementalPipelines.DedupIngest
