@@ -163,11 +163,31 @@ object Dedup {
        |            ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
        |               AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** Session-scoped memo of the component table. SEVEN queries consume
+    * the same transitive closure (q57, q83, q120, q127, q129, q134,
+    * q136), and the propagation result is tiny relative to its cost —
+    * materialize it once per (session, dataset) and share the
+    * localCheckpointed frame. This is the in-session analog of
+    * persisting a bucketed component store, which is what a 100 TB
+    * deployment would do: write (doc_id, comp) bucketed by doc_id once
+    * per corpus version and let every consumer join co-partitioned.
+    * Weak session keys: entries (and their checkpoint blocks) die with
+    * the session's context.
+    */
+  private val componentMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
   /** Cross-operator surface: the q57 component table (for composers
     * outside this file — q136's cluster-safe split keys on it).
+    * Memoized per (session, dataset dir); see [[componentMemo]].
     */
   def components(s: SparkSession, d: String): DataFrame =
-    dedupComponents(s, d)
+    componentMemo.synchronized {
+      componentMemo
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, dedupComponents(s, d))
+    }
 
   /** Cross-operator surface: [[minhashPairsSql]] for oracle chains
     * built outside this file (must run under `WITH RECURSIVE`).
@@ -177,6 +197,20 @@ object Dedup {
   /** Min-label propagation over the [[minhashPairs]] near-dup graph —
     * q57's operator body, shared with q83's canonical selection.
     * Output: (doc_id, comp) for every doc that appears in a pair.
+    *
+    * Each round combines a one-hop neighbor-min with a POINTER-JUMP
+    * (L'(id) = L(L(id)) — every label is itself a node id, so the
+    * label table doubles as the parent table): reach at least doubles
+    * per round, so convergence takes O(log diameter) rounds instead of
+    * O(diameter). Near-dup clusters still converge in 2–3 rounds (the
+    * jump is a cheap self-join on the tiny label table), but a
+    * pathological chain-shaped corpus — adversarial paraphrase chains
+    * at 100 TB — now costs ~log₂(chain length) shuffles, not one per
+    * link. The 40-round cap is therefore unreachable for any finite
+    * graph (2⁴⁰ diameter); hitting it means the propagation itself is
+    * broken, and shipping non-converged labels would surface only as
+    * an opaque oracle hash mismatch — so fail loudly with the live
+    * label-churn count instead.
     */
   private def dedupComponents(s: SparkSession, d: String): DataFrame = {
     // materialize the pair graph ONCE before the symmetric union
@@ -196,14 +230,13 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
-      // The round's OLD label rides through the aggregation (the
-      // self-arm of the union carries it; max() recovers it since
-      // each id has exactly one self row), so convergence is a
-      // filter over the just-checkpointed frame — the earlier
-      // formulation re-JOINED next against labels for the probe,
-      // a full extra shuffle per round.
-      val next = adj.join(labels, adj("dst") === labels("id"))
+    while (!converged && rounds < 40) {
+      // Hop: min over the neighbors' labels. The round's OLD label
+      // rides through the aggregation (the self-arm of the union
+      // carries it; max() recovers it since each id has exactly one
+      // self row), so the convergence probe is a filter over the
+      // checkpointed frame, not an extra join.
+      val hop = adj.join(labels, adj("dst") === labels("id"))
         .select(adj("src").as("id"), labels("label").as("label"),
           lit(null).cast("long").as("old"))
         .union(labels.select(col("id"), col("label"),
@@ -211,18 +244,30 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
         .localCheckpoint(true)
+      // Jump: L'(id) = L(L(id)). Labels are node ids and every node
+      // has a row (the self-arm keeps it), so the inner self-join is
+      // total; the min-label invariant L(x) ≤ x makes the parent's
+      // label the smaller of the two (least() documents the intent).
+      val next = hop.as("c")
+        .join(hop.as("p"), col("c.label") === col("p.id"))
+        .select(col("c.id").as("id"),
+          least(col("c.label"), col("p.label")).as("label"),
+          col("c.old").as("old"))
+        .localCheckpoint(true)
       converged = next.filter(col("label") < col("old")).isEmpty
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
-    // A component with diameter > the round cap would silently
-    // ship non-converged (wrong) labels — fail loudly instead.
-    // Near-dup clusters converge in 2-4 rounds; hitting 25 means
-    // the pair graph is pathological and the output is not a
-    // transitive closure, which the oracle would catch only as an
-    // opaque hash mismatch.
-    require(converged,
-      s"q57 label propagation did not converge within $rounds rounds")
+    if (!converged) {
+      val churning = labels.as("now")
+        .join(labels.as("then"), col("now.id") === col("then.label"))
+        .count() // diagnostic only — never reached for a finite graph
+      throw new IllegalStateException(
+        s"q57 label propagation did not converge within $rounds " +
+          s"pointer-doubling rounds (~$churning labels still " +
+          "churning): the pair graph or the propagation is broken; " +
+          "refusing to ship a non-transitive closure.")
+    }
     labels.select(col("id").as("doc_id"), col("label").as("comp"))
   }
 
@@ -505,7 +550,7 @@ object Dedup {
     // checkpoint to the checkpoint dir instead).
     QueryDef(
       "q57_dedup_components",
-      (s, d) => dedupComponents(s, d),
+      (s, d) => components(s, d),
       Some(s"""WITH RECURSIVE $minhashPairsSql,
               |sym AS (SELECT da AS a, db AS b FROM pairs
               |        UNION ALL SELECT db, da FROM pairs),
@@ -531,7 +576,7 @@ object Dedup {
       (s, d) => {
         val docs = Tables(s, d, "documents")
           .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
-        dedupComponents(s, d)
+        components(s, d)
           .join(docs, "doc_id")
           .groupBy(col("comp"))
           .agg(count(lit(1)).as("n_members"),
@@ -997,7 +1042,7 @@ object Dedup {
     QueryDef(
       "q120_cluster_hist",
       (s, d) =>
-        dedupComponents(s, d)
+        components(s, d)
           .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
           .select(length(conv(col("sz"), 10, 2)).as("sz_bucket"), col("sz"))
           .groupBy(col("sz_bucket"))
@@ -1033,7 +1078,7 @@ object Dedup {
       (s, d) => {
         val srcs = Tables(s, d, "documents")
           .select(col("doc_id"), col("source"))
-        val ps = dedupComponents(s, d)
+        val ps = components(s, d)
           .join(srcs, "doc_id")
           .select(col("comp"), col("source")).distinct()
         ps.as("x").join(ps.as("y"),
@@ -1077,7 +1122,7 @@ object Dedup {
     QueryDef(
       "q129_cluster_density",
       (s, d) => {
-        val comp = dedupComponents(s, d)
+        val comp = components(s, d)
         val direct = minhashPairs(s, d)
           .join(comp.select(col("doc_id").as("da"), col("comp")), "da")
           .groupBy(col("comp")).agg(count(lit(1)).as("n_edges"))
@@ -1140,7 +1185,7 @@ object Dedup {
         val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
         // one label-propagation run (it materializes eagerly), reused
         // by both the canonical pick and the non-canonical flagging
-        val comp = dedupComponents(s, d)
+        val comp = components(s, d)
         val canon = comp
           .join(docs.select(col("doc_id"), col("n_tokens")), "doc_id")
           .groupBy(col("comp"))

@@ -109,6 +109,16 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("q57 component table is memoized per session: one propagation serves all consumers") {
+    // q57/q83/q120/q127/q129/q134/q136 all consume the same transitive
+    // closure; the session-scoped memo must hand every caller the SAME
+    // checkpointed frame (the in-session analog of the bucketed
+    // component store a 100 TB deployment would persist)
+    val a = graft.operators.Dedup.components(spark, sf001)
+    val b = graft.operators.Dedup.components(spark, sf001)
+    assert(a eq b, "repeat call must return the memoized frame, not a recompute")
+  }
+
   test("q49 lag deltas are non-negative and null exactly once per user") {
     val df = run("q49_lag_delta")
     assert(df.filter(col("delta_us") < 0).count() == 0)
