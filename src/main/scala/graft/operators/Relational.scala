@@ -257,17 +257,30 @@ object Relational {
              |  count(DISTINCT l_suppkey) AS nd_supps, count(*) AS n
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
-    // ---- q17: HLL sketch distinct (approx; engines' sketches differ,
-    // so no value oracle — driver records a rows-only check, and
-    // ApproxDistinctSpec bounds the estimate at ≤5% relative error vs
-    // the exact count). The 100 TB path for distinct counting:
-    // constant memory, partial-mergeable.
+    // ---- q17: HLL sketch distinct. Engines' sketches differ, so the
+    // sketch VALUE has no cross-engine oracle — but its published error
+    // bound does: emit the exact count plus a boolean that the sketch
+    // landed within 5% of it (integer-only: |approx−exact|·20 ≤ exact,
+    // so no float rounding can flip the comparison). The oracle
+    // computes the exact count and asserts the bound as literal TRUE;
+    // a broken sketch (or a wrong column wired in) now fails the hash
+    // gate instead of hiding behind a rows-only check. 5% ≈ 2.5σ at
+    // rsd 0.02 — the same ceiling ApproxDistinctSpec has always held.
+    // The 100 TB path for distinct counting: constant memory,
+    // partial-mergeable.
     QueryDef(
       "q17_approx_distinct",
       (s, d) =>
         li(s, d).groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
-      None),
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx") - col("exact_parts")) * lit(20L)
+              <= col("exact_parts")).as("within_tol")),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS within_tol
+             |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // ---- q18/q19: set operators -----------------------------------------
     QueryDef(

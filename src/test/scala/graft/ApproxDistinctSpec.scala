@@ -2,24 +2,39 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Bounds q17's approximation: the HLL++ sketch has no cross-engine
-  * value oracle (every engine's sketch differs), but its published
-  * error bound is checkable against the exact count on the same
-  * input. At rsd = 0.02 a 5% relative-error ceiling is ~2.5σ — loose
+/** Bounds q17's approximation. The HLL++ sketch value has no
+  * cross-engine oracle (every engine's sketch differs), so q17 emits
+  * the exact count plus a `within_tol` boolean and the DuckDB oracle
+  * asserts TRUE — this spec keeps an independent eye on the sketch
+  * itself: at rsd = 0.02 a 5% relative-error ceiling is ~2.5σ — loose
   * enough to be deterministic across Spark versions, tight enough
   * that a broken sketch (or a wrong column wired in) fails.
   */
 class ApproxDistinctSpec extends SparkSpec {
 
-  test("q17 approx_count_distinct within 5% of exact per group") {
-    val approx = SparkEntry.queries("q17_approx_distinct")(spark, sf001)
+  test("q17 emits exact counts and an all-true tolerance flag") {
+    val rows = SparkEntry.queries("q17_approx_distinct")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty, "q17 returned no groups")
     val exact = Tables(spark, sf001, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(count_distinct(col("l_partkey")).as("exact_parts"))
-    val joined = approx.join(exact, "l_returnflag")
-      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"))
+      .agg(count_distinct(col("l_partkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"group ${r.get(0)}: exact_parts mismatch")
+      assert(r.getBoolean(2),
+        s"group ${r.get(0)}: sketch strayed past 5% of exact")
+    }
+  }
+
+  test("raw approx_count_distinct stays within 5% of exact per group") {
+    // the bound the within_tol flag relies on, measured directly
+    val joined = Tables(spark, sf001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+        count_distinct(col("l_partkey")).as("e"))
       .collect()
-    assert(joined.nonEmpty, "q17 returned no groups")
     joined.foreach { r =>
       val a = r.getLong(1).toDouble
       val e = r.getLong(2).toDouble
