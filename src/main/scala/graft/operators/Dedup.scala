@@ -178,16 +178,53 @@ object Dedup {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]()
 
+  /** Conf key naming a persisted component table (see
+    * [[writeComponentsStore]]). When set and the table exists, every
+    * consumer reads the store instead of recomputing the closure.
+    */
+  val ComponentsTableConf = "spark.graft.components.table"
+
   /** Cross-operator surface: the q57 component table (for composers
     * outside this file — q136's cluster-safe split keys on it).
-    * Memoized per (session, dataset dir); see [[componentMemo]].
+    *
+    * Store-or-recompute: if [[ComponentsTableConf]] names an existing
+    * table (written by [[writeComponentsStore]], bucketed on doc_id),
+    * read it — consumers joining on doc_id then get the store side
+    * co-partitioned from disk with NO shuffle exchange
+    * (ComponentStoreSpec pins the plan). Otherwise compute the
+    * closure, memoized per (session, dataset dir); see
+    * [[componentMemo]].
     */
-  def components(s: SparkSession, d: String): DataFrame =
-    componentMemo.synchronized {
+  def components(s: SparkSession, d: String): DataFrame = {
+    val t = s.conf.get(ComponentsTableConf, "")
+    if (t.nonEmpty && s.catalog.tableExists(t))
+      s.table(t).select(col("doc_id"), col("comp"))
+    else componentMemo.synchronized {
       componentMemo
         .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate(d, dedupComponents(s, d))
     }
+  }
+
+  /** Persist the component table bucketed on doc_id — the production
+    * shape of [[componentMemo]]'s in-session memo: at 100 TB the
+    * closure is computed once per corpus version and every consumer
+    * (incremental dedup, split assignment, provenance audits) joins
+    * the store co-partitioned from disk, exactly like the fingerprint
+    * store DedupIngest already composes (BucketedStoreSpec). Bucket
+    * count defaults to spark.sql.shuffle.partitions so the batch
+    * side's partitioning lines up without an extra exchange.
+    */
+  def writeComponentsStore(s: SparkSession, d: String, table: String,
+      buckets: Int = -1): Unit = {
+    val b =
+      if (buckets > 0) buckets
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    dedupComponents(s, d)
+      .repartition(b, col("doc_id"))
+      .write.bucketBy(b, "doc_id").sortBy("doc_id")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+  }
 
   /** Cross-operator surface: [[minhashPairsSql]] for oracle chains
     * built outside this file (must run under `WITH RECURSIVE`).
