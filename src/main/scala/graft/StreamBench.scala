@@ -1,57 +1,70 @@
 package graft
 
 import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
 
-import graft.streaming.AlertPipeline
+import graft.streaming.{AlertPipeline, CurationPipeline, TrendingTerms}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
-/** Streaming throughput benchmark: drives N synthetic biometric events
-  * (half heart-rate, half blood-pressure; ~1% qualifying pairs)
-  * through the FULL alert pipeline — parse → union → watermark →
-  * sliding window (60s/5s) flag agg → cooldown — and reports
-  * events/second. This is the apples-to-apples number against the
-  * reference's single-node stream processors (which are hand-fed 5–8
-  * events; any measured rate beats it, so the figure documents
-  * headroom, not a contest).
+/** Streaming throughput benchmark across the three end-to-end
+  * pipelines, so streaming perf regressions are visible across rounds
+  * the way batch ones are (BENCH_r*.json):
   *
-  * Usage: runMain graft.StreamBench [nEvents] [batchSize]
+  *  - `alert`: full biometric alert pipeline — parse → union →
+  *    watermark → sliding window (60s/5s) flag agg → cooldown.
+  *    Apples-to-apples with the reference's single-node stream
+  *    processors (which are hand-fed 5–8 events; any measured rate
+  *    beats it, so the figure documents headroom, not a contest).
+  *  - `trending`: sliding-window heavy hitters — tokenize → windowed
+  *    term counts → per-batch finalized top-k.
+  *  - `curation`: ingestion curation — normalize → fingerprint →
+  *    within-stream dedup → store anti-join → shedding → partitioned
+  *    parquet landing.
+  *
+  * Emits ONE JSON line: top-level value/events/secs keep the alert
+  * pipeline's historical meaning (comparable to earlier rounds'
+  * STREAMBENCH_OUT.json), `pipelines` carries all three.
+  *
+  * Usage: runMain graft.StreamBench [nAlertEvents] [batchSize]
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(1000000)
-    val batch = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    if (sys.env.contains("SPARK_GRAFT_ROCKSDB"))
-      graft.streaming.AlertSinks.useRocksDBStateStore(spark)
+
+  private def ckptDir(base: java.io.File, tag: String): String =
+    Files.createTempDirectory(base.toPath, s"ckpt_$tag").toString
+
+  /** Checkpoint on tmpfs: this VM's block device has multi-ms fsync
+    * latency, and state-store commits fsync per partition per operator
+    * per batch — on slow disks that dominates the measurement (state
+    * commit times 10x the compute). A real cluster checkpoints to
+    * HDFS/object storage with proper write paths.
+    */
+  private def ckptBase(): java.io.File =
+    if (new java.io.File("/dev/shm").isDirectory) new java.io.File("/dev/shm")
+    else Files.createTempDirectory("ckpt_base").toFile
+
+  final case class Result(name: String, eventsPerSec: Double, events: Long,
+      secs: Double, outRows: Long) {
+    def json: String =
+      s""""$name":{"events_per_sec":${math.rint(eventsPerSec)},""" +
+        s""""events":$events,"secs":${math.rint(secs * 1000) / 1000},""" +
+        s""""out_rows":$outRows}"""
+  }
+
+  def benchAlert(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
-
     val hr = MemoryStream[String]
     val bp = MemoryStream[String]
     val cfg = AlertPipeline.Config(
       windowLength = "60 seconds", windowSlide = "5 seconds",
       cooldownMs = 300000L)
     val alerts = AlertPipeline(hr.toDF(), bp.toDF(), cfg)
-    // Checkpoint on tmpfs: this VM's block device has multi-ms fsync
-    // latency, and state-store commits fsync per partition per operator
-    // per batch — on slow disks that dominates the measurement (state
-    // commit times 10x the compute). A real cluster checkpoints to
-    // HDFS/object storage with proper write paths.
-    val ckptBase =
-      if (new java.io.File("/dev/shm").isDirectory) new java.io.File("/dev/shm")
-      else Files.createTempDirectory("ckpt_base").toFile
     val q = alerts.writeStream.format("memory").queryName("sb")
       .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory(ckptBase.toPath, "ckpt_sb").toString)
+      .option("checkpointLocation", ckptDir(base, "sb"))
       .start()
 
     val t0Ms = 1700000000000L
@@ -101,13 +114,135 @@ object StreamBench {
     val secs = (System.nanoTime() - t0) / 1e9
     val processed = (n / 2 - 1000) * 2
     val nAlerts = spark.table("sb").count()
+    q.stop()
+    Result("alert", processed / secs, processed, secs, nAlerts)
+  }
+
+  def benchTrending(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = MemoryStream[(Long, String)]
+    val t0Ms = 1700000000000L
+    // ~20-word docs over a 5000-term vocabulary with a skewed head
+    // (term w0 in every doc), event time advancing 10ms per doc
+    def doc(i: Long): (Long, String) = {
+      val sb = new StringBuilder("w0")
+      var w = 0
+      while (w < 19) {
+        sb.append(" w").append((i * 31 + w * 7 + (i % 13)) % 5000)
+        w += 1
+      }
+      (t0Ms + i * 10, sb.toString())
+    }
+    val ranked = new AtomicLong(0)
+    val q = TrendingTerms.start(
+      docs.toDF().toDF("ms", "text")
+        .select((col("ms") / 1000).cast("timestamp").as("ts"), col("text")),
+      k = 10, watermark = "10 seconds", win = "60 seconds",
+      slide = "30 seconds", checkpointDir = ckptDir(base, "tt"),
+      sink = b => ranked.addAndGet(b.count()))
+
+    docs.addData((0L until 1000L).map(doc))
+    q.processAllAvailable() // warmup
+    val t0 = System.nanoTime()
+    var i = 1000L
+    while (i < n) {
+      val end = math.min(i + batch, n)
+      val step = math.max(1L, (end - i) / 16)
+      var j = i
+      while (j < end) {
+        val e2 = math.min(j + step, end)
+        docs.addData((j until e2).map(doc))
+        j = e2
+      }
+      q.processAllAvailable()
+      i = end
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    Result("trending", (n - 1000) / secs, n - 1000, secs, ranked.get())
+  }
+
+  def benchCuration(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = MemoryStream[(Long, Int, String, Long)]
+    val t0Ms = 1700000000000L
+    // ~10% exact dups (every 10th doc repeats the previous text,
+    // modulo case/punctuation noise the normalizer must collapse)
+    def doc(i: Long): (Long, Int, String, Long) = {
+      val base = if (i % 10 == 9) i - 1 else i
+      val noisy = if (i % 10 == 9) s"The Quick, DOC $base!" else s"the quick doc $base"
+      (i, (i % 8).toInt, noisy + s" body ${base % 977}", t0Ms + i)
+    }
+    // persisted fingerprint store: 1000 already-ingested docs
+    val store = spark.range(1000)
+      .select(md5(concat(lit("the quick doc "), col("id"), lit(" body "),
+        pmod(col("id"), lit(977)))).as("fp"))
+      .localCheckpoint(true)
+    val curatedDir = Files.createTempDirectory(base.toPath, "curated").toString
+    val shed = new AtomicLong(0)
+    val q = CurationPipeline.startCuration(
+      docs.toDF().toDF("doc_id", "src_id", "text", "ms")
+        .select(col("doc_id"), col("src_id"), col("text"),
+          (col("ms") / 1000).cast("timestamp").as("ts")),
+      store, watermark = "10 seconds",
+      budgetPerBatch = batch.toInt, curatedDir = curatedDir,
+      checkpoint = ckptDir(base, "cur"), onShed = shed.addAndGet(_: Long))
+
+    docs.addData((0L until 1000L).map(doc))
+    q.processAllAvailable() // warmup
+    val t0 = System.nanoTime()
+    var i = 1000L
+    while (i < n) {
+      val end = math.min(i + batch, n)
+      val step = math.max(1L, (end - i) / 16)
+      var j = i
+      while (j < end) {
+        val e2 = math.min(j + step, end)
+        docs.addData((j until e2).map(doc))
+        j = e2
+      }
+      q.processAllAvailable()
+      i = end
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val landed = spark.read.schema(CurationPipeline.curatedSchema)
+      .parquet(curatedDir).count()
+    Result("curation", (n - 1000) / secs, n - 1000, secs, landed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val batch = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_ROCKSDB"))
+      graft.streaming.AlertSinks.useRocksDBStateStore(spark)
+    val base = ckptBase()
+
+    val alert = benchAlert(spark, base, n, batch)
+    val trending = benchTrending(spark, base, n / 5L, batch / 5L)
+    val curation = benchCuration(spark, base, n / 5L, batch / 5L)
+
     val json =
-      s"""{"metric":"stream_throughput","value":${processed / secs},"unit":"events/sec","events":$processed,"secs":$secs,"alerts":$nAlerts}"""
+      s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
+        s""""unit":"events/sec","events":${alert.events},"secs":${alert.secs},""" +
+        s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
+        s"""${trending.json},${curation.json}}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
-    q.stop()
     spark.stop()
   }
 }

@@ -8,15 +8,24 @@ import org.apache.spark.sql.types.LongType
   * (TESTDATA.md). At cluster scale the same call sites would point at a
   * partitioned table root; everything downstream is partition-agnostic.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-  * type for: read it as nanos-since-epoch LongType
-  * (spark.sql.legacy.parquet.nanosAsLong) and truncate to a microsecond
-  * TimestampType — the same truncation DuckDB's epoch_us applies, so
-  * the oracle arithmetic stays exact (integer µs, no floating point).
+  * Timestamp columns arrive in whatever physical type the driver's
+  * writer picked, and both need normalizing to a plain UTC
+  * TimestampType so `unix_micros`/window arithmetic resolves:
+  *  - TIMESTAMP(NANOS) (no native Spark type): read as
+  *    nanos-since-epoch LongType (spark.sql.legacy.parquet.nanosAsLong)
+  *    and truncate to microseconds — the same truncation DuckDB's
+  *    epoch_us applies, so the oracle arithmetic stays exact;
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+  *    TIMESTAMP_NTZ by default, which unix_micros rejects. Disable the
+  *    inference at this chokepoint so the scan yields TimestampType
+  *    directly (session tz is UTC everywhere, so the micros value is
+  *    identical to DuckDB's naive reading) — a per-column cast would
+  *    instead break ts filter pushdown with a Project over the scan.
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // Engine-wide aggregation tuning, applied at the single chokepoint
     // every query loads tables through (NOT per-query: a query-local
     // conf.set would leak into whatever runs next on the shared

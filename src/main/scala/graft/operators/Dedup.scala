@@ -254,6 +254,16 @@ object Dedup {
     // (both union arms would otherwise re-run the whole minhash
     // pipeline)
     val edges = minhashPairs(s, d).localCheckpoint(true)
+    propagate(edges)._1.select(col("id").as("doc_id"), col("label").as("comp"))
+  }
+
+  /** The pointer-doubling min-label propagation over an undirected
+    * (da, db) edge frame, exposed for fixture testing (a planted
+    * 50-deep chain must converge in ≤ ⌈log₂ 50⌉ + seed rounds, which
+    * the adversarial-graph spec pins). Returns the converged
+    * (id, label) frame and the number of rounds taken.
+    */
+  private[graft] def propagate(edges: DataFrame): (DataFrame, Int) = {
     val adj = edges.select(col("da").as("src"), col("db").as("dst"))
       .union(edges.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint(true)
@@ -305,7 +315,7 @@ object Dedup {
           "churning): the pair graph or the propagation is broken; " +
           "refusing to ship a non-transitive closure.")
     }
-    labels.select(col("id").as("doc_id"), col("label").as("comp"))
+    (labels, rounds)
   }
 
 

@@ -63,22 +63,44 @@ object CurationPipeline {
     "doc_id BIGINT, src_id INT, fp STRING, ts TIMESTAMP, batch_id BIGINT")
 
   /** One micro-batch's landing, IDEMPOTENT under foreachBatch's
-    * at-least-once re-delivery: shed to the budget, then overwrite the
-    * batch's OWN `batch_id=<id>` partition directory. A crash after a
-    * partial/full write but before the checkpoint commit re-runs the
-    * batch with the same id, and the overwrite replaces the earlier
-    * attempt instead of appending it again — the landing zone never
-    * accumulates duplicate doc_ids (same versioned-directory posture as
+    * at-least-once re-delivery and PUBLISHED ATOMICALLY: shed to the
+    * budget, write the batch to a hidden `.tmp` directory (hidden
+    * paths are invisible to every Spark file lister, including the
+    * monitor's file-stream source), then rename it into place as the
+    * batch's OWN `batch_id=<id>` partition directory.
+    *
+    * The rename closes the partial-listing race a direct write has: a
+    * batch lands as several part-files, and a concurrent file-stream
+    * lister that catches the directory mid-write sees a SUBSET of
+    * them — downstream event-time logic (the monitor's per-source
+    * cooldown picks the EARLIEST event) then processes later rows a
+    * micro-batch before earlier ones and emits the wrong
+    * representative. After the rename a batch directory is visible
+    * all-or-nothing on any filesystem with atomic rename (local,
+    * HDFS); object stores without it need a transactional table
+    * format instead.
+    *
+    * Re-delivery stays idempotent: a crash after a partial/full write
+    * but before the checkpoint commit re-runs the batch with the same
+    * id, and the fresh tmp dir replaces the earlier attempt instead of
+    * appending it (same versioned-directory posture as
     * [[IncrementalPipelines.LatestWinsStore]]; `_SUCCESS` marks the
-    * committed write). `onShed` fires on every delivery, so treat it as
-    * an at-least-once metrics signal, not an exact counter.
+    * committed write). `onShed` fires on every delivery, so treat it
+    * as an at-least-once metrics signal, not an exact counter.
     */
   private[graft] def landBatch(batch: DataFrame, budgetPerBatch: Int,
       curatedDir: String, batchId: Long, onShed: Long => Unit): Unit = {
     val (kept, shed) = Shedding.dropOldest(batch, budgetPerBatch,
       col("ts").desc, col("doc_id").desc)
     onShed(shed)
-    kept.write.mode("overwrite").parquet(s"$curatedDir/batch_id=$batchId")
+    val tmp = new org.apache.hadoop.fs.Path(curatedDir, s".tmp_batch_$batchId")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    val fs = tmp.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    val dst = new org.apache.hadoop.fs.Path(curatedDir, s"batch_id=$batchId")
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to publish $tmp -> $dst")
   }
 
   /** The curation query: admission → per-batch drop-oldest shedding →

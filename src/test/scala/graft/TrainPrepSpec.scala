@@ -119,6 +119,29 @@ class TrainPrepSpec extends SparkSpec {
     assert(a eq b, "repeat call must return the memoized frame, not a recompute")
   }
 
+  test("label propagation converges on a 50-deep chain in O(log diameter) rounds") {
+    // the pathological shape pointer-doubling exists for: adversarial
+    // paraphrase chains, where plain neighbor-min propagation needs one
+    // round PER LINK (50 shuffles here, 10⁶ at crawl scale). With the
+    // L(id) ← L(L(id)) jump, reach at least doubles per round, so the
+    // chain must collapse to one component in ≤ ⌈log₂ 50⌉ + 1 = 7
+    // rounds — and a star (diameter 2) stays at its 1-round floor.
+    val chain = spark.range(50)
+      .select(col("id").as("da"), (col("id") + 1).as("db"))
+    val (labels, rounds) = graft.operators.Dedup.propagate(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 51, "every chain node is labeled")
+    assert(got.forall(_._2 == 0L),
+      s"one component rooted at 0, got ${got.filter(_._2 != 0L).take(5).toSeq}")
+    assert(rounds <= 7, s"O(log diameter) bound: took $rounds rounds")
+
+    val star = spark.range(1, 40)
+      .select(lit(0L).as("da"), col("id").as("db"))
+    val (sl, sr) = graft.operators.Dedup.propagate(star)
+    assert(sl.collect().forall(_.getLong(1) == 0L))
+    assert(sr <= 2, s"star converges immediately, took $sr rounds")
+  }
+
   test("q49 lag deltas are non-negative and null exactly once per user") {
     val df = run("q49_lag_delta")
     assert(df.filter(col("delta_us") < 0).count() == 0)
