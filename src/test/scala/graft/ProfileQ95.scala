@@ -103,6 +103,33 @@ object ProfileQ95 {
         .count()
     }
 
+    // variant B: posexplode + suffix slice — emits exactly C(df,2)
+    // rows (no da<db filter) at the cost of materializing a suffix
+    // array per outer element
+    time("4B posexplode + slice (ckpt)") {
+      postings
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "da")))
+        .select(col("da"),
+          explode(expr("slice(ds, i + 2, size(ds))")).as("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("shared"))
+        .localCheckpoint(true)
+    }
+
+    // variant C: double explode at 4x the shuffle width (is the final
+    // agg the bottleneck, or the generate?)
+    time("4C double explode, 128 parts (ckpt)") {
+      postings
+        .repartition(128)
+        .withColumn("da", explode(col("ds")))
+        .withColumn("db", explode(col("ds")))
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("shared"))
+        .localCheckpoint(true)
+    }
+
     time("whole q95 (count)") {
       SparkEntry.queries("q95_winnow_pairs")(spark, dir).count()
     }
