@@ -39,6 +39,10 @@ object Tables {
     // sizes partitions for.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       (8 * 1024 * 1024).toString)
+    // md5long (the native 60-bit md5 key) resolves everywhere the
+    // engine runs, extension-registered or not: every query loads its
+    // tables through this chokepoint, and registration is idempotent.
+    graft.functions.Md5Long.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -65,7 +65,7 @@ object Dedup {
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
         .as("s"))
       .select(col("doc_id"),
-        expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("sid"))
+        expr("md5long(s)").as("sid"))
 
   private val hashedShinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -111,7 +111,7 @@ object Dedup {
     // multiply-add family provides at the same one-md5 cost.)
     val P = graft.functions.MinHashSignature.P
     val hashed = sh.select(col("doc_id"),
-      expr(s"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $P").as("hb"))
+      expr(s"md5long(s) % $P").as("hb"))
     val sigCols = (0 to 7).map { k =>
       val (a, b) = (graft.functions.MinHashSignature.A(k),
         graft.functions.MinHashSignature.B(k))
@@ -744,7 +744,7 @@ object Dedup {
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("w"))
           .select(col("doc_id"),
-            expr("cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)").as("hv"))
+            expr("md5long(w)").as("hv"))
         val aggs = (0 until 60).map { j =>
           val shift = 4 * (14 - j / 4) + (j % 4)
           sum(expr(s"shiftright(hv, $shift) & 1")).as(s"s$j")
@@ -985,8 +985,7 @@ object Dedup {
       "q114_split_leakage",
       (s, d) => {
         def splitOf(c: String): Column = {
-          val h = s"pmod(cast(conv(substr(md5(concat('split-', " +
-            s"cast($c as string))), 1, 15), 16, 10) as bigint), 100)"
+          val h = s"pmod(md5long(concat('split-', cast($c as string))), 100)"
           expr(s"CASE WHEN $h < 80 THEN 'train' " +
             s"WHEN $h < 90 THEN 'val' ELSE 'test' END")
         }

@@ -129,7 +129,7 @@ object TextOps {
           .filter(length(col("text")) >= 11) // k + w - 1
           .select(col("doc_id"), expr(
             "transform(sequence(1, length(text) - 7), i -> " +
-              "cast(conv(substr(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))")
+              "md5long(substring(text, i, 8)))")
             .as("khs"))
           .select(col("doc_id"), array_distinct(expr(
             "transform(sequence(1, size(khs) - 3), j -> array_min(slice(khs, j, 4)))"))
@@ -767,7 +767,7 @@ object TextOps {
         val toks = Tables(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("term"))
           .withColumn("h",
-            expr(s"cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint) % $P"))
+            expr(s"md5long(term) % $P"))
         val rowsExpr = (0 to 3).map { r =>
           val (a, b) = (graft.functions.MinHashSignature.A(r),
             graft.functions.MinHashSignature.B(r))
@@ -839,7 +839,7 @@ object TextOps {
           .filter(length(col("text")) >= 11)
           .select(col("doc_id"), expr(
             "transform(sequence(1, length(text) - 7), i -> " +
-              "cast(conv(substr(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))")
+              "md5long(substring(text, i, 8)))")
             .as("khs"))
           .select(col("doc_id"), explode(array_distinct(expr(
             "transform(sequence(1, size(khs) - 3), j -> array_min(slice(khs, j, 4)))")))

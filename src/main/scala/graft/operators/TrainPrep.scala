@@ -32,7 +32,7 @@ object TrainPrep {
         "transform(sequence(1, size(t)-7), i -> concat_ws(' ', slice(t, i, 8)))"))
         .as("g"))
       .select(col("doc_id"), col("source"),
-        expr("cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)").as("gid"))
+        expr("md5long(g)").as("gid"))
 
   private val gramsSql =
     """toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
@@ -46,7 +46,7 @@ object TrainPrep {
     * retries (a re-executed task at 100 TB must sample the same rows).
     */
   private val bucketCol =
-    expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    expr("md5long(cast(doc_id as string)) % 100")
 
   private val bucketSql =
     "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)"
@@ -64,7 +64,7 @@ object TrainPrep {
         col("doc_id"),
         expr("cast((st - 1) div 24 as bigint)").as("chunk_idx"),
         least(lit(32), col("n") - col("st") + 1).as("chunk_tokens"),
-        expr("cast(conv(substr(md5(concat_ws(' ', slice(t, st, 32))), 1, 15), 16, 10) as bigint)")
+        expr("md5long(concat_ws(' ', slice(t, st, 32)))")
           .as("chunk_fp"))
 
   private val chunksSql =
@@ -208,8 +208,7 @@ object TrainPrep {
         // 100 TB; localCheckpoint in this single-JVM harness).
         s.sql(
           """SELECT DISTINCT
-            |  cast(conv(substr(md5(concat_ws(' ', slice(t, i, 8))), 1, 15), 16, 10)
-            |       AS bigint) AS gid
+            |  md5long(concat_ws(' ', slice(t, i, 8))) AS gid
             |FROM (SELECT split(text, ' ') AS t FROM documents
             |      WHERE source = 'src0' AND size(split(text, ' ')) >= 8)
             |LATERAL VIEW explode(sequence(1, size(t) - 7)) AS i""".stripMargin)
@@ -219,8 +218,7 @@ object TrainPrep {
           """WITH toks AS (SELECT doc_id, source, split(text, ' ') AS t
             |              FROM documents WHERE size(split(text, ' ')) >= 8),
             |g AS (SELECT doc_id, source,
-            |        cast(conv(substr(md5(concat_ws(' ', slice(t, i, 8))), 1, 15), 16, 10)
-            |             AS bigint) AS gid
+            |        md5long(concat_ws(' ', slice(t, i, 8))) AS gid
             |      FROM toks LATERAL VIEW explode(sequence(1, size(t) - 7)) AS i),
             |filt AS (SELECT doc_id, gid FROM g
             |         WHERE source <> 'src0'
@@ -494,7 +492,7 @@ object TrainPrep {
       (s, d) => {
         val h = Tables(s, d, "documents")
           .select(col("doc_id"), col("source"),
-            expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+            expr("md5long(cast(doc_id as string))")
               .as("hk"))
         val wLocal = Window.partitionBy(col("source"), col("pid"))
           .orderBy(col("hk"), col("doc_id"))
@@ -536,7 +534,7 @@ object TrainPrep {
         val h = Tables(s, d, "documents")
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).as("w"),
-            expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+            expr("md5long(cast(doc_id as string))")
               .as("hk"))
           .withColumn("prio", col("hk") / col("w"))
         val wLocal = Window.partitionBy(col("pid"))
@@ -633,8 +631,7 @@ object TrainPrep {
       (s, d) => {
         val assigned = Tables(s, d, "documents")
           .select(col("doc_id"), col("source"),
-            expr("pmod(cast(conv(substr(md5(concat('split-', " +
-              "cast(doc_id as string))), 1, 15), 16, 10) as bigint), 100)")
+            expr("pmod(md5long(concat('split-', cast(doc_id as string))), 100)")
               .as("h"))
           .withColumn("split",
             when(col("h") < 80, "train")
@@ -830,8 +827,7 @@ object TrainPrep {
       .join(graft.operators.Dedup.components(s, d), Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("comp"), col("doc_id")))
       .withColumn("h",
-        expr("pmod(cast(conv(substr(md5(concat('graft-split-', " +
-          "cast(split_key as string))), 1, 15), 16, 10) as bigint), 100)"))
+        expr("pmod(md5long(concat('graft-split-', cast(split_key as string))), 100)"))
       .withColumn("split",
         when(col("h") < 80, "train")
           .when(col("h") < 90, "val").otherwise("test"))
