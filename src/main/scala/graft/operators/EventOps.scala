@@ -703,6 +703,46 @@ object EventOps {
              |  CAST(max(gap) AS BIGINT) AS max_gap_us,
              |  CAST(sum(CASE WHEN gap > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS gaps_over_5m
-             |FROM g GROUP BY event_type""".stripMargin))
+             |FROM g GROUP BY event_type""".stripMargin)),
+
+    // ---- q140: training-sequence export (behavioral pretraining) --------
+    // The export step of a behavioral-sequence corpus: each user's
+    // events in (ts, event_id) order — a total order, so the string is
+    // reproducible across engines and re-runs — truncated to the first
+    // 32 event types, space-joined, and fingerprinted. One user_id
+    // window ranks, and the aggregation reuses the SAME partitioning
+    // (window then groupBy on the partition key = one exchange end to
+    // end). The truncation happens INSIDE collect_list via when() —
+    // collect_list drops nulls — so the per-user state is bounded at
+    // 32 structs no matter how hot a user is; the full count still
+    // reports from the same pass.
+    QueryDef(
+      "q140_seq_export",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            concat_ws(" ", expr(
+              "transform(sort_array(collect_list(CASE WHEN rn <= 32 THEN " +
+                "struct(rn, event_type) END)), x -> x.event_type)")).as("seq"))
+          .select(col("user_id"), col("n_events"),
+            least(col("n_events"), lit(32L)).as("n_seq"),
+            col("seq"), md5(col("seq")).as("seq_fp"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+             |             row_number() OVER (PARTITION BY user_id
+             |               ORDER BY ts, event_id) AS rn
+             |           FROM events)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(least(count(*), 32) AS BIGINT) AS n_seq,
+             |  coalesce(string_agg(CASE WHEN rn <= 32 THEN event_type END,
+             |    ' ' ORDER BY rn), '') AS seq,
+             |  md5(coalesce(string_agg(CASE WHEN rn <= 32 THEN event_type END,
+             |    ' ' ORDER BY rn), '')) AS seq_fp
+             |FROM r GROUP BY user_id""".stripMargin))
   )
 }

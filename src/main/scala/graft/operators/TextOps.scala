@@ -1352,6 +1352,56 @@ object TextOps {
              |SELECT source, n_docs,
              |  round(slope_raw, 6) AS slope_microq_per_token,
              |  round((syd - slope_raw * sxd) / nd, 6) AS intercept_microq
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // ---- q139: Heaps-law vocabulary growth curve ------------------------
+    // The capacity-planning curve every tokenizer/vocab decision reads:
+    // split the corpus into 20 ingestion batches (by doc_id, the
+    // arrival order) and report cumulative distinct terms vs cumulative
+    // tokens. Per-term state is ONE row (the term's first bucket =
+    // min(bucket), an ordinary partial-aggregated min — no windowed
+    // count-distinct, which would shuffle the token stream per bucket);
+    // the curve itself is a 20-row frame, so the running sums ride a
+    // single-partition window over 20 rows (a driver-sized frame at any
+    // corpus scale — the token stream crosses exactly two vocab-sized
+    // exchanges and nothing else). Integer-only arithmetic end to end.
+    QueryDef(
+      "q139_heaps_vocab",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val mx = docs.agg(max(col("doc_id")).as("mx"))
+        val toks = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .join(broadcast(mx))
+          .select(expr("doc_id * 20 div (mx + 1)").as("bucket"), col("term"))
+        val tokens = toks.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val firsts = toks.groupBy(col("term"))
+          .agg(min(col("bucket")).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+        val w = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tokens.join(firsts, Seq("bucket"), "left")
+          .na.fill(0L, Seq("new_terms"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+          .select(col("bucket"), col("n_tokens"), col("new_terms"),
+            col("cum_tokens"), col("cum_vocab"))
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+             |tk AS (SELECT doc_id * 20 // (mx + 1) AS bucket, u.term
+             |       FROM documents, mx,
+             |            UNNEST(string_split(text, ' ')) AS u(term)),
+             |tokens AS (SELECT bucket, count(*) AS n_tokens FROM tk GROUP BY 1),
+             |firsts AS (SELECT bucket, count(*) AS new_terms FROM (
+             |             SELECT term, min(bucket) AS bucket FROM tk
+             |             GROUP BY term) GROUP BY 1)
+             |SELECT t.bucket, t.n_tokens,
+             |  CAST(coalesce(f.new_terms, 0) AS BIGINT) AS new_terms,
+             |  CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT)
+             |    AS cum_tokens,
+             |  CAST(sum(coalesce(f.new_terms, 0)) OVER (ORDER BY t.bucket)
+             |    AS BIGINT) AS cum_vocab
+             |FROM tokens t LEFT JOIN firsts f USING (bucket)""".stripMargin))
   )
 }

@@ -813,7 +813,73 @@ object TrainPrep {
               |                      ELSE 'test' END AS split
               |       FROM h)
               |SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
-              |FROM sp GROUP BY split""".stripMargin))
+              |FROM sp GROUP BY split""".stripMargin)),
+
+    // ---- q141: curated-corpus materialization (the deliverable) ---------
+    // The batch capstone that actually SHIPS a training corpus, all
+    // cleaning stages composed in one plan: q107 normalization →
+    // first-writer-wins exact dedup on the normalized fingerprint →
+    // benchmark exclusion (src0 docs out, plus any doc sharing an
+    // 8-gram with the src0 benchmark — q45's scheme over the shared
+    // grams stream) → minimum-length quality floor → deterministic
+    // md5-keyed split. Plan shape at 100 TB: one norm_fp exchange for
+    // the keeper argmin, the gram stream's gid exchange with the
+    // benchmark side broadcast (benchmark sets are small by
+    // definition), a left-anti on doc_id, and a row-local split
+    // projection — no window functions, no corpus-sized sort.
+    QueryDef(
+      "q141_corpus_rewrite",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val norm = docs.select(col("doc_id"), col("source"), col("lang"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            md5(col("norm")).as("norm_fp"),
+            size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+        val keep = norm.groupBy(col("norm_fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val g = grams(docs)
+        val bench = g.filter(col("source") === "src0")
+          .select(col("gid")).distinct()
+        val contaminated = g.filter(col("source") =!= "src0")
+          .join(broadcast(bench), "gid").select(col("doc_id")).distinct()
+        norm.join(keep, Seq("norm_fp", "doc_id"))
+          .filter(col("source") =!= "src0")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .filter(col("n_tokens") >= 20)
+          .withColumn("h", expr(
+            "pmod(md5long(concat('graft-rewrite-', cast(doc_id as string))), 100)"))
+          .withColumn("split",
+            when(col("h") < 80, "train")
+              .when(col("h") < 90, "val").otherwise("test"))
+          .select(col("doc_id"), col("source"), col("lang"), col("split"),
+            col("n_tokens"), col("norm_fp"))
+      },
+      Some(s"""WITH $gramsSql,
+              |bench AS (SELECT DISTINCT gid FROM g WHERE source = 'src0'),
+              |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gid)
+              |         WHERE source <> 'src0'),
+              |nrm AS (SELECT doc_id, source, lang,
+              |          trim(regexp_replace(regexp_replace(lower(text),
+              |            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              |        FROM documents),
+              |nf AS (SELECT doc_id, source, lang, md5(norm) AS norm_fp,
+              |         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+              |       FROM nrm),
+              |keep AS (SELECT norm_fp, min(doc_id) AS doc_id
+              |         FROM nf GROUP BY norm_fp),
+              |base AS (SELECT nf.* FROM nf JOIN keep USING (norm_fp, doc_id)
+              |         WHERE source <> 'src0' AND n_tokens >= 20
+              |           AND doc_id NOT IN (SELECT doc_id FROM cont)),
+              |h AS (SELECT *, ('0x' || substr(md5('graft-rewrite-'
+              |        || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
+              |      FROM base)
+              |SELECT doc_id, source, lang,
+              |  CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val'
+              |       ELSE 'test' END AS split,
+              |  n_tokens, norm_fp
+              |FROM h""".stripMargin))
   )
 
   /** q136's per-document assignment — (doc_id, n, split) with every

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-8 additions beyond the driver's
+  * oracle hash-match: Heaps-curve conservation (q139), sequence-export
+  * truncation and single-exchange plan (q140), and the curated-corpus
+  * capstone's exclusion guarantees (q141).
+  */
+class CorpusExportSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("q139 curve conserves tokens and vocabulary and is monotone") {
+    val rows = run("q139_heaps_vocab").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.last._1 <= 19, "buckets live in 0..19")
+    val toks = Tables(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+    assert(rows.last._4 === toks.count(), "cum_tokens ends at the corpus total")
+    assert(rows.last._5 === toks.distinct().count(),
+      "cum_vocab ends at the corpus vocabulary")
+    assert(rows.map(_._2).sum === rows.last._4, "bucket tokens sum to the curve")
+    assert(rows.map(_._3).sum === rows.last._5, "new terms sum to the vocab")
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b._4 > a._4 && b._5 >= a._5, s"cumulative curves are monotone: $a -> $b")
+    }
+    // Heaps shape: later batches contribute fewer novel terms than the
+    // first batch (the whole reason the curve is worth plotting)
+    assert(rows.head._3 > rows.last._3,
+      "novelty decays from the first batch to the last")
+  }
+
+  test("q140 sequences truncate at 32, count honestly, and ride one exchange") {
+    val df = run("q140_seq_export")
+    val rows = df.collect()
+    val users = Tables(spark, sf001, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.length.toLong === users, "one row per user")
+    rows.foreach { r =>
+      val (n, nSeq, seq) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nSeq === math.min(n, 32L), r.toString)
+      assert(seq.split(" ").length.toLong === nSeq,
+        s"seq token count equals n_seq: $r")
+    }
+    // brute-force recount for the hottest user
+    val hot = rows.maxBy(_.getLong(1))
+    val expect = Tables(spark, sf001, "events")
+      .filter(col("user_id") === hot.getLong(0))
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .collect().sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+      .take(32).map(_.getString(0)).mkString(" ")
+    assert(hot.getString(3) === expect, "hottest user's sequence recount")
+    // the window and the aggregation share the user_id partitioning:
+    // exactly one exchange in the whole plan (AQE's toString repeats
+    // the initial plan below the final one — count the final only)
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"window + agg must share one user_id exchange:\n$planStr")
+  }
+
+  test("q141 ships no benchmark doc, no contaminated doc, no dup, no short doc") {
+    val out = run("q141_corpus_rewrite").collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getString(1) == "src0"), "benchmark source excluded")
+    assert(out.forall(_.getLong(4) >= 20L), "quality floor holds")
+    val fps = out.map(_.getString(5))
+    assert(fps.distinct.length === fps.length, "one doc per normalized fp")
+    // q45 is the independent contamination detector: no shipped doc may
+    // carry a single benchmark 8-gram hit
+    val shippedIds = out.map(_.getLong(0)).toSet
+    val contaminated = run("q45_decontaminate").collect()
+      .filter(_.getLong(1) > 0).map(_.getLong(0)).toSet
+    assert(shippedIds.intersect(contaminated).isEmpty,
+      "no contaminated doc ships")
+    // split fractions: deterministic md5 keying lands near 80/10/10
+    val bySplit = out.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0))
+  }
+}
