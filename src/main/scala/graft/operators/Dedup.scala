@@ -90,25 +90,21 @@ object Dedup {
     *    replacing a distinct() that shuffled every candidate pair
     *    (the largest dataset in the query under duplication skew).
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.parallel(s, d, "documents")
+  /** LSH band signatures of an arbitrary (doc_id, text) frame:
+    * (doc_id, band, h1, h2, sig) — the q36/q57 banding scheme (8
+    * minhashes, 4 bands × 2 rows) exposed as a reusable projection so
+    * the INCREMENTAL path ([[assignToClusters]]) computes a new
+    * batch's signatures with the exact same hashes the persisted
+    * corpus stores were built with. `sig` carries the full 8-hash
+    * array for first-colliding-band dedup.
+    */
+  private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
         .as("s"))
-    // ONE md5 per shingle; the 8 minhashes are q38's universal family
-    // h_k(x) = (a_k·(x mod P) + b_k) mod P over the Mersenne prime
-    // P = 2³¹−1, with [[graft.functions.MinHashSignature]]'s
-    // md5-derived coefficients (k < 8). The earlier family salted and
-    // re-hashed md5 per seed — 8 digests per shingle row, and the
-    // hash dominated this stage's CPU. (A cheaper-still h1+k·h2
-    // double-hash over the digest halves was tried and REVERTED: one
-    // low-valued shingle tends to win several adjacent k's at once,
-    // so band rows collide together, the candidate graph densifies,
-    // and at sf0.1 label propagation stopped converging — minhash
-    // band rows need pairwise-independent rehashes, which the
-    // multiply-add family provides at the same one-md5 cost.)
     val P = graft.functions.MinHashSignature.P
     val hashed = sh.select(col("doc_id"),
       expr(s"md5long(s) % $P").as("hb"))
@@ -121,12 +117,29 @@ object Dedup {
     val bandCols = (0 to 3).map(b =>
       struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
         col(s"mh${2 * b + 1}").as("h2")))
-    val bands = sigs
+    sigs
       .select(col("doc_id"),
         array((0 to 7).map(k => col(s"mh$k")): _*).as("sig"),
         explode(array(bandCols: _*)).as("b"))
-      .select(col("b.band").as("band"), col("b.h1").as("h1"),
-        col("b.h2").as("h2"),
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.h1").as("h1"), col("b.h2").as("h2"), col("sig"))
+  }
+
+  // ONE md5 per shingle; the 8 minhashes are q38's universal family
+  // h_k(x) = (a_k·(x mod P) + b_k) mod P over the Mersenne prime
+  // P = 2³¹−1, with [[graft.functions.MinHashSignature]]'s
+  // md5-derived coefficients (k < 8). The earlier family salted and
+  // re-hashed md5 per seed — 8 digests per shingle row, and the
+  // hash dominated this stage's CPU. (A cheaper-still h1+k·h2
+  // double-hash over the digest halves was tried and REVERTED: one
+  // low-valued shingle tends to win several adjacent k's at once,
+  // so band rows collide together, the candidate graph densifies,
+  // and at sf0.1 label propagation stopped converging — minhash
+  // band rows need pairwise-independent rehashes, which the
+  // multiply-add family provides at the same one-md5 cost.)
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandSignatures(Tables.parallel(s, d, "documents"))
+      .select(col("band"), col("h1"), col("h2"),
         struct(col("doc_id").as("id"), col("sig").as("sg")).as("m"))
     Similarity.saltedPairs(bands, Seq("band", "h1", "h2"), 4)
       // keep the pair only in its FIRST colliding band
@@ -224,6 +237,71 @@ object Dedup {
       .repartition(b, col("doc_id"))
       .write.bucketBy(b, "doc_id").sortBy("doc_id")
       .format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
+  /** Persist the corpus' LSH band signatures bucketed on the FULL
+    * (band, h1, h2) collision key — the second half of the
+    * incremental-dedup store pair (with [[writeComponentsStore]]).
+    * The bucket function must cover exactly the join key: Spark
+    * co-partitions a sort-merge join only when both sides route rows
+    * by the same key set, so a subset bucketing (h1 alone was tried)
+    * makes the planner fall back to re-shuffling the corpus side —
+    * the one thing the store exists to avoid.
+    */
+  def writeBandStore(s: SparkSession, d: String, table: String,
+      buckets: Int = -1): Unit = {
+    val b =
+      if (buckets > 0) buckets
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    bandSignatures(Tables.parallel(s, d, "documents"))
+      .select(col("doc_id"), col("band"), col("h1"), col("h2"))
+      .repartition(b, col("band"), col("h1"), col("h2"))
+      .write.bucketBy(b, "band", "h1", "h2").sortBy("band", "h1", "h2")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
+  /** INCREMENTAL cluster assignment — the production path a 100 TB
+    * deployment runs per ingest batch instead of re-deriving the
+    * transitive closure: a new document joins the near-dup cluster of
+    * any STORED document sharing a full LSH band (the same collision
+    * rule q36's pair generation uses), resolved to a cluster id
+    * through the persisted component table; documents with no
+    * collision found nothing similar and seed their own cluster
+    * (their id, the same convention the closure uses for roots).
+    *
+    * Plan shape: the batch's band signatures (batch-sized) join the
+    * band store — bucketed on (band, h1, h2), so the corpus side
+    * arrives co-partitioned from disk — then the matched (batch-sized)
+    * candidate set joins the component store on doc_id (bucketed,
+    * same no-exchange property; misses coalesce to the stored doc's
+    * own id, exactly the closure's singleton convention). Ties take
+    * min(comp), deterministic. Nothing corpus-sized ever shuffles.
+    *
+    * New-batch-internal duplicates are NOT clustered against each
+    * other here (each batch doc matches only the STORE); run the
+    * batch through [[dedupComponents]]' scheme first, or ingest
+    * batches small enough that within-batch dups are caught on the
+    * next store refresh — the standard trade of incremental LSH.
+    *
+    * @return (doc_id, comp) for every batch document.
+    */
+  def assignToClusters(s: SparkSession, newDocs: DataFrame,
+      bandStore: DataFrame, compStore: DataFrame): DataFrame = {
+    val newBands = bandSignatures(newDocs)
+      .select(col("doc_id").as("new_id"), col("band"), col("h1"), col("h2"))
+    val matches = newBands
+      .join(bandStore, Seq("band", "h1", "h2"))
+      .select(col("new_id"), col("doc_id").as("old_id"))
+      .distinct()
+    val withComp = matches
+      .join(compStore.withColumnRenamed("doc_id", "old_id")
+        .withColumnRenamed("comp", "old_comp"), Seq("old_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("old_comp"), col("old_id")).as("cand"))
+      .groupBy(col("new_id")).agg(min(col("cand")).as("comp"))
+    newDocs.select(col("doc_id"))
+      .join(withComp.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
   /** Cross-operator surface: [[minhashPairsSql]] for oracle chains

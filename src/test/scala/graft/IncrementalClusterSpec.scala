@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** The incremental-dedup production path end to end: persist BOTH
+  * stores (band signatures bucketed on h1, components bucketed on
+  * doc_id), then assign a new ingest batch to clusters without
+  * recomputing anything corpus-sized.
+  *
+  * Fixture batch: exact clones of stored documents (every band
+  * collides → must land in the source doc's cluster), plus novel
+  * documents from a disjoint vocabulary (no collision → must seed
+  * their own id). Plan pin: neither store side shuffles.
+  */
+class IncrementalClusterSpec extends SparkSpec {
+
+  test("clones join their source's cluster, novels seed their own; stores never shuffle") {
+    val wh = Files.createTempDirectory("graft_wh_inc").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS incstore LOCATION '$wh'")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      Dedup.writeBandStore(spark, sf001, "incstore.bands_b")
+      Dedup.writeComponentsStore(spark, sf001, "incstore.comps_b")
+      val comp = Dedup.components(spark, sf001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // batch: clones of 5 stored docs (ids offset by 10^6) + 3 novel
+      // docs over a vocabulary no stored doc shares a shingle with
+      val docs = Tables(spark, sf001, "documents")
+      val clones = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      import spark.implicits._
+      val novel = Seq(
+        (2000000L, (0 until 40).map(i => s"zq$i").mkString(" ")),
+        (2000001L, (0 until 40).map(i => s"xv${i * 3}").mkString(" ")),
+        (2000002L, (0 until 40).map(i => s"kj${i * 7}").mkString(" ")))
+        .toDF("doc_id", "text")
+      val batch = clones.union(novel)
+
+      // force the join shapes that would otherwise broadcast/re-plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val assigned = Dedup.assignToClusters(spark, batch,
+        spark.table("incstore.bands_b"), spark.table("incstore.comps_b"))
+      val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      (0L until 5L).foreach { id =>
+        val expect = comp.getOrElse(id, id)
+        assert(got(id + 1000000L) === expect,
+          s"clone of doc $id must land in cluster $expect, got ${got(id + 1000000L)}")
+      }
+      Seq(2000000L, 2000001L, 2000002L).foreach { id =>
+        assert(got(id) === id, s"novel doc $id must seed its own cluster")
+      }
+
+      // neither persisted store side may shuffle: the band join's
+      // store side is bucketed on h1 (a subset of the join key), the
+      // component join's on doc_id
+      val plan = assigned.queryExecution.executedPlan
+      val joins = plan.collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, s"expected SMJs:\n$plan")
+      val bandJoin = joins.find(_.leftKeys.size == 3)
+      assert(bandJoin.isDefined, s"expected the 3-key band join:\n$plan")
+      assert(bandJoin.get.right.collect {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, s"band store side must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP DATABASE IF EXISTS incstore CASCADE")
+    }
+  }
+}
