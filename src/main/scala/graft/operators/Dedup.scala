@@ -137,8 +137,16 @@ object Dedup {
   // and at sf0.1 label propagation stopped converging — minhash
   // band rows need pairwise-independent rehashes, which the
   // multiply-add family provides at the same one-md5 cost.)
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = bandSignatures(Tables.parallel(s, d, "documents"))
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    pairsFromBands(bandSignatures(Tables.parallel(s, d, "documents")))
+
+  /** q36's salted pair generation + first-colliding-band dedup over an
+    * arbitrary [[bandSignatures]] frame — shared by the corpus-wide
+    * closure and the store-subset closure q142 verifies the
+    * incremental path against.
+    */
+  private[graft] def pairsFromBands(bandSigs: DataFrame): DataFrame = {
+    val bands = bandSigs
       .select(col("band"), col("h1"), col("h2"),
         struct(col("doc_id").as("id"), col("sig").as("sg")).as("m"))
     Similarity.saltedPairs(bands, Seq("band", "h1", "h2"), 4)
@@ -1362,6 +1370,55 @@ object Dedup {
               |  CAST(sum(ne) AS BIGINT) AS n_near_extra,
               |  round((count(*) - CAST(sum(ed) AS BIGINT)
               |         - CAST(sum(ne) AS BIGINT)) / count(*), 6) AS keep_rate
-              |FROM f GROUP BY source""".stripMargin))
+              |FROM f GROUP BY source""".stripMargin)),
+
+    // ---- q142: incremental cluster assignment, oracle-checked -----------
+    // The [[assignToClusters]] operator itself under the hash gate:
+    // docs with doc_id ≡ 3 (mod 7) play the "new ingest batch", the
+    // rest the persisted corpus. The store subset's closure comes from
+    // the SAME propagate/pairs code the corpus closure uses (restricted
+    // pair sets are exactly corpus pairs with both endpoints stored —
+    // band collision is pairwise); the batch then assigns through band
+    // collisions + the store closure, never recomputing anything
+    // corpus-sized. The oracle re-derives the store closure with a
+    // recursive CTE and replays the assignment rule relationally.
+    QueryDef(
+      "q142_incremental_assign",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val store = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        // the band projection feeds both the store closure and the
+        // assignment join — pin it once
+        val storeBands = bandSignatures(store).localCheckpoint(true)
+        val edges = pairsFromBands(storeBands).localCheckpoint(true)
+        val comp = propagate(edges)._1
+          .select(col("id").as("doc_id"), col("label").as("comp"))
+        assignToClusters(s, batch,
+          storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),
+          comp)
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |spairs AS (SELECT da, db FROM pairs
+              |           WHERE da % 7 <> 3 AND db % 7 <> 3),
+              |sym AS (SELECT da AS a, db AS b FROM spairs
+              |        UNION ALL SELECT db, da FROM spairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |lab AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |cand AS (SELECT n.doc_id AS new_id,
+              |           coalesce(l.comp, b2.doc_id) AS cand
+              |         FROM bands n JOIN bands b2
+              |           ON n.band = b2.band AND n.h1 = b2.h1 AND n.h2 = b2.h2
+              |          AND n.doc_id % 7 = 3 AND b2.doc_id % 7 <> 3
+              |         LEFT JOIN lab l ON l.doc_id = b2.doc_id),
+              |agg AS (SELECT new_id, min(cand) AS comp FROM cand GROUP BY new_id)
+              |SELECT d.doc_id, coalesce(a.comp, d.doc_id) AS comp
+              |FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
+              |WHERE d.doc_id % 7 = 3""".stripMargin))
   )
 }

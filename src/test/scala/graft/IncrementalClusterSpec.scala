@@ -76,4 +76,30 @@ class IncrementalClusterSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS incstore CASCADE")
     }
   }
+
+  test("q142 assignments point at store-closure roots or self") {
+    val got = SparkEntry.queries("q142_incremental_assign")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    assert(got.keys.forall(_ % 7 == 3), "output is exactly the batch")
+    val storeIds = Tables(spark, sf001, "documents")
+      .filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, c) =>
+      assert(c == id || storeIds.contains(c),
+        s"comp is self or a stored doc id: $id -> $c")
+    }
+    // matched assignments must be ROOTS of the store-subset closure:
+    // a root labels itself (or is an unpaired singleton, absent from
+    // the component table entirely) — never an interior member
+    val comp = got.values.filter(storeIds.contains).toSet
+    if (comp.nonEmpty) {
+      val storeComp = SparkEntry.queries("q57_dedup_components")(spark, sf001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      comp.foreach { c =>
+        assert(!storeComp.contains(c) || storeComp(c) <= c,
+          s"assigned label $c resolves no lower in the corpus closure")
+      }
+    }
+  }
 }
