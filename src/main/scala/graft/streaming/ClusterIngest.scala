@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Streaming incremental near-dup clustering — the continuous
+  * deployment of [[Dedup.assignToClusters]]: every micro-batch of
+  * incoming documents is assigned to existing clusters through the
+  * persisted band-signature and component stores, and the
+  * (doc_id, comp, batch_id) assignments land atomically per batch.
+  *
+  * The stream itself carries NO state (the checkpoint tracks offsets
+  * only): all clustering state lives in the two bucketed stores,
+  * refreshed out-of-band once per corpus version
+  * ([[Dedup.writeBandStore]] / [[Dedup.writeComponentsStore]]) — so a
+  * restart resumes instantly, and store refreshes roll out without
+  * touching the query. Within-batch duplicates cluster against the
+  * STORE only (each other at the next refresh) — the standard
+  * incremental-LSH trade, documented on the operator.
+  *
+  * Input schema: (doc_id: Long, text: String).
+  */
+object ClusterIngest {
+
+  val assignedSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, comp BIGINT, batch_id BIGINT")
+
+  def start(docs: DataFrame, bandStore: DataFrame, compStore: DataFrame,
+      outDir: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val assigned = Dedup.assignToClusters(
+          batch.sparkSession, batch, bandStore, compStore)
+        AtomicLanding.publish(assigned, outDir, id)
+      }
+      .start()
+
+  /** Read everything assigned so far (committed batches only — the
+    * hidden tmp dirs are invisible to the reader by construction).
+    */
+  def readAssigned(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    spark.read.schema(assignedSchema).parquet(outDir)
+      .select(col("doc_id"), col("comp"), col("batch_id"))
+}

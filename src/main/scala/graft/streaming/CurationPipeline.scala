@@ -93,14 +93,7 @@ object CurationPipeline {
     val (kept, shed) = Shedding.dropOldest(batch, budgetPerBatch,
       col("ts").desc, col("doc_id").desc)
     onShed(shed)
-    val tmp = new org.apache.hadoop.fs.Path(curatedDir, s".tmp_batch_$batchId")
-    kept.write.mode("overwrite").parquet(tmp.toString)
-    val fs = tmp.getFileSystem(
-      batch.sparkSession.sessionState.newHadoopConf())
-    val dst = new org.apache.hadoop.fs.Path(curatedDir, s"batch_id=$batchId")
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"failed to publish $tmp -> $dst")
+    AtomicLanding.publish(kept, curatedDir, batchId)
   }
 
   /** The curation query: admission → per-batch drop-oldest shedding →

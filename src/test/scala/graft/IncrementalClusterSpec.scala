@@ -77,6 +77,50 @@ class IncrementalClusterSpec extends SparkSpec {
     }
   }
 
+  test("streaming ClusterIngest assigns across restarts with offset-only state") {
+    val wh = Files.createTempDirectory("graft_wh_ci").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS cistore LOCATION '$wh'")
+    try {
+      Dedup.writeBandStore(spark, sf001, "cistore.bands_b")
+      Dedup.writeComponentsStore(spark, sf001, "cistore.comps_b")
+      val comp = Dedup.components(spark, sf001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val srcText = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") < 3).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("ci_out").toString
+      val ckpt = Files.createTempDirectory("ckpt_ci").toString
+      def startQ() = graft.streaming.ClusterIngest.start(
+        docs.toDF().toDF("doc_id", "text"),
+        spark.table("cistore.bands_b"), spark.table("cistore.comps_b"),
+        outDir, ckpt)
+
+      var q = startQ()
+      docs.addData((1000000L, srcText(0L)), (1000001L, srcText(1L)))
+      q.processAllAvailable(); q.stop()
+      // restart: nothing but offsets in the checkpoint — the next
+      // batch must assign identically through the same stores
+      q = startQ()
+      docs.addData((1000002L, srcText(2L)),
+        (2000000L, (0 until 40).map(i => s"zz$i").mkString(" ")))
+      q.processAllAvailable(); q.stop()
+
+      val got = graft.streaming.ClusterIngest.readAssigned(spark, outDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 3L).foreach { id =>
+        assert(got(id + 1000000L) === comp.getOrElse(id, id),
+          s"clone of doc $id joins its cluster across the restart")
+      }
+      assert(got(2000000L) === 2000000L, "novel doc seeds its own cluster")
+      assert(got.size === 4)
+    } finally spark.sql("DROP DATABASE IF EXISTS cistore CASCADE")
+  }
+
   test("q142 assignments point at store-closure roots or self") {
     val got = SparkEntry.queries("q142_incremental_assign")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
