@@ -106,7 +106,11 @@ object SkewBench {
     // corpus, making them the hot keys of the (w1, w2) aggregate and
     // of both marginal joins; partial aggregation must collapse them
     // map-side and the unhinted joins must not tip over
-    "q122_collocations")
+    "q122_collocations",
+    // round-8: the bucket-health audit must SEE the hot cluster (its
+    // max_bucket is the 1000-doc near-identical block) while staying
+    // cheap — it aggregates bucket sizes, never expands pairs
+    "q143_lsh_bucket_audit")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1419,6 +1419,89 @@ object Dedup {
               |agg AS (SELECT new_id, min(cand) AS comp FROM cand GROUP BY new_id)
               |SELECT d.doc_id, coalesce(a.comp, d.doc_id) AS comp
               |FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
-              |WHERE d.doc_id % 7 = 3""".stripMargin))
+              |WHERE d.doc_id % 7 = 3""".stripMargin)),
+
+    // ---- q143: LSH bucket-health audit ----------------------------------
+    // The ops report that tells you whether the banding scheme is
+    // sized right BEFORE the pair explosion runs: per band, how many
+    // buckets, how hot the hottest is, how many docs collide at all,
+    // and the exact candidate-pair volume Σ C(size, 2) the band will
+    // emit. On the skew corpus the hot near-identical cluster shows up
+    // here as max_bucket ≈ cluster size long before q36 pays for it.
+    // Two tiny aggregations: bucket sizes shuffle on the (band, h1,
+    // h2) collision key (the same key the pair join uses), the rollup
+    // is 4 rows.
+    QueryDef(
+      "q143_lsh_bucket_audit",
+      (s, d) => {
+        val sizes = bandSignatures(Tables.parallel(s, d, "documents"))
+          .groupBy(col("band"), col("h1"), col("h2"))
+          .agg(count(lit(1)).as("sz"))
+        sizes.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max(col("sz")).as("max_bucket"),
+            sum(when(col("sz") > 1, col("sz")).otherwise(0L))
+              .as("colliding_docs"),
+            sum(col("sz") * (col("sz") - 1) / lit(2)).cast("long")
+              .as("cand_pairs"))
+      },
+      Some(s"""WITH $minhashPairsSql,
+              |b AS (SELECT band, h1, h2, count(*) AS sz
+              |      FROM bands GROUP BY 1, 2, 3)
+              |SELECT band, count(*) AS n_buckets, max(sz) AS max_bucket,
+              |  CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+              |    AS colliding_docs,
+              |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+              |FROM b GROUP BY band""".stripMargin)),
+
+    // ---- q144: quality-score vs duplication eval grid -------------------
+    // Does the cheap quality score actually separate duplicated
+    // content? Buckets the corpus by q32's quality (decile-width
+    // buckets, floor(q·10) capped at 9 — row-local, no percentile
+    // window) and reports the near-dup membership rate per bucket
+    // (q57's component table = the dup labels). The judgment call a
+    // data lead makes when choosing filter thresholds, as one 10-row
+    // frame: corpus crosses the component join once, everything else
+    // partial-aggregates.
+    QueryDef(
+      "q144_quality_dup_grid",
+      (s, d) => {
+        val q = Tables(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            (least(lit(1.0), size(col("toks")) / 100.0)
+              * (size(array_distinct(col("toks"))) / size(col("toks"))))
+              .as("quality"))
+          .withColumn("qb",
+            least(floor(col("quality") * 10).cast("long"), lit(9L)))
+        q.join(components(s, d).select(col("doc_id"))
+            .withColumn("isd", lit(1L)), Seq("doc_id"), "left")
+          .na.fill(0L, Seq("isd"))
+          .groupBy(col("qb"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("isd")).as("n_dup"))
+          .withColumn("dup_rate", round(col("n_dup") / col("n_docs"), 6))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |lab AS (SELECT a AS doc_id FROM reach GROUP BY a),
+              |q AS (SELECT doc_id,
+              |        least(1.0, len(string_split(text, ' ')) / 100.0)
+              |          * (len(list_distinct(string_split(text, ' ')))
+              |             / len(string_split(text, ' '))) AS quality
+              |      FROM documents),
+              |qb AS (SELECT q.doc_id,
+              |         least(CAST(floor(quality * 10) AS BIGINT), 9) AS qb,
+              |         CASE WHEN lab.doc_id IS NULL THEN 0 ELSE 1 END AS isd
+              |       FROM q LEFT JOIN lab ON q.doc_id = lab.doc_id)
+              |SELECT qb, count(*) AS n_docs,
+              |  CAST(sum(isd) AS BIGINT) AS n_dup,
+              |  round(CAST(sum(isd) AS BIGINT) / count(*), 6) AS dup_rate
+              |FROM qb GROUP BY qb""".stripMargin))
   )
 }

@@ -63,6 +63,42 @@ class CorpusExportSpec extends SparkSpec {
       s"window + agg must share one user_id exchange:\n$planStr")
   }
 
+  test("q143 audit conserves banded docs and bounds the pair volume") {
+    val rows = run("q143_lsh_bucket_audit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).sorted.toSeq === Seq(0, 1, 2, 3), "all four bands")
+    val banded = Tables(spark, sf001, "documents")
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    rows.foreach { case (b, nBuckets, maxB, colliding, pairs) =>
+      assert(nBuckets <= banded && maxB >= 1 && maxB <= banded, s"band $b")
+      assert(colliding <= banded, s"band $b colliding_docs bound")
+      assert(pairs >= maxB * (maxB - 1) / 2,
+        s"band $b pair volume at least its hottest bucket's")
+    }
+    // every band buckets every banded doc exactly once: sizes sum back
+    val sizesSum = graft.operators.Dedup
+      .bandSignatures(Tables(spark, sf001, "documents"))
+      .groupBy(col("band")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (b, _, _, _, _) =>
+      assert(sizesSum(b) === banded, s"band $b covers the banded corpus")
+    }
+  }
+
+  test("q144 grid conserves the corpus and the dup set") {
+    val rows = run("q144_quality_dup_grid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables(spark, sf001, "documents").count()
+    val dups = run("q57_dedup_components").count()
+    assert(rows.map(_._2).sum === docs, "every doc lands in one bucket")
+    assert(rows.map(_._3).sum === dups, "every clustered doc counted once")
+    rows.foreach { case (qb, n, d, rate) =>
+      assert(qb >= 0 && qb <= 9 && d <= n && rate >= 0.0 && rate <= 1.0,
+        s"($qb, $n, $d, $rate)")
+    }
+  }
+
   test("q141 ships no benchmark doc, no contaminated doc, no dup, no short doc") {
     val out = run("q141_corpus_rewrite").collect()
     assert(out.nonEmpty)
