@@ -215,6 +215,56 @@ object StreamBench {
     Result("curation", (n - 1000) / secs, n - 1000, secs, landed)
   }
 
+  def benchClustering(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // stores from the sf0.001 corpus; the stream feeds clones of its
+    // docs (band-collision hits) mixed 1:1 with novel word soup
+    val wh = Files.createTempDirectory(base.toPath, "wh_sb_ci").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sbci LOCATION '$wh'")
+    graft.operators.Dedup.writeBandStore(spark, "/root/testdata/sf0.001",
+      "sbci.bands_b")
+    graft.operators.Dedup.writeComponentsStore(spark, "/root/testdata/sf0.001",
+      "sbci.comps_b")
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def doc(i: Long): (Long, String) =
+      if (i % 2 == 0) (1000000L + i, corpus((i / 2 % corpus.length).toInt)._2)
+      else (1000000L + i,
+        (0 until 40).map(w => s"nv${(i * 31 + w * 7) % 99991}").mkString(" "))
+
+    val docs = MemoryStream[(Long, String)]
+    val outDir = Files.createTempDirectory(base.toPath, "sb_ci_out").toString
+    val q = graft.streaming.ClusterIngest.start(
+      docs.toDF().toDF("doc_id", "text"),
+      spark.table("sbci.bands_b"), spark.table("sbci.comps_b"),
+      outDir, ckptDir(base, "ci"))
+    docs.addData((0L until 1000L).map(doc))
+    q.processAllAvailable() // warmup
+    val t0 = System.nanoTime()
+    var i = 1000L
+    while (i < n) {
+      val end = math.min(i + batch, n)
+      val step = math.max(1L, (end - i) / 16)
+      var j = i
+      while (j < end) {
+        val e2 = math.min(j + step, end)
+        docs.addData((j until e2).map(doc))
+        j = e2
+      }
+      q.processAllAvailable()
+      i = end
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val assigned = graft.streaming.ClusterIngest
+      .readAssigned(spark, outDir).count()
+    spark.sql("DROP DATABASE IF EXISTS sbci CASCADE")
+    Result("clustering", (n - 1000) / secs, n - 1000, secs, assigned)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
     val batch = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
@@ -233,12 +283,13 @@ object StreamBench {
     val alert = benchAlert(spark, base, n, batch)
     val trending = benchTrending(spark, base, n / 5L, batch / 5L)
     val curation = benchCuration(spark, base, n / 5L, batch / 5L)
+    val clustering = benchClustering(spark, base, n / 20L, batch / 20L)
 
     val json =
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
         s""""unit":"events/sec","events":${alert.events},"secs":${alert.secs},""" +
         s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
-        s"""${trending.json},${curation.json}}}"""
+        s"""${trending.json},${curation.json},${clustering.json}}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
