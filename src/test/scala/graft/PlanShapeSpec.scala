@@ -397,4 +397,35 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"),
       s"no cartesian product in the grid build:\n$p")
   }
+
+  test("q139 never sorts the token stream; the curve window is 20 rows") {
+    // the ONLY Sort allowed is inside the 20-row window — a sort or
+    // window over the corpus-sized token/term stream would be the
+    // classic Heaps-curve scale killer (windowed count-distinct)
+    val p = planOf("q139_heaps_vocab").split("== Initial Plan ==").head
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"exactly the 20-row running-sum window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"vocab firsts must partial-aggregate:\n$p")
+  }
+
+  test("q141 capstone plans with no window functions and no corpus sort") {
+    val p = planOf("q141_corpus_rewrite").split("== Initial Plan ==").head
+    assert(!p.contains("Window ["),
+      s"the materialization must not window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark gid set must broadcast into the gram stream:\n$p")
+    assert(p.contains("LeftAnti") || p.contains("left_anti")
+      || p.contains("LEFT ANTI"), s"contamination exclusion is an anti join:\n$p")
+  }
+
+  test("q143 audit aggregates bucket sizes and never generates pairs") {
+    val p = planOf("q143_lsh_bucket_audit").split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the audit is joins-free:\n$p")
+    // two aggregations (bucket sizes, per-band rollup) — the explodes
+    // in the plan are the shingle/band projections, never a pair
+    // combination explode (no posting-list collect feeds a Generate)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
