@@ -1502,6 +1502,38 @@ object Dedup {
               |SELECT qb, count(*) AS n_docs,
               |  CAST(sum(isd) AS BIGINT) AS n_dup,
               |  round(CAST(sum(isd) AS BIGINT) / count(*), 6) AS dup_rate
-              |FROM qb GROUP BY qb""".stripMargin))
+              |FROM qb GROUP BY qb""".stripMargin)),
+
+    // ---- q146: duplicate-locality report (cluster span) -----------------
+    // How far apart duplicate copies land in the ingest order: per
+    // cluster, member count, doc_id span (max − min — near-zero means
+    // duplicates arrive together and an ingest-window dedup would
+    // catch them; corpus-wide spans demand the store-backed path),
+    // and how many sources the cluster crosses. One join of the
+    // component table to per-doc attributes, one keyed aggregate.
+    QueryDef(
+      "q146_cluster_span",
+      (s, d) =>
+        components(s, d)
+          .join(Tables(s, d, "documents")
+            .select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_docs"),
+            (max(col("doc_id")) - min(col("doc_id"))).as("id_span"),
+            countDistinct(col("source")).as("n_sources")),
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |lab AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a)
+              |SELECT comp, count(*) AS n_docs,
+              |  max(l.doc_id) - min(l.doc_id) AS id_span,
+              |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+              |FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+              |GROUP BY comp""".stripMargin))
   )
 }

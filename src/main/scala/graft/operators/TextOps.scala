@@ -1402,6 +1402,40 @@ object TextOps {
              |    AS cum_tokens,
              |  CAST(sum(coalesce(f.new_terms, 0)) OVER (ORDER BY t.bucket)
              |    AS BIGINT) AS cum_vocab
-             |FROM tokens t LEFT JOIN firsts f USING (bucket)""".stripMargin))
+             |FROM tokens t LEFT JOIN firsts f USING (bucket)""".stripMargin)),
+
+    // ---- q148: token-length profile --------------------------------------
+    // The tokenizer-planning histogram: token count and corpus share
+    // per character length, plus how many distinct terms live at each
+    // length. Entirely partial-aggregated (token stream → ≤ max-length
+    // rows); the share divides by a broadcast 1-row total.
+    QueryDef(
+      "q148_token_len_profile",
+      (s, d) => {
+        val toks = Tables.parallel(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+        val byLen = toks.groupBy(length(col("term")).as("len"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val dist = toks.distinct()
+          .groupBy(length(col("term")).as("len"))
+          .agg(count(lit(1)).as("n_terms"))
+        val total = toks.agg(count(lit(1)).as("tot"))
+        byLen.join(dist, Seq("len"), "left")
+          .na.fill(0L, Seq("n_terms"))
+          .join(broadcast(total))
+          .select(col("len"), col("n_tokens"), col("n_terms"),
+            round(col("n_tokens") / col("tot"), 6).as("share"))
+      },
+      Some("""WITH t AS (SELECT u.term FROM documents,
+             |            UNNEST(string_split(text, ' ')) AS u(term)),
+             |byl AS (SELECT length(term) AS len, count(*) AS n_tokens
+             |        FROM t GROUP BY 1),
+             |dl AS (SELECT length(term) AS len, count(*) AS n_terms
+             |       FROM (SELECT DISTINCT term FROM t) GROUP BY 1),
+             |tot AS (SELECT count(*) AS tot FROM t)
+             |SELECT len, n_tokens,
+             |  CAST(coalesce(dl.n_terms, 0) AS BIGINT) AS n_terms,
+             |  round(n_tokens / tot.tot, 6) AS share
+             |FROM byl LEFT JOIN dl USING (len) CROSS JOIN tot""".stripMargin))
   )
 }

@@ -879,7 +879,85 @@ object TrainPrep {
               |  CASE WHEN hh < 80 THEN 'train' WHEN hh < 90 THEN 'val'
               |       ELSE 'test' END AS split,
               |  n_tokens, norm_fp
-              |FROM h""".stripMargin))
+              |FROM h""".stripMargin)),
+
+    // ---- q145: sequence-packing efficiency report -----------------------
+    // What q54's greedy packing actually COSTS per source: bins used,
+    // tokens packed, fill rate against the 512-token budget, and the
+    // hottest bin (greedy cumsum bins overflow when a document
+    // straddles the boundary — max_bin_tokens quantifies it). The
+    // per-bin frame partial-aggregates down to |sources|·|bins| rows
+    // before this |sources|-row rollup; nothing else moves.
+    QueryDef(
+      "q145_pack_efficiency",
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val bins = Tables(s, d, "documents")
+          .withColumn("n", size(split(col("text"), " ")))
+          .withColumn("bin", floor((sum(col("n")).over(w) - col("n")) / 512))
+          .groupBy(col("source"), col("bin"))
+          .agg(sum(col("n")).cast("long").as("tokens"))
+        bins.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("tokens")).cast("long").as("tokens"),
+            max(col("tokens")).as("max_bin_tokens"))
+          .withColumn("fill_rate",
+            round(col("tokens") / (col("n_bins") * 512), 6))
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+             |            CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+             |          FROM documents),
+             |b AS (SELECT source, n,
+             |        CAST((sum(n) OVER (PARTITION BY source ORDER BY doc_id
+             |                           ROWS UNBOUNDED PRECEDING) - n) // 512
+             |             AS BIGINT) AS bin
+             |      FROM d),
+             |bins AS (SELECT source, bin, CAST(sum(n) AS BIGINT) AS tokens
+             |         FROM b GROUP BY 1, 2)
+             |SELECT source, count(*) AS n_bins,
+             |  CAST(sum(tokens) AS BIGINT) AS tokens,
+             |  CAST(max(tokens) AS BIGINT) AS max_bin_tokens,
+             |  round(CAST(sum(tokens) AS BIGINT)
+             |        / (count(*) * 512), 6) AS fill_rate
+             |FROM bins GROUP BY source""".stripMargin)),
+
+    // ---- q147: source-pair n-gram similarity matrix ----------------------
+    // Which sources are crawling the same content: gram-level Jaccard
+    // for every source pair, through the inverted (gid → source set)
+    // index — a gid's posting list is bounded by |sources| (~20), so
+    // the pair expansion is at most C(20,2) per gid and the matrix is
+    // C(|sources|,2) rows. The corpus crosses one gid exchange; the
+    // per-source totals broadcast back onto the 190-row frame.
+    QueryDef(
+      "q147_source_gram_matrix",
+      (s, d) => {
+        val g = grams(Tables.parallel(s, d, "documents"))
+          .select(col("gid"), col("source")).distinct()
+          .localCheckpoint(true)
+        val totals = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = g.join(g.select(col("gid"), col("source").as("sb")), "gid")
+          .filter(col("source") < col("sb"))
+          .groupBy(col("source"), col("sb"))
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(broadcast(totals.withColumnRenamed("n", "na")), "source")
+          .join(broadcast(totals.select(col("source").as("sb"),
+            col("n").as("nb"))), "sb")
+          .select(col("source").as("sa"), col("sb"), col("n_shared"),
+            round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
+              .as("jac"))
+      },
+      Some(s"""WITH $gramsSql,
+              |gs AS (SELECT DISTINCT gid, source FROM g),
+              |tot AS (SELECT source, count(*) AS n FROM gs GROUP BY 1),
+              |i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+              |      FROM gs a JOIN gs b
+              |        ON a.gid = b.gid AND a.source < b.source
+              |      GROUP BY 1, 2)
+              |SELECT sa, sb, n_shared,
+              |  round(n_shared / (ta.n + tb.n - n_shared), 6) AS jac
+              |FROM i JOIN tot ta ON ta.source = sa
+              |JOIN tot tb ON tb.source = sb""".stripMargin))
   )
 
   /** q136's per-document assignment — (doc_id, n, split) with every

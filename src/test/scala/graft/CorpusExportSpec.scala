@@ -99,6 +99,63 @@ class CorpusExportSpec extends SparkSpec {
     }
   }
 
+  test("q145/q148 conserve the token stream; q146 conserves the dup set") {
+    val docs = Tables(spark, sf001, "documents")
+    val totalToks = docs.select(explode(split(col("text"), " "))).count()
+
+    val pack = run("q145_pack_efficiency").collect()
+    assert(pack.map(r => r.getLong(r.fieldIndex("tokens"))).sum === totalToks,
+      "packed tokens sum to the corpus")
+    pack.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_bins")) >= 1L
+        && r.getDouble(r.fieldIndex("fill_rate")) > 0.0, r.toString)
+    }
+
+    val prof = run("q148_token_len_profile").collect()
+    assert(prof.map(r => r.getLong(1)).sum === totalToks,
+      "length histogram conserves tokens")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    assert(prof.map(r => r.getLong(2)).sum === vocab,
+      "distinct terms partition by length")
+    assert(math.abs(prof.map(r => r.getDouble(3)).sum - 1.0) < 1e-3,
+      "shares sum to ~1")
+
+    val spans = run("q146_cluster_span").collect()
+    val comp = run("q57_dedup_components")
+    assert(spans.map(_.getLong(1)).sum === comp.count(),
+      "every clustered doc in exactly one span row")
+    spans.foreach { r =>
+      val (n, span, srcs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(span >= n - 1, s"distinct ids force span >= n-1: $r")
+      assert(srcs >= 1L, r.toString)
+    }
+  }
+
+  test("q147 matrix is a valid Jaccard on source gram sets") {
+    val rows = run("q147_source_gram_matrix").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2),
+        r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), (shared, jac)) =>
+      assert(a < b, "ordered pairs only")
+      assert(shared >= 1L && jac > 0.0 && jac <= 1.0, s"($a,$b,$shared,$jac)")
+    }
+    // driver recount of the heaviest pair from raw gram sets
+    val ((sa, sb), (shared, _)) = rows.maxBy(_._2._1)
+    val g = Tables(spark, sf001, "documents")
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t)-7), i -> concat_ws(' ', slice(t, i, 8)))"))
+        .as("gtext"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val setA = g.collect { case (s, x) if s == sa => x }.toSet
+    val setB = g.collect { case (s, x) if s == sb => x }.toSet
+    assert(setA.intersect(setB).size.toLong === shared,
+      s"heaviest pair ($sa,$sb) recount")
+  }
+
   test("q141 ships no benchmark doc, no contaminated doc, no dup, no short doc") {
     val out = run("q141_corpus_rewrite").collect()
     assert(out.nonEmpty)
