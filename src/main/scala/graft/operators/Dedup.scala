@@ -1534,6 +1534,49 @@ object Dedup {
               |  max(l.doc_id) - min(l.doc_id) AS id_span,
               |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
               |FROM lab l JOIN documents d ON d.doc_id = l.doc_id
-              |GROUP BY comp""".stripMargin))
+              |GROUP BY comp""".stripMargin)),
+
+    // ---- q150: df-cap pair-volume forecast -------------------------------
+    // How JaccardDfCap gets CHOSEN: for each candidate cap, the exact
+    // pair volume Σ_{df≤cap} C(df,2) the capped inverted index would
+    // emit and the share of shingle occurrences the cap keeps — the
+    // cost/recall dial, computed from the df spectrum (a value-domain
+    // aggregate: |distinct dfs| rows) without ever generating a pair.
+    // At 100 TB this is the what-if you run BEFORE q35; here it is a
+    // 4-row frame off one sid exchange.
+    QueryDef(
+      "q150_cap_forecast",
+      (s, d) => {
+        val spectrum = hashedShingles(s, d)
+          .select(col("doc_id"), col("sid")).distinct()
+          .groupBy(col("sid")).agg(count(lit(1)).as("df"))
+          .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+          .localCheckpoint(true)
+        val caps = s.createDataFrame(Seq(Tuple1(8L), Tuple1(16L),
+          Tuple1(32L), Tuple1(64L))).toDF("cap")
+        val tot = spectrum.agg(
+          sum(col("df") * col("n_shingles")).as("occ_total"))
+        caps.join(spectrum, col("df").between(2, col("cap")))
+          .groupBy(col("cap"))
+          .agg(sum(col("n_shingles") * col("df") * (col("df") - 1) / lit(2))
+              .cast("long").as("cand_pairs"),
+            sum(col("df") * col("n_shingles")).as("occ_kept"))
+          .join(broadcast(tot))
+          .select(col("cap"), col("cand_pairs"),
+            round(col("occ_kept") / col("occ_total"), 6).as("occ_share"))
+      },
+      Some(s"""WITH $hashedShinglesSql,
+              |dfq AS (SELECT sid, count(*) AS df FROM sh GROUP BY 1),
+              |spec AS (SELECT df, count(*) AS n_shingles FROM dfq GROUP BY 1),
+              |tot AS (SELECT CAST(sum(df * n_shingles) AS BIGINT)
+              |          AS occ_total FROM spec),
+              |caps AS (SELECT unnest([8, 16, 32, 64]) AS cap)
+              |SELECT CAST(cap AS BIGINT) AS cap,
+              |  CAST(sum(n_shingles * df * (df - 1) // 2) AS BIGINT)
+              |    AS cand_pairs,
+              |  round(CAST(sum(df * n_shingles) AS BIGINT)
+              |        / tot.occ_total, 6) AS occ_share
+              |FROM caps JOIN spec ON spec.df BETWEEN 2 AND caps.cap
+              |CROSS JOIN tot GROUP BY cap, tot.occ_total""".stripMargin))
   )
 }

@@ -1436,6 +1436,64 @@ object TextOps {
              |SELECT len, n_tokens,
              |  CAST(coalesce(dl.n_terms, 0) AS BIGINT) AS n_terms,
              |  round(n_tokens / tot.tot, 6) AS share
-             |FROM byl LEFT JOIN dl USING (len) CROSS JOIN tot""".stripMargin))
+             |FROM byl LEFT JOIN dl USING (len) CROSS JOIN tot""".stripMargin)),
+
+    // ---- q149: vocabulary coverage curve ---------------------------------
+    // q139's sizing twin: what share of all token OCCURRENCES the
+    // top-k most frequent terms cover, for the vocab sizes a tokenizer
+    // would actually pick. Computed in the VALUE DOMAIN (the
+    // q69/q106 precedent): a raw-term vocabulary is 10⁸–10⁹ rows at
+    // crawl scale, so ranking it through one global row_number window
+    // is the scale killer — instead aggregate counts-of-counts
+    // (|distinct frequencies| rows), take running sums strictly above
+    // each frequency, and close each k's curve point with the exact
+    // tie arithmetic covered = above_occ + (k − above_terms)·freq,
+    // which equals the ranked sum for ANY tie-break (every boundary
+    // term contributes the same count). The oracle keeps the
+    // straightforward ranked spelling; the hash gate proves the
+    // equivalence.
+    QueryDef(
+      "q149_vocab_coverage",
+      (s, d) => {
+        val freq = Tables.parallel(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        val cc = freq.groupBy(col("n")).agg(count(lit(1)).as("c"))
+        val above = Window.orderBy(col("n").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val aug = cc
+          .withColumn("m", coalesce(sum(col("c")).over(above), lit(0L)))
+          .withColumn("s", coalesce(sum(col("n") * col("c")).over(above),
+            lit(0L)))
+          .localCheckpoint(true)
+        val total = aug.agg(sum(col("n") * col("c")).as("tot"),
+          sum(col("c")).as("vocab"))
+        val ks = s.createDataFrame(Seq(Tuple1(100L), Tuple1(500L),
+          Tuple1(1000L), Tuple1(5000L))).toDF("k")
+        ks.join(aug,
+            col("m") < col("k") && col("k") <= col("m") + col("c"), "left")
+          .join(broadcast(total))
+          .select(col("k"),
+            coalesce(col("s") + (col("k") - col("m")) * col("n"), col("tot"))
+              .as("covered"),
+            col("tot"), col("vocab"))
+          .select(col("k"), col("covered"),
+            round(col("covered") / col("tot"), 6).as("coverage"),
+            least(col("k"), col("vocab")).as("vocab_used"))
+      },
+      Some("""WITH f AS (SELECT u.term, count(*) AS n
+             |          FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+             |          GROUP BY 1),
+             |r AS (SELECT n, row_number() OVER
+             |        (ORDER BY n DESC, term ASC) AS rk FROM f),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+             |          count(*) AS vocab FROM r),
+             |ks AS (SELECT unnest([100, 500, 1000, 5000]) AS k)
+             |SELECT CAST(k AS BIGINT) AS k,
+             |  CAST(sum(r.n) AS BIGINT) AS covered,
+             |  round(CAST(sum(r.n) AS BIGINT) / tot.tot, 6) AS coverage,
+             |  CAST(least(k, vocab) AS BIGINT) AS vocab_used
+             |FROM ks JOIN r ON r.rk <= ks.k CROSS JOIN tot
+             |GROUP BY k, tot.tot, tot.vocab""".stripMargin))
   )
 }

@@ -156,6 +156,54 @@ class CorpusExportSpec extends SparkSpec {
       s"heaviest pair ($sa,$sb) recount")
   }
 
+  test("q149 coverage curve is monotone and exact against a driver rank") {
+    val rows = run("q149_vocab_coverage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(100L, 500L, 1000L, 5000L))
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3, s"monotone in k: $a -> $b")
+    }
+    rows.foreach { case (_, _, cov, _) => assert(cov > 0.0 && cov <= 1.0) }
+    // exact recount: driver-side full rank (fine at test SF) must give
+    // the same covered mass the value-domain plan computed
+    val freqs = Tables(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+    rows.foreach { case (k, covered, _, vocabUsed) =>
+      val expect = freqs.take(k.toInt).map(_._2).sum
+      assert(covered === expect, s"k=$k: $covered vs ranked $expect")
+      assert(vocabUsed === math.min(k, freqs.length.toLong))
+    }
+  }
+
+  test("q150 forecast is monotone in cap and matches the spectrum arithmetic") {
+    val rows = run("q150_cap_forecast").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L, 64L))
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3, s"monotone in cap: $a -> $b")
+    }
+    rows.foreach { case (_, _, share) => assert(share > 0.0 && share <= 1.0) }
+    // driver recount of the df spectrum from raw text shingles
+    val dfByShingle = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .distinct().groupBy(col("s")).count().collect()
+      .map(_.getLong(1))
+    rows.foreach { case (cap, pairs, _) =>
+      val expect = dfByShingle.collect {
+        case df if df >= 2 && df <= cap => df * (df - 1) / 2
+      }.sum
+      assert(pairs === expect, s"cap=$cap: $pairs vs spectrum $expect")
+    }
+  }
+
   test("q141 ships no benchmark doc, no contaminated doc, no dup, no short doc") {
     val out = run("q141_corpus_rewrite").collect()
     assert(out.nonEmpty)
