@@ -285,31 +285,54 @@ object Dedup {
     * own id, exactly the closure's singleton convention). Ties take
     * min(comp), deterministic. Nothing corpus-sized ever shuffles.
     *
-    * New-batch-internal duplicates are NOT clustered against each
-    * other here (each batch doc matches only the STORE); run the
-    * batch through [[dedupComponents]]' scheme first, or ingest
-    * batches small enough that within-batch dups are caught on the
-    * next store refresh — the standard trade of incremental LSH.
+    * With `withinBatch = false` (the cheapest path), batch-internal
+    * duplicates are NOT clustered against each other (each batch doc
+    * matches only the STORE) — they meet at the next store refresh,
+    * the standard trade of incremental LSH. With `withinBatch = true`
+    * the batch's own pair graph is closed too (a batch-sized
+    * propagation — cheap relative to the store joins for any sane
+    * ingest cadence) and each batch component takes the MINIMUM store
+    * cluster its members matched, or its minimum member id when none
+    * did. One deliberate remnant: when one batch component bridges
+    * TWO store clusters, both batch docs take the smaller cluster's
+    * label but the stored members of the larger keep theirs until the
+    * next refresh re-derives the global closure — assignment never
+    * relabels the store.
     *
     * @return (doc_id, comp) for every batch document.
     */
   def assignToClusters(s: SparkSession, newDocs: DataFrame,
-      bandStore: DataFrame, compStore: DataFrame): DataFrame = {
-    val newBands = bandSignatures(newDocs)
-      .select(col("doc_id").as("new_id"), col("band"), col("h1"), col("h2"))
+      bandStore: DataFrame, compStore: DataFrame,
+      withinBatch: Boolean = false): DataFrame = {
+    val newBands = bandSignatures(newDocs).localCheckpoint(true)
     val matches = newBands
+      .select(col("doc_id").as("new_id"), col("band"), col("h1"), col("h2"))
       .join(bandStore, Seq("band", "h1", "h2"))
       .select(col("new_id"), col("doc_id").as("old_id"))
       .distinct()
-    val withComp = matches
+    val storeCand = matches
       .join(compStore.withColumnRenamed("doc_id", "old_id")
         .withColumnRenamed("comp", "old_comp"), Seq("old_id"), "left")
       .select(col("new_id"),
         coalesce(col("old_comp"), col("old_id")).as("cand"))
       .groupBy(col("new_id")).agg(min(col("cand")).as("comp"))
-    newDocs.select(col("doc_id"))
-      .join(withComp.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumnRenamed("new_id", "doc_id")
+    val direct = newDocs.select(col("doc_id"))
+      .join(storeCand, Seq("doc_id"), "left")
+    if (!withinBatch)
+      direct.select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    else {
+      val bcomp = propagate(pairsFromBands(newBands))._1
+        .select(col("id").as("doc_id"), col("label").as("bkey"))
+      val members = direct
+        .join(bcomp, Seq("doc_id"), "left")
+        .withColumn("bkey", coalesce(col("bkey"), col("doc_id")))
+      val byKey = members.groupBy(col("bkey"))
+        .agg(min(col("comp")).as("scomp"), min(col("doc_id")).as("mid"))
+        .select(col("bkey"), coalesce(col("scomp"), col("mid")).as("fin"))
+      members.join(byKey, "bkey")
+        .select(col("doc_id"), col("fin").as("comp"))
+    }
   }
 
   /** Cross-operator surface: [[minhashPairsSql]] for oracle chains
@@ -1426,6 +1449,67 @@ object Dedup {
               |SELECT d.doc_id, coalesce(a.comp, d.doc_id) AS comp
               |FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
               |WHERE d.doc_id % 7 = 3""".stripMargin)),
+
+    // ---- q151: incremental assignment, within-batch closure on ----------
+    // q142's operator with `withinBatch = true`: batch-internal pairs
+    // close transitively (the 1:1 clone mix a real ingest carries), and
+    // each batch component takes the min store cluster any member
+    // matched — else its min member id. The oracle re-derives BOTH
+    // closures (store subset + batch subset) with recursive CTEs and
+    // replays the merge rule relationally.
+    QueryDef(
+      "q151_incremental_within",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val store = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        val storeBands = bandSignatures(store).localCheckpoint(true)
+        val edges = pairsFromBands(storeBands).localCheckpoint(true)
+        val comp = propagate(edges)._1
+          .select(col("id").as("doc_id"), col("label").as("comp"))
+        assignToClusters(s, batch,
+          storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),
+          comp, withinBatch = true)
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |spairs AS (SELECT da, db FROM pairs
+              |           WHERE da % 7 <> 3 AND db % 7 <> 3),
+              |sym AS (SELECT da AS a, db AS b FROM spairs
+              |        UNION ALL SELECT db, da FROM spairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |lab AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |cand AS (SELECT n.doc_id AS new_id,
+              |           coalesce(l.comp, b2.doc_id) AS cand
+              |         FROM bands n JOIN bands b2
+              |           ON n.band = b2.band AND n.h1 = b2.h1 AND n.h2 = b2.h2
+              |          AND n.doc_id % 7 = 3 AND b2.doc_id % 7 <> 3
+              |         LEFT JOIN lab l ON l.doc_id = b2.doc_id),
+              |scand AS (SELECT new_id, min(cand) AS comp FROM cand GROUP BY 1),
+              |bpairs AS (SELECT da, db FROM pairs
+              |           WHERE da % 7 = 3 AND db % 7 = 3),
+              |bsym AS (SELECT da AS a, db AS b FROM bpairs
+              |         UNION ALL SELECT db, da FROM bpairs),
+              |breach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM bsym
+              |  UNION
+              |  SELECT r.a, s.b FROM breach r JOIN bsym s ON r.b = s.a
+              |),
+              |bk AS (SELECT a AS doc_id, min(b) AS bkey FROM breach GROUP BY a),
+              |mem AS (SELECT d.doc_id,
+              |          coalesce(bk.bkey, d.doc_id) AS bkey, sc.comp
+              |        FROM documents d
+              |        LEFT JOIN bk ON bk.doc_id = d.doc_id
+              |        LEFT JOIN scand sc ON sc.new_id = d.doc_id
+              |        WHERE d.doc_id % 7 = 3),
+              |agg2 AS (SELECT bkey, coalesce(min(comp), min(doc_id)) AS fin
+              |         FROM mem GROUP BY bkey)
+              |SELECT mem.doc_id, agg2.fin AS comp
+              |FROM mem JOIN agg2 USING (bkey)""".stripMargin)),
 
     // ---- q143: LSH bucket-health audit ----------------------------------
     // The ops report that tells you whether the banding scheme is

@@ -121,6 +121,45 @@ class IncrementalClusterSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS cistore CASCADE")
   }
 
+  test("withinBatch mode clusters batch-internal duplicates; default mode defers them") {
+    val wh = Files.createTempDirectory("graft_wh_wb").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS wbstore LOCATION '$wh'")
+    try {
+      Dedup.writeBandStore(spark, sf001, "wbstore.bands_b")
+      Dedup.writeComponentsStore(spark, sf001, "wbstore.comps_b")
+      import spark.implicits._
+      // two novel twins (same text, no store match) + one singleton,
+      // plus a twin pair where ONE member also clones stored doc 0
+      val srcText = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") === 0).collect().head.getString(1)
+      val novel = (0 until 40).map(i => s"wb$i").mkString(" ")
+      val batch = Seq(
+        (3000000L, novel), (3000001L, novel),
+        (3000002L, (0 until 40).map(i => s"solo$i").mkString(" ")),
+        (3000003L, srcText), (3000004L, srcText))
+        .toDF("doc_id", "text")
+      val bands = spark.table("wbstore.bands_b")
+      val comps = spark.table("wbstore.comps_b")
+      val comp0 = Dedup.components(spark, sf001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .getOrElse(0L, 0L)
+
+      val lazyMode = Dedup.assignToClusters(spark, batch, bands, comps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lazyMode(3000000L) === 3000000L && lazyMode(3000001L) === 3000001L,
+        "default mode defers batch-internal twins to the next refresh")
+
+      val eager = Dedup.assignToClusters(spark, batch, bands, comps,
+        withinBatch = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(eager(3000000L) === 3000000L && eager(3000001L) === 3000000L,
+        "novel twins close to the min member id")
+      assert(eager(3000002L) === 3000002L, "singleton keeps its own id")
+      assert(eager(3000003L) === comp0 && eager(3000004L) === comp0,
+        "a batch component bridging the store takes the store cluster")
+    } finally spark.sql("DROP DATABASE IF EXISTS wbstore CASCADE")
+  }
+
   test("q142 assignments point at store-closure roots or self") {
     val got = SparkEntry.queries("q142_incremental_assign")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
