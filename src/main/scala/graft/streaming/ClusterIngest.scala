@@ -28,14 +28,20 @@ object ClusterIngest {
   val assignedSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, comp BIGINT, batch_id BIGINT")
 
+  /** @param withinBatch also close each micro-batch's own pair graph
+    *   (see [[Dedup.assignToClusters]]) — the right default for real
+    *   ingest mixes, at the cost of a batch-sized propagation per
+    *   trigger.
+    */
   def start(docs: DataFrame, bandStore: DataFrame, compStore: DataFrame,
-      outDir: String, checkpoint: String): StreamingQuery =
+      outDir: String, checkpoint: String,
+      withinBatch: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val assigned = Dedup.assignToClusters(
-          batch.sparkSession, batch, bandStore, compStore)
+          batch.sparkSession, batch, bandStore, compStore, withinBatch)
         AtomicLanding.publish(assigned, outDir, id)
       }
       .start()
