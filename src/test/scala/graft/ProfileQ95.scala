@@ -81,9 +81,9 @@ object ProfileQ95 {
     }
     println(s"  postings rows: ${postings.count()}")
 
-    val pairs = time("4 pair explode + agg (ckpt)") {
+    val pairs = time("4 pair explode + agg, 4x spread as shipped (ckpt)") {
       postings
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(4 * spark.sparkContext.defaultParallelism)
         .withColumn("da", explode(col("ds")))
         .withColumn("db", explode(col("ds")))
         .filter(col("da") < col("db"))
