@@ -8,7 +8,32 @@ import org.apache.spark.sql.SparkSession
   * codegen/parquet-footer costs land in the warmup, not in query 1).
   */
 object Bench {
+
+  /** (load1, load5, load15, uptime_sec) from /proc — recorded INTO the
+    * artifact because this VM shares a host: the same HEAD has
+    * measured 69.3 s idle vs 86.0 s at load ~2.4 (round 8), so a
+    * cross-round comparison without the load context is up to ~20%
+    * noise. Protocol: treat any artifact whose load1 exceeds ~3 as
+    * non-comparable; re-run idle. (-1 values = /proc unavailable.)
+    */
+  def hostLoad(): (Double, Double, Double, Long) = try {
+    val l = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
+    val u = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/uptime"))).trim.split("\\s+")
+    (l(0).toDouble, l(1).toDouble, l(2).toDouble, u(0).toDouble.toLong)
+  } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1L) }
+
+  /** The load fields appended to a bench JSON line (leading comma). */
+  def loadJson(start: (Double, Double, Double, Long)): String = {
+    val end = hostLoad()
+    s""","loadavg_start":[${start._1},${start._2},${start._3}]""" +
+      s""","loadavg_end":[${end._1},${end._2},${end._3}]""" +
+      s""","uptime_sec":${end._4}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadAtStart = hostLoad()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -104,7 +129,7 @@ object Bench {
     def jsonLine(fmt: Double => String, key: String => String): String = {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"${loadJson(loadAtStart)}}"""
     }
     val json = jsonLine(_.toString, identity)
     println(json)

@@ -113,6 +113,7 @@ object SkewBench {
     "q143_lsh_bucket_audit")
 
   def main(args: Array[String]): Unit = {
+    val loadAtStart = Bench.hostLoad()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR",
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-skew"
@@ -155,7 +156,8 @@ object SkewBench {
       .mkString("{", ",", "}")
     val total = byName.map(_._2).sum
     val json = s"""{"metric":"skew_total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"rows":$rows,"docs":$nDocs,"vecs":$nVecs}"""
+      s""""queries":$qs,"rows":$rows,"docs":$nDocs,"vecs":$nVecs""" +
+      s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     System.err.println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEWBENCH_OUT.json")

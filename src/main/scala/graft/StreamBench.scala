@@ -266,6 +266,7 @@ object StreamBench {
   }
 
   def main(args: Array[String]): Unit = {
+    val loadAtStart = Bench.hostLoad()
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
     val batch = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -289,7 +290,8 @@ object StreamBench {
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
         s""""unit":"events/sec","events":${alert.events},"secs":${alert.secs},""" +
         s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
-        s"""${trending.json},${curation.json},${clustering.json}}}"""
+        s"""${trending.json},${curation.json},${clustering.json}}""" +
+        s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

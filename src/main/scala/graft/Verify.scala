@@ -36,7 +36,13 @@ object Verify {
     SparkEntry.queries
       .filter(kv => only.forall(_.contains(kv._1)))
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // final stage (reduce-side aggs, verify joins) into one task —
+      // q102's 500k-row pair verification ran single-threaded.
+      // repartition inserts a shuffle boundary, so upstream keeps its
+      // parallelism and only the single-file write (a driver
+      // requirement for the compare) is serial.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -78,9 +78,14 @@ object Md5Long {
     * (idempotent) — the per-session programmatic path;
     * [[graft.GraftExtensions]] is the deployment-grade one.
     */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("md5long",
+    // check-first: createOrReplaceTempFunction logs a WARN on every
+    // replace, and hot paths (bandSignatures) self-register per call
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("md5long")))
+      reg.createOrReplaceTempFunction("md5long",
         exprs => Md5Long(exprs(0)), "built-in")
+  }
 }

@@ -99,6 +99,12 @@ object Dedup {
     * array for first-colliding-band dedup.
     */
   private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
+    // self-register the native hash (idempotent): this projection is
+    // the standalone entry point for ClusterIngest.start, whose
+    // sessions may have neither run Tables() nor loaded
+    // GraftExtensions — without this, the first micro-batch dies with
+    // an unresolved-function AnalysisException on `md5long`.
+    graft.functions.Md5Long.register(docs.sparkSession)
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)

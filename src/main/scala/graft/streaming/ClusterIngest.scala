@@ -35,7 +35,10 @@ object ClusterIngest {
     */
   def start(docs: DataFrame, bandStore: DataFrame, compStore: DataFrame,
       outDir: String, checkpoint: String,
-      withinBatch: Boolean = false): StreamingQuery =
+      withinBatch: Boolean = false): StreamingQuery = {
+    // no batch is in flight yet for this landing zone — safe point to
+    // drop orphaned .tmp/.old work dirs from earlier crashes
+    AtomicLanding.sweepStale(docs.sparkSession, outDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -45,6 +48,7 @@ object ClusterIngest {
         AtomicLanding.publish(assigned, outDir, id)
       }
       .start()
+  }
 
   /** Read everything assigned so far (committed batches only — the
     * hidden tmp dirs are invisible to the reader by construction).

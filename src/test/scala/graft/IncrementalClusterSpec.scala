@@ -8,9 +8,9 @@ import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
 
 /** The incremental-dedup production path end to end: persist BOTH
-  * stores (band signatures bucketed on h1, components bucketed on
-  * doc_id), then assign a new ingest batch to clusters without
-  * recomputing anything corpus-sized.
+  * stores (band signatures bucketed on the full (band, h1, h2)
+  * collision key, components bucketed on doc_id), then assign a new
+  * ingest batch to clusters without recomputing anything corpus-sized.
   *
   * Fixture batch: exact clones of stored documents (every band
   * collides → must land in the source doc's cluster), plus novel
@@ -60,8 +60,10 @@ class IncrementalClusterSpec extends SparkSpec {
       }
 
       // neither persisted store side may shuffle: the band join's
-      // store side is bucketed on h1 (a subset of the join key), the
-      // component join's on doc_id
+      // store side is bucketed on the full (band, h1, h2) collision
+      // key (subset bucketing was tried and rejected — it forces a
+      // store-side re-shuffle; see writeBandStore), the component
+      // join's on doc_id
       val plan = assigned.queryExecution.executedPlan
       val joins = plan.collect { case j: SortMergeJoinExec => j }
       assert(joins.nonEmpty, s"expected SMJs:\n$plan")
