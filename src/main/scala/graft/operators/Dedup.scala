@@ -274,6 +274,126 @@ object Dedup {
       .format("parquet").mode("overwrite").saveAsTable(table)
   }
 
+  /** INCREMENTAL store refresh on DISK — folds everything ingested
+    * since the last refresh into the persisted store pair, replacing
+    * the from-scratch recompute ([[writeBandStore]] +
+    * [[writeComponentsStore]]) that was the last O(corpus) step in
+    * the incremental dedup loop. Semantics: [[refreshDelta]] (labels
+    * provably equal to a full recompute over store ∪ batch; q152).
+    *
+    * Cost shape, the reason this exists:
+    *  - band store: delta-sized bucketed APPEND (bucketed tables
+    *    accumulate files per bucket; readers still get one
+    *    co-partitioned partition per bucket);
+    *  - component store: the corpus side is a bucketed scan → tiny
+    *    broadcast relabel → bucketed write of `newCompTable` with NO
+    *    shuffle exchange (RefreshStoreSpec pins the plan) — pure
+    *    parallel IO, no network; only the delta rows (batch labels +
+    *    newly-paired singletons) shuffle, on frames the size of the
+    *    ingest, then APPEND;
+    *  - the delta propagation runs on the batch's pair graph plus one
+    *    node per AFFECTED stored cluster — never the corpus graph.
+    * At 100 TB that turns the per-corpus-version refresh from
+    * "re-shingle and re-cluster everything" into "scan-and-rewrite
+    * the (doc_id, comp) table + delta-sized work". A deployment that
+    * can't afford even the rewrite IO can hold the broadcast relabel
+    * map ([[refreshedParts]]) as a read-time patch and compact less
+    * often — same math, deferred.
+    *
+    * The refreshed component table is written to `newCompTable`
+    * (stores roll forward by corpus version — [[ClusterIngest]]
+    * restarts pick up the new version without touching the stream's
+    * offset-only checkpoint); the band store is appended in place,
+    * which is safe mid-stream because band rows are immutable facts
+    * about existing docs. Bucket specs are read from the catalog so
+    * appends always match the existing layout.
+    */
+  def refreshStores(s: SparkSession, newDocs: DataFrame,
+      bandTable: String, compTable: String, newCompTable: String): Unit = {
+    require(newCompTable != compTable,
+      "the refreshed component table rolls forward to a NEW version; " +
+        "overwriting the table being read is not defined")
+    def numBuckets(t: String): Int =
+      s.sessionState.catalog
+        .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(t))
+        .bucketSpec.map(_.numBuckets)
+        .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val newBands = bandSignatures(newDocs).localCheckpoint(true)
+    // the delta labels materialize (propagate checkpoints its rounds)
+    // BEFORE any store write below mutates what the joins read
+    val (batchLabels, storeNodes) = refreshDelta(newBands,
+      newDocs.select(col("doc_id")), s.table(bandTable), s.table(compTable))
+    val (relabeled, delta) =
+      refreshedParts(s.table(compTable), batchLabels, storeNodes)
+    // force bucketed scans even where no join would request them: the
+    // corpus-side write then runs one task per bucket and emits one
+    // file per bucket, instead of tasks × buckets files
+    val autoBucketedScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(autoBucketedScan, "true")
+    s.conf.set(autoBucketedScan, "false")
+    try {
+      val bb = numBuckets(bandTable)
+      newBands.select(col("doc_id"), col("band"), col("h1"), col("h2"))
+        .repartition(bb, col("band"), col("h1"), col("h2"))
+        .write.mode("append").bucketBy(bb, "band", "h1", "h2")
+        .sortBy("band", "h1", "h2").format("parquet").saveAsTable(bandTable)
+      val cb = numBuckets(compTable)
+      relabeled.write.mode("overwrite").bucketBy(cb, "doc_id")
+        .sortBy("doc_id").format("parquet").saveAsTable(newCompTable)
+      delta.repartition(cb, col("doc_id"))
+        .write.mode("append").bucketBy(cb, "doc_id")
+        .sortBy("doc_id").format("parquet").saveAsTable(newCompTable)
+    } finally s.conf.set(autoBucketedScan, prev)
+  }
+
+  /** PENDING-BRIDGE report — the observability face of
+    * [[assignToClusters]]'s one documented remnant: when a batch
+    * component bridges two or more stored clusters, assignment labels
+    * the batch docs with the SMALLEST cluster's id, and the stored
+    * members of the other clusters keep their stale labels until the
+    * next [[refreshStores]] re-resolves them. This report enumerates
+    * exactly those pending merges from the same joins assignment
+    * runs — per bridging batch component: the label the batch took
+    * (`store_comp_keep`), each stored cluster left stale
+    * (`store_comp_stale`, one row per cluster), and the batch-doc
+    * count of the bridging component (the evidence strength). Row
+    * count == 0 ⇔ every store label is closure-exact right now, so
+    * the report doubles as the ops staleness metric between
+    * refreshes. Oracle-checked as q153; delta-sized throughout (the
+    * store sides arrive bucketed, the batch graph is batch-sized).
+    */
+  def pendingBridges(s: SparkSession, newDocs: DataFrame,
+      bandStore: DataFrame, compStore: DataFrame): DataFrame = {
+    val newBands = bandSignatures(newDocs).localCheckpoint(true)
+    val roots = newBands
+      .select(col("doc_id").as("new_id"), col("band"), col("h1"), col("h2"))
+      .join(bandStore, Seq("band", "h1", "h2"))
+      .join(compStore.withColumnRenamed("comp", "root"),
+        Seq("doc_id"), "left")
+      .select(col("new_id"), coalesce(col("root"), col("doc_id")).as("root"))
+      .distinct()
+    val bcomp = propagate(pairsFromBands(newBands))._1
+      .select(col("id").as("doc_id"), col("label").as("bkey"))
+    val mem = newDocs.select(col("doc_id"))
+      .join(bcomp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("bkey"), col("doc_id")).as("bkey"))
+    val sizes = mem.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("n_batch_docs"))
+    val compRoots = mem
+      .join(roots.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"))
+      .select(col("bkey"), col("root")).distinct()
+    val bridging = compRoots.groupBy(col("bkey"))
+      .agg(min(col("root")).as("store_comp_keep"),
+        countDistinct(col("root")).as("k"))
+      .filter(col("k") >= 2)
+      .select(col("bkey"), col("store_comp_keep"))
+    compRoots.join(bridging, "bkey")
+      .filter(col("root") =!= col("store_comp_keep"))
+      .join(sizes, "bkey")
+      .select(col("bkey").as("batch_comp"), col("store_comp_keep"),
+        col("root").as("store_comp_stale"), col("n_batch_docs"))
+  }
+
   /** INCREMENTAL cluster assignment — the production path a 100 TB
     * deployment runs per ingest batch instead of re-deriving the
     * transitive closure: a new document joins the near-dup cluster of
@@ -339,6 +459,114 @@ object Dedup {
       members.join(byKey, "bkey")
         .select(col("doc_id"), col("fin").as("comp"))
     }
+  }
+
+  /** INCREMENTAL store refresh, delta-graph core — the piece that
+    * closes the 100 TB dedup loop: fold everything ingested since the
+    * last refresh back into the closure WITHOUT re-deriving anything
+    * corpus-sized. The insight that makes a delta-sized refresh exact:
+    * band collision is an equality on (band, h1, h2), so two STORED
+    * documents that could ever be joined by a new batch document
+    * already collide with each other and are in the same stored
+    * cluster — a batch can merge existing clusters and absorb
+    * singletons, but can never create a store↔store edge that the
+    * store closure missed. Contracting each stored cluster to its
+    * ROOT therefore preserves connectivity exactly, and one
+    * [[propagate]] over the DELTA graph — nodes: batch doc ids plus
+    * the matched roots; edges: batch-internal LSH pairs plus
+    * (batch doc, matched root) — yields labels bit-equal to a full
+    * recompute over store ∪ batch (min doc id per merged component:
+    * each root is already the min of its stored members, so
+    * min(roots, batch ids) is the global min). q152 pins that
+    * equality against DuckDB's independent full-corpus closure;
+    * RefreshPropertySpec replays it over sequential batches.
+    *
+    * Precondition for that equality: `compStore` IS the transitive
+    * closure of `bandStore`'s collision graph (the invariant
+    * [[writeComponentsStore]] establishes and [[refreshStores]]
+    * maintains). Against a coarser store — e.g. per-source clustering
+    * unioned later — the refresh still merges everything the batch
+    * touches, and [[pendingBridges]] reports exactly the gap.
+    *
+    * @param newBands  [[bandSignatures]] of the batch (pass a
+    *                  localCheckpointed frame — callers reuse it for
+    *                  the band-store append)
+    * @param newIds    (doc_id) frame of the batch
+    * @return (batchLabels: (doc_id, comp) for EVERY batch doc
+    *         (unmatched singletons label themselves),
+    *         storeNodes: (id, label) for every matched store root —
+    *         label == id when the cluster survives unchanged, < id
+    *         never (min-label), != id when clusters merged; roots
+    *         absent from the component store are store singletons
+    *         drawn into a cluster for the first time).
+    */
+  private[graft] def refreshDelta(newBands: DataFrame, newIds: DataFrame,
+      bandStore: DataFrame, compStore: DataFrame): (DataFrame, DataFrame) = {
+    val matches = newBands
+      .select(col("doc_id").as("new_id"), col("band"), col("h1"), col("h2"))
+      .join(bandStore, Seq("band", "h1", "h2"))
+      .select(col("new_id"), col("doc_id").as("old_id"))
+      .distinct()
+    // resolve matched docs to their cluster ROOT (store singletons —
+    // docs in no stored pair — act as their own root, the closure's
+    // singleton convention)
+    val rootEdges = matches
+      .join(compStore.withColumnRenamed("doc_id", "old_id")
+        .withColumnRenamed("comp", "old_comp"), Seq("old_id"), "left")
+      .select(col("new_id").as("da"),
+        coalesce(col("old_comp"), col("old_id")).as("db"))
+      .distinct()
+    val edges = pairsFromBands(newBands).union(rootEdges)
+      .localCheckpoint(true)
+    val labels = propagate(edges)._1 // (id, label), delta-graph nodes only
+    val batchLabels = newIds
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("comp"))
+    val storeNodes = labels
+      .join(newIds.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti")
+    (batchLabels, storeNodes)
+  }
+
+  /** The refreshed component table as a FRAME (the disk shape is
+    * [[refreshStores]]): existing rows keep their cluster unless its
+    * root was merged away (broadcast relabel on the tiny
+    * root → new-root map — the corpus side never shuffles), store
+    * singletons drawn into a cluster gain their first row, and every
+    * batch doc lands with its delta label. Equal to the full
+    * recompute's closure over store ∪ batch, plus self-labeled rows
+    * for batch singletons (the convention [[assignToClusters]]
+    * already outputs).
+    */
+  private[graft] def refreshedComponents(compStore: DataFrame,
+      batchLabels: DataFrame, storeNodes: DataFrame): DataFrame = {
+    val (relabeled, delta) =
+      refreshedParts(compStore, batchLabels, storeNodes)
+    relabeled.union(delta)
+  }
+
+  /** [[refreshedComponents]] split for the two-write disk shape:
+    * (corpus side: existing rows through the broadcast relabel — NO
+    * exchange; delta side: newly-paired store singletons ∪ batch
+    * labels — the only rows that shuffle).
+    */
+  private[graft] def refreshedParts(compStore: DataFrame,
+      batchLabels: DataFrame, storeNodes: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val relabel = storeNodes.filter(col("label") =!= col("id"))
+      .select(col("id").as("comp"), col("label").as("new_comp"))
+    val relabeled = compStore
+      .join(broadcast(relabel), Seq("comp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_comp"), col("comp")).as("comp"))
+    // matched roots with no component row = store singletons newly
+    // drawn into a cluster (left side is delta-sized; the store side
+    // arrives bucketed on doc_id from disk, so the anti-join shuffles
+    // only the delta)
+    val newlyPaired = storeNodes
+      .join(compStore.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("label").as("comp"))
+    (relabeled, newlyPaired.union(batchLabels))
   }
 
   /** Cross-operator surface: [[minhashPairsSql]] for oracle chains
@@ -1673,6 +1901,131 @@ object Dedup {
               |  round(CAST(sum(df * n_shingles) AS BIGINT)
               |        / tot.occ_total, 6) AS occ_share
               |FROM caps JOIN spec ON spec.df BETWEEN 2 AND caps.cap
-              |CROSS JOIN tot GROUP BY cap, tot.occ_total""".stripMargin))
+              |CROSS JOIN tot GROUP BY cap, tot.occ_total""".stripMargin)),
+
+    // ---- q152: incremental store refresh == full recompute --------------
+    // The closing theorem of the incremental dedup story, under the
+    // driver's hash gate: split the corpus into a "persisted store"
+    // (doc_id ≢ 3 mod 7) and an "ingest delta" (≡ 3), derive the
+    // store's closure, then fold the delta in through refreshDelta /
+    // refreshedComponents — batch pair graph + one node per affected
+    // store cluster, never the corpus graph — and emit the refreshed
+    // label for EVERY document. The oracle knows nothing about the
+    // split: it derives the full-corpus closure from scratch with a
+    // recursive CTE. Equality here is exactly the claim "a delta
+    // refresh loses nothing vs re-clustering the world".
+    QueryDef(
+      "q152_refresh_closure",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val store = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        val storeBands = bandSignatures(store).localCheckpoint(true)
+        val comp = propagate(pairsFromBands(storeBands).localCheckpoint(true))._1
+          .select(col("id").as("doc_id"), col("label").as("comp"))
+        val newBands = bandSignatures(batch).localCheckpoint(true)
+        val (batchLabels, storeNodes) = refreshDelta(newBands,
+          batch.select(col("doc_id")),
+          storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),
+          comp)
+        docs.select(col("doc_id"))
+          .join(refreshedComponents(comp, batchLabels, storeNodes),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("comp"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |lab AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a)
+              |SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp
+              |FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id"""
+        .stripMargin)),
+
+    // ---- q153: pending-bridge report ------------------------------------
+    // [[pendingBridges]] under the hash gate, same batch split as
+    // q142/q151/q152 but with the store scenario that actually
+    // produces bridges: the component store was built by clustering
+    // each SOURCE independently (two crawls resolved separately and
+    // unioned — the standard way a store inherits a partition
+    // refinement of the true closure; this corpus' template families
+    // collide in every band, so no doc-subset split can disconnect
+    // them, but a per-source store leaves every cross-source family
+    // as ≥ 2 clusters a batch member immediately bridges). For each
+    // batch component matching ≥ 2 distinct stored clusters: one row
+    // per cluster left stale by assignment's never-relabel-the-store
+    // rule. The oracle re-derives the per-source store closure and
+    // the batch closure recursively and replays the report
+    // relationally.
+    QueryDef(
+      "q153_pending_bridges",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val store = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        val storeBands = bandSignatures(store).localCheckpoint(true)
+        val src = docs.select(col("doc_id"), col("source"))
+        val sameSrcPairs = pairsFromBands(storeBands)
+          .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+          .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+          .filter(col("sa") === col("sb"))
+          .select(col("da"), col("db")).localCheckpoint(true)
+        val comp = propagate(sameSrcPairs)._1
+          .select(col("id").as("doc_id"), col("label").as("comp"))
+        pendingBridges(s, batch,
+          storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),
+          comp)
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |spairs AS (SELECT da, db FROM pairs
+              |           JOIN documents x ON x.doc_id = da
+              |           JOIN documents y ON y.doc_id = db
+              |           WHERE da % 7 <> 3 AND db % 7 <> 3
+              |             AND x.source = y.source),
+              |sym AS (SELECT da AS a, db AS b FROM spairs
+              |        UNION ALL SELECT db, da FROM spairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |lab AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |cand AS (SELECT DISTINCT n.doc_id AS new_id,
+              |           coalesce(l.comp, b2.doc_id) AS root
+              |         FROM bands n JOIN bands b2
+              |           ON n.band = b2.band AND n.h1 = b2.h1 AND n.h2 = b2.h2
+              |          AND n.doc_id % 7 = 3 AND b2.doc_id % 7 <> 3
+              |         LEFT JOIN lab l ON l.doc_id = b2.doc_id),
+              |bpairs AS (SELECT da, db FROM pairs
+              |           WHERE da % 7 = 3 AND db % 7 = 3),
+              |bsym AS (SELECT da AS a, db AS b FROM bpairs
+              |         UNION ALL SELECT db, da FROM bpairs),
+              |breach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM bsym
+              |  UNION
+              |  SELECT r.a, s.b FROM breach r JOIN bsym s ON r.b = s.a
+              |),
+              |bk AS (SELECT a AS doc_id, min(b) AS bkey FROM breach GROUP BY a),
+              |mem AS (SELECT d.doc_id, coalesce(bk.bkey, d.doc_id) AS bkey
+              |        FROM documents d LEFT JOIN bk ON bk.doc_id = d.doc_id
+              |        WHERE d.doc_id % 7 = 3),
+              |sizes AS (SELECT bkey, count(*) AS n_batch_docs
+              |          FROM mem GROUP BY 1),
+              |cr AS (SELECT DISTINCT mem.bkey, cand.root
+              |       FROM mem JOIN cand ON cand.new_id = mem.doc_id),
+              |br AS (SELECT bkey, min(root) AS store_comp_keep
+              |       FROM cr GROUP BY bkey
+              |       HAVING count(DISTINCT root) >= 2)
+              |SELECT cr.bkey AS batch_comp, br.store_comp_keep,
+              |  cr.root AS store_comp_stale, sizes.n_batch_docs
+              |FROM cr JOIN br USING (bkey) JOIN sizes USING (bkey)
+              |WHERE cr.root <> br.store_comp_keep""".stripMargin))
   )
 }

@@ -358,9 +358,16 @@ object Similarity {
         // synchronously per call, and these 16-centroid re-derived
         // aggregations are cheap), though the run overlapped external
         // host load. At cluster scale with big training samples the
-        // trade flips — that variant is one `.localCheckpoint(true)`
-        // on `cents`.
-        val cents = lloydStep(lloydStep(cents0))
+        // trade flips. The pin stays flippable behind a session conf
+        // (identical results either way) so ProfileQ43 can A/B both
+        // arms in ONE session at recorded load — the wobble this
+        // query showed across rounds 5–8 demanded a same-session
+        // instrument, not more cross-round timings.
+        val trained = lloydStep(lloydStep(cents0))
+        val cents =
+          if (s.conf.get("spark.graft.q43.pinCentroids", "false").toBoolean)
+            trained.localCheckpoint(true)
+          else trained
         val scored = crossScore(cents)
         // Cell assignment is the all-N path, so it must stay in
         // HashAggregate (numeric buffer) with partial aggregation — a

@@ -162,6 +162,127 @@ class IncrementalClusterSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS wbstore CASCADE")
   }
 
+  test("assign -> land -> refresh -> assign: the refresh folds landed batches exactly") {
+    val wh = Files.createTempDirectory("graft_wh_rf").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS refstore LOCATION '$wh'")
+    try {
+      Dedup.writeBandStore(spark, sf001, "refstore.bands")
+      Dedup.writeComponentsStore(spark, sf001, "refstore.comps")
+      import spark.implicits._
+      val srcText = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") === 0).collect().head.getString(1)
+      val twin = (0 until 40).map(i => s"rf$i").mkString(" ")
+      val batch1 = Seq((1000000L, srcText), (2000000L, twin),
+        (2000001L, twin)).toDF("doc_id", "text")
+
+      // ASSIGN + LAND through the streaming deployment (lazy mode:
+      // the novel twins defer — exactly the staleness refresh closes)
+      implicit val ctx = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("rf_out").toString
+      val ckpt = Files.createTempDirectory("rf_ckpt").toString
+      val q = graft.streaming.ClusterIngest.start(
+        docs.toDF().toDF("doc_id", "text"),
+        spark.table("refstore.bands"), spark.table("refstore.comps"),
+        outDir, ckpt)
+      docs.addData((1000000L, srcText), (2000000L, twin), (2000001L, twin))
+      q.processAllAvailable(); q.stop()
+      val landed = graft.streaming.ClusterIngest.readAssigned(spark, outDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(landed(2000000L) === 2000000L && landed(2000001L) === 2000001L,
+        "lazy assignment defers the novel twins")
+
+      // REFRESH: fold the landed batch into both stores (v2 roll-forward)
+      Dedup.refreshStores(spark, batch1, "refstore.bands",
+        "refstore.comps", "refstore.comps_v2")
+
+      // the refreshed table must equal a FULL recompute over
+      // corpus ∪ batch (the closure labels every paired doc; batch
+      // singletons additionally label themselves)
+      val unionDocs = Tables(spark, sf001, "documents")
+        .select(col("doc_id"), col("text")).union(batch1)
+      val expect = Dedup.propagate(
+        Dedup.pairsFromBands(Dedup.bandSignatures(unionDocs))
+          .localCheckpoint(true))._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = spark.table("refstore.comps_v2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      expect.foreach { case (id, c) =>
+        assert(got.get(id) === Some(c),
+          s"refreshed label for $id must match the full recompute ($c)")
+      }
+      // and nothing extra beyond self-labeled batch singletons
+      (got.keySet -- expect.keySet).foreach { id =>
+        assert(got(id) === id, s"extra row $id must be a self-labeled singleton")
+      }
+      assert(got(2000000L) === 2000000L && got(2000001L) === 2000000L,
+        "the deferred twins are united by the refresh")
+
+      // ASSIGN again: a clone of the twin now lands in the twins'
+      // refreshed cluster (pre-refresh it would have seeded its own)
+      val batch2 = Seq((3000000L, twin)).toDF("doc_id", "text")
+      val a2 = Dedup.assignToClusters(spark, batch2,
+        spark.table("refstore.bands"), spark.table("refstore.comps_v2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a2(3000000L) === 2000000L,
+        "post-refresh assignment sees the folded batch")
+
+      // DELTA-ONLY plan shape: the corpus side of the component
+      // refresh never shuffles — relabeled is scan + broadcast join
+      // (zero shuffle exchanges), and the delta side's anti-join
+      // reads the component store co-partitioned from disk
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val nb = Dedup.bandSignatures(batch1).localCheckpoint(true)
+        val (bl, sn) = Dedup.refreshDelta(nb, batch1.select(col("doc_id")),
+          spark.table("refstore.bands"), spark.table("refstore.comps"))
+        val (relabeled, delta) = Dedup.refreshedParts(
+          spark.table("refstore.comps"), bl, sn)
+        // the relabel MAP is delta-sized and may shuffle; the claim
+        // is about the corpus: the component-store scan streams into
+        // the broadcast join with no exchange above it
+        val bhj = relabeled.queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        }
+        assert(bhj.nonEmpty, "relabel must be a broadcast hash join")
+        assert(bhj.head.left.collect {
+          case e: ShuffleExchangeExec => e
+        }.isEmpty, "corpus side of the relabel join must not shuffle")
+        assert(bhj.head.left.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.nonEmpty, "corpus side must be the component-store scan")
+        val antis = delta.queryExecution.executedPlan.collect {
+          case j: SortMergeJoinExec if j.joinType.sql == "LEFT ANTI" => j
+        }
+        assert(antis.nonEmpty, "expected the newly-paired anti-join as SMJ")
+        assert(antis.head.right.collect {
+          case e: ShuffleExchangeExec => e
+        }.isEmpty, "component store side of the anti-join must not shuffle")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+
+      // IO-shape pin: the v2 write ran one task per bucket — the
+      // corpus pass emits one file per bucket, the delta append at
+      // most one more
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("refstore.comps_v2"))
+        .location
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      assert(nFiles <= 2 * buckets,
+        s"expected <= ${2 * buckets} files (one per bucket per pass), got $nFiles")
+    } finally spark.sql("DROP DATABASE IF EXISTS refstore CASCADE")
+  }
+
   test("q142 assignments point at store-closure roots or self") {
     val got = SparkEntry.queries("q142_incremental_assign")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
