@@ -346,6 +346,66 @@ object Dedup {
     } finally s.conf.set(autoBucketedScan, prev)
   }
 
+  /** STORE COMPACTION — the maintenance half of [[refreshStores]]'s
+    * append discipline. Every refresh APPENDs a delta-sized file set
+    * to the band store (and the component store's roll-forward writes
+    * corpus + delta passes), so after K refreshes a bucket holds K+1
+    * files: readers still get one co-partitioned partition per bucket
+    * (bucketed scans merge a bucket's files), but per-file open/footer
+    * cost grows linearly and a crash between a refresh's store append
+    * and its checkpoint commit can replay the append, leaving
+    * duplicate rows no consumer ever cleans. Compaction rewrites any
+    * bucketed store to exactly one file per bucket with duplicate
+    * rows collapsed — and does it WITHOUT a shuffle: the forced
+    * bucketed scan hands each task one complete bucket, the
+    * full-row distinct's ClusteredDistribution is already satisfied
+    * by the scan's hash partitioning (the bucket columns are a subset
+    * of the grouping columns), and the bucketed write then emits one
+    * file per task. At 100 TB this is the standard nightly job shape:
+    * pure parallel IO proportional to the store, zero network.
+    *
+    * Rolls forward to `newTable` (same convention as [[refreshStores]]
+    * — overwriting a table mid-read is undefined; callers swap
+    * consumers to the compacted version and drop the old one). Bucket
+    * and sort specs are read from the catalog, so the compacted table
+    * is a drop-in replacement for every co-partitioned join the store
+    * serves ([[assignToClusters]], DedupIngest's anti-join).
+    */
+  def compactStore(s: SparkSession, table: String, newTable: String): Unit = {
+    require(newTable != table,
+      "compaction rolls forward to a NEW table; overwriting the table " +
+        "being read is not defined")
+    val spec = s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed — compaction targets the bucketed stores"))
+    val autoBucketedScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(autoBucketedScan, "true")
+    s.conf.set(autoBucketedScan, "false")
+    try {
+      val sorts =
+        if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames
+        else spec.bucketColumnNames
+      compacted(s, table).write.mode("overwrite")
+        .bucketBy(spec.numBuckets,
+          spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+        .sortBy(sorts.head, sorts.tail: _*)
+        .format("parquet").saveAsTable(newTable)
+    } finally s.conf.set(autoBucketedScan, prev)
+  }
+
+  /** The compaction frame: a full-row distinct over the store scan.
+    * Split out so StoreCompactionSpec can pin the no-exchange plan
+    * (under a forced bucketed scan the distinct reuses the scan's
+    * bucket partitioning — grouping on a superset of the bucket
+    * columns keeps every duplicate within one task).
+    */
+  private[graft] def compacted(s: SparkSession, table: String): DataFrame = {
+    val t = s.table(table)
+    t.dropDuplicates(t.columns.toIndexedSeq)
+  }
+
   /** PENDING-BRIDGE report — the observability face of
     * [[assignToClusters]]'s one documented remnant: when a batch
     * component bridges two or more stored clusters, assignment labels

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.compactStore]]: the maintenance job that keeps the
+  * append-only store discipline of refreshStores viable long-term.
+  * Pins the three claims the operator makes:
+  *   1. semantics — the compacted table is exactly DISTINCT(store),
+  *      so a crash-replayed refresh append (the one writer that can
+  *      duplicate rows) is healed;
+  *   2. IO shape — exactly one parquet file per non-empty bucket
+  *      afterward, regardless of how many refresh appends piled up;
+  *   3. plan shape — the rewrite never shuffles (the forced bucketed
+  *      scan's partitioning satisfies the full-row distinct's
+  *      clustering: bucket cols ⊆ grouping cols), and consumers see
+  *      the compacted table as the same co-partitioned store.
+  */
+class StoreCompactionSpec extends SparkSpec {
+
+  private def parquetFiles(table: String): Int = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  test("compaction collapses replayed appends to one file per bucket with no shuffle") {
+    val wh = Files.createTempDirectory("graft_wh_cp").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS cpstore LOCATION '$wh'")
+    try {
+      Dedup.writeBandStore(spark, sf001, "cpstore.bands")
+      Dedup.writeComponentsStore(spark, sf001, "cpstore.comps")
+      val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+      // one real refresh append + the SAME batch replayed (a crash
+      // between the store append and the checkpoint commit re-runs
+      // the refresh) — the band store now carries duplicate rows and
+      // 3 generations of files
+      import spark.implicits._
+      val srcText = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") === 0).collect().head.getString(1)
+      val batch = Seq((1000000L, srcText),
+        (1000001L, (0 until 40).map(i => s"cp$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      Dedup.refreshStores(spark, batch, "cpstore.bands",
+        "cpstore.comps", "cpstore.comps_v2")
+      Dedup.refreshStores(spark, batch, "cpstore.bands",
+        "cpstore.comps_v2", "cpstore.comps_v3")
+
+      val rows = spark.table("cpstore.bands").count()
+      val distinctRows = Dedup.compacted(spark, "cpstore.bands").count()
+      assert(rows > distinctRows, "the replayed append must leave duplicates")
+      val filesBefore = parquetFiles("cpstore.bands")
+      assert(filesBefore > buckets,
+        s"appends must accumulate files (got $filesBefore for $buckets buckets)")
+
+      Dedup.compactStore(spark, "cpstore.bands", "cpstore.bands_c")
+
+      // 1. semantics: exactly DISTINCT(store)
+      assert(spark.table("cpstore.bands_c").count() === distinctRows)
+      assert(spark.table("cpstore.bands_c")
+        .except(spark.table("cpstore.bands")).isEmpty)
+      assert(spark.table("cpstore.bands")
+        .except(spark.table("cpstore.bands_c")).isEmpty)
+
+      // 2. IO shape: one file per non-empty bucket
+      val filesAfter = parquetFiles("cpstore.bands_c")
+      assert(filesAfter <= buckets,
+        s"expected <= $buckets files after compaction, got $filesAfter")
+
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val autoB = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prevAuto = spark.conf.get(autoB, "true")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(autoB, "false")
+
+        // 3a. the rewrite itself is exchange-free
+        val plan = Dedup.compacted(spark, "cpstore.bands")
+          .queryExecution.executedPlan
+        assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"compaction must not shuffle:\n$plan")
+
+        // 3b. consumers: the compacted store serves assignToClusters
+        // with the same no-store-side-shuffle plan and the same labels
+        val batch2 = Seq((2000000L, srcText)).toDF("doc_id", "text")
+        val viaOld = Dedup.assignToClusters(spark, batch2,
+          spark.table("cpstore.bands"), spark.table("cpstore.comps_v3"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val assigned = Dedup.assignToClusters(spark, batch2,
+          spark.table("cpstore.bands_c"), spark.table("cpstore.comps_v3"))
+        val viaNew = assigned
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaNew === viaOld, "compaction must not change assignments")
+        val joins = assigned.queryExecution.executedPlan
+          .collect { case j: SortMergeJoinExec => j }
+        val bandJoin = joins.find(_.leftKeys.size == 3)
+        assert(bandJoin.isDefined, "expected the 3-key band join")
+        assert(bandJoin.get.right.collect {
+          case e: ShuffleExchangeExec => e
+        }.isEmpty, "compacted band store side must not shuffle")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set(autoB, prevAuto)
+      }
+    } finally spark.sql("DROP DATABASE IF EXISTS cpstore CASCADE")
+  }
+
+  test("compaction refuses unbucketed tables and in-place rewrites") {
+    val wh = Files.createTempDirectory("graft_wh_cpu").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS cpflat LOCATION '$wh'")
+    try {
+      import spark.implicits._
+      Seq((1L, 2L)).toDF("a", "b").write
+        .format("parquet").saveAsTable("cpflat.flat")
+      intercept[IllegalArgumentException] {
+        Dedup.compactStore(spark, "cpflat.flat", "cpflat.flat_c")
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.compactStore(spark, "cpflat.flat", "cpflat.flat")
+      }
+    } finally spark.sql("DROP DATABASE IF EXISTS cpflat CASCADE")
+  }
+}
