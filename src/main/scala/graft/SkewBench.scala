@@ -110,7 +110,13 @@ object SkewBench {
     // round-8: the bucket-health audit must SEE the hot cluster (its
     // max_bucket is the 1000-doc near-identical block) while staying
     // cheap — it aggregates bucket sizes, never expands pairs
-    "q143_lsh_bucket_audit")
+    "q143_lsh_bucket_audit",
+    // round-9: the incremental IVF path under the 2000-vector
+    // near-identical cluster — the hot block collapses into ONE cell,
+    // so assignment must stay a broadcast argmax (no shuffle to tip)
+    // and search must pay only the probed hot cell's rerank, never an
+    // all-pairs expansion
+    "q154_ivf_incremental_assign", "q155_ivf_incremental_search")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()

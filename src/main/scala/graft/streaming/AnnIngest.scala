@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Streaming incremental ANN indexing — the similarity twin of
+  * [[ClusterIngest]]: every micro-batch of incoming embedding vectors
+  * is assigned to its IVF cell against the persisted centroid table
+  * ([[Similarity.writeIvfStore]]) and lands atomically per batch,
+  * PARTITIONED BY CELL inside the batch directory — so a search over
+  * the landing zone keeps partition pruning on `cell` across every
+  * landed batch.
+  *
+  * Why this needs none of the dedup path's refresh machinery: IVF
+  * assignment is ROW-LOCAL (each vector scores against the 16
+  * broadcast centroids independently of every other vector), so the
+  * incrementally-built index is bit-equal to a one-shot build by
+  * construction (q154/q155 pin this under the oracle gate). The only
+  * out-of-band maintenance is centroid RETRAINING as the corpus
+  * drifts — roll the store pair forward by version, the
+  * [[graft.operators.Dedup.refreshStores]] convention; q116's
+  * centroid-drift report is the trigger metric.
+  *
+  * The stream carries NO state (offset-only checkpoint): restarts
+  * resume instantly and centroid-store versions roll out without
+  * touching the query. Input schema: (vec_id: Long,
+  * embedding: Array[Float]) — the embeddings table's shape.
+  */
+object AnnIngest {
+
+  val cellSchema: StructType = StructType.fromDDL(
+    "vec_id BIGINT, v ARRAY<DOUBLE>, batch_id BIGINT, cell BIGINT")
+
+  def start(vecs: DataFrame, centStore: DataFrame,
+      cellDir: String, checkpoint: String): StreamingQuery = {
+    // no batch is in flight yet for this landing zone — safe point to
+    // drop orphaned .tmp/.old work dirs from earlier crashes
+    AtomicLanding.sweepStale(vecs.sparkSession, cellDir)
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val withV = batch.select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val assigned = Similarity.assignCells(withV, centStore)
+          .join(withV, "vec_id")
+          .select(col("vec_id"), col("cell"), col("v"))
+        AtomicLanding.publish(assigned, cellDir, id, Seq("cell"))
+      }
+      .start()
+  }
+
+  /** Everything ingested so far (committed batches only), with `cell`
+    * and `batch_id` as partition columns — `cell` filters prune at
+    * the directory level.
+    */
+  def readCells(spark: SparkSession, cellDir: String): DataFrame =
+    spark.read.schema(cellSchema).parquet(cellDir)
+      .select(col("vec_id"), col("cell"), col("v"), col("batch_id"))
+
+  /** Fold the landing zone into the base cell store — the ANN analog
+    * of [[graft.operators.Dedup.refreshStores]], made trivial by
+    * row-locality: assignments never change, so the fold is a pure
+    * re-layout (base ∪ ingested rewritten as one file set per cell)
+    * that resets the per-cell file count after many landed batches.
+    * Rolls forward to `newCellTable` (the store-pair convention);
+    * swap readers, then clear the landing zone and restart the
+    * ingest with a fresh outDir. Centroids are untouched — a fold is
+    * NOT a retrain (that is [[Similarity.writeIvfStore]] on the next
+    * corpus version, triggered by q116's drift report).
+    */
+  def fold(spark: SparkSession, baseCellTable: String, cellDir: String,
+      newCellTable: String): Unit = {
+    require(newCellTable != baseCellTable,
+      "the folded cell store rolls forward to a NEW table")
+    spark.table(baseCellTable).select(col("vec_id"), col("cell"), col("v"))
+      .union(readCells(spark, cellDir)
+        .select(col("vec_id"), col("cell"), col("v")))
+      .repartition(col("cell"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("cell").saveAsTable(newCellTable)
+  }
+
+  /** Top-k search over base store ∪ ingested vectors: the union keeps
+    * both sides' cell-partition pruning (each is pruned independently
+    * before the union), and [[Similarity.annSearch]]'s broadcast
+    * probes drive dynamic partition pruning into both scans.
+    */
+  def search(spark: SparkSession, queries: DataFrame, centStore: DataFrame,
+      baseCells: DataFrame, cellDir: String,
+      nprobe: Int = 2, k: Int = 1): DataFrame = {
+    val ingested = readCells(spark, cellDir)
+      .select(col("vec_id"), col("cell"), col("v"))
+    Similarity.annSearch(queries, centStore,
+      baseCells.select(col("vec_id"), col("cell"), col("v")).union(ingested),
+      nprobe, k)
+  }
+}

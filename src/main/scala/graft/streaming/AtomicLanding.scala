@@ -26,9 +26,19 @@ import org.apache.spark.sql.DataFrame
   */
 object AtomicLanding {
 
-  def publish(batch: DataFrame, rootDir: String, batchId: Long): Unit = {
+  /** @param partitionCols optional disk partitioning WITHIN the batch
+    *   directory (e.g. AnnIngest's `cell=`): the published layout is
+    *   `batch_id=<id>/col=<v>/…`, which Spark's partition discovery
+    *   reads back as two partition columns — so readers keep
+    *   partition pruning on `col` across every landed batch while the
+    *   batch directory stays the atomic unit.
+    */
+  def publish(batch: DataFrame, rootDir: String, batchId: Long,
+      partitionCols: Seq[String] = Nil): Unit = {
     val tmp = new Path(rootDir, s".tmp_batch_$batchId")
-    batch.write.mode("overwrite").parquet(tmp.toString)
+    val w = batch.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     val fs = tmp.getFileSystem(
       batch.sparkSession.sessionState.newHadoopConf())
     val dst = new Path(rootDir, s"batch_id=$batchId")
