@@ -265,6 +265,54 @@ object StreamBench {
     Result("clustering", (n - 1000) / secs, n - 1000, secs, assigned)
   }
 
+  /** Streaming ANN ingest: vectors assign to their IVF cell against
+    * the broadcast centroid store and land cell-partitioned
+    * ([[graft.streaming.AnnIngest]]). The feed replays clones of the
+    * sf0.001 embedding corpus, so every event exercises the full
+    * assign-and-land path.
+    */
+  def benchAnnIngest(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val wh = Files.createTempDirectory(base.toPath, "wh_sb_ann").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sbann LOCATION '$wh'")
+    graft.operators.Similarity.writeIvfStore(spark,
+      "/root/testdata/sf0.001", "sbann.cents", "sbann.cells")
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1))
+    def vec(i: Long): (Long, Seq[Float]) =
+      (1000000L + i, corpus((i % corpus.length).toInt))
+
+    val vecs = MemoryStream[(Long, Seq[Float])]
+    val outDir = Files.createTempDirectory(base.toPath, "sb_ann_out").toString
+    val q = graft.streaming.AnnIngest.start(
+      vecs.toDF().toDF("vec_id", "embedding"),
+      spark.table("sbann.cents"), outDir, ckptDir(base, "ann"))
+    vecs.addData((0L until 1000L).map(vec))
+    q.processAllAvailable() // warmup
+    val t0 = System.nanoTime()
+    var i = 1000L
+    while (i < n) {
+      val end = math.min(i + batch, n)
+      val step = math.max(1L, (end - i) / 16)
+      var j = i
+      while (j < end) {
+        val e2 = math.min(j + step, end)
+        vecs.addData((j until e2).map(vec))
+        j = e2
+      }
+      q.processAllAvailable()
+      i = end
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val landed = graft.streaming.AnnIngest.readCells(spark, outDir).count()
+    spark.sql("DROP DATABASE IF EXISTS sbann CASCADE")
+    Result("ann_ingest", (n - 1000) / secs, n - 1000, secs, landed)
+  }
+
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
@@ -285,12 +333,14 @@ object StreamBench {
     val trending = benchTrending(spark, base, n / 5L, batch / 5L)
     val curation = benchCuration(spark, base, n / 5L, batch / 5L)
     val clustering = benchClustering(spark, base, n / 20L, batch / 20L)
+    val annIngest = benchAnnIngest(spark, base, n / 20L, batch / 20L)
 
     val json =
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
         s""""unit":"events/sec","events":${alert.events},"secs":${alert.secs},""" +
         s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
-        s"""${trending.json},${curation.json},${clustering.json}}""" +
+        s"""${trending.json},${curation.json},${clustering.json},""" +
+        s"""${annIngest.json}}""" +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")

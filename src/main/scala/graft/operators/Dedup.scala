@@ -2086,6 +2086,78 @@ object Dedup {
               |SELECT cr.bkey AS batch_comp, br.store_comp_keep,
               |  cr.root AS store_comp_stale, sizes.n_batch_docs
               |FROM cr JOIN br USING (bkey) JOIN sizes USING (bkey)
-              |WHERE cr.root <> br.store_comp_keep""".stripMargin))
+              |WHERE cr.root <> br.store_comp_keep""".stripMargin)),
+
+    // ---- q156: refresh churn report --------------------------------------
+    // The post-refresh face of the incremental loop's observability
+    // (q153 reports staleness BEFORE a refresh; this reports impact
+    // AFTER): for every STORED document whose cluster label the
+    // refresh changed, one row per (old_comp, new_comp) transition
+    // with the count of moved documents. Changes come from exactly
+    // two causes — a batch doc became the new minimum of a merged
+    // cluster, or a batch component fused clusters/absorbed store
+    // singletons — and the report is the relabel map ops would watch
+    // per refresh (alert on mass churn = bad banding or an ingest
+    // anomaly). Derived from the SAME delta-graph outputs refreshStores
+    // writes, so the corpus side stays a broadcast relabel
+    // (delta-sized shuffles only). The oracle re-derives both closures
+    // (store subset + full corpus) recursively and diffs them.
+    QueryDef(
+      "q156_refresh_churn",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val store = docs.filter(col("doc_id") % 7 =!= 3)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        val storeBands = bandSignatures(store).localCheckpoint(true)
+        val comp = propagate(pairsFromBands(storeBands).localCheckpoint(true))._1
+          .select(col("id").as("doc_id"), col("label").as("comp"))
+        val newBands = bandSignatures(batch).localCheckpoint(true)
+        val (batchLabels, storeNodes) = refreshDelta(newBands,
+          batch.select(col("doc_id")),
+          storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),
+          comp)
+        val refreshed = refreshedComponents(comp, batchLabels, storeNodes)
+        val storeIds = store.select(col("doc_id"))
+        val oldL = storeIds.join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("old_comp"))
+        val newL = storeIds.join(refreshed, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("new_comp"))
+        oldL.join(newL, "doc_id")
+          .filter(col("old_comp") =!= col("new_comp"))
+          .groupBy(col("old_comp"), col("new_comp"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |spairs AS (SELECT da, db FROM pairs
+              |           WHERE da % 7 <> 3 AND db % 7 <> 3),
+              |ssym AS (SELECT da AS a, db AS b FROM spairs
+              |         UNION ALL SELECT db, da FROM spairs),
+              |sreach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM ssym
+              |  UNION
+              |  SELECT r.a, s.b FROM sreach r JOIN ssym s ON r.b = s.a
+              |),
+              |slab AS (SELECT a AS doc_id, min(b) AS comp FROM sreach GROUP BY a),
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |lab AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+              |diff AS (SELECT d.doc_id,
+              |           coalesce(sl.comp, d.doc_id) AS old_comp,
+              |           coalesce(l.comp, d.doc_id) AS new_comp
+              |         FROM documents d
+              |         LEFT JOIN slab sl ON sl.doc_id = d.doc_id
+              |         LEFT JOIN lab l ON l.doc_id = d.doc_id
+              |         WHERE d.doc_id % 7 <> 3)
+              |SELECT old_comp, new_comp, count(*) AS n_docs
+              |FROM diff WHERE old_comp <> new_comp
+              |GROUP BY 1, 2""".stripMargin))
   )
 }
