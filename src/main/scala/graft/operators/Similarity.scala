@@ -1417,13 +1417,18 @@ object Similarity {
     * at an out-of-band store refresh (roll the pair forward by
     * version, the [[Dedup.refreshStores]] convention).
     *
-    * The in-cell rows are pre-shuffled BY CELL so each write task
-    * holds whole cells (one file per cell per task instead of
-    * tasks×cells fragments). At 100 TB add a salt column to spread a
-    * hot cell over more tasks — the directory layout is unchanged.
+    * The in-cell rows are pre-shuffled by (cell, salt): `salt` spreads
+    * each cell over `saltBuckets` write tasks, so a HOT cell (a
+    * near-identical embedding block collapses into one cell — the
+    * standing SkewBench scenario) writes through saltBuckets parallel
+    * tasks instead of serializing in one, at the cost of at most
+    * saltBuckets files per cell directory. The directory layout (and
+    * so partition pruning) is unchanged; saltBuckets = 1 gives one
+    * file per cell. Size it to corpusRows / (16 · targetRowsPerFile)
+    * at 100 TB.
     */
   def writeIvfStore(s: SparkSession, d: String, centTable: String,
-      cellTable: String): Unit = {
+      cellTable: String, saltBuckets: Int = 1): Unit = {
     val e = emb(s, d)
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
@@ -1432,7 +1437,7 @@ object Similarity {
     cents.write.mode("overwrite").format("parquet").saveAsTable(centTable)
     assignCells(e, s.table(centTable))
       .join(e.select(col("vec_id"), col("v")), "vec_id")
-      .repartition(col("cell"))
+      .repartition(col("cell"), pmod(col("vec_id"), lit(saltBuckets.toLong)))
       .write.mode("overwrite").format("parquet")
       .partitionBy("cell").saveAsTable(cellTable)
   }

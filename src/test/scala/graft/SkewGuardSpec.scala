@@ -126,4 +126,26 @@ class SkewGuardSpec extends SparkSpec {
     assert(hot.size == 50 * 49 / 2,
       s"expected ${50 * 49 / 2} hot-cluster pairs, got ${hot.size}")
   }
+
+  test("q154/q155 hot IVF cell: assignment covers the batch, search serves hot queries") {
+    // the 50-vector near-identical cluster collapses into one IVF
+    // cell (most trained centroids are themselves hot members) — the
+    // incremental path must still (a) assign every batch vector
+    // exactly once through the broadcast argmax, and (b) answer every
+    // hot-cluster query with a hot near-identical neighbor, paying
+    // only the probed cell's rerank
+    val assigned = SparkEntry.queries("q154_ivf_incremental_assign")(spark, dir)
+      .collect()
+    assert(assigned.length === 16, // 80 ids, vec_id % 5 == 2
+      s"one assignment per batch vector, got ${assigned.length}")
+    assert(assigned.map(_.getLong(0)).distinct.length === 16)
+
+    val res = SparkEntry.queries("q155_ivf_incremental_search")(spark, dir)
+      .collect()
+    assert(res.length === 10, "one top-1 row per query")
+    res.foreach { r =>
+      assert(r.getLong(1) < 50 && r.getDouble(2) > 0.999,
+        s"hot query must find a near-identical hot neighbor: $r")
+    }
+  }
 }
