@@ -13,8 +13,13 @@ object Bench {
     * artifact because this VM shares a host: the same HEAD has
     * measured 69.3 s idle vs 86.0 s at load ~2.4 (round 8), so a
     * cross-round comparison without the load context is up to ~20%
-    * noise. Protocol: treat any artifact whose load1 exceeds ~3 as
-    * non-comparable; re-run idle. (-1 values = /proc unavailable.)
+    * noise. Protocol: treat any artifact whose START load1 exceeds ~3
+    * OR start load5 exceeds ~2.5 as non-comparable; re-run idle.
+    * (Start, not end: the bench's own 32-core burst inflates the end
+    * snapshot. Load5 matters: a run at load1 1.1 / load5 3.4 measured
+    * ~30% slower across the board than the same HEAD idle —
+    * tools/compare_bench.py applies both thresholds.)
+    * (-1 values = /proc unavailable.)
     */
   def hostLoad(): (Double, Double, Double, Long) = try {
     val l = new String(java.nio.file.Files.readAllBytes(

@@ -52,6 +52,39 @@ object StreamBench {
         s""""out_rows":$outRows}"""
   }
 
+  /** Shared single-stream feed-and-measure loop (trending, curation,
+    * clustering, ann_ingest): an UNTIMED warmup of min(1000, n/2)
+    * events (clamped so a small CLI n still leaves a non-empty
+    * measured window instead of a negative event count), then chunks
+    * of ~`batch` events fed as 16 blocks each — one MemoryStream
+    * block per addData call = one input partition, so parse/expand/
+    * partial-agg parallelize (a single big block starves everything
+    * before the first shuffle) — with processAllAvailable() per
+    * chunk. Returns (measured events, seconds).
+    */
+  private def feedAndMeasure[T](ms: MemoryStream[T],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      gen: Long => T, n: Long, batch: Long): (Long, Double) = {
+    val warm = math.max(1L, math.min(1000L, n / 2))
+    ms.addData((0L until warm).map(gen))
+    q.processAllAvailable()
+    val t0 = System.nanoTime()
+    var i = warm
+    while (i < n) {
+      val end = math.min(i + batch, n)
+      val step = math.max(1L, (end - i) / 16)
+      var j = i
+      while (j < end) {
+        val e2 = math.min(j + step, end)
+        ms.addData((j until e2).map(gen))
+        j = e2
+      }
+      q.processAllAvailable()
+      i = end
+    }
+    (n - warm, (System.nanoTime() - t0) / 1e9)
+  }
+
   def benchAlert(spark: SparkSession, base: java.io.File, n: Long,
       batch: Long): Result = {
     implicit val ctx = spark.sqlContext
@@ -78,13 +111,14 @@ object StreamBench {
       s"""{"user_id":${i % users},"systolic":$sys,"diastolic":80,"timestamp":${t0Ms + i}}"""
     }
 
-    // warmup
-    hr.addData((0L until 1000L).map(hrJson))
-    bp.addData((0L until 1000L).map(bpJson))
+    // warmup (clamped like feedAndMeasure's, for small CLI n)
+    val warm = math.max(1L, math.min(1000L, n / 4))
+    hr.addData((0L until warm).map(hrJson))
+    bp.addData((0L until warm).map(bpJson))
     q.processAllAvailable()
 
     val t0 = System.nanoTime()
-    var i = 1000L
+    var i = warm
     while (i < n / 2) {
       val end = math.min(i + batch, n / 2)
       // one MemoryStream block per addData call = one input partition:
@@ -112,7 +146,7 @@ object StreamBench {
       i = end
     }
     val secs = (System.nanoTime() - t0) / 1e9
-    val processed = (n / 2 - 1000) * 2
+    val processed = (n / 2 - warm) * 2
     val nAlerts = spark.table("sb").count()
     q.stop()
     Result("alert", processed / secs, processed, secs, nAlerts)
@@ -143,25 +177,9 @@ object StreamBench {
       slide = "30 seconds", checkpointDir = ckptDir(base, "tt"),
       sink = b => ranked.addAndGet(b.count()))
 
-    docs.addData((0L until 1000L).map(doc))
-    q.processAllAvailable() // warmup
-    val t0 = System.nanoTime()
-    var i = 1000L
-    while (i < n) {
-      val end = math.min(i + batch, n)
-      val step = math.max(1L, (end - i) / 16)
-      var j = i
-      while (j < end) {
-        val e2 = math.min(j + step, end)
-        docs.addData((j until e2).map(doc))
-        j = e2
-      }
-      q.processAllAvailable()
-      i = end
-    }
-    val secs = (System.nanoTime() - t0) / 1e9
+    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
     q.stop()
-    Result("trending", (n - 1000) / secs, n - 1000, secs, ranked.get())
+    Result("trending", events / secs, events, secs, ranked.get())
   }
 
   def benchCuration(spark: SparkSession, base: java.io.File, n: Long,
@@ -192,27 +210,11 @@ object StreamBench {
       budgetPerBatch = batch.toInt, curatedDir = curatedDir,
       checkpoint = ckptDir(base, "cur"), onShed = shed.addAndGet(_: Long))
 
-    docs.addData((0L until 1000L).map(doc))
-    q.processAllAvailable() // warmup
-    val t0 = System.nanoTime()
-    var i = 1000L
-    while (i < n) {
-      val end = math.min(i + batch, n)
-      val step = math.max(1L, (end - i) / 16)
-      var j = i
-      while (j < end) {
-        val e2 = math.min(j + step, end)
-        docs.addData((j until e2).map(doc))
-        j = e2
-      }
-      q.processAllAvailable()
-      i = end
-    }
-    val secs = (System.nanoTime() - t0) / 1e9
+    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
     q.stop()
     val landed = spark.read.schema(CurationPipeline.curatedSchema)
       .parquet(curatedDir).count()
-    Result("curation", (n - 1000) / secs, n - 1000, secs, landed)
+    Result("curation", events / secs, events, secs, landed)
   }
 
   def benchClustering(spark: SparkSession, base: java.io.File, n: Long,
@@ -241,28 +243,12 @@ object StreamBench {
       docs.toDF().toDF("doc_id", "text"),
       spark.table("sbci.bands_b"), spark.table("sbci.comps_b"),
       outDir, ckptDir(base, "ci"))
-    docs.addData((0L until 1000L).map(doc))
-    q.processAllAvailable() // warmup
-    val t0 = System.nanoTime()
-    var i = 1000L
-    while (i < n) {
-      val end = math.min(i + batch, n)
-      val step = math.max(1L, (end - i) / 16)
-      var j = i
-      while (j < end) {
-        val e2 = math.min(j + step, end)
-        docs.addData((j until e2).map(doc))
-        j = e2
-      }
-      q.processAllAvailable()
-      i = end
-    }
-    val secs = (System.nanoTime() - t0) / 1e9
+    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
     q.stop()
     val assigned = graft.streaming.ClusterIngest
       .readAssigned(spark, outDir).count()
     spark.sql("DROP DATABASE IF EXISTS sbci CASCADE")
-    Result("clustering", (n - 1000) / secs, n - 1000, secs, assigned)
+    Result("clustering", events / secs, events, secs, assigned)
   }
 
   /** Streaming ANN ingest: vectors assign to their IVF cell against
@@ -290,27 +276,11 @@ object StreamBench {
     val q = graft.streaming.AnnIngest.start(
       vecs.toDF().toDF("vec_id", "embedding"),
       spark.table("sbann.cents"), outDir, ckptDir(base, "ann"))
-    vecs.addData((0L until 1000L).map(vec))
-    q.processAllAvailable() // warmup
-    val t0 = System.nanoTime()
-    var i = 1000L
-    while (i < n) {
-      val end = math.min(i + batch, n)
-      val step = math.max(1L, (end - i) / 16)
-      var j = i
-      while (j < end) {
-        val e2 = math.min(j + step, end)
-        vecs.addData((j until e2).map(vec))
-        j = e2
-      }
-      q.processAllAvailable()
-      i = end
-    }
-    val secs = (System.nanoTime() - t0) / 1e9
+    val (events, secs) = feedAndMeasure(vecs, q, vec, n, batch)
     q.stop()
     val landed = graft.streaming.AnnIngest.readCells(spark, outDir).count()
     spark.sql("DROP DATABASE IF EXISTS sbann CASCADE")
-    Result("ann_ingest", (n - 1000) / secs, n - 1000, secs, landed)
+    Result("ann_ingest", events / secs, events, secs, landed)
   }
 
   def main(args: Array[String]): Unit = {

@@ -372,7 +372,15 @@ object Dedup {
     * serves ([[assignToClusters]], DedupIngest's anti-join).
     */
   def compactStore(s: SparkSession, table: String, newTable: String): Unit = {
-    require(newTable != table,
+    // resolve both names before comparing: "db.t" vs "t" under
+    // current database db (or a case variant) are the SAME table, and
+    // letting that through means overwriting the table being read
+    def canon(t: String): (String, String) = {
+      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
+      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
+        id.table.toLowerCase)
+    }
+    require(canon(newTable) != canon(table),
       "compaction rolls forward to a NEW table; overwriting the table " +
         "being read is not defined")
     val spec = s.sessionState.catalog

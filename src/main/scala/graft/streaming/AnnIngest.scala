@@ -71,15 +71,25 @@ object AnnIngest {
     * ingest with a fresh outDir. Centroids are untouched — a fold is
     * NOT a retrain (that is [[Similarity.writeIvfStore]] on the next
     * corpus version, triggered by q116's drift report).
+    *
+    * `saltBuckets` spreads a hot cell's rewrite over that many tasks
+    * (same knob and reason as writeIvfStore's — a fold runs precisely
+    * when the hot cell is at its largest).
     */
   def fold(spark: SparkSession, baseCellTable: String, cellDir: String,
-      newCellTable: String): Unit = {
-    require(newCellTable != baseCellTable,
+      newCellTable: String, saltBuckets: Int = 1): Unit = {
+    def canon(t: String): (String, String) = {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      (id.database.getOrElse(spark.catalog.currentDatabase).toLowerCase,
+        id.table.toLowerCase)
+    }
+    require(canon(newCellTable) != canon(baseCellTable),
       "the folded cell store rolls forward to a NEW table")
     spark.table(baseCellTable).select(col("vec_id"), col("cell"), col("v"))
       .union(readCells(spark, cellDir)
         .select(col("vec_id"), col("cell"), col("v")))
-      .repartition(col("cell"))
+      .repartition(col("cell"),
+        pmod(col("vec_id"), lit(saltBuckets.toLong)))
       .write.mode("overwrite").format("parquet")
       .partitionBy("cell").saveAsTable(newCellTable)
   }

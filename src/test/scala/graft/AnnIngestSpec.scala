@@ -93,7 +93,32 @@ class AnnIngestSpec extends SparkSpec {
     val wh = Files.createTempDirectory("graft_wh_dpp").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS dppstore LOCATION '$wh'")
     try {
-      Similarity.writeIvfStore(spark, sf001, "dppstore.cents", "dppstore.cells")
+      // the SALTED write path (saltBuckets = 2): the salt must spread
+      // write tasks without changing row content, the directory
+      // layout, or partition pruning — so the whole DPP + search pin
+      // below runs against the salted store, and content equality
+      // against an unsalted write is asserted first
+      Similarity.writeIvfStore(spark, sf001, "dppstore.cents", "dppstore.cells",
+        saltBuckets = 2)
+      Similarity.writeIvfStore(spark, sf001, "dppstore.cents1",
+        "dppstore.cells1")
+      assert(spark.table("dppstore.cells")
+        .except(spark.table("dppstore.cells1")).isEmpty)
+      assert(spark.table("dppstore.cells1")
+        .except(spark.table("dppstore.cells")).isEmpty)
+      // layout: at most saltBuckets files inside any cell directory
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("dppstore.cells"))
+        .location
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+        .filter(_.getPath.getName.startsWith("cell="))
+        .foreach { cd =>
+          val nf = fs.listStatus(cd.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))
+          assert(nf <= 2, s"${cd.getPath.getName}: $nf files > saltBuckets")
+        }
       import spark.implicits._
       val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -116,19 +116,35 @@ class StoreCompactionSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS cpstore CASCADE")
   }
 
-  test("compaction refuses unbucketed tables and in-place rewrites") {
+  test("compaction refuses unbucketed tables and in-place rewrites (however spelled)") {
     val wh = Files.createTempDirectory("graft_wh_cpu").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS cpflat LOCATION '$wh'")
     try {
       import spark.implicits._
       Seq((1L, 2L)).toDF("a", "b").write
         .format("parquet").saveAsTable("cpflat.flat")
+      Seq((1L, 2L)).toDF("a", "b").write
+        .bucketBy(2, "a").sortBy("a")
+        .format("parquet").saveAsTable("cpflat.bkt")
       intercept[IllegalArgumentException] {
         Dedup.compactStore(spark, "cpflat.flat", "cpflat.flat_c")
       }
       intercept[IllegalArgumentException] {
-        Dedup.compactStore(spark, "cpflat.flat", "cpflat.flat")
+        Dedup.compactStore(spark, "cpflat.bkt", "cpflat.bkt")
       }
+      // qualified-vs-unqualified and case-variant spellings of the
+      // SAME table must also be refused (the guard resolves names
+      // before comparing)
+      val prevDb = spark.catalog.currentDatabase
+      spark.catalog.setCurrentDatabase("cpflat")
+      try {
+        intercept[IllegalArgumentException] {
+          Dedup.compactStore(spark, "cpflat.bkt", "bkt")
+        }
+        intercept[IllegalArgumentException] {
+          Dedup.compactStore(spark, "cpflat.bkt", "cpflat.BKT")
+        }
+      } finally spark.catalog.setCurrentDatabase(prevDb)
     } finally spark.sql("DROP DATABASE IF EXISTS cpflat CASCADE")
   }
 }

@@ -37,7 +37,17 @@ def extract(path):
                 depth -= tail[j] == "}"
                 if depth == 0:
                     break
-            d = {"queries": json.loads(tail[i:j + 1])}
+            rebuilt = {"queries": json.loads(tail[i:j + 1])}
+            # the tail may also carry the load fields AFTER the queries
+            # object — recover them, or load_verdict() would misreport
+            # a load-contaminated run as merely "unrecorded"
+            for key in ("loadavg_start", "loadavg_end"):
+                k = tail.find(f'"{key}":[', j)
+                if k >= 0:
+                    close = tail.index("]", k)
+                    rebuilt[key] = json.loads(
+                        tail[k + len(key) + 3:close + 1])
+            d = rebuilt
     qs = {k.split("_")[0]: v for k, v in d["queries"].items()}
     load = d.get("loadavg_start", [None]), d.get("loadavg_end", [None])
     return qs, load
@@ -47,10 +57,15 @@ def load_verdict(load):
     start, end = load
     if start[0] is None or end[0] is None:
         return "load unrecorded (pre-round-9 artifact) — treat with care"
-    l1 = max(start[0], end[0])
-    if l1 > 3:
-        return f"NON-COMPARABLE: load1 peaked at {l1} (> 3)"
-    return f"ok (load1 start {start[0]}, end {end[0]})"
+    # the bench's own 32-core burst inflates load1/load5 at END; the
+    # comparable-run signal is the EXTERNAL load, best read from the
+    # START snapshot — and load5 there matters as much as load1 (a
+    # round-9 run at load1 1.1 / load5 3.4 measured ~30% slower across
+    # the board than the same HEAD idle)
+    if start[0] > 3 or (len(start) > 1 and start[1] > 2.5):
+        return (f"NON-COMPARABLE: external load at start "
+                f"(load1 {start[0]}, load5 {start[1]})")
+    return f"ok (start load1/5 {start[0]}/{start[1] if len(start) > 1 else '?'})"
 
 
 def main(a_path, b_path, top=15):
