@@ -94,10 +94,15 @@ object AnnIngest {
       .partitionBy("cell").saveAsTable(newCellTable)
   }
 
-  /** Top-k search over base store ∪ ingested vectors: the union keeps
-    * both sides' cell-partition pruning (each is pruned independently
-    * before the union), and [[Similarity.annSearch]]'s broadcast
-    * probes drive dynamic partition pruning into both scans.
+  /** Top-k search over base store ∪ ingested vectors. NOTE on
+    * pruning: the DPP pin (AnnIngestSpec) covers the single-scan
+    * plan; Spark's partition-pruning rule is not guaranteed to push
+    * a dynamic filter into BOTH scans below a Union, so a deployment
+    * that needs strict pruning on both sides should run
+    * [[Similarity.annSearch]] per side and merge the per-side top-k
+    * (exact, since the union's candidate set is the union of the
+    * sides' candidate sets) — here the landing zone is ingest-sized,
+    * so scanning it unpruned is the cheaper and simpler plan.
     */
   def search(spark: SparkSession, queries: DataFrame, centStore: DataFrame,
       baseCells: DataFrame, cellDir: String,
