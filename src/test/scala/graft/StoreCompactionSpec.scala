@@ -116,6 +116,67 @@ class StoreCompactionSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS cpstore CASCADE")
   }
 
+  test("a crash-replayed refresh is label-exact; compaction restores the clean store") {
+    // the full crash-recovery story for refreshStores: a refresh
+    // whose store appends landed but whose checkpoint commit was lost
+    // re-runs with the SAME batch. The replayed delta graph resolves
+    // through the already-refreshed stores, so every label comes out
+    // unchanged (the closure is a fixpoint of its own refresh); the
+    // only residue is duplicate rows from the double append — exactly
+    // what compactStore heals.
+    val wh = Files.createTempDirectory("graft_wh_rp").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS rpstore LOCATION '$wh'")
+    try {
+      Dedup.writeBandStore(spark, sf001, "rpstore.bands")
+      Dedup.writeComponentsStore(spark, sf001, "rpstore.comps")
+      import spark.implicits._
+      val srcText = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") === 0).collect().head.getString(1)
+      val twin = (0 until 40).map(i => s"rp$i").mkString(" ")
+      val batch = Seq((1000000L, srcText), (2000000L, twin),
+        (2000001L, twin)).toDF("doc_id", "text")
+
+      Dedup.refreshStores(spark, batch, "rpstore.bands",
+        "rpstore.comps", "rpstore.comps_v2")
+      val v2 = spark.table("rpstore.comps_v2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // REPLAY: same batch folded again (the refresh re-runs against
+      // stores that already contain it)
+      Dedup.refreshStores(spark, batch, "rpstore.bands",
+        "rpstore.comps_v2", "rpstore.comps_v3")
+      val v3rows = spark.table("rpstore.comps_v3")
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      // every (doc_id -> comp) mapping is unchanged...
+      v3rows.foreach { case (id, c) =>
+        assert(v2.get(id) === Some(c),
+          s"replayed refresh must not move doc $id (v2 ${v2.get(id)}, v3 $c)")
+      }
+      assert(v3rows.map(_._1).toSet === v2.keySet)
+      // ...but the double append leaves duplicate rows (the residue)
+      assert(v3rows.length > v2.size,
+        "the replay is expected to leave duplicate rows behind")
+
+      // compaction heals both stores back to clean
+      Dedup.compactStore(spark, "rpstore.comps_v3", "rpstore.comps_v4")
+      val v4rows = spark.table("rpstore.comps_v4")
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(v4rows.length === v4rows.toMap.size, "one row per doc after compaction")
+      assert(v4rows.toMap === v2, "compacted replay store equals the clean v2")
+      Dedup.compactStore(spark, "rpstore.bands", "rpstore.bands_c")
+      assert(spark.table("rpstore.bands_c").count() ===
+        Dedup.compacted(spark, "rpstore.bands").count())
+
+      // and the healed stores still assign: a fresh twin clone joins
+      // the (once-deferred, now-folded) twin cluster
+      val a = Dedup.assignToClusters(spark,
+        Seq((3000000L, twin)).toDF("doc_id", "text"),
+        spark.table("rpstore.bands_c"), spark.table("rpstore.comps_v4"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a(3000000L) === 2000000L)
+    } finally spark.sql("DROP DATABASE IF EXISTS rpstore CASCADE")
+  }
+
   test("compaction refuses unbucketed tables and in-place rewrites (however spelled)") {
     val wh = Files.createTempDirectory("graft_wh_cpu").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS cpflat LOCATION '$wh'")
