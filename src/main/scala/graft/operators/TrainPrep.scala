@@ -957,7 +957,160 @@ object TrainPrep {
               |SELECT sa, sb, n_shared,
               |  round(n_shared / (ta.n + tb.n - n_shared), 6) AS jac
               |FROM i JOIN tot ta ON ta.source = sa
-              |JOIN tot tb ON tb.source = sb""".stripMargin))
+              |JOIN tot tb ON tb.source = sb""".stripMargin)),
+
+    // ---- q158: thresholded contamination fraction ----------------------
+    // q45 flags ANY benchmark 8-gram hit; the rule production
+    // pipelines actually ship is fractional ("exclude if ≥ X% of the
+    // doc's n-grams appear in the eval set" — the GPT-3/PaLM-style
+    // tiering), which needs the per-doc denominator too. Plan shape:
+    // the benchmark gid set stays broadcast (benchmarks are
+    // fixed-size; the corpus is 100 TB) so the corpus-side gram
+    // stream never shuffles against it; the hit flag rides a
+    // broadcast LEFT join, then two doc-keyed exchanges — (doc_id,
+    // gid) dedup, then the per-doc rollup — both partial-aggregated.
+    // No Expand: a twin count-distinct (total grams + hit grams)
+    // would double the gram stream; deduping once and summing a flag
+    // keeps it linear. frac is ONE IEEE divide of two exact BIGINTs
+    // (the q111 lesson), so the 0.05 tier threshold compares
+    // identically cross-engine.
+    QueryDef(
+      "q158_contamination_frac",
+      (s, d) => {
+        val g = grams(Tables.parallel(s, d, "documents"))
+        val bench = g.filter(col("source") === "src0")
+          .select(col("gid")).distinct()
+        g.filter(col("source") =!= "src0")
+          .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gid"), "left")
+          .groupBy(col("doc_id"), col("gid"))
+          .agg(max(coalesce(col("hit"), lit(0))).as("hit"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"), sum(col("hit")).as("n_hits"))
+          .withColumn("frac",
+            col("n_hits").cast("double") / col("n_grams").cast("double"))
+          .withColumn("tier",
+            when(col("frac") >= 0.05, "flag")
+              .when(col("n_hits") > 0, "review")
+              .otherwise("clean"))
+      },
+      Some(s"""WITH $gramsSql,
+              |bench AS (SELECT DISTINCT gid FROM g WHERE source = 'src0'),
+              |dg AS (SELECT doc_id, g.gid,
+              |         max(CASE WHEN b.gid IS NULL THEN 0 ELSE 1 END) AS hit
+              |       FROM g LEFT JOIN bench b ON g.gid = b.gid
+              |       WHERE g.source <> 'src0' GROUP BY 1, 2),
+              |a AS (SELECT doc_id, count(*) AS n_grams,
+              |        CAST(sum(hit) AS BIGINT) AS n_hits
+              |      FROM dg GROUP BY 1)
+              |SELECT doc_id, n_grams, n_hits,
+              |  CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) AS frac,
+              |  CASE WHEN CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.05
+              |         THEN 'flag'
+              |       WHEN n_hits > 0 THEN 'review' ELSE 'clean' END AS tier
+              |FROM a""".stripMargin)),
+
+    // ---- q159: corpus snapshot diff ------------------------------------
+    // Data-versioning audit between two corpus snapshots: per
+    // (source, status ∈ added/removed/changed/unchanged) doc and
+    // token counts, decided by fingerprint comparison through a FULL
+    // OUTER join on doc_id — the operator works for arbitrary
+    // snapshot pairs (it never peeks at how the versions were made).
+    // The two versions here are deterministic stand-ins carved from
+    // the one test table (v1 drops doc_id%10=9, v2 drops %10=0 and
+    // "edits" %7=3 by appending a token). At 100 TB both snapshots
+    // are doc_id-bucketed tables, so the full-outer join is
+    // exchange-free sort-merge; the rollup above it is
+    // |sources|×4 rows. Content equality via md5long fingerprints,
+    // never string compares of document bodies.
+    QueryDef(
+      "q159_snapshot_diff",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n"), col("text"))
+        val v1 = docs.filter(expr("doc_id % 10 <> 9"))
+          .select(col("doc_id"), col("source").as("src1"), col("n").as("n1"),
+            expr("md5long(text)").as("fp1"))
+        val v2 = docs.filter(expr("doc_id % 10 <> 0"))
+          .select(col("doc_id"), col("source").as("src2"),
+            (col("n") + when(expr("doc_id % 7 = 3"), 1).otherwise(0)).as("n2"),
+            expr("md5long(case when doc_id % 7 = 3 then concat(text, ' v2') else text end)")
+              .as("fp2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("fp1").isNull, "added")
+              .when(col("fp2").isNull, "removed")
+              .when(col("fp1") === col("fp2"), "unchanged")
+              .otherwise("changed"))
+          .groupBy(coalesce(col("src2"), col("src1")).as("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n2"), col("n1"))).as("n_tokens"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n, text
+             |          FROM documents),
+             |v1 AS (SELECT doc_id, source AS src1, n AS n1,
+             |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp1
+             |       FROM d WHERE doc_id % 10 <> 9),
+             |v2 AS (SELECT doc_id, source AS src2,
+             |         n + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS n2,
+             |         ('0x' || substr(md5(CASE WHEN doc_id % 7 = 3
+             |                                  THEN text || ' v2' ELSE text END),
+             |                         1, 15))::BIGINT AS fp2
+             |       FROM d WHERE doc_id % 10 <> 0),
+             |j AS (SELECT coalesce(v2.src2, v1.src1) AS source,
+             |        CASE WHEN fp1 IS NULL THEN 'added'
+             |             WHEN fp2 IS NULL THEN 'removed'
+             |             WHEN fp1 = fp2 THEN 'unchanged'
+             |             ELSE 'changed' END AS status,
+             |        coalesce(n2, n1) AS nt
+             |      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+             |SELECT source, status, count(*) AS n_docs,
+             |  CAST(sum(nt) AS BIGINT) AS n_tokens
+             |FROM j GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q160: deterministic shuffle-shard export manifest -------------
+    // Training-data export wants the corpus in (pseudo)random order,
+    // reproducibly — a global ORDER BY rand() is both a scale-killer
+    // (single total order) and unreproducible under task retry. The
+    // engine's shape: shard = md5(doc)%S, position = rank by a second
+    // md5 within the shard. One exchange on shard (hash-uniform by
+    // construction — no skew), then a shard-LOCAL sort that streams
+    // through each reducer; S is thousands at 100 TB so no reducer
+    // ever sees more than corpus/S rows, and any re-run reproduces
+    // the identical permutation. The manifest (one row per shard)
+    // carries an ORDER-SENSITIVE checksum Σ pos·(fp % 1000003), so
+    // the oracle hash-match proves both engines agree on the full
+    // permutation, not just the membership.
+    QueryDef(
+      "q160_shuffle_shards",
+      (s, d) => {
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("fp"), col("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+          .withColumn("fp", expr("md5long(concat('shuf-', cast(doc_id as string)))"))
+          .withColumn("shard", expr("fp % 16"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+            min(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
+            sum(col("pos") * (col("fp") % 1000003)).as("order_sum"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |            ('0x' || substr(md5('shuf-' || doc_id::VARCHAR), 1, 15))::BIGINT
+             |              AS fp
+             |          FROM documents),
+             |r AS (SELECT doc_id, n, fp, fp % 16 AS shard,
+             |        CAST(row_number() OVER (PARTITION BY fp % 16
+             |                                ORDER BY fp, doc_id) AS BIGINT) AS pos
+             |      FROM f)
+             |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+             |  CAST(sum(pos * (fp % 1000003)) AS BIGINT) AS order_sum
+             |FROM r GROUP BY shard""".stripMargin))
   )
 
   /** q136's per-document assignment — (doc_id, n, split) with every

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-9 additions q157–q160 beyond the
+  * driver's oracle hash-match: BPE merge-count monotonicity and
+  * first-merge optimality, contamination-fraction consistency with
+  * q45's hit counts, snapshot-diff conservation across both versions,
+  * and shuffle-shard permutation/partition invariants.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("q157 learns 5 merges with non-increasing counts; merge 1 is the global argmax") {
+    val rows = run("q157_bpe_merges").orderBy("iter").collect()
+    assert(rows.length == 5, s"one row per merge, got ${rows.length}")
+    val cnts = rows.map(_.getLong(rows.head.fieldIndex("cnt")))
+    assert(cnts.forall(_ > 0), cnts.mkString(","))
+    // merging can only remove occurrences of existing pairs, and every
+    // new-pair occurrence contains a merged occurrence — so the best
+    // count never rises across iterations
+    cnts.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"best-pair count rose: ${cnts.mkString(",")}")
+    }
+    rows.foreach { r =>
+      val l = r.getString(r.fieldIndex("lsym"))
+      val rr = r.getString(r.fieldIndex("rsym"))
+      assert(l.nonEmpty && rr.nonEmpty && !l.contains("~") && !rr.contains("~"),
+        r.toString)
+    }
+    // independent recount of merge 1: the most frequent adjacent char
+    // bigram over the raw corpus, weighted by nothing but adjacency
+    val first = rows.head
+    val best = Tables(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, length(w) - 1),
+          |  j -> struct(substring(w, j, 1) as l, substring(w, j + 1, 1) as r))"""
+          .stripMargin)).as("p"))
+      .groupBy("p.l", "p.r").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .head()
+    assert(first.getString(first.fieldIndex("lsym")) == best.getString(0)
+      && first.getString(first.fieldIndex("rsym")) == best.getString(1)
+      && first.getLong(first.fieldIndex("cnt")) == best.getLong(2),
+      s"merge 1 $first != recount $best")
+  }
+
+  test("q158 agrees with q45 on the contaminated-doc set and hit counts") {
+    val frac = run("q158_contamination_frac")
+      .select(col("doc_id"), col("n_hits")).filter(col("n_hits") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q45 = run("q45_decontaminate")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frac == q45, s"hit sets differ: ${frac.size} vs ${q45.size}")
+    // tiers partition: every doc has exactly one tier, thresholds honored
+    val rows = run("q158_contamination_frac").collect()
+    rows.foreach { r =>
+      val f = r.getDouble(r.fieldIndex("frac"))
+      val t = r.getString(r.fieldIndex("tier"))
+      val expect =
+        if (f >= 0.05) "flag" else if (f > 0) "review" else "clean"
+      assert(t == expect, r.toString)
+      assert(f >= 0.0 && f <= 1.0, r.toString)
+    }
+  }
+
+  test("q159 conserves both snapshots across the four statuses") {
+    val rows = run("q159_snapshot_diff").collect()
+    def tot(sts: Set[String]) = rows
+      .filter(r => sts(r.getString(r.fieldIndex("status"))))
+      .map(_.getLong(rows.head.fieldIndex("n_docs"))).sum
+    val docs = Tables(spark, sf001, "documents")
+    val v1 = docs.filter(expr("doc_id % 10 <> 9")).count()
+    val v2 = docs.filter(expr("doc_id % 10 <> 0")).count()
+    assert(tot(Set("removed", "unchanged", "changed")) === v1,
+      "v1 = removed + unchanged + changed")
+    assert(tot(Set("added", "unchanged", "changed")) === v2,
+      "v2 = added + unchanged + changed")
+    // the simulated edit touches doc_id%7=3 docs present in both
+    val changed = docs
+      .filter(expr("doc_id % 10 <> 9 AND doc_id % 10 <> 0 AND doc_id % 7 = 3"))
+      .count()
+    assert(tot(Set("changed")) === changed, "edited overlap = changed")
+  }
+
+  test("q160 partitions the corpus into 16 hash shards with a live permutation checksum") {
+    val rows = run("q160_shuffle_shards").collect()
+    val shards = rows.map(_.getLong(rows.head.fieldIndex("shard"))).sorted
+    assert(shards.toSeq == (0L to 15L), shards.mkString(","))
+    val docs = Tables(spark, sf001, "documents")
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_docs"))).sum === docs.count(),
+      "every doc lands in exactly one shard")
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("first_doc")), r.toString)
+      assert(r.getLong(r.fieldIndex("order_sum")) > 0L, r.toString)
+    }
+    // the checksum is order-sensitive: permuting two ranks changes it.
+    // Recompute shard 0's sum with the order REVERSED and check it
+    // differs (ties in fp are broken by doc_id, so the permutation is
+    // total and the reversal is a genuine reorder).
+    val f = docs
+      .withColumn("fp", expr("md5long(concat('shuf-', cast(doc_id as string)))"))
+      .filter(expr("fp % 16 = 0"))
+      .select(col("doc_id"), col("fp")).collect()
+      .sortBy(r => (r.getLong(1), r.getLong(0)))
+    val fwd = f.zipWithIndex.map { case (r, i) => (i + 1L) * (r.getLong(1) % 1000003L) }.sum
+    val rev = f.reverse.zipWithIndex.map { case (r, i) => (i + 1L) * (r.getLong(1) % 1000003L) }.sum
+    val got = rows.find(_.getLong(rows.head.fieldIndex("shard")) == 0L).get
+    assert(got.getLong(got.fieldIndex("order_sum")) === fwd, "forward checksum")
+    assert(fwd != rev, "checksum must be order-sensitive on this fixture")
+  }
+}
