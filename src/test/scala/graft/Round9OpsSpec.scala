@@ -68,6 +68,23 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q158/q160 plan pins: broadcast bench, one shard exchange reused by the rollup") {
+    // q158: the benchmark gid set must broadcast (it is fixed-size at
+    // any corpus scale); the corpus gram stream must never be the
+    // build side of anything
+    val p158 = run("q158_contamination_frac").queryExecution.executedPlan.toString
+    assert(p158.contains("BroadcastHashJoin"), s"bench join must broadcast:\n$p158")
+    // q160: exactly one repartition-by-key exchange (the shard hash) —
+    // the per-shard rollup must reuse the window's partitioning, and
+    // nothing may introduce a global sort
+    val p160 = run("q160_shuffle_shards").queryExecution.executedPlan
+    val exchanges = p160.toString.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p160")
+    assert(!p160.toString.contains("rangepartitioning"),
+      s"no global sort in the shard manifest:\n$p160")
+  }
+
   test("q159 conserves both snapshots across the four statuses") {
     val rows = run("q159_snapshot_diff").collect()
     def tot(sts: Set[String]) = rows
