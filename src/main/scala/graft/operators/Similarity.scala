@@ -1290,7 +1290,66 @@ object Similarity {
               |SELECT q_id, c_id AS nn_id, round(sim, 4) AS sim
               |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
               |        ORDER BY sim DESC, c_id) AS rn FROM sims)
-              |WHERE rn = 1""".stripMargin))
+              |WHERE rn = 1""".stripMargin)),
+
+    // ---- q161: IVF retrain churn ------------------------------------------
+    // The decision report behind [[retrainIvfStore]]: if the store's
+    // centroids (trained when the store was built — here, on the
+    // store subset) were warm-started one Lloyd step over TODAY's
+    // corpus (store ∪ ingested), which vectors would change cell? One
+    // row per (old_cell, new_cell) transition, diagonal included, so
+    // the report conserves the corpus and "no movement" is visible
+    // rather than vacuous. This is q156's role for the ANN store:
+    // dedup refresh has cluster churn, index refresh has cell churn —
+    // the trigger metric that says when a re-layout is worth the
+    // rewrite (q116's drift report says when to RETRAIN; this says
+    // what a retrain would MOVE). Plan shape: both assignment passes
+    // are broadcast cross-scores (no shuffle wider than 16×64 rows
+    // beyond the per-vector argmax aggregates); the 16-row centroid
+    // frames are localCheckpoint-pinned because FOUR subtrees consume
+    // them here (train, step, two assigns) — the multi-consumer case
+    // where the q43 single-consumer measurement flips. The oracle
+    // re-derives the warm-start step relationally on the fixed-point
+    // Lloyd chain, so the hash gate checks the full retrain
+    // arithmetic, tie-breaks included.
+    QueryDef(
+      "q161_ivf_retrain_churn",
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("v"))
+        val store = e.filter(col("vec_id") % 5 =!= 2)
+        val cOld = storeTrainedCents(store).localCheckpoint(true)
+        val cNew = lloydStep(e, cOld).localCheckpoint(true)
+        assignCells(e, cOld).withColumnRenamed("cell", "old_cell")
+          .join(assignCells(e, cNew).withColumnRenamed("cell", "new_cell"),
+            "vec_id")
+          .groupBy(col("old_cell"), col("new_cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+      },
+      Some(s"""WITH $storeLloydSql,
+              |aold AS (SELECT vec_id, cent_id AS old_cell FROM (
+              |           SELECT vec_id, cent_id, row_number() OVER
+              |             (PARTITION BY vec_id
+              |              ORDER BY floor(csim * 4503599627370496) DESC, cent_id) AS rn
+              |           FROM scored) WHERE rn = 1),
+              |m3 AS (SELECT a.old_cell AS cell, g.i - 1 AS pos,
+              |         sum(CAST(round(e.v[g.i] * 1073741824) AS BIGINT)) AS sfx,
+              |         count(*) AS n
+              |       FROM aold a JOIN e ON e.vec_id = a.vec_id,
+              |            UNNEST(generate_series(1, len(e.v))) AS g(i)
+              |       GROUP BY 1, 2),
+              |c3 AS (SELECT cell AS cent_id,
+              |         list((sfx // n) / 1073741824.0 ORDER BY pos) AS cv
+              |       FROM m3 GROUP BY cell),
+              |s4 AS (SELECT vec_id, v AS qv, cent_id, cv, $cosSql AS csim
+              |       FROM e CROSS JOIN c3),
+              |anew AS (SELECT vec_id, cent_id AS new_cell FROM (
+              |           SELECT vec_id, cent_id, row_number() OVER
+              |             (PARTITION BY vec_id
+              |              ORDER BY floor(csim * 4503599627370496) DESC, cent_id) AS rn
+              |           FROM s4) WHERE rn = 1)
+              |SELECT old_cell, new_cell, count(*) AS n_vecs
+              |FROM aold JOIN anew USING (vec_id)
+              |GROUP BY 1, 2""".stripMargin))
   )
 
 
@@ -1440,6 +1499,65 @@ object Similarity {
       .repartition(col("cell"), pmod(col("vec_id"), lit(saltBuckets.toLong)))
       .write.mode("overwrite").format("parquet")
       .partitionBy("cell").saveAsTable(cellTable)
+  }
+
+  /** RETRAIN refresh of the persisted IVF pair — the maintenance step
+    * [[graft.streaming.AnnIngest.fold]] explicitly is not: warm-start
+    * the store's centroids ONE fixed-point Lloyd step over today's
+    * corpus (base cell store ∪ `extraCells`, e.g. AnnIngest's landed
+    * batches via `readCells`), then reassign and rewrite the pair,
+    * rolled forward to NEW tables (the [[graft.operators.Dedup.refreshStores]]
+    * convention — overwriting tables mid-read is undefined; swap
+    * readers, then drop the old version and clear the landing zone).
+    *
+    * Warm start is the production cadence: from the current centroids
+    * one step moves each centroid to the mean of its present members,
+    * so the refresh costs TWO corpus passes (the step's assignment,
+    * the final reassignment — inherently two, since assignment under
+    * the moved centroids differs from the assignment that moved them)
+    * plus the partitioned rewrite; no from-scratch training, no
+    * iteration count to tune. Both passes are broadcast cross-scores:
+    * nothing wider than the per-vector argmax aggregate shuffles, and
+    * the 16-row centroid frame is checkpoint-pinned across its
+    * consumers (write + reassignment). At 100 TB the rewrite is the
+    * dominant cost — same as the dedup component store's roll-forward
+    * — and `saltBuckets` spreads hot cells exactly as in
+    * [[writeIvfStore]].
+    *
+    * Returns the cell-churn report — (old_cell, new_cell, n_vecs),
+    * diagonal included — read back from the WRITTEN table (so the
+    * report covers what readers will actually see, and doubles as a
+    * write verification). q161 oracle-checks this churn computation;
+    * q116's drift report is the metric that decides when to call this.
+    */
+  def retrainIvfStore(s: SparkSession, centTable: String, cellTable: String,
+      extraCells: DataFrame, newCentTable: String, newCellTable: String,
+      saltBuckets: Int = 1): DataFrame = {
+    def canon(t: String): (String, String) = {
+      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
+      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
+        id.table.toLowerCase)
+    }
+    require(canon(newCentTable) != canon(centTable)
+        && canon(newCellTable) != canon(cellTable),
+      "the retrained store pair rolls forward to NEW tables; " +
+        "overwriting the tables being read is not defined")
+    val corpus = s.table(cellTable).select(col("vec_id"), col("cell"), col("v"))
+      .union(extraCells.select(col("vec_id"), col("cell"), col("v")))
+    val e = corpus.select(col("vec_id"), col("v"))
+    // 16 rows, two consumers (table write + the reassignment's
+    // broadcast) — pin so the corpus-sized Lloyd step runs once
+    val cNew = lloydStep(e, s.table(centTable)).localCheckpoint(true)
+    cNew.write.mode("overwrite").format("parquet").saveAsTable(newCentTable)
+    assignCells(e, s.table(newCentTable))
+      .join(e, "vec_id")
+      .repartition(col("cell"), pmod(col("vec_id"), lit(saltBuckets.toLong)))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("cell").saveAsTable(newCellTable)
+    s.table(newCellTable).select(col("vec_id"), col("cell").as("new_cell"))
+      .join(corpus.select(col("vec_id"), col("cell").as("old_cell")), "vec_id")
+      .groupBy(col("old_cell"), col("new_cell"))
+      .agg(count(lit(1)).as("n_vecs"))
   }
 
   /** The q154/q155 fixture split: vectors with vec_id ≡ 2 (mod 5)

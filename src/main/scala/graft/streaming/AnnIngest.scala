@@ -20,9 +20,11 @@ import org.apache.spark.sql.types.StructType
   * incrementally-built index is bit-equal to a one-shot build by
   * construction (q154/q155 pin this under the oracle gate). The only
   * out-of-band maintenance is centroid RETRAINING as the corpus
-  * drifts — roll the store pair forward by version, the
-  * [[graft.operators.Dedup.refreshStores]] convention; q116's
-  * centroid-drift report is the trigger metric.
+  * drifts — [[Similarity.retrainIvfStore]] (warm-start Lloyd over
+  * base ∪ landed, rolled forward by version, the
+  * [[graft.operators.Dedup.refreshStores]] convention); q116's
+  * centroid-drift report is the trigger metric and q161's cell-churn
+  * report quantifies what a retrain would move.
   *
   * The stream carries NO state (offset-only checkpoint): restarts
   * resume instantly and centroid-store versions roll out without
@@ -69,8 +71,8 @@ object AnnIngest {
     * Rolls forward to `newCellTable` (the store-pair convention);
     * swap readers, then clear the landing zone and restart the
     * ingest with a fresh outDir. Centroids are untouched — a fold is
-    * NOT a retrain (that is [[Similarity.writeIvfStore]] on the next
-    * corpus version, triggered by q116's drift report).
+    * NOT a retrain (that is [[Similarity.retrainIvfStore]], triggered
+    * by q116's drift report).
     *
     * `saltBuckets` spreads a hot cell's rewrite over that many tasks
     * (same knob and reason as writeIvfStore's — a fold runs precisely
