@@ -49,8 +49,8 @@ object Bpe {
     * frame as a table instead (reliable under executor loss, and
     * reusable across trainer configurations).
     */
-  private def vocab(s: SparkSession, d: String): DataFrame =
-    Tables.parallel(s, d, "documents")
+  private def vocab(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -87,8 +87,15 @@ object Bpe {
     * materialized frame instead of re-deriving merges 1..i (keeps
     * total work K vocabulary passes, not K²/2).
     */
-  def merges(s: SparkSession, d: String, k: Int): DataFrame = {
-    var words = vocab(s, d)
+  def merges(s: SparkSession, d: String, k: Int): DataFrame =
+    mergesOf(Tables.parallel(s, d, "documents"), k)
+
+  /** Same, over any frame with a `text` column — the property-test
+    * surface (BpePropertySpec runs it against a sequential reference
+    * implementation on generated corpora).
+    */
+  def mergesOf(docs: DataFrame, k: Int): DataFrame = {
+    var words = vocab(docs)
     val bests = (1 to k).map { i =>
       val best = pairCounts(words)
         .agg(min(struct((-col("cnt")).as("nc"), col("lsym"), col("rsym")))
@@ -104,6 +111,12 @@ object Bpe {
       best.withColumn("iter", lit(i))
     }
     bests.reduce(_ unionByName _)
+      // exhaustion guard: a corpus can run out of adjacent pairs
+      // before k merges (every word one symbol) — the empty aggregate
+      // then yields a null-struct argmax. Dropping those rows makes
+      // "stop when exhausted" the semantics on both engines (the
+      // oracle's LIMIT 1 over an empty pair table produces no row).
+      .filter(col("lsym").isNotNull)
       .select(col("iter"), col("lsym"), col("rsym"), col("cnt"))
   }
 

@@ -1,0 +1,106 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.Bpe
+
+/** Randomized (seeded, deterministic) property test for the
+  * distributed BPE merge learner against a sequential reference
+  * implementation: on ANY corpus, the learned merge sequence — pair
+  * choice, tie-break, weighted count, greedy left-to-right merge-all
+  * application — must equal what single-threaded BPE computes. This
+  * is the property that makes the marker-string `replace` encoding
+  * trustworthy (shared delimiters and partial-symbol matches are
+  * exactly where a naive encoding diverges from real BPE).
+  *
+  * Shapes covered across the seeds: words with immediate repeats
+  * ("aaaa" — the overlapping-occurrence case), short words that
+  * exhaust early, skewed word frequencies, and single-char words
+  * (which contribute no pairs).
+  */
+class BpePropertySpec extends SparkSpec {
+
+  /** Textbook sequential BPE on (word, count): k rounds of weighted
+    * adjacent-pair counting, argmax with (count DESC, pair ASC)
+    * tie-break, greedy left-to-right non-overlapping merge in every
+    * word. Stops early when no pairs remain.
+    */
+  private def referenceBpe(words: Map[String, Long], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var syms: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector } {
+        case (_, c) => c }(_ + _)
+    (1 to k).flatMap { i =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      syms.foreach { case (v, c) =>
+        v.iterator.sliding(2).withPartial(false).foreach { p =>
+          pc((p.head, p(1))) = pc.getOrElse((p.head, p(1)), 0L) + c
+        }
+      }
+      if (pc.isEmpty) None
+      else {
+        val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        syms = syms.toSeq.map { case (v, cw) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < v.length) {
+            if (j + 1 < v.length && v(j) == l && v(j + 1) == r) {
+              out += (l + r); j += 2
+            } else { out += v(j); j += 1 }
+          }
+          (out.result(), cw)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        Some((i, l, r, c))
+      }
+    }
+  }
+
+  test("distributed merges equal sequential BPE on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(9157)
+    val alphabet = "abc" // small alphabet → dense pair collisions + ties
+    for (trial <- 0 until 8) {
+      val nDocs = 2 + rnd.nextInt(6)
+      val docs = (0 until nDocs).map { _ =>
+        val nWords = 1 + rnd.nextInt(12)
+        (0 until nWords).map { _ =>
+          val len = 1 + rnd.nextInt(6)
+          (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val wordCounts = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+      val k = 1 + rnd.nextInt(5)
+      val want = referenceBpe(wordCounts, k)
+      val got = Bpe.mergesOf(docs.toDF("text"), k)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == want,
+        s"trial $trial (k=$k, corpus=${docs.mkString(" | ")}):\n got $got\nwant $want")
+    }
+  }
+
+  test("immediate-repeat words merge greedily left-to-right (the aaaa case)") {
+    import spark.implicits._
+    // one doc, word "aaaa" ×3 and "aaa" ×2: merge 1 must be (a,a)
+    // counted 3·3+2·2 = 13 occurrences (BPE counts every adjacent
+    // pair occurrence), and merge 2 sees "aaaa"→[aa,aa], "aaa"→[aa,a]
+    val docs = Seq("aaaa aaaa aaaa aaa aaa").toDF("text")
+    val got = Bpe.mergesOf(docs, 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val want = referenceBpe(Map("aaaa" -> 3L, "aaa" -> 2L), 2)
+    assert(got == want, s"got $got want $want")
+    assert(got.head == ((1, "a", "a", 13L)), got.toString)
+    assert(got(1)._2 == "aa", "merge 2 must involve the new symbol")
+  }
+
+  test("exhaustion stops the merge list early") {
+    import spark.implicits._
+    val docs = Seq("ab ab b a").toDF("text")
+    // one pair total: (a,b)×2. Asking for 4 merges yields exactly 1.
+    val got = Bpe.mergesOf(docs, 4).collect()
+    assert(got.length == 1, got.mkString(","))
+  }
+}
