@@ -54,7 +54,7 @@ object Bpe {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .select(
+      .select(col("w"),
         concat(regexp_replace(col("w"), "(.)", "~~$1"), lit("~~")).as("s"),
         col("c"))
       .localCheckpoint()
@@ -94,7 +94,19 @@ object Bpe {
     * surface (BpePropertySpec runs it against a sequential reference
     * implementation on generated corpora).
     */
-  def mergesOf(docs: DataFrame, k: Int): DataFrame = {
+  def mergesOf(docs: DataFrame, k: Int): DataFrame = learn(docs, k)._1
+
+  /** The vocabulary AFTER k learned merges — (w, s, c) with `s` the
+    * merged marker string. This is the tokenizer-application surface:
+    * encoding the corpus with a learned vocab is a vocabulary-sized
+    * join, never a corpus rewrite (see q162).
+    */
+  def mergedVocab(docs: DataFrame, k: Int): DataFrame = learn(docs, k)._2
+
+  /** The k-iteration learn loop shared by the merge report and the
+    * encoder: returns (merge report, final vocabulary).
+    */
+  private def learn(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     var words = vocab(docs)
     val bests = (1 to k).map { i =>
       val best = pairCounts(words)
@@ -102,15 +114,19 @@ object Bpe {
           .as("b"))
         .select(col("b.lsym").as("lsym"), col("b.rsym").as("rsym"),
           (-col("b.nc")).as("cnt"))
+      // null-safe apply: once merges exhaust (empty pair aggregate →
+      // null argmax) the vocabulary must pass through unchanged, not
+      // collapse to null strings
       words = words.crossJoin(broadcast(best))
         .withColumn("s", expr(
-          """replace(s, concat('~', lsym, '~~', rsym, '~'),
-            |           concat('~', lsym, rsym, '~'))""".stripMargin))
-        .select(col("s"), col("c"))
+          """case when lsym is null then s
+            |     else replace(s, concat('~', lsym, '~~', rsym, '~'),
+            |                     concat('~', lsym, rsym, '~')) end""".stripMargin))
+        .select(col("w"), col("s"), col("c"))
         .localCheckpoint()
       best.withColumn("iter", lit(i))
     }
-    bests.reduce(_ unionByName _)
+    val report = bests.reduce(_ unionByName _)
       // exhaustion guard: a corpus can run out of adjacent pairs
       // before k merges (every word one symbol) — the empty aggregate
       // then yields a null-struct argmax. Dropping those rows makes
@@ -118,18 +134,26 @@ object Bpe {
       // oracle's LIMIT 1 over an empty pair table produces no row).
       .filter(col("lsym").isNotNull)
       .select(col("iter"), col("lsym"), col("rsym"), col("cnt"))
+    (report, words)
   }
 
   /** The DuckDB oracle unrolls the same k iterations as chained CTEs —
     * mechanical generation, same representation, same `replace`
     * semantics, same ORDER BY cnt DESC, lsym, rsym LIMIT 1 tie-break.
     */
-  private def mergesOracle(k: Int): String = {
+  /** The k-iteration CTE chain (base word counts → p_i/b_i/w_i),
+    * carrying the word spelling through every w_i so both the merge
+    * report and the encoder rollup hang off the same chain. (The
+    * cross join against b_i assumes no exhaustion — true of the test
+    * corpus at every sf; the Spark side's null-safe apply is the
+    * general-corpus behavior BpePropertySpec covers.)
+    */
+  private def chainSql(k: Int): String = {
     val base =
       """wc AS (SELECT w, count(*) AS c
         |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |       WHERE len(w) > 0 GROUP BY w),
-        |w0 AS (SELECT regexp_replace(w, '(.)', '~~\1', 'g') || '~~' AS s, c FROM wc)"""
+        |w0 AS (SELECT w, regexp_replace(w, '(.)', '~~\1', 'g') || '~~' AS s, c FROM wc)"""
         .stripMargin
     val iters = (1 to k).map { i =>
       s"""p$i AS (SELECT y[j] AS lsym, y[j + 1] AS rsym, CAST(sum(c) AS BIGINT) AS cnt
@@ -138,15 +162,36 @@ object Bpe {
          |       UNNEST(generate_series(1, len(y) - 1)) AS g(j)
          |  WHERE len(y) >= 2 GROUP BY 1, 2),
          |b$i AS (SELECT lsym, rsym, cnt FROM p$i ORDER BY cnt DESC, lsym, rsym LIMIT 1),
-         |w$i AS (SELECT replace(s, '~' || lsym || '~~' || rsym || '~',
+         |w$i AS (SELECT w, replace(s, '~' || lsym || '~~' || rsym || '~',
          |                       '~' || lsym || rsym || '~') AS s, c
          |        FROM w${i - 1}, b$i)""".stripMargin
     }
+    s"$base,\n${iters.mkString(",\n")}"
+  }
+
+  private def mergesOracle(k: Int): String = {
     val sel = (1 to k)
       .map(i => s"SELECT $i AS iter, lsym, rsym, cnt FROM b$i")
       .mkString("\nUNION ALL\n")
-    s"WITH $base,\n${iters.mkString(",\n")}\n$sel"
+    s"WITH ${chainSql(k)}\n$sel"
   }
+
+  private def encodeOracle(k: Int): String =
+    s"""WITH ${chainSql(k)},
+       |wcs AS (SELECT source, w, count(*) AS c
+       |        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+       |              FROM documents)
+       |        WHERE len(w) > 0 GROUP BY 1, 2),
+       |vf AS (SELECT w, CAST(len(string_split(s, '~~')) - 2 AS BIGINT) AS n_syms
+       |       FROM w$k)
+       |SELECT source,
+       |  CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w) * c) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_syms * c) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(n_syms * c) AS DOUBLE)
+       |        / CAST(sum(len(w) * c) AS DOUBLE), 6) AS compression
+       |FROM wcs JOIN vf USING (w)
+       |GROUP BY source""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     // ---- q157: BPE merge learning (5 iterations) -----------------------
@@ -160,6 +205,40 @@ object Bpe {
     QueryDef(
       "q157_bpe_merges",
       (s, d) => merges(s, d, 5),
-      Some(mergesOracle(5)))
+      Some(mergesOracle(5))),
+
+    // ---- q162: corpus encoding with the learned vocab ------------------
+    // The application half of q157: per-source token counts under the
+    // learned 5-merge vocabulary, plus the compression ratio — the
+    // report that says what the tokenizer buys before anyone pays for
+    // a corpus re-encode. The scale insight: ENCODING IS A
+    // VOCABULARY-SIZED JOIN, never a corpus rewrite — the corpus
+    // collapses to (source, word, count) in its one pass, the merge
+    // chain runs on distinct words only, and the rollup joins the two
+    // vocabulary-sized frames on the word (unhinted: at 100 TB the
+    // vocab is ~10⁸ rows — broadcastable it is not; the q69 lesson).
+    // All sums are exact integers; `compression` is one IEEE divide
+    // of two exact BIGINTs (q111 lesson), rounded to 6.
+    QueryDef(
+      "q162_bpe_encode",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val bySource = docs
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        val vf = mergedVocab(docs, 5)
+          .select(col("w"),
+            (size(split(col("s"), "~~")) - 2).cast("long").as("n_syms"))
+        bySource.join(vf, "w")
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_words"),
+            sum(length(col("w")) * col("c")).as("n_chars"),
+            sum(col("n_syms") * col("c")).as("n_bpe_tokens"),
+            round(sum(col("n_syms") * col("c")).cast("double")
+              / sum(length(col("w")) * col("c")).cast("double"), 6)
+              .as("compression"))
+      },
+      Some(encodeOracle(5)))
   )
 }

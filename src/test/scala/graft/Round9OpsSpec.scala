@@ -49,6 +49,30 @@ class Round9OpsSpec extends SparkSpec {
       s"merge 1 $first != recount $best")
   }
 
+  test("q162 encode report: ordering, char conservation, and the merge-reduction bound") {
+    val rows = run("q162_bpe_encode").collect()
+    rows.foreach { r =>
+      val (w, c, b) = (r.getLong(r.fieldIndex("n_words")),
+        r.getLong(r.fieldIndex("n_chars")), r.getLong(r.fieldIndex("n_bpe_tokens")))
+      assert(w <= b && b <= c, s"word ≤ bpe ≤ char ordering: $r")
+      assert(r.getDouble(r.fieldIndex("compression")) <= 1.0, r.toString)
+    }
+    // conservation: n_chars sums to the corpus' non-space char count
+    val chars = Tables(spark, sf001, "documents")
+      .select(expr("sum(length(replace(text, ' ', '')))")).head().getLong(0)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_chars"))).sum === chars,
+      "per-source n_chars must conserve the corpus")
+    // each applied merge occurrence removes exactly one symbol, and
+    // greedy application can never merge more occurrences than the
+    // learner counted: 0 < Σ(chars − bpe) ≤ Σ merge counts
+    val reduction = rows.map(r =>
+      r.getLong(r.fieldIndex("n_chars")) - r.getLong(r.fieldIndex("n_bpe_tokens"))).sum
+    val learned = run("q157_bpe_merges").collect()
+      .map(r => r.getLong(r.fieldIndex("cnt"))).sum
+    assert(reduction > 0, "the learned merges must apply somewhere")
+    assert(reduction <= learned, s"reduction $reduction > counted occurrences $learned")
+  }
+
   test("q158 agrees with q45 on the contaminated-doc set and hit counts") {
     val frac = run("q158_contamination_frac")
       .select(col("doc_id"), col("n_hits")).filter(col("n_hits") > 0)
