@@ -2166,6 +2166,91 @@ object Dedup {
               |         WHERE d.doc_id % 7 <> 3)
               |SELECT old_comp, new_comp, count(*) AS n_docs
               |FROM diff WHERE old_comp <> new_comp
-              |GROUP BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- q164: duplicated-span coverage (distributed interval union) ---
+    // The span-level dedup diagnostic from the exact-substring-dedup
+    // literature: for each document, what FRACTION of its tokens sits
+    // inside a token run that also appears verbatim in another
+    // document? Every 8-gram occurring in ≥ 2 distinct docs marks the
+    // interval [start, start+7] in each doc it occurs in; overlapping
+    // marks merge (interval union via window island detection) so a
+    // 20-token shared run counts 20 tokens, not 13 overlapping grams
+    // × 8. The scale property that makes this different from every
+    // pair op above: marking is LINEAR in gram occurrences — a
+    // boilerplate gram with df = 10⁶ costs 10⁶ marked rows, not
+    // C(10⁶,2) pairs — so there is no df² term and no cap to tune.
+    // Shuffles: gram df (one exchange on gid), the dup-mark semi join
+    // (same key), and the per-doc window (one exchange on doc_id);
+    // islands are per-doc-local arithmetic. The 60-bit md5 gid keeps
+    // the shuffle rows narrow (the gramsSql idiom); island detection
+    // is `start > max(end) over preceding` + a running flag sum —
+    // the same two windows DuckDB replays.
+    QueryDef(
+      "q164_dup_span_coverage",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .withColumn("n_tokens", size(col("t")).cast("long"))
+        val occ = docs.filter(col("n_tokens") >= 8)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(t)-7),
+              |  i -> struct(cast(i as bigint) as start,
+              |              md5long(concat_ws(' ', slice(t, i, 8))) as gid))"""
+              .stripMargin)).as("o"))
+          .select(col("doc_id"), col("o.start").as("start"),
+            (col("o.start") + 7).as("end"), col("o.gid").as("gid"))
+        val dupGids = occ.select(col("gid"), col("doc_id")).distinct()
+          .groupBy(col("gid")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select(col("gid"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+        val islands = occ.join(dupGids, "gid")
+          .withColumn("pmax", max(col("end"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("fresh",
+            when(col("pmax").isNull || col("start") > col("pmax"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("fresh"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg((max(col("end")) - min(col("start")) + 1).as("ilen"))
+          .groupBy(col("doc_id")).agg(sum(col("ilen")).as("dup"))
+        docs.select(col("doc_id"), col("n_tokens"))
+          .join(islands, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup"), lit(0L)).as("dup_tokens"),
+            round(coalesce(col("dup"), lit(0L)).cast("double")
+              / col("n_tokens").cast("double"), 6).as("coverage"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |          FROM documents),
+             |g AS (SELECT doc_id, CAST(j AS BIGINT) AS s, CAST(j + 7 AS BIGINT) AS e,
+             |        ('0x' || substr(md5(array_to_string(toks[j:j+7], ' ')), 1, 15))::BIGINT
+             |          AS gid
+             |      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(j)
+             |      WHERE len(toks) >= 8),
+             |dup AS (SELECT gid FROM (SELECT gid, count(DISTINCT doc_id) AS df
+             |                         FROM g GROUP BY 1) WHERE df >= 2),
+             |m AS (SELECT doc_id, s, e,
+             |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |          AS pmax
+             |      FROM g JOIN dup USING (gid)),
+             |i AS (SELECT doc_id, s, e,
+             |        sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY s
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS island
+             |      FROM m),
+             |il AS (SELECT doc_id, island, max(e) - min(s) + 1 AS ilen
+             |       FROM i GROUP BY 1, 2),
+             |pd AS (SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS dup_tokens
+             |       FROM il GROUP BY 1)
+             |SELECT t.doc_id, t.n_tokens,
+             |  coalesce(pd.dup_tokens, 0) AS dup_tokens,
+             |  round(coalesce(pd.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 6)
+             |    AS coverage
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin))
   )
 }

@@ -1110,7 +1110,69 @@ object TrainPrep {
              |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
              |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
              |  CAST(sum(pos * (fp % 1000003)) AS BIGINT) AS order_sum
-             |FROM r GROUP BY shard""".stripMargin))
+             |FROM r GROUP BY shard""".stripMargin)),
+
+    // ---- q163: equal-count curriculum range shards ---------------------
+    // q160 exports the corpus in reproducible RANDOM order; curriculum
+    // training wants the complement — contiguous RANGE shards in a
+    // deterministic difficulty order (here: document length, the
+    // canonical length-curriculum), each shard holding exactly its
+    // ntile share of documents. The naive plan is `ntile(16) OVER
+    // (ORDER BY len, doc_id)` — a single total order, i.e. the whole
+    // corpus through one reducer. The engine instead reuses q88's
+    // two-phase value-domain rank: (1) per-length counts (bounded by
+    // the char-length DOMAIN, not the corpus) become cumulative
+    // offsets under a tiny driver-side window, broadcast back;
+    // (2) each length bucket ranks independently in parallel;
+    // (3) rank → shard is pure integer arithmetic replicating ntile's
+    // floor distribution (first N%S shards take one extra row), with
+    // N a 1-row broadcast. One corpus exchange total (the per-length
+    // window's). If one length ever dominated at 100 TB, the
+    // within-length rank two-phases again on doc_id ranges — still
+    // value-domain, still no total order. Oracle: the single-window
+    // ntile DuckDB can afford at sf scale — identical by construction
+    // because (len, doc_id) is a unique order key.
+    QueryDef(
+      "q163_curriculum_shards",
+      (s, d) => {
+        val S = 16
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("len"))
+        val wOff = Window.orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = docs.groupBy(col("len")).agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+          .select(col("len"), col("off"))
+        val n = docs.agg(count(lit(1)).as("n_total"))
+        val wIn = Window.partitionBy(col("len")).orderBy(col("doc_id"))
+        docs.join(broadcast(offs), "len")
+          .withColumn("rk", col("off") + row_number().over(wIn))
+          .crossJoin(broadcast(n))
+          // ntile(S): q = N div S, r = N mod S; shards 1..r hold q+1
+          // rows, shards r+1..S hold q. `when` guards the q=0 divide
+          // (N < S ⇒ every rank lands in the first branch).
+          .withColumn("shard", expr(
+            s"""case when rk <= (n_total % $S) * ((n_total div $S) + 1)
+               |     then (rk - 1) div ((n_total div $S) + 1) + 1
+               |     else (n_total % $S)
+               |          + (rk - (n_total % $S) * ((n_total div $S) + 1) - 1)
+               |            div (n_total div $S) + 1 end""".stripMargin))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("len")).as("min_len"), max(col("len")).as("max_len"),
+            sum(col("doc_id")).as("id_sum"),
+            countDistinct(col("source")).as("n_sources"))
+      },
+      Some(s"""WITH r AS (SELECT doc_id, n_chars, source,
+              |             CAST(ntile(16) OVER (ORDER BY n_chars, doc_id)
+              |                  AS BIGINT) AS shard
+              |           FROM documents)
+              |SELECT shard, count(*) AS n_docs,
+              |  CAST(min(n_chars) AS BIGINT) AS min_len,
+              |  CAST(max(n_chars) AS BIGINT) AS max_len,
+              |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              |  count(DISTINCT source) AS n_sources
+              |FROM r GROUP BY shard""".stripMargin))
   )
 
   /** q136's per-document assignment — (doc_id, n, split) with every

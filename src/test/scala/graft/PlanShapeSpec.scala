@@ -212,6 +212,17 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(single.size <= 1, s"corpus must not collapse to one partition:\n$p")
   }
 
+  test("q163 curriculum shards rank without a corpus total order") {
+    val p = planOf("q163_curriculum_shards").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"length offsets must broadcast onto the corpus:\n$p")
+    // the ntile replacement may single-partition only the bounded
+    // per-length offset window (and the 1-row count anchor) — the
+    // corpus-side rank window is length-keyed
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    assert(single.size <= 2, s"corpus must not collapse to one partition:\n$p")
+  }
+
   test("q89 temperature sampling keeps the corpus shuffle-free") {
     val p = planOf("q89_temp_sample").split("== Initial Plan ==").head
     assert(p.contains("BroadcastHashJoin"),

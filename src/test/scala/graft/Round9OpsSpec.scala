@@ -154,4 +154,61 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.getLong(got.fieldIndex("order_sum")) === fwd, "forward checksum")
     assert(fwd != rev, "checksum must be order-sensitive on this fixture")
   }
+
+  test("q163 range shards: ntile sizes, disjoint ordered ranges, conservation") {
+    val rows = run("q163_curriculum_shards").orderBy("shard").collect()
+    assert(rows.length == 16, s"16 shards, got ${rows.length}")
+    val docs = Tables(spark, sf001, "documents")
+    val n = docs.count()
+    val sizes = rows.map(_.getLong(rows.head.fieldIndex("n_docs")))
+    // ntile's floor distribution: first N%16 shards take one extra row
+    val (q, r) = (n / 16, (n % 16).toInt)
+    assert(sizes.take(r).forall(_ == q + 1) && sizes.drop(r).forall(_ == q),
+      s"ntile sizes for n=$n: ${sizes.mkString(",")}")
+    assert(sizes.sum === n, "every doc in exactly one shard")
+    assert(rows.map(_.getLong(rows.head.fieldIndex("id_sum"))).sum ===
+      docs.select(sum(col("doc_id"))).head().getLong(0),
+      "doc_id mass conservation")
+    // shards are contiguous length ranges: shard i's max never exceeds
+    // shard i+1's min (equal lengths may straddle a boundary — ntile
+    // splits ties by doc_id — so ≤, not <)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(a.fieldIndex("max_len")) <= b.getLong(b.fieldIndex("min_len")),
+        s"range overlap between shards:\n$a\n$b")
+    }
+  }
+
+  test("q164 dup-span coverage: bounds, conservation, and the marked-doc set") {
+    val rows = run("q164_dup_span_coverage").collect()
+    val docs = Tables(spark, sf001, "documents")
+    assert(rows.length === docs.count().toInt, "one row per document")
+    rows.foreach { r =>
+      val (nt, dt) = (r.getLong(r.fieldIndex("n_tokens")),
+        r.getLong(r.fieldIndex("dup_tokens")))
+      assert(dt >= 0 && dt <= nt, s"dup_tokens within [0, n_tokens]: $r")
+      // a single marked gram covers exactly 8 tokens, and islands only
+      // grow from there
+      assert(dt == 0 || dt >= 8, s"non-zero coverage implies >= one gram: $r")
+      val cov = r.getDouble(r.fieldIndex("coverage"))
+      assert(cov >= 0.0 && cov <= 1.0, r.toString)
+    }
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_tokens"))).sum ===
+      docs.select(sum(size(split(col("text"), " ")))).head().getLong(0),
+      "token mass conservation")
+    // independent recompute of WHICH docs are marked: exactly those
+    // containing an 8-gram that occurs in >= 2 distinct documents
+    val occ = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-7), i -> concat_ws(' ', slice(t, i, 8)))"))
+        .as("g")).distinct()
+    val marked = occ.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .join(occ, "g").select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val got = rows.filter(_.getLong(rows.head.fieldIndex("dup_tokens")) > 0)
+      .map(_.getLong(rows.head.fieldIndex("doc_id"))).toSet
+    assert(got === marked, "marked-doc set must match the df>=2 gram recount")
+  }
 }
