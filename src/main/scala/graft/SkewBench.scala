@@ -116,7 +116,13 @@ object SkewBench {
     // so assignment must stay a broadcast argmax (no shuffle to tip)
     // and search must pay only the probed hot cell's rerank, never an
     // all-pairs expansion
-    "q154_ivf_incremental_assign", "q155_ivf_incremental_search")
+    "q154_ivf_incremental_assign", "q155_ivf_incremental_search",
+    // round-9: duplicated-span coverage IS the boilerplate-measurement
+    // op, so the boilerplate corpus is its home game: every 8-gram in
+    // the 1000-doc hot block carries df ≈ 1000, which a pair op would
+    // square into 10⁶ candidates — the linear-marking claim (cost ∝
+    // occurrences, no df² term) is exactly what this target times
+    "q164_dup_span_coverage")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()

@@ -830,6 +830,72 @@ object Dedup {
        |       JOIN cnt cb ON db = cb.doc_id
        |       WHERE inter / (ca.n + cb.n - inter) >= 0.2)""".stripMargin
 
+  /** (doc_id, t: token array, n_tokens) — the q164/q165 base frame. */
+  private def tokenizedDocs(docs0: DataFrame): DataFrame =
+    docs0.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+
+  /** Maximal cross-document duplicated token runs, one row per
+    * (doc_id, island) member interval: every 8-gram occurring in ≥ 2
+    * distinct docs marks [start, start+7]; overlapping marks merge via
+    * window island detection (`start > max(end) over preceding` + a
+    * running flag sum). Marking is LINEAR in gram occurrences — a
+    * df=10⁶ boilerplate gram costs 10⁶ marked rows, not C(10⁶,2)
+    * pairs — so unlike the pair generators above there is no df² term
+    * and no cap to tune. Shuffles: gram df + the dup-mark semi join
+    * (both on the 60-bit gid), then the per-doc window's doc_id
+    * exchange; island arithmetic is doc-local.
+    */
+  private def dupIslands(docs: DataFrame): DataFrame = {
+    val occ = docs.filter(col("n_tokens") >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t)-7),
+          |  i -> struct(cast(i as bigint) as start,
+          |              md5long(concat_ws(' ', slice(t, i, 8))) as gid))"""
+          .stripMargin)).as("o"))
+      .select(col("doc_id"), col("o.start").as("start"),
+        (col("o.start") + 7).as("end"), col("o.gid").as("gid"))
+    val dupGids = occ.select(col("gid"), col("doc_id")).distinct()
+      .groupBy(col("gid")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("gid"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    occ.join(dupGids, "gid")
+      .withColumn("pmax", max(col("end"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("pmax").isNull || col("start") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("fresh"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("island"), col("start"), col("end"))
+  }
+
+  /** The q164/q165 oracle chain: tokens → positioned 8-gram gids →
+    * cross-doc duplicated gids → marked intervals → islands.
+    */
+  private val dupSpanChainSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |      FROM documents),
+      |g AS (SELECT doc_id, CAST(j AS BIGINT) AS s, CAST(j + 7 AS BIGINT) AS e,
+      |        ('0x' || substr(md5(array_to_string(toks[j:j+7], ' ')), 1, 15))::BIGINT
+      |          AS gid
+      |      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(j)
+      |      WHERE len(toks) >= 8),
+      |dup AS (SELECT gid FROM (SELECT gid, count(DISTINCT doc_id) AS df
+      |                         FROM g GROUP BY 1) WHERE df >= 2),
+      |m AS (SELECT doc_id, s, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS pmax
+      |      FROM g JOIN dup USING (gid)),
+      |i AS (SELECT doc_id, s, e,
+      |        sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY s
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS island
+      |      FROM m)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q34: exact dedup (hash-groupBy on content fingerprint) --------
     QueryDef(
@@ -2189,68 +2255,77 @@ object Dedup {
     QueryDef(
       "q164_dup_span_coverage",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .withColumn("n_tokens", size(col("t")).cast("long"))
-        val occ = docs.filter(col("n_tokens") >= 8)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(t)-7),
-              |  i -> struct(cast(i as bigint) as start,
-              |              md5long(concat_ws(' ', slice(t, i, 8))) as gid))"""
-              .stripMargin)).as("o"))
-          .select(col("doc_id"), col("o.start").as("start"),
-            (col("o.start") + 7).as("end"), col("o.gid").as("gid"))
-        val dupGids = occ.select(col("gid"), col("doc_id")).distinct()
-          .groupBy(col("gid")).agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2).select(col("gid"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-        val islands = occ.join(dupGids, "gid")
-          .withColumn("pmax", max(col("end"))
-            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("fresh",
-            when(col("pmax").isNull || col("start") > col("pmax"), 1L)
-              .otherwise(0L))
-          .withColumn("island", sum(col("fresh"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val docs = tokenizedDocs(Tables(s, d, "documents"))
+        val perDoc = dupIslands(docs)
           .groupBy(col("doc_id"), col("island"))
           .agg((max(col("end")) - min(col("start")) + 1).as("ilen"))
           .groupBy(col("doc_id")).agg(sum(col("ilen")).as("dup"))
         docs.select(col("doc_id"), col("n_tokens"))
-          .join(islands, Seq("doc_id"), "left")
+          .join(perDoc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),
             coalesce(col("dup"), lit(0L)).as("dup_tokens"),
             round(coalesce(col("dup"), lit(0L)).cast("double")
               / col("n_tokens").cast("double"), 6).as("coverage"))
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-             |          FROM documents),
-             |g AS (SELECT doc_id, CAST(j AS BIGINT) AS s, CAST(j + 7 AS BIGINT) AS e,
-             |        ('0x' || substr(md5(array_to_string(toks[j:j+7], ' ')), 1, 15))::BIGINT
-             |          AS gid
-             |      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(j)
-             |      WHERE len(toks) >= 8),
-             |dup AS (SELECT gid FROM (SELECT gid, count(DISTINCT doc_id) AS df
-             |                         FROM g GROUP BY 1) WHERE df >= 2),
-             |m AS (SELECT doc_id, s, e,
-             |        max(e) OVER (PARTITION BY doc_id ORDER BY s
-             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |          AS pmax
-             |      FROM g JOIN dup USING (gid)),
-             |i AS (SELECT doc_id, s, e,
-             |        sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-             |          OVER (PARTITION BY doc_id ORDER BY s
-             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |          AS island
-             |      FROM m),
-             |il AS (SELECT doc_id, island, max(e) - min(s) + 1 AS ilen
-             |       FROM i GROUP BY 1, 2),
-             |pd AS (SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS dup_tokens
-             |       FROM il GROUP BY 1)
-             |SELECT t.doc_id, t.n_tokens,
-             |  coalesce(pd.dup_tokens, 0) AS dup_tokens,
-             |  round(coalesce(pd.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 6)
-             |    AS coverage
-             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin))
+      Some(s"""WITH $dupSpanChainSql,
+              |il AS (SELECT doc_id, island, max(e) - min(s) + 1 AS ilen
+              |       FROM i GROUP BY 1, 2),
+              |pd AS (SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS dup_tokens
+              |       FROM il GROUP BY 1)
+              |SELECT t.doc_id, t.n_tokens,
+              |  coalesce(pd.dup_tokens, 0) AS dup_tokens,
+              |  round(coalesce(pd.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 6)
+              |    AS coverage
+              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
+    // ---- q165: top boilerplate spans by token savings -------------------
+    // q164 says HOW MUCH of each doc is duplicated span; this says
+    // WHICH spans to strip first — the actionable boilerplate report.
+    // Each maximal island materializes its actual token run (a doc_id
+    // join back to the token arrays — |islands| rows, not the gram
+    // stream), identical runs group, and the top 20 rank by the
+    // tokens a strip-all-but-one pass would save: (n_occ − 1) · len.
+    // The ranking is a TakeOrdered top-k (per-partition heads +
+    // driver merge of 20-row frames), never a full sort of the span
+    // table; (savings DESC, span) is a total order so the cutoff is
+    // deterministic on both engines. A df=10⁶ template costs one
+    // group row with n_occ=10⁶ — the report stays |distinct spans|
+    // even when the duplication is extreme.
+    QueryDef(
+      "q165_boilerplate_spans",
+      (s, d) => {
+        val docs = tokenizedDocs(Tables(s, d, "documents"))
+        val spans = dupIslands(docs)
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("start")).as("a"), max(col("end")).as("b"))
+          .join(docs.select(col("doc_id"), col("t")), "doc_id")
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("t"), col("a"),
+              (col("b") - col("a") + 1).cast("int"))).as("span"),
+            (col("b") - col("a") + 1).as("len"))
+        spans.groupBy(col("span"))
+          .agg(max(col("len")).as("len"), count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_occ") >= 2)
+          .withColumn("savings", (col("n_occ") - 1) * col("len"))
+          .orderBy(col("savings").desc, col("span"))
+          .limit(20)
+          .select(col("span"), col("len"), col("n_occ"), col("n_docs"),
+            col("savings"))
+      },
+      Some(s"""WITH $dupSpanChainSql,
+              |sp AS (SELECT doc_id, island, min(s) AS a, max(e) AS b
+              |       FROM i GROUP BY 1, 2),
+              |tx AS (SELECT sp.doc_id,
+              |         array_to_string(list_slice(t.toks, sp.a, sp.b), ' ') AS span,
+              |         CAST(sp.b - sp.a + 1 AS BIGINT) AS len
+              |       FROM sp JOIN t ON t.doc_id = sp.doc_id),
+              |ag AS (SELECT span, CAST(max(len) AS BIGINT) AS len,
+              |         count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+              |       FROM tx GROUP BY 1)
+              |SELECT span, len, n_occ, n_docs,
+              |  CAST((n_occ - 1) * len AS BIGINT) AS savings
+              |FROM ag WHERE n_occ >= 2
+              |ORDER BY savings DESC, span LIMIT 20""".stripMargin))
   )
 }

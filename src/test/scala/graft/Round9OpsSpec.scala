@@ -211,4 +211,31 @@ class Round9OpsSpec extends SparkSpec {
       .map(_.getLong(rows.head.fieldIndex("doc_id"))).toSet
     assert(got === marked, "marked-doc set must match the df>=2 gram recount")
   }
+
+  test("q165 boilerplate spans: ranking, arithmetic, and live text recount") {
+    val rows = run("q165_boilerplate_spans").collect()
+    assert(rows.nonEmpty && rows.length <= 20, s"top-20 report: ${rows.length}")
+    val savings = rows.map(_.getLong(rows.head.fieldIndex("savings")))
+    assert(savings.sameElements(savings.sorted.reverse), "sorted by savings desc")
+    rows.foreach { r =>
+      val span = r.getString(r.fieldIndex("span"))
+      val len = r.getLong(r.fieldIndex("len"))
+      val (occ, nd) = (r.getLong(r.fieldIndex("n_occ")),
+        r.getLong(r.fieldIndex("n_docs")))
+      assert(span.split(" ").length.toLong === len, s"len must count tokens: $r")
+      assert(len >= 8, s"an island is at least one 8-gram: $r")
+      assert(occ >= 2 && nd >= 1 && nd <= occ, r.toString)
+      assert(r.getLong(r.fieldIndex("savings")) === (occ - 1) * len, r.toString)
+    }
+    // live recount of the top span: its doc frequency in the raw text
+    // must be >= n_docs (an island is maximal per doc, but the same
+    // word run can also occur inside a LONGER island elsewhere —
+    // substring matching sees those too, hence >=)
+    val top = rows.head
+    val pat = java.util.regex.Pattern.quote(top.getString(top.fieldIndex("span")))
+    val inText = Tables(spark, sf001, "documents")
+      .filter(col("text").rlike(pat)).count()
+    assert(inText >= top.getLong(top.fieldIndex("n_docs")),
+      s"top span must appear in at least its n_docs documents ($inText)")
+  }
 }
