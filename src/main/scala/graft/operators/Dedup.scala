@@ -847,7 +847,13 @@ object Dedup {
     * exchange; island arithmetic is doc-local.
     */
   private def dupIslands(docs: DataFrame): DataFrame = {
-    val occ = docs.filter(col("n_tokens") >= 8)
+    val dupGids = gramDf(docs).filter(col("df") >= 2).select(col("gid"))
+    islandsFrom(positionedGrams(docs).join(dupGids, "gid"))
+  }
+
+  /** Positioned 8-gram occurrences: (doc_id, start, end, gid). */
+  private def positionedGrams(docs: DataFrame): DataFrame =
+    docs.filter(col("n_tokens") >= 8)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(t)-7),
           |  i -> struct(cast(i as bigint) as start,
@@ -855,11 +861,18 @@ object Dedup {
           .stripMargin)).as("o"))
       .select(col("doc_id"), col("o.start").as("start"),
         (col("o.start") + 7).as("end"), col("o.gid").as("gid"))
-    val dupGids = occ.select(col("gid"), col("doc_id")).distinct()
+
+  /** Distinct-doc frequency per gram: (gid, df) — the gram-store
+    * frame ([[writeGramStore]]) and the df≥2 gate of [[dupIslands]].
+    */
+  private[graft] def gramDf(docs: DataFrame): DataFrame =
+    positionedGrams(docs).select(col("gid"), col("doc_id")).distinct()
       .groupBy(col("gid")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("gid"))
+
+  /** Merge marked intervals into maximal islands (doc-local). */
+  private def islandsFrom(marked: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    occ.join(dupGids, "gid")
+    marked
       .withColumn("pmax", max(col("end"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("fresh",
@@ -868,6 +881,69 @@ object Dedup {
       .withColumn("island", sum(col("fresh"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("doc_id"), col("island"), col("start"), col("end"))
+  }
+
+  /** [[gramDf]] over raw (doc_id, text) rows — the store frame as a
+    * composable unit (SpanIngestSpec builds subset stores from it).
+    */
+  private[graft] def gramFrequencies(docs: DataFrame): DataFrame =
+    gramDf(tokenizedDocs(docs))
+
+  /** Persist the corpus' per-gram distinct-doc frequencies bucketed
+    * on gid — the span-coverage twin of [[writeBandStore]]. Consumers
+    * ([[spanCoverageAgainstStore]], `SpanIngest`) join batch grams
+    * against it on the bucket key, so the corpus-sized side never
+    * re-shuffles; only the batch's gram frame routes to the buckets.
+    */
+  def writeGramStore(s: SparkSession, d: String, table: String,
+      buckets: Int = -1): Unit = {
+    val b =
+      if (buckets > 0) buckets
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    gramDf(tokenizedDocs(Tables.parallel(s, d, "documents")))
+      .repartition(b, col("gid"))
+      .write.bucketBy(b, "gid").sortBy("gid")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
+  /** INCREMENTAL duplicated-span coverage: q164 for an ingest batch
+    * against a persisted corpus, without touching the corpus. A batch
+    * gram is duplicated iff it appears in ≥ 2 distinct docs of
+    * store ∪ batch — and because the two doc sets are disjoint that
+    * is exactly `store_df + batch_df ≥ 2`, so the batch marks itself
+    * from its own gram counts plus one delta-sized lookup into the
+    * (gid)-bucketed gram store (batch side shuffles to the buckets;
+    * the store side never moves). Equality with the full recompute is
+    * BY CONSTRUCTION, and q166 proves it under the driver hash gate.
+    * The remnant mirrors assignment's bridge rule: STORED docs whose
+    * coverage the new batch raised keep their stale numbers until the
+    * next gram-store refresh — the never-rewrite-the-store trade
+    * every incremental consumer here makes.
+    *
+    * `gramStore`: (gid: Long, df: Long) — [[writeGramStore]] output
+    * or any frame with those columns.
+    */
+  def spanCoverageAgainstStore(batch: DataFrame,
+      gramStore: DataFrame): DataFrame = {
+    graft.functions.Md5Long.register(batch.sparkSession)
+    val tok = tokenizedDocs(batch)
+    val occ = positionedGrams(tok)
+    val bdf = occ.select(col("gid"), col("doc_id")).distinct()
+      .groupBy(col("gid")).agg(count(lit(1)).as("bdf"))
+    val dupG = bdf
+      .join(gramStore.select(col("gid"), col("df")), Seq("gid"), "left")
+      .filter(col("bdf") + coalesce(col("df"), lit(0L)) >= 2)
+      .select(col("gid"))
+    val perDoc = islandsFrom(occ.join(dupG, "gid"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("end")) - min(col("start")) + 1).as("ilen"))
+      .groupBy(col("doc_id")).agg(sum(col("ilen")).as("dup"))
+    tok.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double"), 6).as("coverage"))
   }
 
   /** The q164/q165 oracle chain: tokens → positioned 8-gram gids →
@@ -2326,6 +2402,37 @@ object Dedup {
               |SELECT span, len, n_occ, n_docs,
               |  CAST((n_occ - 1) * len AS BIGINT) AS savings
               |FROM ag WHERE n_occ >= 2
-              |ORDER BY savings DESC, span LIMIT 20""".stripMargin))
+              |ORDER BY savings DESC, span LIMIT 20""".stripMargin)),
+
+    // ---- q166: incremental span coverage == full recompute --------------
+    // [[spanCoverageAgainstStore]] under the hash gate, same split as
+    // q142/q151/q152: the store keeps only its (gid)-bucketed gram
+    // frequencies (doc_id ≢ 3 mod 7), the ingest batch (≡ 3) marks
+    // itself from batch_df + store_df — one delta-sized store lookup,
+    // the corpus never re-tokenizes — and the result must equal the
+    // oracle's FULL-corpus recompute restricted to the batch docs.
+    // (The store subset is derived inline here so the oracle can see
+    // it; production reads the persisted writeGramStore table.)
+    QueryDef(
+      "q166_span_ingest",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val store = gramDf(tokenizedDocs(docs.filter(col("doc_id") % 7 =!= 3)))
+        spanCoverageAgainstStore(
+          docs.filter(col("doc_id") % 7 === 3)
+            .select(col("doc_id"), col("text")),
+          store)
+      },
+      Some(s"""WITH $dupSpanChainSql,
+              |il AS (SELECT doc_id, island, max(e) - min(s) + 1 AS ilen
+              |       FROM i GROUP BY 1, 2),
+              |pd AS (SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS dup_tokens
+              |       FROM il GROUP BY 1)
+              |SELECT t.doc_id, t.n_tokens,
+              |  coalesce(pd.dup_tokens, 0) AS dup_tokens,
+              |  round(coalesce(pd.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 6)
+              |    AS coverage
+              |FROM t LEFT JOIN pd USING (doc_id)
+              |WHERE t.doc_id % 7 = 3""".stripMargin))
   )
 }

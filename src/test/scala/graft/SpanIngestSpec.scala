@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** The incremental span-coverage loop (q164 → q166 → SpanIngest):
+  * a persisted (gid)-bucketed gram-frequency store, the delta-sized
+  * batch scorer `Dedup.spanCoverageAgainstStore`, and its streaming
+  * deployment. Pins the three production claims:
+  *
+  *  1. scoring a batch against the PERSISTED store table equals the
+  *     full-corpus q164 recompute restricted to the batch docs
+  *     (q166 proves the inline-store variant under the driver hash
+  *     gate; this covers the writeGramStore read path);
+  *  2. the store side of the gid join never shuffles (bucketed scan
+  *     co-partitioning — the BucketedStoreSpec property composed with
+  *     this operator);
+  *  3. the stream is offset-only state: restarts resume against the
+  *     same store, within-batch duplicates mark each other, novel
+  *     text scores 0.
+  */
+class SpanIngestSpec extends SparkSpec {
+
+  test("batch scored against the persisted gram store equals the full recompute") {
+    val wh = Files.createTempDirectory("graft_wh_gram").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS gramstore LOCATION '$wh'")
+    try {
+      val docs = Tables(spark, sf001, "documents")
+      // persist the store subset's gram frequencies (doc_id % 7 != 3),
+      // mirroring q166's split, then score the % 7 == 3 batch
+      val storeDocs = docs.filter(col("doc_id") % 7 =!= 3)
+      val batch = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("text"))
+      // writeGramStore reads a dir's documents table; build the store
+      // from the subset through the same frame + bucketed layout
+      Dedup.gramFrequencies(storeDocs)
+        .repartition(8, col("gid"))
+        .write.bucketBy(8, "gid").sortBy("gid")
+        .format("parquet").mode("overwrite")
+        .saveAsTable("gramstore.grams_b")
+
+      val got = Dedup.spanCoverageAgainstStore(
+        batch, spark.table("gramstore.grams_b"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val full = SparkEntry.queries("q164_dup_span_coverage")(spark, sf001)
+        .filter(col("doc_id") % 7 === 3)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got === full,
+        "incremental coverage through the persisted store must equal " +
+          "the full-corpus recompute on the batch docs")
+      assert(got.values.exists(_._2 > 0),
+        "fixture must contain duplicated spans in the batch slice")
+    } finally spark.sql("DROP DATABASE IF EXISTS gramstore CASCADE")
+  }
+
+  test("the gid join reads the gram store with no store-side exchange") {
+    val wh = Files.createTempDirectory("graft_wh_gram2").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS gramstore2 LOCATION '$wh'")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      Dedup.writeGramStore(spark, sf001, "gramstore2.grams_b", buckets = 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val batch = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("text"))
+      val cov = Dedup.spanCoverageAgainstStore(
+        batch, spark.table("gramstore2.grams_b"))
+      val plan = cov.queryExecution.executedPlan
+      // several gid joins exist (batch-side bdf/dupG are free to
+      // shuffle); the pin is on the STORE's path: no exchange may sit
+      // anywhere between the bucketed grams_b scan and its join
+      def isStoreScan(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains("grams_b"))
+        case _ => false
+      }
+      assert(plan.collect { case p if isStoreScan(p) => p }.nonEmpty,
+        s"expected a grams_b scan in the plan:\n$plan")
+      // downstream of the FIRST gid join the frames are batch-sized
+      // and free to shuffle (the doc_id window must); the pin is that
+      // the join side FEEDING from the store scan carries no exchange
+      // between scan and join — the bucketed layout is the partitioning
+      val storeJoinSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side => side.collect { case p if isStoreScan(p) => p }.nonEmpty)
+      assert(storeJoinSides.nonEmpty, s"expected an SMJ fed by grams_b:\n$plan")
+      val direct = storeJoinSides.minBy(_.collect { case p => p }.size)
+      assert(direct.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed gram store must reach its first join with no exchange:\n$plan")
+      assert(cov.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP DATABASE IF EXISTS gramstore2 CASCADE")
+    }
+  }
+
+  test("streaming SpanIngest scores across restarts with offset-only state") {
+    val wh = Files.createTempDirectory("graft_wh_si").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sistore LOCATION '$wh'")
+    try {
+      Dedup.writeGramStore(spark, sf001, "sistore.grams_b", buckets = 8)
+      val srcText = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") === 0).collect().head.getString(1)
+      val novel = (0 until 40).map(i => s"nv$i").mkString(" ")
+      val novel2 = (0 until 40).map(i => s"tw$i").mkString(" ")
+
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("si_out").toString
+      val ckpt = Files.createTempDirectory("ckpt_si").toString
+      def startQ() = graft.streaming.SpanIngest.start(
+        docs.toDF().toDF("doc_id", "text"),
+        spark.table("sistore.grams_b"), outDir, ckpt)
+
+      // batch 0: a clone of stored doc 0 (every 8-gram hits the
+      // store → full coverage) + novel text (no marks → zero)
+      var q = startQ()
+      docs.addData((1000000L, srcText), (1000001L, novel))
+      q.processAllAvailable(); q.stop()
+      // restart on offsets only; batch 1: within-batch twins — the
+      // store has never seen them, but batch_df = 2 marks everything
+      q = startQ()
+      docs.addData((1000002L, novel2), (1000003L, novel2))
+      q.processAllAvailable(); q.stop()
+
+      val got = graft.streaming.SpanIngest.readCoverage(spark, outDir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+      assert(got(1000000L) === ((1.0, 0L)), s"stored clone fully covered: $got")
+      assert(got(1000001L) === ((0.0, 0L)), s"novel text uncovered: $got")
+      assert(got(1000002L) === ((1.0, 1L)), s"within-batch twin covered: $got")
+      assert(got(1000003L) === ((1.0, 1L)), s"within-batch twin covered: $got")
+      assert(got.size === 4)
+    } finally spark.sql("DROP DATABASE IF EXISTS sistore CASCADE")
+  }
+}
