@@ -906,6 +906,67 @@ object Dedup {
       .format("parquet").mode("overwrite").saveAsTable(table)
   }
 
+  /** Fold an ingest batch's gram frequencies into the persisted gram
+    * store — the span-coverage face of [[refreshStores]]: a
+    * delta-sized bucketed APPEND of (gid, df_delta) rows, nothing
+    * corpus-sized moves. Disjoint installments make the union df the
+    * SUM of per-installment dfs, so the store is exact under any
+    * number of appends as long as readers aggregate per gid at scan
+    * time ([[readGramStore]]). NOTE [[compactStore]]'s full-row
+    * DISTINCT is wrong for this store (deltas must sum, not dedup) —
+    * compaction here is [[compactGramStore]].
+    */
+  def refreshGramStore(s: SparkSession, batch: DataFrame,
+      table: String): Unit = {
+    val b = s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    gramFrequencies(batch)
+      .repartition(b, col("gid"))
+      .write.mode("append").bucketBy(b, "gid").sortBy("gid")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Sum-on-read view of the gram store — exact after any number of
+    * [[refreshGramStore]] appends. Grouping on the bucket column lets
+    * the scan's hash partitioning satisfy the aggregate's
+    * distribution: bucket-local arithmetic, no exchange
+    * (SpanIngestSpec pins the plan).
+    */
+  def readGramStore(s: SparkSession, table: String): DataFrame =
+    s.table(table).groupBy(col("gid")).agg(sum(col("df")).as("df"))
+
+  /** Collapse K refresh appends to one summed row per gid, one file
+    * per bucket — [[compactStore]]'s job with SUM semantics. Rolls
+    * forward to `newTable` (overwriting a table mid-read is
+    * undefined); shuffle-free for the same reason as compactStore:
+    * the forced bucketed scan already clusters each gid in one task.
+    */
+  def compactGramStore(s: SparkSession, table: String,
+      newTable: String): Unit = {
+    def canon(t: String): (String, String) = {
+      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
+      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
+        id.table.toLowerCase)
+    }
+    require(canon(newTable) != canon(table),
+      "gram-store compaction rolls forward to a NEW table")
+    val spec = s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed — compaction targets the bucketed stores"))
+    val autoBucketedScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(autoBucketedScan, "true")
+    s.conf.set(autoBucketedScan, "false")
+    try {
+      readGramStore(s, table).write.mode("overwrite")
+        .bucketBy(spec.numBuckets, "gid").sortBy("gid")
+        .format("parquet").saveAsTable(newTable)
+    } finally s.conf.set(autoBucketedScan, prev)
+  }
+
   /** INCREMENTAL duplicated-span coverage: q164 for an ingest batch
     * against a persisted corpus, without touching the corpus. A batch
     * gram is duplicated iff it appears in ≥ 2 distinct docs of
@@ -2433,6 +2494,33 @@ object Dedup {
               |  round(coalesce(pd.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 6)
               |    AS coverage
               |FROM t LEFT JOIN pd USING (doc_id)
-              |WHERE t.doc_id % 7 = 3""".stripMargin))
+              |WHERE t.doc_id % 7 = 3""".stripMargin)),
+
+    // ---- q167: gram-store refresh == one-shot store ---------------------
+    // [[refreshGramStore]]'s arithmetic under the hash gate: fold the
+    // ingest installment's (gid, df) deltas into the store subset's
+    // and sum per gid — the exact sum-on-read a refreshed store
+    // serves — then report the df spectrum (df → n_grams, the q118
+    // shape). The oracle recomputes distinct-doc frequencies over the
+    // FULL corpus in one shot; equality is the claim "append + sum
+    // loses nothing vs re-counting the world", which holds because
+    // the installments' doc sets are disjoint. Delta-sized by
+    // construction on the Spark side; the spectrum is a |df-domain|
+    // frame.
+    QueryDef(
+      "q167_gram_store_refresh",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val store = gramFrequencies(docs.filter(col("doc_id") % 7 =!= 3))
+        val delta = gramFrequencies(docs.filter(col("doc_id") % 7 === 3))
+        store.unionByName(delta)
+          .groupBy(col("gid")).agg(sum(col("df")).as("df"))
+          .groupBy(col("df")).agg(count(lit(1)).as("n_grams"))
+      },
+      Some(s"""WITH $dupSpanChainSql,
+              |dfq AS (SELECT gid, count(DISTINCT doc_id) AS df
+              |        FROM g GROUP BY 1)
+              |SELECT CAST(df AS BIGINT) AS df, count(*) AS n_grams
+              |FROM dfq GROUP BY df""".stripMargin))
   )
 }

@@ -101,6 +101,46 @@ class SpanIngestSpec extends SparkSpec {
     }
   }
 
+  test("refresh append + sum-on-read equals a one-shot store; compaction preserves it") {
+    val wh = Files.createTempDirectory("graft_wh_gram3").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS gramstore3 LOCATION '$wh'")
+    try {
+      val docs = Tables(spark, sf001, "documents")
+      // store from the subset, then fold the ingest installment in
+      Dedup.gramFrequencies(docs.filter(col("doc_id") % 7 =!= 3))
+        .repartition(8, col("gid"))
+        .write.bucketBy(8, "gid").sortBy("gid")
+        .format("parquet").mode("overwrite")
+        .saveAsTable("gramstore3.grams_b")
+      Dedup.refreshGramStore(spark,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"), col("text")),
+        "gramstore3.grams_b")
+
+      val oneShot = Dedup.gramFrequencies(docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val summed = Dedup.readGramStore(spark, "gramstore3.grams_b")
+      assert(asMap(summed) === oneShot,
+        "sum-on-read after a refresh append must equal the one-shot store")
+      // the sum-on-read aggregate is bucket-local: no exchange
+      val aggPlan = summed.queryExecution.executedPlan
+      assert(aggPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"gram-store sum-on-read must not shuffle:\n$aggPlan")
+
+      Dedup.compactGramStore(spark, "gramstore3.grams_b", "gramstore3.grams_c")
+      assert(asMap(Dedup.readGramStore(spark, "gramstore3.grams_c")) === oneShot,
+        "compaction must preserve the summed frequencies")
+      // one file per non-empty bucket after compaction
+      val files = spark.table("gramstore3.grams_c").inputFiles
+      assert(files.length <= 8, s"expected <= 8 files, got ${files.length}")
+      // compaction refuses to overwrite the table being read
+      intercept[IllegalArgumentException] {
+        Dedup.compactGramStore(spark, "gramstore3.grams_c", "gramstore3.GRAMS_C")
+      }
+    } finally spark.sql("DROP DATABASE IF EXISTS gramstore3 CASCADE")
+  }
+
   test("streaming SpanIngest scores across restarts with offset-only state") {
     val wh = Files.createTempDirectory("graft_wh_si").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS sistore LOCATION '$wh'")
