@@ -889,6 +889,26 @@ object Dedup {
   private[graft] def gramFrequencies(docs: DataFrame): DataFrame =
     gramDf(tokenizedDocs(docs))
 
+  /** q164's frame over raw (doc_id, text) rows: per-doc duplicated-
+    * span coverage. Package-visible so SpanPropertySpec can drive it
+    * over generated corpora against a sequential interval-union
+    * reference.
+    */
+  private[graft] def spanCoverage(docs0: DataFrame): DataFrame = {
+    graft.functions.Md5Long.register(docs0.sparkSession)
+    val docs = tokenizedDocs(docs0)
+    val perDoc = dupIslands(docs)
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("end")) - min(col("start")) + 1).as("ilen"))
+      .groupBy(col("doc_id")).agg(sum(col("ilen")).as("dup"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double"), 6).as("coverage"))
+  }
+
   /** Persist the corpus' per-gram distinct-doc frequencies bucketed
     * on gid — the span-coverage twin of [[writeBandStore]]. Consumers
     * ([[spanCoverageAgainstStore]], `SpanIngest`) join batch grams
@@ -2391,19 +2411,7 @@ object Dedup {
     // the same two windows DuckDB replays.
     QueryDef(
       "q164_dup_span_coverage",
-      (s, d) => {
-        val docs = tokenizedDocs(Tables(s, d, "documents"))
-        val perDoc = dupIslands(docs)
-          .groupBy(col("doc_id"), col("island"))
-          .agg((max(col("end")) - min(col("start")) + 1).as("ilen"))
-          .groupBy(col("doc_id")).agg(sum(col("ilen")).as("dup"))
-        docs.select(col("doc_id"), col("n_tokens"))
-          .join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("dup"), lit(0L)).as("dup_tokens"),
-            round(coalesce(col("dup"), lit(0L)).cast("double")
-              / col("n_tokens").cast("double"), 6).as("coverage"))
-      },
+      (s, d) => spanCoverage(Tables(s, d, "documents")),
       Some(s"""WITH $dupSpanChainSql,
               |il AS (SELECT doc_id, island, max(e) - min(s) + 1 AS ilen
               |       FROM i GROUP BY 1, 2),
