@@ -283,6 +283,42 @@ object StreamBench {
     Result("ann_ingest", events / secs, events, secs, landed)
   }
 
+  /** Streaming span-coverage ingest: each micro-batch scores its
+    * duplicated-span coverage against the persisted (gid)-bucketed
+    * gram store ([[graft.streaming.SpanIngest]]). The feed mixes
+    * clones of stored docs (full-coverage path: every gram hits the
+    * store) 1:1 with novel word soup (zero-coverage path), so both
+    * join outcomes are exercised in every batch.
+    */
+  def benchSpanIngest(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val wh = Files.createTempDirectory(base.toPath, "wh_sb_si").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sbsi LOCATION '$wh'")
+    graft.operators.Dedup.writeGramStore(spark, "/root/testdata/sf0.001",
+      "sbsi.grams_b")
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def doc(i: Long): (Long, String) =
+      if (i % 2 == 0) (1000000L + i, corpus((i / 2 % corpus.length).toInt)._2)
+      else (1000000L + i,
+        (0 until 40).map(w => s"nv${(i * 31 + w * 7) % 99991}").mkString(" "))
+
+    val docs = MemoryStream[(Long, String)]
+    val outDir = Files.createTempDirectory(base.toPath, "sb_si_out").toString
+    val q = graft.streaming.SpanIngest.start(
+      docs.toDF().toDF("doc_id", "text"),
+      spark.table("sbsi.grams_b"), outDir, ckptDir(base, "si"))
+    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
+    q.stop()
+    val scored = graft.streaming.SpanIngest
+      .readCoverage(spark, outDir).count()
+    spark.sql("DROP DATABASE IF EXISTS sbsi CASCADE")
+    Result("span_ingest", events / secs, events, secs, scored)
+  }
+
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
@@ -304,13 +340,14 @@ object StreamBench {
     val curation = benchCuration(spark, base, n / 5L, batch / 5L)
     val clustering = benchClustering(spark, base, n / 20L, batch / 20L)
     val annIngest = benchAnnIngest(spark, base, n / 20L, batch / 20L)
+    val spanIngest = benchSpanIngest(spark, base, n / 20L, batch / 20L)
 
     val json =
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
         s""""unit":"events/sec","events":${alert.events},"secs":${alert.secs},""" +
         s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
         s"""${trending.json},${curation.json},${clustering.json},""" +
-        s"""${annIngest.json}}""" +
+        s"""${annIngest.json},${spanIngest.json}}""" +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")
