@@ -2529,6 +2529,44 @@ object Dedup {
               |dfq AS (SELECT gid, count(DISTINCT doc_id) AS df
               |        FROM g GROUP BY 1)
               |SELECT CAST(df AS BIGINT) AS df, count(*) AS n_grams
-              |FROM dfq GROUP BY df""".stripMargin))
+              |FROM dfq GROUP BY df""".stripMargin)),
+
+    // ---- q168: per-source boilerplate burden -----------------------------
+    // The ops rollup of q164 — which SOURCES carry the duplication
+    // (the chart a curation dashboard actually shows, and the number
+    // that decides which crawl gets a template-stripping pass): doc
+    // count, token mass, duplicated-token mass, and the source-level
+    // coverage share, one row per source. Costs one extra broadcast-
+    // size join + a |sources|-row aggregate on top of q164's linear
+    // marking; the share is one IEEE divide of two exact BIGINTs
+    // (q111 lesson), rounded to 6.
+    QueryDef(
+      "q168_source_boilerplate",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        spanCoverage(docs)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("dup_tokens")).as("dup_tokens"),
+            round(sum(col("dup_tokens")).cast("double")
+              / sum(col("n_tokens")).cast("double"), 6).as("dup_share"))
+      },
+      Some(s"""WITH $dupSpanChainSql,
+              |il AS (SELECT doc_id, island, max(e) - min(s) + 1 AS ilen
+              |       FROM i GROUP BY 1, 2),
+              |pd AS (SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS dup_tokens
+              |       FROM il GROUP BY 1),
+              |cov AS (SELECT t.doc_id, t.n_tokens,
+              |          coalesce(pd.dup_tokens, 0) AS dup_tokens
+              |        FROM t LEFT JOIN pd USING (doc_id))
+              |SELECT d.source, count(*) AS n_docs,
+              |  CAST(sum(cov.n_tokens) AS BIGINT) AS n_tokens,
+              |  CAST(sum(cov.dup_tokens) AS BIGINT) AS dup_tokens,
+              |  round(CAST(sum(cov.dup_tokens) AS DOUBLE)
+              |        / CAST(sum(cov.n_tokens) AS DOUBLE), 6) AS dup_share
+              |FROM cov JOIN documents d ON d.doc_id = cov.doc_id
+              |GROUP BY d.source""".stripMargin))
   )
 }

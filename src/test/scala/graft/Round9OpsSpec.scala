@@ -212,6 +212,20 @@ class Round9OpsSpec extends SparkSpec {
     assert(got === marked, "marked-doc set must match the df>=2 gram recount")
   }
 
+  test("q168 source burden conserves q164's doc, token, and dup masses") {
+    val src = run("q168_source_boilerplate").collect()
+    val cov = run("q164_dup_span_coverage").collect()
+    def sumOf(rows: Array[org.apache.spark.sql.Row], c: String) =
+      rows.map(r => r.getLong(r.fieldIndex(c))).sum
+    assert(sumOf(src, "n_docs") === cov.length.toLong, "every doc in one source")
+    assert(sumOf(src, "n_tokens") === sumOf(cov, "n_tokens"), "token mass")
+    assert(sumOf(src, "dup_tokens") === sumOf(cov, "dup_tokens"), "dup mass")
+    src.foreach { r =>
+      val share = r.getDouble(r.fieldIndex("dup_share"))
+      assert(share >= 0.0 && share <= 1.0, r.toString)
+    }
+  }
+
   test("q165 boilerplate spans: ranking, arithmetic, and live text recount") {
     val rows = run("q165_boilerplate_spans").collect()
     assert(rows.nonEmpty && rows.length <= 20, s"top-20 report: ${rows.length}")
