@@ -889,6 +889,12 @@ object Dedup {
   private[graft] def gramFrequencies(docs: DataFrame): DataFrame =
     gramDf(tokenizedDocs(docs))
 
+  /** (doc_id, gid) gram-occurrence sites over raw (doc_id, text)
+    * rows — the Round9OpsSpec staleness recount hook.
+    */
+  private[graft] def gramOccurrences(docs: DataFrame): DataFrame =
+    positionedGrams(tokenizedDocs(docs)).select(col("doc_id"), col("gid"))
+
   /** q164's frame over raw (doc_id, text) rows: per-doc duplicated-
     * span coverage. Package-visible so SpanPropertySpec can drive it
     * over generated corpora against a sequential interval-union
@@ -2567,6 +2573,53 @@ object Dedup {
               |  round(CAST(sum(cov.dup_tokens) AS DOUBLE)
               |        / CAST(sum(cov.n_tokens) AS DOUBLE), 6) AS dup_share
               |FROM cov JOIN documents d ON d.doc_id = cov.doc_id
-              |GROUP BY d.source""".stripMargin))
+              |GROUP BY d.source""".stripMargin)),
+
+    // ---- q169: span-store staleness report ------------------------------
+    // q153's role for the span loop: [[spanCoverageAgainstStore]]'s
+    // documented remnant is that STORED docs whose coverage a new
+    // batch raises keep stale numbers until the gram-store refresh —
+    // this report quantifies exactly that, from the same delta-sized
+    // frames the scorer joins. A gram goes stale-making iff the batch
+    // pushes it over the dup threshold: bdf ≥ 1 ∧ sdf < 2 ∧
+    // sdf + bdf ≥ 2, split by kind — `store_stale` (sdf = 1: one
+    // stored doc now carries uncounted coverage per gram) vs
+    // `batch_only` (sdf = 0, bdf ≥ 2: batch-internal dups the batch
+    // already scored; the store is unaffected). Row count 0 ⇔ every
+    // stored coverage number is exact right now, so the report
+    // doubles as the refresh-cadence metric. Store side stays the
+    // bucketed (gid, df) frame — nothing corpus-sized moves.
+    QueryDef(
+      "q169_span_staleness",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val sdf = gramFrequencies(docs.filter(col("doc_id") % 7 =!= 3))
+          .select(col("gid"), col("df").as("sdf"))
+        val bdf = gramFrequencies(docs.filter(col("doc_id") % 7 === 3))
+          .select(col("gid"), col("df").as("bdf"))
+        bdf.join(sdf, Seq("gid"), "left")
+          .select(col("gid"), coalesce(col("sdf"), lit(0L)).as("sdf"),
+            col("bdf"))
+          .filter(col("sdf") < 2 && col("sdf") + col("bdf") >= 2)
+          .withColumn("kind",
+            when(col("sdf") === 1, "store_stale").otherwise("batch_only"))
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(col("sdf")).as("n_stale_store_slots"))
+      },
+      Some(s"""WITH $dupSpanChainSql,
+              |fq AS (SELECT gid,
+              |         count(DISTINCT CASE WHEN doc_id % 7 <> 3
+              |                             THEN doc_id END) AS sdf,
+              |         count(DISTINCT CASE WHEN doc_id % 7 = 3
+              |                             THEN doc_id END) AS bdf
+              |       FROM g GROUP BY 1),
+              |x AS (SELECT gid, sdf, bdf,
+              |        CASE WHEN sdf = 1 THEN 'store_stale'
+              |             ELSE 'batch_only' END AS kind
+              |      FROM fq WHERE bdf >= 1 AND sdf < 2 AND sdf + bdf >= 2)
+              |SELECT kind, count(*) AS n_grams,
+              |  CAST(sum(sdf) AS BIGINT) AS n_stale_store_slots
+              |FROM x GROUP BY kind""".stripMargin))
   )
 }

@@ -226,6 +226,49 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q169 staleness report ties to the actual coverage drift of store docs") {
+    val rows = run("q169_span_staleness").collect()
+    val byKind = rows.map(r => r.getString(r.fieldIndex("kind")) ->
+      (r.getLong(r.fieldIndex("n_grams")),
+        r.getLong(r.fieldIndex("n_stale_store_slots")))).toMap
+    assert(byKind.keySet.subsetOf(Set("store_stale", "batch_only")), byKind.toString)
+    // arithmetic by construction: store_stale grams have sdf = 1 each,
+    // batch_only grams have sdf = 0
+    byKind.get("store_stale").foreach { case (n, slots) => assert(n === slots) }
+    byKind.get("batch_only").foreach { case (_, slots) => assert(slots === 0L) }
+
+    // semantic tie: any STORE doc whose coverage rises when the batch
+    // arrives must hold at least one reported stale gram (the reverse
+    // need not hold — a stale gram inside an already-covered island
+    // adds no tokens)
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf001, "documents")
+    val store = docs.filter(col("doc_id") % 7 =!= 3)
+    def covOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.spanCoverage(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val covFull = covOf(docs).filter { case (id, _) => id % 7 != 3 }
+    val covStore = covOf(store)
+    val changed = covFull.collect {
+      case (id, d) if covStore(id) != d =>
+        assert(d > covStore(id), "batch arrival can only raise store coverage")
+        id
+    }.toSet
+    if (byKind.contains("store_stale")) {
+      // docs holding a stale gram: store grams with sdf = 1 that the
+      // batch duplicates
+      val sdf1 = Dedup.gramFrequencies(store).filter(col("df") === 1)
+      val batchG = Dedup.gramFrequencies(docs.filter(col("doc_id") % 7 === 3))
+      val staleGids = sdf1.join(batchG.select(col("gid")), "gid").select(col("gid"))
+      val holders = Dedup.gramOccurrences(store)
+        .join(staleGids, "gid").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(changed.subsetOf(holders),
+        s"coverage drift outside the stale-gram holders: ${changed.diff(holders)}")
+    } else assert(changed.isEmpty,
+      "no store_stale grams reported but store coverage drifted")
+  }
+
   test("q165 boilerplate spans: ranking, arithmetic, and live text recount") {
     val rows = run("q165_boilerplate_spans").collect()
     assert(rows.nonEmpty && rows.length <= 20, s"top-20 report: ${rows.length}")
