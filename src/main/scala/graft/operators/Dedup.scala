@@ -895,6 +895,12 @@ object Dedup {
   private[graft] def gramOccurrences(docs: DataFrame): DataFrame =
     positionedGrams(tokenizedDocs(docs)).select(col("doc_id"), col("gid"))
 
+  /** q165's island frame (doc_id, island, a, b) — ProfileQ165 hook. */
+  private[graft] def profileIslands(s: SparkSession, d: String): DataFrame =
+    dupIslands(tokenizedDocs(Tables.parallel(s, d, "documents")))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("a"), max(col("end")).as("b"))
+
   /** q164's frame over raw (doc_id, text) rows: per-doc duplicated-
     * span coverage. Package-visible so SpanPropertySpec can drive it
     * over generated corpora against a sequential interval-union
@@ -2417,7 +2423,10 @@ object Dedup {
     // the same two windows DuckDB replays.
     QueryDef(
       "q164_dup_span_coverage",
-      (s, d) => spanCoverage(Tables(s, d, "documents")),
+      // parallel loader: the cost is per-gram md5 COMPUTE, and the sf
+      // tables are single-row-group parquet (one split) — the q102/q35
+      // posture, measured 2.0 -> ~0.5 s on the island chain
+      (s, d) => spanCoverage(Tables.parallel(s, d, "documents")),
       Some(s"""WITH $dupSpanChainSql,
               |il AS (SELECT doc_id, island, max(e) - min(s) + 1 AS ilen
               |       FROM i GROUP BY 1, 2),
@@ -2445,7 +2454,7 @@ object Dedup {
     QueryDef(
       "q165_boilerplate_spans",
       (s, d) => {
-        val docs = tokenizedDocs(Tables(s, d, "documents"))
+        val docs = tokenizedDocs(Tables.parallel(s, d, "documents"))
         val spans = dupIslands(docs)
           .groupBy(col("doc_id"), col("island"))
           .agg(min(col("start")).as("a"), max(col("end")).as("b"))
@@ -2549,7 +2558,7 @@ object Dedup {
     QueryDef(
       "q168_source_boilerplate",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
+        val docs = Tables.parallel(s, d, "documents")
         spanCoverage(docs)
           .join(docs.select(col("doc_id"), col("source")), "doc_id")
           .groupBy(col("source"))
