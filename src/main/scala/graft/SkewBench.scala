@@ -121,8 +121,13 @@ object SkewBench {
     // op, so the boilerplate corpus is its home game: every 8-gram in
     // the 1000-doc hot block carries df ≈ 1000, which a pair op would
     // square into 10⁶ candidates — the linear-marking claim (cost ∝
-    // occurrences, no df² term) is exactly what this target times
-    "q164_dup_span_coverage")
+    // occurrences, no df² term) is exactly what this target times.
+    // The report pair rides the same chain: q165's span group must
+    // collapse the hot block's 1000 identical islands into ONE
+    // |distinct spans| row (never a pair set), and q168's source
+    // rollup stays a broadcast join over the linear marks
+    "q164_dup_span_coverage", "q165_boilerplate_spans",
+    "q168_source_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()

@@ -2425,7 +2425,10 @@ object Dedup {
       "q164_dup_span_coverage",
       // parallel loader: the cost is per-gram md5 COMPUTE, and the sf
       // tables are single-row-group parquet (one split) — the q102/q35
-      // posture, measured 2.0 -> ~0.5 s on the island chain
+      // posture. ProfileQ165: island chain 1.94 -> 1.26 s isolated;
+      // the remainder is the chain's two corpus explodes (df pass +
+      // occurrence pass), kept as recompute because materializing the
+      // occurrence frame is ~10x corpus bytes at scale
       (s, d) => spanCoverage(Tables.parallel(s, d, "documents")),
       Some(s"""WITH $dupSpanChainSql,
               |il AS (SELECT doc_id, island, max(e) - min(s) + 1 AS ilen
