@@ -2632,6 +2632,56 @@ object Dedup {
               |      FROM fq WHERE bdf >= 1 AND sdf < 2 AND sdf + bdf >= 2)
               |SELECT kind, count(*) AS n_grams,
               |  CAST(sum(sdf) AS BIGINT) AS n_stale_store_slots
-              |FROM x GROUP BY kind""".stripMargin))
+              |FROM x GROUP BY kind""".stripMargin)),
+
+    // ---- q170: boilerplate strip (the transform, not the report) --------
+    // q164 measures and q165 ranks; this one DOES it — the curation
+    // rewrite that removes every cross-document duplicated span and
+    // emits the cleaned corpus manifest: (doc_id, n_tokens, n_kept,
+    // clean_fp), where clean_fp is the md5long of the rebuilt text so
+    // the hash gate proves the exact reconstruction, not just counts.
+    // The rewrite itself is ROW-LOCAL: each doc's islands collect to
+    // a per-doc array (bounded by n_tokens/8 entries), broadcast-free
+    // join back on doc_id, and a positional higher-order `filter`
+    // keeps exactly the uncovered tokens — no explode of the token
+    // stream, no per-token shuffle. Conservation is pinned in spec:
+    // n_kept == n_tokens − q164.dup_tokens for every document.
+    QueryDef(
+      "q170_strip_boilerplate",
+      (s, d) => {
+        val docs = tokenizedDocs(Tables.parallel(s, d, "documents"))
+        val isl = dupIslands(docs)
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("start")).as("a"), max(col("end")).as("b"))
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("a"), col("b"))).as("isl"))
+        docs.join(isl, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), expr(
+            """filter(t, (x, i) -> isl is null
+              |  or not exists(isl, s -> i + 1 >= s.a and i + 1 <= s.b))"""
+              .stripMargin).as("kept"))
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("kept")).cast("long").as("n_kept"),
+            expr("md5long(concat_ws(' ', kept))").as("clean_fp"))
+      },
+      Some(s"""WITH $dupSpanChainSql,
+              |sp AS (SELECT doc_id, island, min(s) AS a, max(e) AS b
+              |       FROM i GROUP BY 1, 2),
+              |pos AS (SELECT t.doc_id, t.n_tokens, g.p, t.toks[g.p] AS tok
+              |        FROM t, UNNEST(generate_series(1, len(t.toks))) AS g(p)),
+              |kept AS (SELECT pos.* FROM pos
+              |         WHERE NOT EXISTS (SELECT 1 FROM sp
+              |                           WHERE sp.doc_id = pos.doc_id
+              |                             AND pos.p BETWEEN sp.a AND sp.b)),
+              |reb AS (SELECT doc_id,
+              |          coalesce(string_agg(tok, ' ' ORDER BY p), '') AS clean,
+              |          count(*) AS n_kept
+              |        FROM kept GROUP BY doc_id)
+              |SELECT t.doc_id, t.n_tokens,
+              |  coalesce(reb.n_kept, 0) AS n_kept,
+              |  ('0x' || substr(md5(coalesce(reb.clean, '')), 1, 15))::BIGINT
+              |    AS clean_fp
+              |FROM t LEFT JOIN reb ON reb.doc_id = t.doc_id"""
+        .stripMargin))
   )
 }

@@ -269,6 +269,30 @@ class Round9OpsSpec extends SparkSpec {
       "no store_stale grams reported but store coverage drifted")
   }
 
+  test("q170 strip conserves q164's arithmetic and rebuilds real subsequences") {
+    val strip = run("q170_strip_boilerplate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cov = run("q164_dup_span_coverage").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(strip.keySet === cov.keySet, "one manifest row per document")
+    strip.foreach { case (id, (nt, nk, _)) =>
+      val (cnt, dup) = cov(id)
+      assert(nt === cnt, s"doc $id token count")
+      assert(nk === nt - dup,
+        s"doc $id: kept tokens must equal total minus covered ($nk vs $nt-$dup)")
+    }
+    // a fully-unique doc must round-trip: clean_fp == md5long(text)
+    val texts = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), expr("md5long(text)").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val untouched = cov.collect { case (id, (_, 0L)) => id }
+    assert(untouched.nonEmpty, "fixture must contain unduplicated docs")
+    untouched.foreach { id =>
+      assert(strip(id)._3 === texts(id),
+        s"doc $id has no dup spans, so the rebuilt text must equal the original")
+    }
+  }
+
   test("q165 boilerplate spans: ranking, arithmetic, and live text recount") {
     val rows = run("q165_boilerplate_spans").collect()
     assert(rows.nonEmpty && rows.length <= 20, s"top-20 report: ${rows.length}")
