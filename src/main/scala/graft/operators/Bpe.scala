@@ -52,7 +52,14 @@ object Bpe {
   private def vocab(docs: DataFrame): DataFrame =
     docs
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+      // the marker-string representation reserves '~' (object doc):
+      // ENFORCE it rather than assume it — a corpus word carrying the
+      // marker would silently corrupt symbol boundaries, and both
+      // engines share the representation so the oracle gate could
+      // never catch the divergence. Such words are dropped from the
+      // vocabulary (documented, mirrored in the oracle's wc CTE); a
+      // deployment that must keep them remaps the marker first.
+      .filter(length(col("w")) > 0 && !col("w").contains("~"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(col("w"),
         concat(regexp_replace(col("w"), "(.)", "~~$1"), lit("~~")).as("s"),
@@ -109,11 +116,16 @@ object Bpe {
   private def learn(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     var words = vocab(docs)
     val bests = (1 to k).map { i =>
+      // pin the 1-row argmax: it feeds BOTH the merge application and
+      // the report union, and without materialization each consumer
+      // re-runs the vocabulary-scale pair aggregation (2K passes
+      // instead of K)
       val best = pairCounts(words)
         .agg(min(struct((-col("cnt")).as("nc"), col("lsym"), col("rsym")))
           .as("b"))
         .select(col("b.lsym").as("lsym"), col("b.rsym").as("rsym"),
           (-col("b.nc")).as("cnt"))
+        .localCheckpoint(true)
       // null-safe apply: once merges exhaust (empty pair aggregate →
       // null argmax) the vocabulary must pass through unchanged, not
       // collapse to null strings
@@ -141,19 +153,121 @@ object Bpe {
     * mechanical generation, same representation, same `replace`
     * semantics, same ORDER BY cnt DESC, lsym, rsym LIMIT 1 tie-break.
     */
+  // ------------------------------------------------------------------
+  // BATCHED merge learning — the production-K posture (round-10 item).
+  //
+  // The k=5 learner above proves semantics, but K merges = K
+  // driver-scheduled vocabulary passes, and a real tokenizer wants
+  // K = 30k–100k: the driver loop, not the data, becomes the
+  // bottleneck. The standard fix every distributed BPE trainer ships
+  // is MERGE BATCHING: per vocabulary pass, apply the top-M pairwise
+  // NON-INTERFERING merges (no two sharing a symbol) instead of one.
+  // Symbol-disjoint merges touch disjoint symbol occurrences, so
+  // their replaces commute and one pass applies all M — K merges in
+  // ~K/M passes.
+  //
+  // Accept rule (deterministic, engine-neutral, and — crucially —
+  // computable with NO global sort): a pair is accepted iff it is
+  // the strongest pair CONTAINING EACH OF ITS SYMBOLS under the
+  // greedy order (cnt DESC, lsym, rsym). That is exactly "no
+  // stronger pair shares a symbol": per-symbol argmin of the order
+  // struct (a symbol-sized aggregate), two joins back, filter —
+  // fully distributed. The accepted set is then capped to the top M
+  // (TakeOrdered — M rows, never a full sort).
+  //
+  // Semantics: batched-greedy. m = 1 degenerates to EXACT greedy BPE
+  // (BpePropertySpec proves it on generated corpora); m > 1 may
+  // reorder relative to strict BPE only when a pass-created symbol
+  // pair would have outranked a same-pass accepted merge — the
+  // documented, deterministic trade that buys the M× pass reduction.
+  // The q171 oracle re-implements the SAME batched rule in DuckDB
+  // (rank + NOT EXISTS dominance + M unrolled null-safe applies per
+  // pass), so the hash gate checks the batched algorithm itself.
+  // ------------------------------------------------------------------
+
+  /** One pass' accepted merge batch as a 1-row frame holding up to
+    * `m` order-structs (nc = -cnt, lsym, rsym), sorted in greedy
+    * order. Cost: one vocabulary-scale pair aggregation, one
+    * symbol-sized per-symbol argmin, two vocabulary-scale joins, a
+    * TakeOrdered(m) — nothing corpus-sized, no global sort, no
+    * window over a single partition.
+    */
+  private def acceptedBatch(words: DataFrame, m: Int): DataFrame = {
+    val withB = pairCounts(words)
+      .withColumn("b",
+        struct((-col("cnt")).as("nc"), col("lsym"), col("rsym")))
+    val symBest = withB
+      .select(explode(array(col("lsym"), col("rsym"))).as("sym"), col("b"))
+      .groupBy(col("sym")).agg(min(col("b")).as("mb"))
+    withB
+      .join(symBest.select(col("sym").as("lsym"), col("mb").as("lmb")),
+        Seq("lsym"))
+      .join(symBest.select(col("sym").as("rsym"), col("mb").as("rmb")),
+        Seq("rsym"))
+      .filter(col("b") === col("lmb") && col("b") === col("rmb"))
+      .orderBy(col("b")).limit(m)
+      .agg(array_sort(collect_list(col("b"))).as("ms"))
+  }
+
+  /** Batched learn: `passes` vocabulary passes of up to `m`
+    * symbol-disjoint merges each. Returns (report, final vocabulary);
+    * the report is one row per applied merge
+    * (pass, rk, lsym, rsym, cnt) in application order.
+    */
+  private def learnBatched(docs: DataFrame, passes: Int,
+      m: Int): (DataFrame, DataFrame) = {
+    var words = vocab(docs)
+    val reports = (1 to passes).map { i =>
+      // pinned for the same reason as the k=1 learner's argmax: the
+      // batch feeds both the merge application and the report
+      val batch = acceptedBatch(words, m).localCheckpoint(true)
+      words = words.crossJoin(broadcast(batch))
+        .withColumn("s", expr(
+          // fold the ≤ m merges over the marker string; merges are
+          // symbol-disjoint so the replaces commute, and the fold
+          // runs in greedy order to mirror the oracle's chain. An
+          // exhausted pass (empty ms) passes the vocabulary through.
+          """aggregate(ms, s, (acc, x) ->
+            |  replace(acc, concat('~', x.lsym, '~~', x.rsym, '~'),
+            |               concat('~', x.lsym, x.rsym, '~')))""".stripMargin))
+        .select(col("w"), col("s"), col("c"))
+        .localCheckpoint()
+      batch.select(lit(i).as("pass"), posexplode(col("ms")).as(Seq("p", "x")))
+        .select(col("pass"), (col("p") + 1).cast("int").as("rk"),
+          col("x.lsym").as("lsym"), col("x.rsym").as("rsym"),
+          (-col("x.nc")).as("cnt"))
+    }
+    (reports.reduce(_ unionByName _), words)
+  }
+
+  /** Batched merge report over the sf corpus — the q171 surface. */
+  def mergesBatched(s: SparkSession, d: String, passes: Int,
+      m: Int): DataFrame =
+    learnBatched(Tables.parallel(s, d, "documents"), passes, m)._1
+
+  /** Property-test surface: batched learn over any `text` frame. */
+  def mergesBatchedOf(docs: DataFrame, passes: Int, m: Int): DataFrame =
+    learnBatched(docs, passes, m)._1
+
+  /** Final vocabulary after a batched learn (encode-side twin). */
+  def batchedVocab(docs: DataFrame, passes: Int, m: Int): DataFrame =
+    learnBatched(docs, passes, m)._2
+
   /** The k-iteration CTE chain (base word counts → p_i/b_i/w_i),
     * carrying the word spelling through every w_i so both the merge
-    * report and the encoder rollup hang off the same chain. (The
-    * cross join against b_i assumes no exhaustion — true of the test
-    * corpus at every sf; the Spark side's null-safe apply is the
-    * general-corpus behavior BpePropertySpec covers.)
+    * report and the encoder rollup hang off the same chain. The
+    * apply step is null-safe on BOTH engines (LEFT JOIN b_i ON TRUE
+    * + CASE WHEN exhausted THEN pass-through): a corpus that runs out
+    * of adjacent pairs before k merges keeps its vocabulary instead
+    * of collapsing the chain to empty — the same stop-when-exhausted
+    * semantics the Spark side implements.
     */
   private def chainSql(k: Int): String = {
     val base =
       """wc AS (SELECT w, count(*) AS c
         |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |       WHERE len(w) > 0 GROUP BY w),
-        |w0 AS (SELECT w, regexp_replace(w, '(.)', '~~\1', 'g') || '~~' AS s, c FROM wc)"""
+        |       WHERE len(w) > 0 AND NOT contains(w, '~') GROUP BY w),
+        |w0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '~~\1', 'g') || '~~' AS s, c FROM wc)"""
         .stripMargin
     val iters = (1 to k).map { i =>
       s"""p$i AS (SELECT y[j] AS lsym, y[j + 1] AS rsym, CAST(sum(c) AS BIGINT) AS cnt
@@ -162,11 +276,67 @@ object Bpe {
          |       UNNEST(generate_series(1, len(y) - 1)) AS g(j)
          |  WHERE len(y) >= 2 GROUP BY 1, 2),
          |b$i AS (SELECT lsym, rsym, cnt FROM p$i ORDER BY cnt DESC, lsym, rsym LIMIT 1),
-         |w$i AS (SELECT w, replace(s, '~' || lsym || '~~' || rsym || '~',
-         |                       '~' || lsym || rsym || '~') AS s, c
-         |        FROM w${i - 1}, b$i)""".stripMargin
+         |w$i AS MATERIALIZED (SELECT w,
+         |          CASE WHEN lsym IS NULL THEN s
+         |               ELSE replace(s, '~' || lsym || '~~' || rsym || '~',
+         |                               '~' || lsym || rsym || '~') END AS s, c
+         |        FROM w${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
     }
     s"$base,\n${iters.mkString(",\n")}"
+  }
+
+  /** The batched chain: per pass, pair counts → greedy rank →
+    * dominance-accepted batch (NOT EXISTS: no stronger pair shares a
+    * symbol — provably the same rule as the Spark side's per-symbol
+    * argmin, since the greedy order is total) capped at m → m
+    * unrolled null-safe merge applications. Mechanical generation,
+    * same marker-string representation, so the hash gate checks the
+    * batched algorithm end to end.
+    */
+  private def batchedChainSql(passes: Int, m: Int): String = {
+    val base =
+      """wc AS (SELECT w, count(*) AS c
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |       WHERE len(w) > 0 AND NOT contains(w, '~') GROUP BY w),
+        |w0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '~~\1', 'g') || '~~' AS s, c FROM wc)"""
+        .stripMargin
+    val iters = (1 to passes).map { i =>
+      val applies = (1 to m).map { j =>
+        val prev = if (j == 1) s"w${i - 1}" else s"w${i}_${j - 1}"
+        s"""w${i}_$j AS (SELECT w,
+           |  CASE WHEN lsym IS NULL THEN s
+           |       ELSE replace(s, '~' || lsym || '~~' || rsym || '~',
+           |                       '~' || lsym || rsym || '~') END AS s, c
+           |  FROM $prev LEFT JOIN (SELECT * FROM a$i WHERE rk = $j) ON TRUE)"""
+          .stripMargin
+      }
+      s"""p$i AS (SELECT y[j] AS lsym, y[j + 1] AS rsym, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT c, sy[2:len(sy) - 1] AS y
+         |        FROM (SELECT c, string_split(s, '~~') AS sy FROM w${i - 1})) t,
+         |       UNNEST(generate_series(1, len(y) - 1)) AS g(j)
+         |  WHERE len(y) >= 2 GROUP BY 1, 2),
+         |r$i AS MATERIALIZED (SELECT lsym, rsym, cnt,
+         |          row_number() OVER (ORDER BY cnt DESC, lsym, rsym) AS rnk
+         |        FROM p$i),
+         |a$i AS MATERIALIZED (SELECT * FROM (
+         |          SELECT lsym, rsym, cnt,
+         |            CAST(row_number() OVER (ORDER BY rnk) AS INTEGER) AS rk
+         |          FROM r$i p
+         |          WHERE NOT EXISTS (SELECT 1 FROM r$i q WHERE q.rnk < p.rnk
+         |            AND (q.lsym = p.lsym OR q.lsym = p.rsym
+         |                 OR q.rsym = p.lsym OR q.rsym = p.rsym)))
+         |        WHERE rk <= $m),
+         |${applies.mkString(",\n")},
+         |w$i AS MATERIALIZED (SELECT * FROM w${i}_$m)""".stripMargin
+    }
+    s"$base,\n${iters.mkString(",\n")}"
+  }
+
+  private def batchedOracle(passes: Int, m: Int): String = {
+    val sel = (1 to passes)
+      .map(i => s"SELECT $i AS pass, rk, lsym, rsym, cnt FROM a$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${batchedChainSql(passes, m)}\n$sel"
   }
 
   private def mergesOracle(k: Int): String = {
@@ -239,6 +409,22 @@ object Bpe {
               / sum(length(col("w")) * col("c")).cast("double"), 6)
               .as("compression"))
       },
-      Some(encodeOracle(5)))
+      Some(encodeOracle(5))),
+
+    // ---- q171: BATCHED merge learning (production-K posture) -----------
+    // q157 at the scale a real tokenizer runs: 16 vocabulary passes ×
+    // up to 8 symbol-disjoint merges — 50+ learned merges in 16
+    // passes instead of 50+ driver-scheduled jobs (passes ≪ K, the
+    // round-10 ask; measured merge counts in README §round 10). The
+    // oracle re-runs the identical batched-greedy rule in DuckDB
+    // (rank → dominance NOT EXISTS → capped batch → unrolled
+    // null-safe applies), so acceptance, tie-breaks, cap, and the
+    // commuting batch application are all under the hash gate.
+    // BpePropertySpec pins the m=1 degeneration to exact greedy BPE
+    // and batched-vs-sequential-reference equality on random corpora.
+    QueryDef(
+      "q171_bpe_batched",
+      (s, d) => mergesBatched(s, d, passes = 16, m = 8),
+      Some(batchedOracle(16, 8)))
   )
 }

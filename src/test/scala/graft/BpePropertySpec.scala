@@ -103,4 +103,100 @@ class BpePropertySpec extends SparkSpec {
     val got = Bpe.mergesOf(docs, 4).collect()
     assert(got.length == 1, got.mkString(","))
   }
+
+  // ---- batched mode (q171) -------------------------------------------
+
+  /** Sequential reference for BATCHED-greedy BPE: per pass, count
+    * pairs, order by (count DESC, pair ASC), accept every pair that
+    * is the strongest for BOTH its symbols (⇔ no stronger pair shares
+    * a symbol), cap at m in greedy order, apply the accepted merges
+    * in that order (they are symbol-disjoint, so sequential equals
+    * simultaneous).
+    */
+  private def referenceBatchedBpe(words: Map[String, Long], passes: Int,
+      m: Int): Seq[(Int, Int, String, String, Long)] = {
+    var syms: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector } {
+        case (_, c) => c }(_ + _)
+    def applyMerge(l: String, r: String): Unit = {
+      syms = syms.toSeq.map { case (v, cw) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < v.length) {
+          if (j + 1 < v.length && v(j) == l && v(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += v(j); j += 1 }
+        }
+        (out.result(), cw)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    (1 to passes).flatMap { i =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      syms.foreach { case (v, c) =>
+        v.iterator.sliding(2).withPartial(false).foreach { p =>
+          pc((p.head, p(1))) = pc.getOrElse((p.head, p(1)), 0L) + c
+        }
+      }
+      val ordered = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }
+      def bestFor(sym: String): Option[(String, String)] =
+        ordered.collectFirst {
+          case ((a, b), _) if a == sym || b == sym => (a, b) }
+      val accepted = ordered
+        .filter { case ((a, b), _) =>
+          bestFor(a).contains((a, b)) && bestFor(b).contains((a, b)) }
+        .take(m)
+      accepted.zipWithIndex.map { case (((l, r), c), j) =>
+        applyMerge(l, r)
+        (i, j + 1, l, r, c)
+      }
+    }
+  }
+
+  test("batched merges equal the sequential batched reference") {
+    import spark.implicits._
+    val rnd = new Random(10171)
+    val alphabet = "abc"
+    for (trial <- 0 until 6) {
+      val nDocs = 2 + rnd.nextInt(6)
+      val docs = (0 until nDocs).map { _ =>
+        val nWords = 1 + rnd.nextInt(12)
+        (0 until nWords).map { _ =>
+          val len = 1 + rnd.nextInt(6)
+          (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val wordCounts = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+      val passes = 1 + rnd.nextInt(4)
+      val m = 1 + rnd.nextInt(3)
+      val want = referenceBatchedBpe(wordCounts, passes, m)
+      val got = Bpe.mergesBatchedOf(docs.toDF("text"), passes, m)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+          r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == want,
+        s"trial $trial (passes=$passes, m=$m, corpus=${docs.mkString(" | ")}" +
+          s"):\n got $got\nwant $want")
+    }
+  }
+
+  test("m = 1 batching degenerates to exact greedy BPE") {
+    import spark.implicits._
+    val rnd = new Random(11171)
+    val docs = (0 until 5).map { _ =>
+      (0 until 10).map { _ =>
+        val len = 1 + rnd.nextInt(5)
+        (0 until len).map(_ => "ab" (rnd.nextInt(2))).mkString
+      }.mkString(" ")
+    }
+    val k = 4
+    val exact = Bpe.mergesOf(docs.toDF("text"), k).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val batched = Bpe.mergesBatchedOf(docs.toDF("text"), k, 1).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(batched == exact, s"batched $batched\nexact $exact")
+  }
 }
