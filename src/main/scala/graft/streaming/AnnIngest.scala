@@ -55,6 +55,18 @@ object AnnIngest {
       .start()
   }
 
+  /** [[start]] with the centroid store resolved through the version
+    * manifest (family `ivf`, role `centroids`) — same restart-to-
+    * adopt contract as [[ClusterIngest.startFromManifest]].
+    */
+  def startFromManifest(vecs: DataFrame, manifest: String,
+      cellDir: String, checkpoint: String): StreamingQuery = {
+    val s = vecs.sparkSession
+    val (_, cur) =
+      graft.stores.StoreManifest.currentRequired(s, manifest, "ivf")
+    start(vecs, s.table(cur("centroids")), cellDir, checkpoint)
+  }
+
   /** Everything ingested so far (committed batches only), with `cell`
     * and `batch_id` as partition columns — `cell` filters prune at
     * the directory level.

@@ -50,6 +50,23 @@ object ClusterIngest {
       .start()
   }
 
+  /** [[start]] with the store pair resolved through the version
+    * manifest ([[graft.stores.StoreManifest.currentRequired]], family
+    * `dedup`): the deployment entry point — restarts pick up whatever
+    * version is live at start; versions published mid-stream apply on
+    * the next restart (the stream's checkpoint is offsets-only, so a
+    * restart is cheap and state-free by design).
+    */
+  def startFromManifest(docs: DataFrame, manifest: String,
+      outDir: String, checkpoint: String,
+      withinBatch: Boolean = false): StreamingQuery = {
+    val s = docs.sparkSession
+    val (_, cur) =
+      graft.stores.StoreManifest.currentRequired(s, manifest, "dedup")
+    start(docs, s.table(cur("band")), s.table(cur("comp")),
+      outDir, checkpoint, withinBatch)
+  }
+
   /** Read everything assigned so far (committed batches only — the
     * hidden tmp dirs are invisible to the reader by construction).
     */

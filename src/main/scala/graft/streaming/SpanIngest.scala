@@ -49,6 +49,19 @@ object SpanIngest {
       .start()
   }
 
+  /** [[start]] with the gram store resolved through the version
+    * manifest (family `gram`, role `grams`) — sum-on-read over the
+    * live table, same restart-to-adopt contract as
+    * [[ClusterIngest.startFromManifest]].
+    */
+  def startFromManifest(docs: DataFrame, manifest: String,
+      outDir: String, checkpoint: String): StreamingQuery = {
+    val s = docs.sparkSession
+    val (_, cur) =
+      graft.stores.StoreManifest.currentRequired(s, manifest, "gram")
+    start(docs, Dedup.readGramStore(s, cur("grams")), outDir, checkpoint)
+  }
+
   /** Read everything scored so far (committed batches only). */
   def readCoverage(spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame =

@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Dedup
+import graft.stores.StoreManifest
+import org.apache.spark.sql.functions._
+
+/** The versioned-store lifecycle mechanism (StoreManifest) under its
+  * three load-bearing claims:
+  *
+  *  1. `publish` is the ONLY commit point: pending versions are
+  *     invisible to `current`, half-written publishes loud-fail, and
+  *     vacuum never drops a table a surviving version references
+  *     (the shared append-in-place band table).
+  *  2. CRASH SAFETY: a refresh killed between its store writes and
+  *     `publish` leaves the old version current; the retry (a fresh
+  *     managed refresh) converges to the same store state a
+  *     crash-free run builds, and vacuum clears the orphan.
+  *  3. The streaming ingests resolve their stores through
+  *     `current` — the deployment path (SpanIngest shown; Cluster/
+  *     AnnIngest share the same three-line glue, and the soak spec
+  *     exercises all three families through managed stores).
+  */
+class StoreManifestSpec extends SparkSpec {
+
+  test("publish is the commit point; vacuum keeps shared tables") {
+    val wh = Files.createTempDirectory("graft_wh_sml").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS smlife LOCATION '$wh'")
+    val mf = "smlife.manifest"
+    try {
+      StoreManifest.init(spark, mf)
+      assert(StoreManifest.current(spark, mf, "fam").isEmpty)
+
+      val p1 = StoreManifest.prepare(spark, mf, "fam", Seq("a", "b"))
+      assert(p1.version === 1L)
+      assert(StoreManifest.current(spark, mf, "fam").isEmpty,
+        "a pending version must be invisible to readers")
+      // half-written publish (no tables yet) loud-fails
+      intercept[IllegalArgumentException] {
+        StoreManifest.publish(spark, mf, "fam", 1L)
+      }
+      Seq("a", "b").foreach(r => spark.range(1).write.mode("overwrite")
+        .format("parquet").saveAsTable(p1.tables(r)))
+      StoreManifest.publish(spark, mf, "fam", 1L)
+      assert(StoreManifest.current(spark, mf, "fam")
+        === Some((1L, p1.tables)))
+      intercept[IllegalArgumentException] { // double publish
+        StoreManifest.publish(spark, mf, "fam", 1L)
+      }
+      intercept[IllegalArgumentException] { // unknown version
+        StoreManifest.publish(spark, mf, "fam", 9L)
+      }
+
+      // v2 carries role `a` forward (append-in-place reuse)
+      val p2 = StoreManifest.prepare(spark, mf, "fam", Seq("a", "b"),
+        reuse = Map("a" -> p1.tables("a")))
+      assert(p2.tables("a") === p1.tables("a"))
+      spark.range(2).write.mode("overwrite").format("parquet")
+        .saveAsTable(p2.tables("b"))
+      StoreManifest.publish(spark, mf, "fam", p2.version)
+      assert(StoreManifest.currentRequired(spark, mf, "fam")._1 === 2L)
+
+      val dropped = StoreManifest.vacuum(spark, mf, "fam")
+      assert(dropped === Seq(p1.tables("b")),
+        s"vacuum must drop only v1's unshared table, got $dropped")
+      assert(spark.catalog.tableExists(p1.tables("a")),
+        "the table shared with the live version must survive vacuum")
+      assert(!spark.catalog.tableExists(p1.tables("b")))
+      val statuses = StoreManifest.statusReport(spark, mf)
+        .filter(col("family") === "fam")
+        .select(col("version"), col("status")).distinct()
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(statuses === Map(1L -> "vacuumed", 2L -> "live"))
+    } finally spark.sql("DROP DATABASE IF EXISTS smlife CASCADE")
+  }
+
+  test("kill between store write and publish: old version current, retry converges") {
+    val wh = Files.createTempDirectory("graft_wh_smc").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS smcrash LOCATION '$wh'")
+    val mf = "smcrash.manifest"
+    try {
+      val p1 = StoreManifest.publishDedup(spark, mf, sf001, buckets = 8)
+      val (v1, cur1) = StoreManifest.currentRequired(spark, mf, "dedup")
+      assert(v1 === 1L)
+
+      // a batch of genuinely new docs: clones of an sf slice under
+      // fresh ids (they near-dup-join the stored clusters)
+      def batch = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") % 11 === 5)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .select(col("doc_id"), col("text"))
+
+      // CRASHED refresh: all store writes complete, then the process
+      // dies before publish — exactly refreshDedup minus its last line
+      val pc = StoreManifest.prepare(spark, mf, "dedup", Seq("band", "comp"),
+        reuse = Map("band" -> cur1("band")))
+      Dedup.refreshStores(spark, batch, cur1("band"), cur1("comp"),
+        pc.tables("comp"))
+      // ---- crash here ----
+      assert(StoreManifest.currentRequired(spark, mf, "dedup")
+        === ((v1, cur1)),
+        "a crash before publish must leave the old version current")
+
+      // RETRY: the deployment's recovery is simply a fresh managed
+      // refresh of the same batch (the crashed append left the batch's
+      // band rows in the shared table — the documented replay case
+      // compaction cleans; labels must still converge)
+      val p2 = StoreManifest.refreshDedup(spark, mf, batch)
+      val (v2, cur2) = StoreManifest.currentRequired(spark, mf, "dedup")
+      assert(v2 === p2.version && cur2("comp") === p2.tables("comp"))
+
+      // convergence: equal to a crash-free control run
+      Dedup.writeBandStore(spark, sf001, "smcrash.ctrl_band", buckets = 8)
+      Dedup.writeComponentsStore(spark, sf001, "smcrash.ctrl_comp",
+        buckets = 8)
+      Dedup.refreshStores(spark, batch, "smcrash.ctrl_band",
+        "smcrash.ctrl_comp", "smcrash.ctrl_comp2")
+      val got = spark.table(cur2("comp")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = spark.table("smcrash.ctrl_comp2").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        "retried refresh must converge to the crash-free component store")
+      val gotBands = spark.table(cur2("band")).distinct().count()
+      val wantBands = spark.table("smcrash.ctrl_band").distinct().count()
+      assert(gotBands === wantBands,
+        "band facts must agree up to the replayed-append duplicates")
+
+      // vacuum clears the orphaned crash attempt and the retired v1
+      val dropped = StoreManifest.vacuum(spark, mf, "dedup")
+      assert(dropped.toSet === Set(pc.tables("comp"), cur1("comp")),
+        s"expected the orphan + retired comp tables dropped, got $dropped")
+      assert(spark.catalog.tableExists(cur2("band"))
+        && spark.catalog.tableExists(cur2("comp")))
+    } finally spark.sql("DROP DATABASE IF EXISTS smcrash CASCADE")
+  }
+
+  test("SpanIngest resolves the gram store via the manifest") {
+    val wh = Files.createTempDirectory("graft_wh_smi").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS smspan LOCATION '$wh'")
+    val mf = "smspan.manifest"
+    try {
+      import spark.implicits._
+      StoreManifest.publishGrams(spark, mf, sf001, buckets = 8)
+      val srcText = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") === 0L).select(col("text")).head().getString(0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      val docs = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("smi_out").toString
+      val ckpt = Files.createTempDirectory("smi_ckpt").toString
+      val q = graft.streaming.SpanIngest.startFromManifest(
+        docs.toDF().toDF("doc_id", "text"), mf, outDir, ckpt)
+      docs.addData((2000000L, srcText),
+        (2000001L, "zq zq unique words never in corpus a b c d e f g h"))
+      q.processAllAvailable(); q.stop()
+      val got = graft.streaming.SpanIngest.readCoverage(spark, outDir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(got(2000000L) === 1.0,
+        s"store clone must be fully covered through the manifest: $got")
+      assert(got(2000001L) === 0.0, s"novel text uncovered: $got")
+    } finally spark.sql("DROP DATABASE IF EXISTS smspan CASCADE")
+  }
+}
