@@ -260,6 +260,18 @@ object StoreManifest {
     p
   }
 
+  /** [[Dedup.refreshGramStore]] against the live gram table: an
+    * append-in-place installment (no version flip — the table is
+    * shared across versions exactly like the band table), guarded by
+    * the store's monotone batch watermark. Returns false for a
+    * replayed installment.
+    */
+  def refreshGrams(s: SparkSession, manifest: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val (_, cur) = currentRequired(s, manifest, "gram")
+    Dedup.refreshGramStore(s, batch, cur("grams"), batchId)
+  }
+
   /** [[Dedup.compactGramStore]] (sum-semantics) → next version. */
   def compactGrams(s: SparkSession, manifest: String): Prepared = {
     val (_, cur) = currentRequired(s, manifest, "gram")

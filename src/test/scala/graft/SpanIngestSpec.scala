@@ -108,13 +108,16 @@ class SpanIngestSpec extends SparkSpec {
       val docs = Tables(spark, sf001, "documents")
       // store from the subset, then fold the ingest installment in
       Dedup.gramFrequencies(docs.filter(col("doc_id") % 7 =!= 3))
+        .withColumn("batch_id", lit(0L))
         .repartition(8, col("gid"))
         .write.bucketBy(8, "gid").sortBy("gid")
         .format("parquet").mode("overwrite")
         .saveAsTable("gramstore3.grams_b")
-      Dedup.refreshGramStore(spark,
-        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"), col("text")),
-        "gramstore3.grams_b")
+      val installment =
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"), col("text"))
+      assert(Dedup.refreshGramStore(spark, installment,
+        "gramstore3.grams_b", batchId = 1L),
+        "a fresh installment must fold in")
 
       val oneShot = Dedup.gramFrequencies(docs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -123,6 +126,14 @@ class SpanIngestSpec extends SparkSpec {
       val summed = Dedup.readGramStore(spark, "gramstore3.grams_b")
       assert(asMap(summed) === oneShot,
         "sum-on-read after a refresh append must equal the one-shot store")
+
+      // REPLAY GUARD: re-delivering the same installment is a no-op —
+      // the store is idempotent per batch, not silently double-counted
+      assert(!Dedup.refreshGramStore(spark, installment,
+        "gramstore3.grams_b", batchId = 1L),
+        "a replayed installment must be refused by the watermark")
+      assert(asMap(Dedup.readGramStore(spark, "gramstore3.grams_b"))
+        === oneShot, "a replayed installment must not change the store")
       // the sum-on-read aggregate is bucket-local: no exchange
       val aggPlan = summed.queryExecution.executedPlan
       assert(aggPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
@@ -131,6 +142,11 @@ class SpanIngestSpec extends SparkSpec {
       Dedup.compactGramStore(spark, "gramstore3.grams_b", "gramstore3.grams_c")
       assert(asMap(Dedup.readGramStore(spark, "gramstore3.grams_c")) === oneShot,
         "compaction must preserve the summed frequencies")
+      // the watermark survives compaction: the replayed batch is still
+      // refused against the compacted table
+      assert(!Dedup.refreshGramStore(spark, installment,
+        "gramstore3.grams_c", batchId = 1L),
+        "compaction must carry the replay watermark forward")
       // one file per non-empty bucket after compaction
       val files = spark.table("gramstore3.grams_c").inputFiles
       assert(files.length <= 8, s"expected <= 8 files, got ${files.length}")
