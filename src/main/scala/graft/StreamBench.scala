@@ -319,6 +319,44 @@ object StreamBench {
     Result("span_ingest", events / secs, events, secs, scored)
   }
 
+  /** Streaming boilerplate STRIP: the 7th pipeline — each micro-batch
+    * rewrites its docs against the persisted gram store
+    * ([[graft.streaming.SpanIngest.startWithStrip]], q175's
+    * operator), landing cleaned text + fingerprints. Same 1:1
+    * clone/novel feed as span_ingest, so every batch exercises both
+    * the full-strip and pass-through paths; throughput is directly
+    * comparable to span_ingest's score-only number (the delta is the
+    * token filter + text rebuild + landing the rebuilt strings).
+    */
+  def benchSpanStrip(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val wh = Files.createTempDirectory(base.toPath, "wh_sb_ss").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sbss LOCATION '$wh'")
+    graft.operators.Dedup.writeGramStore(spark, "/root/testdata/sf0.001",
+      "sbss.grams_b")
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def doc(i: Long): (Long, String) =
+      if (i % 2 == 0) (2000000L + i, corpus((i / 2 % corpus.length).toInt)._2)
+      else (2000000L + i,
+        (0 until 40).map(w => s"nw${(i * 37 + w * 11) % 99991}").mkString(" "))
+
+    val docs = MemoryStream[(Long, String)]
+    val outDir = Files.createTempDirectory(base.toPath, "sb_ss_out").toString
+    val q = graft.streaming.SpanIngest.startWithStrip(
+      docs.toDF().toDF("doc_id", "text"),
+      spark.table("sbss.grams_b"), outDir, ckptDir(base, "ss"))
+    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
+    q.stop()
+    val stripped = graft.streaming.SpanIngest
+      .readStripped(spark, outDir).count()
+    spark.sql("DROP DATABASE IF EXISTS sbss CASCADE")
+    Result("span_strip", events / secs, events, secs, stripped)
+  }
+
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
@@ -341,13 +379,14 @@ object StreamBench {
     val clustering = benchClustering(spark, base, n / 20L, batch / 20L)
     val annIngest = benchAnnIngest(spark, base, n / 20L, batch / 20L)
     val spanIngest = benchSpanIngest(spark, base, n / 20L, batch / 20L)
+    val spanStrip = benchSpanStrip(spark, base, n / 20L, batch / 20L)
 
     val json =
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
         s""""unit":"events/sec","events":${alert.events},"secs":${alert.secs},""" +
         s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
         s"""${trending.json},${curation.json},${clustering.json},""" +
-        s"""${annIngest.json},${spanIngest.json}}""" +
+        s"""${annIngest.json},${spanIngest.json},${spanStrip.json}}""" +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")

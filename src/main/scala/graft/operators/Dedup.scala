@@ -1078,6 +1078,56 @@ object Dedup {
           / col("n_tokens").cast("double"), 6).as("coverage"))
   }
 
+  /** Incremental boilerplate STRIP against the persisted gram store —
+    * q170's rewrite for an ingest batch, the transform
+    * [[graft.streaming.SpanIngest.startWithStrip]] deploys per
+    * micro-batch. Dup marking is `store_df + batch_df ≥ 2`
+    * ([[spanCoverageAgainstStore]]'s rule — equal to the full-corpus
+    * recompute by installment disjointness, the q166/q175 claim);
+    * docs whose coverage EXCEEDS `minCoverage` get their islands
+    * stripped, docs at or below pass through verbatim (0.0 strips
+    * every island — exactly q170; a curation deployment typically
+    * strips only heavy-boilerplate docs and lets light duplication
+    * ride). Same cost shape as the scorer: linear marking, one
+    * delta-sized store lookup, islands and the token filter doc-local.
+    *
+    * Output: (doc_id, n_tokens, dup_tokens, coverage, n_kept,
+    * clean_text, clean_fp) — fingerprint via the native md5long, so
+    * the rewrite is provable per batch without shipping text around.
+    */
+  def stripAgainstStore(batch: DataFrame, gramStore: DataFrame,
+      minCoverage: Double = 0.0): DataFrame = {
+    graft.functions.Md5Long.register(batch.sparkSession)
+    val tok = tokenizedDocs(batch)
+    val occ = positionedGrams(tok)
+    val bdf = occ.select(col("gid"), col("doc_id")).distinct()
+      .groupBy(col("gid")).agg(count(lit(1)).as("bdf"))
+    val dupG = bdf
+      .join(gramStore.select(col("gid"), col("df")), Seq("gid"), "left")
+      .filter(col("bdf") + coalesce(col("df"), lit(0L)) >= 2)
+      .select(col("gid"))
+    val isl = islandsFrom(occ.join(dupG, "gid"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("a"), max(col("end")).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("a"), col("b"))).as("isl"),
+        sum(col("b") - col("a") + 1).as("dup"))
+    tok.join(isl, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup"), lit(0L)))
+      .withColumn("coverage",
+        round(col("dup_tokens").cast("double")
+          / col("n_tokens").cast("double"), 6))
+      .withColumn("kept",
+        when(col("isl").isNull || col("coverage") <= lit(minCoverage),
+          col("t"))
+          .otherwise(expr(
+            "filter(t, (x, i) -> not exists(isl, s -> i + 1 >= s.a and i + 1 <= s.b))")))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        col("coverage"), size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        expr("md5long(concat_ws(' ', kept))").as("clean_fp"))
+  }
+
   /** The q164/q165 oracle chain: tokens → positioned 8-gram gids →
     * cross-doc duplicated gids → marked intervals → islands.
     */
@@ -2721,6 +2771,49 @@ object Dedup {
               |  ('0x' || substr(md5(coalesce(reb.clean, '')), 1, 15))::BIGINT
               |    AS clean_fp
               |FROM t LEFT JOIN reb ON reb.doc_id = t.doc_id"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- q175: incremental strip == full-corpus strip --------------------
+    // [[stripAgainstStore]] under the hash gate, the q166 pattern for
+    // the REWRITE instead of the score: the batch (doc_id % 7 == 3)
+    // is stripped against the store subset's gram frequencies, and
+    // the result — token counts and the md5long fingerprint of the
+    // rebuilt text — must equal q170's full-corpus strip restricted
+    // to the batch docs. Equality is by construction (disjoint doc
+    // sets ⇒ store_df + batch_df is the full df), and this pins it
+    // bit-for-bit including the rebuilt-string fingerprints. This is
+    // the batch transform SpanIngest.startWithStrip deploys per
+    // micro-batch.
+    QueryDef(
+      "q175_strip_ingest",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val store = gramFrequencies(docs.filter(col("doc_id") % 7 =!= 3))
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        stripAgainstStore(batch, store)
+          .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+            col("clean_fp"))
+      },
+      Some(s"""WITH $dupSpanChainSql,
+              |sp AS (SELECT doc_id, island, min(s) AS a, max(e) AS b
+              |       FROM i GROUP BY 1, 2),
+              |pos AS (SELECT t.doc_id, t.n_tokens, g.p, t.toks[g.p] AS tok
+              |        FROM t, UNNEST(generate_series(1, len(t.toks))) AS g(p)
+              |        WHERE t.doc_id % 7 = 3),
+              |kept AS (SELECT pos.* FROM pos
+              |         WHERE NOT EXISTS (SELECT 1 FROM sp
+              |                           WHERE sp.doc_id = pos.doc_id
+              |                             AND pos.p BETWEEN sp.a AND sp.b)),
+              |reb AS (SELECT doc_id,
+              |          coalesce(string_agg(tok, ' ' ORDER BY p), '') AS clean,
+              |          count(*) AS n_kept
+              |        FROM kept GROUP BY doc_id)
+              |SELECT t.doc_id, t.n_tokens,
+              |  coalesce(reb.n_kept, 0) AS n_kept,
+              |  ('0x' || substr(md5(coalesce(reb.clean, '')), 1, 15))::BIGINT
+              |    AS clean_fp
+              |FROM t LEFT JOIN reb ON reb.doc_id = t.doc_id
+              |WHERE t.doc_id % 7 = 3""".stripMargin))
   )
 }

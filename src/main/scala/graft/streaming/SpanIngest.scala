@@ -49,6 +49,42 @@ object SpanIngest {
       .start()
   }
 
+  val strippedSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, n_tokens BIGINT, dup_tokens BIGINT, coverage DOUBLE, " +
+      "n_kept BIGINT, clean_text STRING, clean_fp BIGINT, batch_id BIGINT")
+
+  /** The strip deployment — [[Dedup.stripAgainstStore]] (q175's
+    * operator) per micro-batch: lands coverage AND the cleaned text
+    * (islands stripped for docs whose coverage exceeds
+    * `minCoverage`), with the md5long fingerprint of the rebuilt
+    * text alongside so every landed batch is rewrite-PROVABLE without
+    * re-reading it. Same contracts as [[start]]: offsets-only
+    * checkpoint, atomic per-batch landing, store refreshed
+    * out-of-band.
+    */
+  def startWithStrip(docs: DataFrame, gramStore: DataFrame,
+      outDir: String, checkpoint: String,
+      minCoverage: Double = 0.0): StreamingQuery = {
+    AtomicLanding.sweepStale(docs.sparkSession, outDir)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        AtomicLanding.publish(
+          Dedup.stripAgainstStore(batch, gramStore, minCoverage),
+          outDir, id)
+      }
+      .start()
+  }
+
+  /** Read everything stripped so far (committed batches only). */
+  def readStripped(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    spark.read.schema(strippedSchema).parquet(outDir)
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        col("coverage"), col("n_kept"), col("clean_text"), col("clean_fp"),
+        col("batch_id"))
+
   /** [[start]] with the gram store resolved through the version
     * manifest (family `gram`, role `grams`) — sum-on-read over the
     * live table, same restart-to-adopt contract as

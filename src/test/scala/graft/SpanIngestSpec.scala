@@ -198,4 +198,58 @@ class SpanIngestSpec extends SparkSpec {
       assert(got.size === 4)
     } finally spark.sql("DROP DATABASE IF EXISTS sistore CASCADE")
   }
+
+  test("streaming strip lands cleaned text with provable fingerprints") {
+    val wh = Files.createTempDirectory("graft_wh_ss").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ssstore LOCATION '$wh'")
+    try {
+      import spark.implicits._
+      graft.functions.Md5Long.register(spark)
+      Dedup.writeGramStore(spark, sf001, "ssstore.grams_b", buckets = 8)
+      val srcText = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") === 0L).select(col("text")).head().getString(0)
+      val novel = "uq uq words never in corpus at all a b c d e f g h i"
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      val docs = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("ss_out").toString
+      val ckpt = Files.createTempDirectory("ss_ckpt").toString
+      val q = graft.streaming.SpanIngest.startWithStrip(
+        docs.toDF().toDF("doc_id", "text"),
+        spark.table("ssstore.grams_b"), outDir, ckpt)
+      docs.addData((3000000L, srcText), (3000001L, novel))
+      q.processAllAvailable(); q.stop()
+
+      val landed = graft.streaming.SpanIngest.readStripped(spark, outDir)
+      val rows = landed.collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4),
+          r.getString(5)))).toMap
+      // the stored clone is 100% boilerplate: everything stripped
+      assert(rows(3000000L)._1 === 1.0 && rows(3000000L)._2 === 0L
+        && rows(3000000L)._3 === "", s"clone must strip to empty: $rows")
+      // the novel doc passes through verbatim
+      assert(rows(3000001L)._1 === 0.0 && rows(3000001L)._3 === novel,
+        s"novel text must pass through: $rows")
+      // per-batch rewrite provability: every landed fingerprint
+      // matches a recompute over the landed clean text
+      assert(landed
+        .filter(expr("md5long(clean_text)") =!= col("clean_fp"))
+        .count() === 0L, "landed fingerprints must prove the rewrite")
+
+      // threshold semantics: minCoverage above any real coverage
+      // disables the strip — the clone rides through untouched
+      val outDir2 = Files.createTempDirectory("ss_out2").toString
+      val ckpt2 = Files.createTempDirectory("ss_ckpt2").toString
+      val docs2 = MemoryStream[(Long, String)]
+      val q2 = graft.streaming.SpanIngest.startWithStrip(
+        docs2.toDF().toDF("doc_id", "text"),
+        spark.table("ssstore.grams_b"), outDir2, ckpt2, minCoverage = 1.1)
+      docs2.addData((3000002L, srcText))
+      q2.processAllAvailable(); q2.stop()
+      val kept = graft.streaming.SpanIngest.readStripped(spark, outDir2)
+        .collect().map(r => (r.getDouble(3), r.getString(5))).head
+      assert(kept === ((1.0, srcText)),
+        "below-threshold docs must keep their text (coverage still scored)")
+    } finally spark.sql("DROP DATABASE IF EXISTS ssstore CASCADE")
+  }
 }
