@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Dedup, Similarity}
+import graft.stores.StoreManifest
+import graft.streaming.AtomicLanding
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** FULL-LOOP incremental soak (the round-9 verdict's item 5): three
+  * cycles of ingest → assign/score/land → refresh → compact → vacuum,
+  * run across ALL THREE store families through the manifest-managed
+  * paths, with the closed-form invariant of each family re-verified
+  * after every cycle:
+  *
+  *  - dedup:  the component store's partition structure equals a
+  *            from-scratch transitive closure over everything
+  *            ingested so far (q152's claim, replayed per cycle and
+  *            across a mid-loop compaction);
+  *  - gram:   sum-on-read equals a one-shot recount of the whole
+  *            corpus (q167's claim), with the replay guard refusing
+  *            each batch's re-delivery;
+  *  - ivf:    the folded cell store is bit-equal to assigning every
+  *            vector under the fixed centroids (row-locality —
+  *            q154/q155's claim), and the final warm-start retrain
+  *            conserves every vector through the churn report.
+  *
+  * RefreshPropertySpec replays the dedup family alone; this is the
+  * cross-family soak, and every store resolve goes through
+  * StoreManifest.current — so it also exercises version flips,
+  * shared-table reuse, and vacuum under continuous load.
+  */
+class IncrementalSoakSpec extends SparkSpec {
+
+  private def partitions(labels: Iterable[(Long, Long)]): Set[Set[Long]] =
+    labels.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+
+  test("3 cycles across dedup + gram + ivf stores, invariants green each cycle") {
+    val wh = Files.createTempDirectory("graft_wh_soak").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS soak LOCATION '$wh'")
+    val mf = "soak.manifest"
+    try {
+      val docs0 = Tables(spark, sf001, "documents")
+        .select(col("doc_id"), col("text"))
+      val vecs0 = Tables(spark, sf001, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+      StoreManifest.publishDedup(spark, mf, sf001, buckets = 8)
+      StoreManifest.publishGrams(spark, mf, sf001, buckets = 8)
+      StoreManifest.publishIvf(spark, mf, sf001)
+
+      var corpus: DataFrame = docs0.localCheckpoint(true)
+      var allVecs: DataFrame = vecs0.localCheckpoint(true)
+
+      for (c <- 1 to 3) {
+        val batch = docs0.filter(col("doc_id") % 7 === (c % 7).toLong)
+          .select((col("doc_id") + c * 1000000L).as("doc_id"), col("text"))
+          .localCheckpoint(true)
+        val vbatch = vecs0.filter(col("vec_id") % 5 === 2)
+          .select((col("vec_id") + c * 1000000L).as("vec_id"), col("v"))
+          .localCheckpoint(true)
+
+        // ---- ingest + refresh, all through the manifest ----
+        StoreManifest.refreshDedup(spark, mf, batch)
+        assert(StoreManifest.refreshGrams(spark, mf, batch, c.toLong),
+          s"cycle $c gram installment must fold")
+        assert(!StoreManifest.refreshGrams(spark, mf, batch, c.toLong),
+          s"cycle $c replay must be refused")
+        val cellDir = Files.createTempDirectory(s"soak_cells_$c").toString
+        val cents = spark.table(
+          StoreManifest.currentRequired(spark, mf, "ivf")._2("centroids"))
+        AtomicLanding.publish(
+          Similarity.assignCells(vbatch, cents).join(vbatch, "vec_id")
+            .select(col("vec_id"), col("cell"), col("v")),
+          cellDir, c.toLong, Seq("cell"))
+        StoreManifest.foldIvfCells(spark, mf, cellDir)
+
+        corpus = corpus.unionByName(batch).localCheckpoint(true)
+        allVecs = allVecs.unionByName(vbatch).localCheckpoint(true)
+
+        // ---- mid-loop maintenance ----
+        if (c == 2) {
+          StoreManifest.compactDedup(spark, mf)
+          StoreManifest.compactGrams(spark, mf)
+        }
+        Seq("dedup", "gram", "ivf")
+          .foreach(f => StoreManifest.vacuum(spark, mf, f))
+
+        // ---- invariant 1: dedup closure equality ----
+        val cur = StoreManifest.currentRequired(spark, mf, "dedup")._2
+        val stored = spark.table(cur("comp")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+        val control = Dedup.propagate(
+          Dedup.pairsFromBands(Dedup.bandSignatures(corpus)))._1
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        assert(partitions(stored) === partitions(control),
+          s"cycle $c: store partitions must equal the from-scratch closure")
+
+        // ---- invariant 2: gram sum-on-read == one-shot recount ----
+        val gcur = StoreManifest.currentRequired(spark, mf, "gram")._2
+        val summed = Dedup.readGramStore(spark, gcur("grams")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val recount = Dedup.gramFrequencies(corpus).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(summed === recount,
+          s"cycle $c: gram store must equal the one-shot recount")
+
+        // ---- invariant 3: ivf cells bit-equal to full reassign ----
+        val icur = StoreManifest.currentRequired(spark, mf, "ivf")._2
+        val storedCells = spark.table(icur("cells"))
+          .select(col("vec_id"), col("cell")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val reassign = Similarity.assignCells(allVecs,
+          spark.table(icur("centroids"))).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(storedCells === reassign,
+          s"cycle $c: folded cells must be bit-equal to a full reassign")
+      }
+
+      // ---- final: warm-start retrain conserves every vector ----
+      val empty = spark.emptyDataFrame
+        .sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          spark.table(StoreManifest.currentRequired(spark, mf, "ivf")
+            ._2("cells")).select(col("vec_id"), col("cell"), col("v")).schema)
+      val (_, churn) = StoreManifest.retrainIvf(spark, mf, empty)
+      val moved = churn.agg(sum(col("n_vecs"))).head().getLong(0)
+      val total = allVecs.count()
+      assert(moved === total,
+        s"retrain churn must conserve all $total vectors, saw $moved")
+      val icur = StoreManifest.currentRequired(spark, mf, "ivf")._2
+      assert(spark.table(icur("cells")).count() === total)
+
+      // the manifest reflects three refresh versions + maintenance
+      val versions = StoreManifest.statusReport(spark, mf)
+        .filter(col("status") === "live")
+        .select(col("family"), col("version")).distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(versions("dedup") === 5L, s"dedup: v1 +3 refresh +compact: $versions")
+      assert(versions("gram") === 2L, s"gram: v1 +compact: $versions")
+      assert(versions("ivf") === 5L, s"ivf: v1 +3 folds +retrain: $versions")
+    } finally spark.sql("DROP DATABASE IF EXISTS soak CASCADE")
+  }
+}
