@@ -127,7 +127,19 @@ object SkewBench {
     // |distinct spans| row (never a pair set), and q168's source
     // rollup stays a broadcast join over the linear marks
     "q164_dup_span_coverage", "q165_boilerplate_spans",
-    "q168_source_boilerplate")
+    "q168_source_boilerplate",
+    // round-10: the incremental strip (q175) rides the same linear
+    // marking against a store-subset split — the rewrite must stay
+    // occurrence-proportional under the hot block exactly like the
+    // score; and the perceptual-hash family: q172 is a pure
+    // projection (skew-immune by construction — the timing pins
+    // that), while q173's banded hamming join meets its adversary
+    // head-on: the 1000-doc near-identical cluster collapses into
+    // ONE dHash band bucket, so the candidate set is the hot
+    // block's C(1000,2)-ish pair mass — the same output-bound shape
+    // q36 carries, split across 4 band keys and AQE skew handling,
+    // never an all-pairs corpus scan
+    "q172_phash", "q173_phash_neardup", "q175_strip_ingest")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()
