@@ -9,6 +9,28 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Prune-proof bench action (round-10 finding): `count()` lets the
+    * optimizer DELETE a query's final enrichment join — a LEFT JOIN
+    * whose right side is a per-key aggregate is provably
+    * cardinality-preserving, and with no columns demanded the whole
+    * joined subtree vanishes. q164's 17.5M-row marking chain
+    * benchmarked as a bare parquet scan count (0.3 s) that way, and
+    * every left-join-then-project query shape shares the hole. Hashing
+    * EVERY output column before counting forces the complete plan
+    * while adding one codegen'd xxhash64 per row — the timings are
+    * the query, not the optimizer's opinion of what a count needs.
+    * (The aggregate is bit_xor of the hashes — count(h) would fold
+    * back to count(1) for a non-nullable hash and re-open the hole;
+    * xor neither overflows nor prunes.)
+    */
+  def force(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+    import org.apache.spark.sql.functions.bit_xor
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"), bit_xor(col("h")))
+      .head().getLong(0)
+  }
+
   /** (load1, load5, load15, uptime_sec) from /proc — recorded INTO the
     * artifact because this VM shares a host: the same HEAD has
     * measured 69.3 s idle vs 86.0 s at load ~2.4 (round 8), so a
@@ -70,7 +92,7 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("q1_agg", "q20_sliding_alert", "q35_ngram_jaccard", "q40_knn_brute")
       .foreach(n => SparkEntry.queries.get(n).foreach { f =>
-        try f(spark, sfDir).count() catch { case _: Throwable => () }
+        try force(f(spark, sfDir)) catch { case _: Throwable => () }
       })
 
     // Optional comma-separated subset for local iteration, e.g.
@@ -104,7 +126,7 @@ object Bench {
       // failure and keep its timing out of min-of-N, so a regression
       // that breaks a query surfaces as an "errors" entry instead of
       // a suite speedup.
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { force(fn(spark, sfDir)); true } catch {
         case t: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
           false

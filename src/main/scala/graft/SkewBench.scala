@@ -165,7 +165,9 @@ object SkewBench {
     writeCorpus(spark, dir, nDocs, nVecs)
 
     // Same timing discipline as [[Bench]]: drain the ContextCleaner
-    // between queries, min-of-N, count() as the action.
+    // between queries, min-of-N, Bench.force as the action (hash
+    // every output column — a bare count() lets the optimizer delete
+    // final enrichment joins; see Bench.force).
     // optional comma-separated subset for single-query iteration
     val subset = sys.env.get("SPARK_GRAFT_SKEW_ONLY")
       .map(_.split(",").toSet)
@@ -174,7 +176,7 @@ object SkewBench {
     val raw = selected.map { name =>
       System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(500)
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
+      val n = Bench.force(SparkEntry.queries(name)(spark, dir))
       (name, (System.nanoTime() - t0) / 1e9, n)
     }
     val byName = raw.groupBy(_._1).toSeq.sortBy(_._1)

@@ -560,18 +560,22 @@ object Similarity {
         val cellCol = (0 to 3).map { p =>
           when(planeDot(col("v"), p) > 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
+        // the vector rides IN the pair struct (the q173 idiom), so
+        // the exact rerank is a codegen'd filter on the pair stream —
+        // no joins back to the corpus. On the skew corpus the hot
+        // cell's ~2M candidate pairs previously shuffled through TWO
+        // vec_id joins just to fetch their endpoints' vectors
+        // (measured 4.6 s); carrying 64 doubles per member through
+        // saltedPairs' chunk blocks costs ~256 KB per hot block and
+        // deletes both joins (2.0 s).
         val cells = e.select(cellCol.as("cell"),
-          struct(col("vec_id").as("id")).as("m"))
-        val pairs = saltedPairs(cells, Seq("cell"), 4)
-          .select(col("pa.id").as("ia"), col("pb.id").as("ib"))
-        pairs
-          .join(e.select(col("vec_id").as("ia"), col("v").as("qv")), "ia")
-          .join(e.select(col("vec_id").as("ib"), col("v").as("cv")), "ib")
-          .withColumn("sim", expr("cosine_sim(qv, cv)"))
+          struct(col("vec_id").as("id"), col("v")).as("m"))
+        saltedPairs(cells, Seq("cell"), 4)
+          .withColumn("sim", expr("cosine_sim(pa.v, pb.v)"))
           .filter(col("sim") >= 0.4)
-          .groupBy(col("ib").as("vec_id"))
-          .agg(min(col("ia")).as("keeper"),
-            round(expr("min_by(sim, ia)"), 4).as("sim"))
+          .groupBy(col("pb.id").as("vec_id"))
+          .agg(min(col("pa.id")).as("keeper"),
+            round(expr("min_by(sim, pa.id)"), 4).as("sim"))
       },
       Some {
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -338,7 +338,15 @@ object StoreManifest {
         Seq(mf, s"${mf}_demo_v1_band", s"${mf}_demo_v1_comp",
           s"${mf}_demo_v2_comp", s"${mf}_demo_v3_band",
           s"${mf}_demo_v3_comp")
-          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            // a killed earlier run can leave the warehouse DIRECTORY
+            // without its catalog entry — CREATE then fails with
+            // LOCATION_ALREADY_EXISTS; sweep the physical leftover too
+            val p = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), t)
+            p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+          }
         init(s, mf)
         val p1 = prepare(s, mf, "demo", Seq("band", "comp"))
         Seq("band", "comp").foreach(r => s.range(1).write.mode("overwrite")

@@ -17,6 +17,11 @@ object ProfileQ165 {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // mirror Bench/SkewBench: tmpfs shuffle dirs, or the stage
+      // timings measure /tmp writeback stalls instead of the plan
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -62,6 +67,10 @@ object ProfileQ165 {
       // reference: the full q165 as registered
       time("4 full q165 (collect)") {
         SparkEntry.queries("q165_boilerplate_spans")(spark, dir).collect()
+      }
+      // calibration: sibling q164 (same island chain, no report half)
+      time("5 q164 as registered (count)") {
+        SparkEntry.queries("q164_dup_span_coverage")(spark, dir).count()
       }
     }
     spark.stop()
