@@ -439,4 +439,17 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // combination explode (no posting-list collect feeds a Generate)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q53/q173 rerank their pairs with NO join back to the corpus") {
+    // the round-10 shape: payload/vector data rides IN the salted
+    // pair struct, so the exact verify (cosine / hamming) is a
+    // codegen'd filter on the pair stream — a refactor that
+    // reintroduces the fetch-the-endpoints join (2 × |pairs| rows
+    // shuffled on the skew corpus) fails here
+    for (q <- Seq("q53_semdedup", "q173_phash_neardup")) {
+      val p = planOf(q).split("== Initial Plan ==").head
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q must not join the pair stream back to the corpus:\n$p")
+    }
+  }
 }
