@@ -30,14 +30,26 @@ def extract(path):
             d = parsed
         else:
             tail = d.get("tail", "")
-            i = tail.index('{"q')
-            depth, j = 0, i
-            for j in range(i, len(tail)):
-                depth += tail[j] == "{"
-                depth -= tail[j] == "}"
-                if depth == 0:
-                    break
-            rebuilt = {"queries": json.loads(tail[i:j + 1])}
+            try:
+                i = tail.index('{"q')
+                depth, j = 0, i
+                for j in range(i, len(tail)):
+                    depth += tail[j] == "{"
+                    depth -= tail[j] == "}"
+                    if depth == 0:
+                        break
+                qs = json.loads(tail[i:j + 1])
+            except ValueError:
+                # tail cut at the FRONT (starts mid-object, e.g.
+                # BENCH_r09): regex-salvage whatever pairs survive and
+                # report a PARTIAL comparison instead of crashing
+                import re
+                qs = {m.group(1): float(m.group(2)) for m in
+                      re.finditer(r'"(q\d+[a-z_]*)":([0-9][0-9.]*)', tail)}
+                j = len(tail)
+                print(f"NOTE: {path} tail is front-truncated — "
+                      f"salvaged {len(qs)} per-query entries (partial)")
+            rebuilt = {"queries": qs}
             # the tail may also carry the load fields AFTER the queries
             # object — recover them, or load_verdict() would misreport
             # a load-contaminated run as merely "unrecorded"
