@@ -277,7 +277,7 @@ object Multimodal {
     * per row, the same O(bytes) any content hash pays, and the whole
     * thing stays a codegen'd projection.
     */
-  private[operators] def phashFrame(
+  private[graft] def phashFrame(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one row per payload byte (the q51 hex-pair decode), with its
@@ -288,28 +288,23 @@ object Multimodal {
     // into minutes of per-row recomputation; rows + aggregates keep
     // every step linear and let the doc_id hash partitioning carry
     // the whole chain with ordinary exchanges
-    val base = docs.select(col("doc_id"),
-      hex(col("text").cast("binary")).as("hx"),
-      length(col("text").cast("binary")).cast("long").as("n_bytes"))
-    val bytes = base
-      .select(col("doc_id"), col("n_bytes"), posexplode(expr(
-        """transform(sequence(1, cast(n_bytes as int)),
-          |  p -> cast(conv(substring(hx, 2 * p - 1, 2), 16, 10) as int))"""
-          .stripMargin)).as(Seq("p0", "bv")))
-    // block of 0-based position p0 = (p0 · 64) div n — the same
-    // partition DuckDB's ((p-1)·64) // n induces; integer mean per
-    // block, absent blocks (payloads under 64 bytes) read as 0 on
-    // both engines via the 64-slot grid fill
-    val bm0 = bytes
-      .withColumn("blk", expr("cast((p0 * 64) div n_bytes as int)"))
-      .groupBy(col("doc_id"), col("blk"))
-      .agg(expr("cast(sum(bv) div count(1) as int)").as("bv"))
-    val grid = base.select(col("doc_id"), col("n_bytes"),
-      explode(expr("sequence(0, 63)")).as("blk"))
+    // the 64 block means come from ONE fused native pass over the
+    // payload bytes ([[graft.functions.BlockMeans]] — a per-byte
+    // conv(substring(hex…)) decode chain cost ~4.2 s of the 4.5 s
+    // query at sf0.1; the native reducer makes it free, and it is
+    // the decoder seam anyway), then one generate row per
+    // (payload, block) — 64·|payloads| rows — carries every
+    // downstream exchange. Block partition inside the expression is
+    // (i·64) div n, identical to DuckDB's ((p-1)·64) // n; empty
+    // blocks (payloads under 64 bytes) read 0 on both engines.
+    graft.functions.BlockMeans.register(docs.sparkSession)
+    val bm0 = docs
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        posexplode(expr("block_means64(text)")).as(Seq("blk", "bv")))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("blk"))
     val wAll = Window.partitionBy(col("doc_id"))
-    val bits = grid.join(bm0, Seq("doc_id", "blk"), "left")
-      .withColumn("bv", coalesce(col("bv"), lit(0)))
+    val bits = bm0
       .withColumn("nbv", // circular neighbor: block 63 wraps to 0
         coalesce(lead(col("bv"), 1).over(wOrd),
           first(col("bv")).over(wOrd)))
