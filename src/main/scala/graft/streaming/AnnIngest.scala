@@ -67,6 +67,19 @@ object AnnIngest {
     start(vecs, s.table(cur("centroids")), cellDir, checkpoint)
   }
 
+  /** [[search]] with both halves of the store pair resolved through
+    * the version manifest (family `ivf`) — the serving-side twin of
+    * [[startFromManifest]].
+    */
+  def searchFromManifest(spark: SparkSession, queries: DataFrame,
+      manifest: String, cellDir: String,
+      nprobe: Int = 2, k: Int = 1): DataFrame = {
+    val (_, cur) =
+      graft.stores.StoreManifest.currentRequired(spark, manifest, "ivf")
+    search(spark, queries, spark.table(cur("centroids")),
+      spark.table(cur("cells")), cellDir, nprobe, k)
+  }
+
   /** Everything ingested so far (committed batches only), with `cell`
     * and `batch_id` as partition columns — `cell` filters prune at
     * the directory level.

@@ -77,6 +77,19 @@ object SpanIngest {
       .start()
   }
 
+  /** [[startWithStrip]] with the gram store resolved through the
+    * version manifest — the strip deployment's production entry.
+    */
+  def startWithStripFromManifest(docs: DataFrame, manifest: String,
+      outDir: String, checkpoint: String,
+      minCoverage: Double = 0.0): StreamingQuery = {
+    val s = docs.sparkSession
+    val (_, cur) =
+      graft.stores.StoreManifest.currentRequired(s, manifest, "gram")
+    startWithStrip(docs, Dedup.readGramStore(s, cur("grams")),
+      outDir, checkpoint, minCoverage)
+  }
+
   /** Read everything stripped so far (committed batches only). */
   def readStripped(spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame =

@@ -160,6 +160,19 @@ class StoreManifestSpec extends SparkSpec {
       assert(got(2000000L) === 1.0,
         s"store clone must be fully covered through the manifest: $got")
       assert(got(2000001L) === 0.0, s"novel text uncovered: $got")
+
+      // the strip deployment resolves through the same manifest
+      val docs2 = MemoryStream[(Long, String)]
+      val outDir2 = Files.createTempDirectory("smi_out2").toString
+      val ckpt2 = Files.createTempDirectory("smi_ckpt2").toString
+      val q2 = graft.streaming.SpanIngest.startWithStripFromManifest(
+        docs2.toDF().toDF("doc_id", "text"), mf, outDir2, ckpt2)
+      docs2.addData((2000002L, srcText))
+      q2.processAllAvailable(); q2.stop()
+      val stripped = graft.streaming.SpanIngest.readStripped(spark, outDir2)
+        .collect().map(r => (r.getLong(4), r.getString(5))).head
+      assert(stripped === ((0L, "")),
+        s"manifest-resolved strip must empty the stored clone: $stripped")
     } finally spark.sql("DROP DATABASE IF EXISTS smspan CASCADE")
   }
 }
