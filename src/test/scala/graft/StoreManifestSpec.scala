@@ -136,6 +136,52 @@ class StoreManifestSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS smcrash CASCADE")
   }
 
+  test("kill INSIDE the store writes (band landed, comp failed): retry converges") {
+    val wh = Files.createTempDirectory("graft_wh_smm").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS smmid LOCATION '$wh'")
+    val mf = "smmid.manifest"
+    try {
+      StoreManifest.publishDedup(spark, mf, sf001, buckets = 8)
+      val (v1, cur1) = StoreManifest.currentRequired(spark, mf, "dedup")
+      def batch = Tables(spark, sf001, "documents")
+        .filter(col("doc_id") % 13 === 4)
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .select(col("doc_id"), col("text"))
+
+      // refreshStores writes the band append FIRST, then the comp
+      // roll-forward — pointing the comp target at a nonexistent
+      // database makes the refresh die exactly between the two, the
+      // messiest crash point (delta facts landed, no new version)
+      StoreManifest.prepare(spark, mf, "dedup", Seq("band", "comp"),
+        reuse = Map("band" -> cur1("band")))
+      intercept[Exception] {
+        Dedup.refreshStores(spark, batch, cur1("band"), cur1("comp"),
+          "no_such_db.comp")
+      }
+      assert(StoreManifest.currentRequired(spark, mf, "dedup")
+        === ((v1, cur1)),
+        "a mid-write crash must leave the old version current")
+
+      // retry of the SAME batch; convergence vs a crash-free control
+      StoreManifest.refreshDedup(spark, mf, batch)
+      val (_, cur2) = StoreManifest.currentRequired(spark, mf, "dedup")
+      Dedup.writeBandStore(spark, sf001, "smmid.ctrl_band", buckets = 8)
+      Dedup.writeComponentsStore(spark, sf001, "smmid.ctrl_comp",
+        buckets = 8)
+      Dedup.refreshStores(spark, batch, "smmid.ctrl_band",
+        "smmid.ctrl_comp", "smmid.ctrl_comp2")
+      val got = spark.table(cur2("comp")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = spark.table("smmid.ctrl_comp2").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        "retry after a mid-write crash must converge to the control")
+      assert(spark.table(cur2("band")).distinct().count()
+        === spark.table("smmid.ctrl_band").distinct().count(),
+        "band facts agree up to the replayed-append duplicates")
+    } finally spark.sql("DROP DATABASE IF EXISTS smmid CASCADE")
+  }
+
   test("SpanIngest resolves the gram store via the manifest") {
     val wh = Files.createTempDirectory("graft_wh_smi").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS smspan LOCATION '$wh'")
