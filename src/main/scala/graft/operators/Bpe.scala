@@ -110,6 +110,73 @@ object Bpe {
     */
   def mergedVocab(docs: DataFrame, k: Int): DataFrame = learn(docs, k)._2
 
+  /** HYBRID merge learning — the third mode, and the one a real
+    * tokenizer TRAINS with at K = 30k–100k merges: ONE distributed
+    * corpus pass collapses the corpus to the (word, count) frame,
+    * which is then pulled to the driver and the merge loop runs
+    * locally at nanoseconds per iteration instead of a Spark job per
+    * pass (q157) or per batch of 8 (q171). This is the standard
+    * production decomposition (Heaps' law: a 10¹²-token corpus has a
+    * vocabulary of ~10⁷–10⁸ DISTINCT words, and the trainer only
+    * ever needs the weighted vocabulary) — an EXPLICIT mode with a
+    * declared collect: the caller asserts the vocabulary fits on the
+    * driver (`maxVocab` loud-fails if it does not, so a corpus that
+    * outgrows the assumption fails instead of OOMing), and the
+    * distributed modes remain the default for vocabularies that
+    * don't. Semantics are EXACT textbook greedy BPE — identical to
+    * [[merges]] by construction (same pair counting, same (count
+    * DESC, pair ASC) tie-break, same greedy left-to-right merge-all
+    * application), pinned two ways: BpePropertySpec proves
+    * hybrid == distributed on random corpora, and q176 puts the
+    * k = 40 run under the DuckDB hash gate.
+    */
+  def mergesHybrid(docs: DataFrame, k: Int,
+      maxVocab: Long = 50000000L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wc = vocab(docs).select(col("w"), col("c")).as[(String, Long)]
+      .collect()
+    require(wc.length <= maxVocab,
+      s"vocabulary ${wc.length} exceeds maxVocab $maxVocab — use the " +
+        "distributed modes (merges / mergesBatched) for this corpus")
+    // the local loop on symbol vectors — the exact algorithm the
+    // marker-string fold implements distributed
+    var syms: Map[Vector[String], Long] = wc.iterator
+      .map { case (w, c) => w.map(_.toString).toVector -> c }
+      .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      syms.foreach { case (v, c) =>
+        var j = 0
+        while (j + 1 < v.length) {
+          val p = (v(j), v(j + 1))
+          pc(p) = pc.getOrElse(p, 0L) + c
+          j += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        syms = syms.toSeq.map { case (v, cw) =>
+          val b = Vector.newBuilder[String]
+          var j = 0
+          while (j < v.length) {
+            if (j + 1 < v.length && v(j) == l && v(j + 1) == r) {
+              b += (l + r); j += 2
+            } else { b += v(j); j += 1 }
+          }
+          (b.result(), cw)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        out += ((i, l, r, c))
+        i += 1
+      }
+    }
+    out.result().toDF("iter", "lsym", "rsym", "cnt")
+  }
+
   /** The k-iteration learn loop shared by the merge report and the
     * encoder: returns (merge report, final vocabulary).
     */
@@ -431,6 +498,20 @@ object Bpe {
     QueryDef(
       "q171_bpe_batched",
       (s, d) => mergesBatched(s, d, passes = 16, m = 8),
-      Some(batchedOracle(16, 8)))
+      Some(batchedOracle(16, 8))),
+
+    // ---- q176: HYBRID merge learning (the K=30k mode) ------------------
+    // The third trainer mode under the gate: one distributed corpus
+    // pass → driver-local merge loop (see [[mergesHybrid]] — the
+    // declared-collect production decomposition every real tokenizer
+    // trainer uses once the vocabulary fits). k = 40 exact greedy
+    // merges, hash-checked against the same mechanically-unrolled
+    // 40-iteration DuckDB chain the distributed learner's oracle
+    // generalizes — so all three modes (sequential q157, batched
+    // q171, hybrid q176) answer to one semantics.
+    QueryDef(
+      "q176_bpe_hybrid",
+      (s, d) => mergesHybrid(Tables.parallel(s, d, "documents"), 40),
+      Some(mergesOracle(40)))
   )
 }

@@ -181,6 +181,33 @@ class BpePropertySpec extends SparkSpec {
     }
   }
 
+  test("hybrid (local-loop) merges equal the distributed learner") {
+    import spark.implicits._
+    val rnd = new Random(12176)
+    for (trial <- 0 until 4) {
+      val docs = (0 until 3 + rnd.nextInt(4)).map { _ =>
+        (0 until 1 + rnd.nextInt(10)).map { _ =>
+          val len = 1 + rnd.nextInt(6)
+          (0 until len).map(_ => "abc" (rnd.nextInt(3))).mkString
+        }.mkString(" ")
+      }
+      val k = 1 + rnd.nextInt(6)
+      def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      assert(report(Bpe.mergesHybrid(docs.toDF("text"), k))
+        === report(Bpe.mergesOf(docs.toDF("text"), k)),
+        s"trial $trial (k=$k): hybrid must equal distributed")
+    }
+  }
+
+  test("hybrid maxVocab guard loud-fails instead of collecting") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Bpe.mergesHybrid(Seq("a b c d e f").toDF("text"), 2, maxVocab = 3)
+    }
+  }
+
   test("m = 1 batching degenerates to exact greedy BPE") {
     import spark.implicits._
     val rnd = new Random(11171)
