@@ -131,18 +131,29 @@ object Bpe {
     * k = 40 run under the DuckDB hash gate.
     */
   def mergesHybrid(docs: DataFrame, k: Int,
-      maxVocab: Long = 50000000L): DataFrame = {
+      maxVocab: Long = 10000000L): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val wc = vocab(docs).select(col("w"), col("c")).as[(String, Long)]
-      .collect()
-    require(wc.length <= maxVocab,
-      s"vocabulary ${wc.length} exceeds maxVocab $maxVocab — use the " +
+    val vf = vocab(docs) // localCheckpointed — the count below is a
+    // materialized-frame count, not a second corpus pass. The guard
+    // runs BEFORE collect(): a vocabulary that outgrows the driver
+    // fails on a 1-row aggregate instead of OOMing mid-collect
+    // (round-10 advice — the old post-collect require could never
+    // fire before the damage was done).
+    val n = vf.count()
+    require(n <= maxVocab,
+      s"vocabulary $n exceeds maxVocab $maxVocab — use the " +
         "distributed modes (merges / mergesBatched) for this corpus")
+    val wc = vf.select(col("w"), col("c")).as[(String, Long)].collect()
     // the local loop on symbol vectors — the exact algorithm the
-    // marker-string fold implements distributed
+    // marker-string fold implements distributed. Words split by CODE
+    // POINT (not UTF-16 code unit: a surrogate pair is ONE symbol,
+    // matching both the distributed learner's regex `(.)` — Java
+    // Pattern matches supplementary code points whole — and DuckDB's
+    // RE2 over UTF-8), so non-BMP corpora learn the same merges in
+    // every mode.
     var syms: Map[Vector[String], Long] = wc.iterator
-      .map { case (w, c) => w.map(_.toString).toVector -> c }
+      .map { case (w, c) => codePointSyms(w) -> c }
       .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var i = 1
@@ -159,7 +170,14 @@ object Bpe {
       }
       if (pc.isEmpty) exhausted = true
       else {
-        val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        // tie-break in UTF-8 BYTE order, not JVM String (UTF-16)
+        // order: Spark's struct-min and DuckDB's ORDER BY both
+        // compare strings as UTF-8 binary, and the two orders
+        // diverge for supplementary characters (a surrogate's lead
+        // unit 0xD800 sorts below U+E000..U+FFFF in UTF-16 but the
+        // code point sorts above them in UTF-8)
+        val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         syms = syms.toSeq.map { case (v, cw) =>
           val b = Vector.newBuilder[String]
           var j = 0
@@ -176,6 +194,28 @@ object Bpe {
     }
     out.result().toDF("iter", "lsym", "rsym", "cnt")
   }
+
+  /** Split a word into per-code-point symbols (surrogate pairs stay
+    * whole — see [[mergesHybrid]]'s Unicode note).
+    */
+  private def codePointSyms(w: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
+
+  /** UTF-8 binary string order — the order Spark's UTF8String and
+    * DuckDB both compare by.
+    */
+  private val utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** The k-iteration learn loop shared by the merge report and the
     * encoder: returns (merge report, final vocabulary).

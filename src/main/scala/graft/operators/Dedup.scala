@@ -955,16 +955,29 @@ object Dedup {
     * REPLAY GUARD (the round-9 verdict's watch item): disjointness of
     * installments is no longer assumed — it is ENFORCED at the store
     * boundary. Every append is stamped with its monotone `batchId`
-    * (SpanIngest's micro-batch id, or any caller-monotone epoch), and
-    * a refresh whose id is ≤ the store's watermark (max recorded
-    * batch_id) is a NO-OP returning false: a replayed batch — crash
-    * after append, re-delivered micro-batch, an operator re-running a
-    * backfill — can never double-count a doc's grams. The watermark
-    * read is a column-pruned min/max-stats scan of one BIGINT column;
-    * the append itself is atomic at parquet job commit, so
-    * crash-before-commit leaves nothing visible (retry appends
-    * fresh) and crash-after-commit is exactly the replay the
-    * watermark absorbs. Returns true iff the installment was folded.
+    * (SpanIngest's micro-batch id, or any caller-monotone epoch).
+    * Three cases (round-10 advice — replay and non-monotone novelty
+    * are no longer conflated):
+    *   - `batchId` already recorded → genuine REPLAY (crash after
+    *     append, re-delivered micro-batch, re-run backfill): NO-OP,
+    *     returns false — a replayed batch can never double-count.
+    *   - `batchId` below the watermark but never recorded → NOVEL
+    *     data carrying a non-monotone id (e.g. a streaming checkpoint
+    *     reset restarting micro-batch ids at 0): THROWS — silently
+    *     refusing it would under-count the store; the caller must
+    *     re-base the epoch past the watermark.
+    *   - otherwise → folded, returns true.
+    * [[compactGramStore]] collapses the recorded-id set to the
+    * watermark alone, so after compaction a replay of a
+    * PRE-compaction id (necessarily older than the last batch — the
+    * only one micro-batch recovery ever re-delivers) also lands in
+    * the loud-fail branch: conservative by design, an operator
+    * decision instead of a silent guess in either direction. The
+    * recorded-id read is a column-pruned scan of one BIGINT column
+    * (distinct ids are installment-count sized); the append itself is
+    * atomic at parquet job commit, so crash-before-commit leaves
+    * nothing visible (retry appends fresh) and crash-after-commit is
+    * exactly the replay the guard absorbs.
     */
   def refreshGramStore(s: SparkSession, batch: DataFrame,
       table: String, batchId: Long): Boolean = {
@@ -974,9 +987,24 @@ object Dedup {
     require(t.columns.contains("batch_id"),
       s"$table has no batch_id column — rebuild it via writeGramStore; " +
         "the replay guard needs the per-installment watermark")
-    val wm = t.agg(max(col("batch_id"))).head()
-    val watermark = if (wm.isNullAt(0)) -1L else wm.getLong(0)
-    if (batchId <= watermark) return false // replayed installment
+    // Distinguish a genuine REPLAY (this exact id was already folded
+    // — refuse, no-op, return false) from NOVEL data carrying a
+    // non-monotone id (id below the watermark but never recorded —
+    // e.g. a streaming checkpoint reset restarting micro-batch ids at
+    // 0): silently refusing the latter would under-count the store,
+    // so it throws instead; the caller must re-base the epoch (offset
+    // new ids past the recorded watermark). One column-pruned scan of
+    // the BIGINT batch_id column; distinct ids are installment-count
+    // sized, not row-count sized.
+    val rec = t.select(col("batch_id")).distinct().collect()
+      .map(_.getLong(0))
+    val watermark = if (rec.isEmpty) -1L else rec.max
+    if (rec.contains(batchId)) return false // replayed installment
+    require(batchId > watermark,
+      s"batch id $batchId is below the store watermark $watermark but " +
+        s"was never folded into $table — a non-monotone novel id " +
+        "(checkpoint reset?); re-base the epoch past the watermark " +
+        "instead of silently dropping the installment")
     val b = s.sessionState.catalog
       .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
@@ -1063,7 +1091,15 @@ object Dedup {
     val bdf = occ.select(col("gid"), col("doc_id")).distinct()
       .groupBy(col("gid")).agg(count(lit(1)).as("bdf"))
     val dupG = bdf
-      .join(gramStore.select(col("gid"), col("df")), Seq("gid"), "left")
+      // sum-on-read INSIDE the operator (round-10 advice): a caller
+      // may pass the raw multi-installment table, where a gid carries
+      // one delta row per append — joining it un-aggregated would
+      // multiply occurrence rows into the island derivation. Over a
+      // readGramStore view or a single-installment store the agg is a
+      // no-op-cheap pass; over the raw bucketed table it is
+      // exchange-free (bucket partitioning satisfies the grouping).
+      .join(gramStore.groupBy(col("gid")).agg(sum(col("df")).as("df")),
+        Seq("gid"), "left")
       .filter(col("bdf") + coalesce(col("df"), lit(0L)) >= 2)
       .select(col("gid"))
     val perDoc = islandsFrom(occ.join(dupG, "gid"))
@@ -1103,7 +1139,15 @@ object Dedup {
     val bdf = occ.select(col("gid"), col("doc_id")).distinct()
       .groupBy(col("gid")).agg(count(lit(1)).as("bdf"))
     val dupG = bdf
-      .join(gramStore.select(col("gid"), col("df")), Seq("gid"), "left")
+      // sum-on-read INSIDE the operator (round-10 advice): a caller
+      // may pass the raw multi-installment table, where a gid carries
+      // one delta row per append — joining it un-aggregated would
+      // multiply occurrence rows into the island derivation. Over a
+      // readGramStore view or a single-installment store the agg is a
+      // no-op-cheap pass; over the raw bucketed table it is
+      // exchange-free (bucket partitioning satisfies the grouping).
+      .join(gramStore.groupBy(col("gid")).agg(sum(col("df")).as("df")),
+        Seq("gid"), "left")
       .filter(col("bdf") + coalesce(col("df"), lit(0L)) >= 2)
       .select(col("gid"))
     val isl = islandsFrom(occ.join(dupG, "gid"))

@@ -201,6 +201,32 @@ class BpePropertySpec extends SparkSpec {
     }
   }
 
+  test("hybrid equals distributed on non-BMP corpora (code points + UTF-8 order)") {
+    import spark.implicits._
+    // U+1D552 (𝕒, supplementary — a surrogate PAIR in UTF-16) vs
+    // U+FB00 (ﬀ, BMP above the surrogate range) is exactly where
+    // UTF-16 code-unit order and UTF-8/code-point order diverge:
+    // the lead surrogate 0xD835 < 0xFB00 says 𝕒 < ﬀ in UTF-16, but
+    // code point 0x1D552 > 0xFB00 says ﬀ < 𝕒 in UTF-8 (the order
+    // Spark's struct-min and DuckDB compare by). The (𝕒,b)/(ﬀ,b)
+    // tie below is decided by that order, and 𝕒𝕒𝕒 only merges
+    // correctly if symbols are code points, not UTF-16 units.
+    val a = "𝕒" // 𝕒
+    val f = "ﬀ" // ﬀ
+    val docs = Seq(s"${a}b ${f}b", s"$a$a$a 豆$a").toDF("text")
+    def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    for (k <- 1 to 4) {
+      val dist = report(Bpe.mergesOf(docs, k))
+      assert(report(Bpe.mergesHybrid(docs, k)) === dist,
+        s"k=$k: hybrid must equal distributed on non-BMP input")
+    }
+    // the tie really is decided in UTF-8 order: ﬀ sorts first
+    assert(report(Bpe.mergesOf(docs, 4))
+      .exists { case (_, l, r, _) => l == f && r == "b" })
+  }
+
   test("hybrid maxVocab guard loud-fails instead of collecting") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

@@ -154,6 +154,20 @@ class SpanIngestSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Dedup.compactGramStore(spark, "gramstore3.grams_c", "gramstore3.GRAMS_C")
       }
+
+      // NON-MONOTONE NOVEL id ≠ replay: fold batch 3, then offer
+      // batch 2 — below the watermark but never recorded (the
+      // checkpoint-reset shape). Silently returning false would
+      // under-count the store, so the guard throws instead.
+      assert(Dedup.refreshGramStore(spark, installment.limit(1),
+        "gramstore3.grams_b", batchId = 3L))
+      intercept[IllegalArgumentException] {
+        Dedup.refreshGramStore(spark, installment,
+          "gramstore3.grams_b", batchId = 2L)
+      }
+      // ...while replaying the recorded batch 3 is still a quiet no-op
+      assert(!Dedup.refreshGramStore(spark, installment.limit(1),
+        "gramstore3.grams_b", batchId = 3L))
     } finally spark.sql("DROP DATABASE IF EXISTS gramstore3 CASCADE")
   }
 

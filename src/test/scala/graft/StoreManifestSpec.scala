@@ -38,18 +38,18 @@ class StoreManifestSpec extends SparkSpec {
         "a pending version must be invisible to readers")
       // half-written publish (no tables yet) loud-fails
       intercept[IllegalArgumentException] {
-        StoreManifest.publish(spark, mf, "fam", 1L)
+        StoreManifest.publish(spark, mf, "fam", p1)
       }
       Seq("a", "b").foreach(r => spark.range(1).write.mode("overwrite")
         .format("parquet").saveAsTable(p1.tables(r)))
-      StoreManifest.publish(spark, mf, "fam", 1L)
+      StoreManifest.publish(spark, mf, "fam", p1)
       assert(StoreManifest.current(spark, mf, "fam")
         === Some((1L, p1.tables)))
       intercept[IllegalArgumentException] { // double publish
-        StoreManifest.publish(spark, mf, "fam", 1L)
+        StoreManifest.publish(spark, mf, "fam", p1)
       }
       intercept[IllegalArgumentException] { // unknown version
-        StoreManifest.publish(spark, mf, "fam", 9L)
+        StoreManifest.publish(spark, mf, "fam", 9L, p1.writer)
       }
 
       // v2 carries role `a` forward (append-in-place reuse)
@@ -58,7 +58,7 @@ class StoreManifestSpec extends SparkSpec {
       assert(p2.tables("a") === p1.tables("a"))
       spark.range(2).write.mode("overwrite").format("parquet")
         .saveAsTable(p2.tables("b"))
-      StoreManifest.publish(spark, mf, "fam", p2.version)
+      StoreManifest.publish(spark, mf, "fam", p2)
       assert(StoreManifest.currentRequired(spark, mf, "fam")._1 === 2L)
 
       val dropped = StoreManifest.vacuum(spark, mf, "fam")
@@ -73,6 +73,62 @@ class StoreManifestSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(statuses === Map(1L -> "vacuumed", 2L -> "live"))
     } finally spark.sql("DROP DATABASE IF EXISTS smlife CASCADE")
+  }
+
+  test("two-writer interleaves fail loudly at publish (round-10 verdict item)") {
+    val wh = Files.createTempDirectory("graft_wh_sm2w").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sm2w LOCATION '$wh'")
+    val mf = "sm2w.manifest"
+    try {
+      import spark.implicits._
+      StoreManifest.init(spark, mf)
+      val p1 = StoreManifest.prepare(spark, mf, "fam", Seq("t"))
+      spark.range(1).write.format("parquet").saveAsTable(p1.tables("t"))
+      StoreManifest.publish(spark, mf, "fam", p1)
+
+      // STALE SNAPSHOT: writer A prepares v2, writer B prepares v3
+      // and publishes first; A's publish must refuse (its refresh was
+      // computed off a superseded live version) instead of silently
+      // creating a born-retired v2.
+      val a = StoreManifest.prepare(spark, mf, "fam", Seq("t"))
+      val b = StoreManifest.prepare(spark, mf, "fam", Seq("t"))
+      spark.range(2).write.format("parquet").saveAsTable(b.tables("t"))
+      StoreManifest.publish(spark, mf, "fam", b)
+      spark.range(3).write.format("parquet").saveAsTable(a.tables("t"))
+      val e1 = intercept[IllegalArgumentException] {
+        StoreManifest.publish(spark, mf, "fam", a)
+      }
+      assert(e1.getMessage.contains("stale"), e1.getMessage)
+      assert(StoreManifest.currentRequired(spark, mf, "fam")._1
+        === b.version, "the loser must not disturb the live version")
+
+      // VERSION-ALLOCATION COLLISION: writer C prepares v4; a racing
+      // writer whose max-version read happened before C's append
+      // lands prepared rows for the SAME version. C's publish (and
+      // symmetrically the racer's) must refuse — blessing the version
+      // would publish tables the other writer half-wrote.
+      val c = StoreManifest.prepare(spark, mf, "fam", Seq("t"))
+      Seq(("fam", c.version, "t", "sm2w.racer_table", "prepared", "racer-nonce",
+        new java.sql.Timestamp(0L)))
+        .toDF("family", "version", "role", "table_name", "event", "writer",
+          "ts")
+        .write.mode("append").format("parquet").saveAsTable(mf)
+      spark.range(4).write.format("parquet").saveAsTable(c.tables("t"))
+      val e2 = intercept[IllegalArgumentException] {
+        StoreManifest.publish(spark, mf, "fam", c)
+      }
+      assert(e2.getMessage.contains("another writer"), e2.getMessage)
+      assert(StoreManifest.currentRequired(spark, mf, "fam")._1
+        === b.version, "a collided version must never go live")
+      // the retry path converges: a fresh prepare allocates PAST the
+      // collided version and publishes cleanly
+      val retry = StoreManifest.prepare(spark, mf, "fam", Seq("t"))
+      assert(retry.version > c.version)
+      spark.range(5).write.format("parquet").saveAsTable(retry.tables("t"))
+      StoreManifest.publish(spark, mf, "fam", retry)
+      assert(StoreManifest.currentRequired(spark, mf, "fam")._1
+        === retry.version)
+    } finally spark.sql("DROP DATABASE IF EXISTS sm2w CASCADE")
   }
 
   test("kill between store write and publish: old version current, retry converges") {
