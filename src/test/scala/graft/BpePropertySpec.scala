@@ -227,6 +227,56 @@ class BpePropertySpec extends SparkSpec {
       .exists { case (_, l, r, _) => l == f && r == "b" })
   }
 
+  test("hybrid equals distributed at deep k (incremental bookkeeping to exhaustion)") {
+    import spark.implicits._
+    // The round-11 incremental driver loop (delta pair counts +
+    // ordered-set argmax) has state the naive recount never had:
+    // stale pair→word registrations, transient tree removals,
+    // merge-created symbols chaining into later merges. A deep-k run
+    // on a wider alphabet drives all of it through exhaustion and
+    // must still equal the distributed learner merge-for-merge.
+    val rnd = new Random(13176)
+    val docs = (0 until 3).map { _ =>
+      (0 until 8).map { _ =>
+        val len = 2 + rnd.nextInt(6)
+        (0 until len).map(_ => "abcde" (rnd.nextInt(5))).mkString
+      }.mkString(" ")
+    }
+    def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val k = 60 // far past exhaustion for this corpus size
+    val dist = report(Bpe.mergesOf(docs.toDF("text"), k))
+    val hyb = report(Bpe.mergesHybrid(docs.toDF("text"), k))
+    assert(hyb === dist, s"deep-k hybrid diverged\n hyb $hyb\ndist $dist")
+    assert(dist.length < k, "corpus must exhaust to cover the stop path")
+  }
+
+  test("batched pass-1 rank-1 merge equals greedy merge 1 (prefix anchor)") {
+    import spark.implicits._
+    // The global argmax is by definition the strongest pair for both
+    // its symbols, so the dominance accept rule always admits it at
+    // rank 1 of pass 1: the batched sequence's first merge equals
+    // exact greedy BPE's first merge on ANY corpus — the guaranteed
+    // prefix where the two semantics coincide (BpeBench measures the
+    // corpus-dependent extent beyond it).
+    val rnd = new Random(14171)
+    for (trial <- 0 until 4) {
+      val docs = (0 until 3 + rnd.nextInt(4)).map { _ =>
+        (0 until 2 + rnd.nextInt(8)).map { _ =>
+          val len = 1 + rnd.nextInt(6)
+          (0 until len).map(_ => "abcd" (rnd.nextInt(4))).mkString
+        }.mkString(" ")
+      }
+      val greedy1 = Bpe.mergesOf(docs.toDF("text"), 1).collect().head
+      val batch1 = Bpe.mergesBatchedOf(docs.toDF("text"), passes = 1, m = 8)
+        .orderBy("rk").collect().head
+      assert((batch1.getString(2), batch1.getString(3), batch1.getLong(4))
+        === ((greedy1.getString(1), greedy1.getString(2), greedy1.getLong(3))),
+        s"trial $trial: pass-1 rank-1 must be the greedy argmax")
+    }
+  }
+
   test("hybrid maxVocab guard loud-fails instead of collecting") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
