@@ -139,7 +139,14 @@ object SkewBench {
     // block's C(1000,2)-ish pair mass — the same output-bound shape
     // q36 carries, split across 4 band keys and AQE skew handling,
     // never an all-pairs corpus scan
-    "q172_phash", "q173_phash_neardup", "q175_strip_ingest")
+    "q172_phash", "q173_phash_neardup", "q175_strip_ingest",
+    // round-11: the PQ-coded serving path under the one-cell hot
+    // block — a query probing the hot cell admits its ~2000
+    // candidates into ADC ranking, which must stay 8 integer lookups
+    // per candidate over the packed codes (no vector is read), and
+    // the exact rerank must fetch full vectors for only the kAdc
+    // admitted rows — never the probed cell's membership
+    "q177_pq_store_adc", "q178_pq_serve")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()

@@ -329,40 +329,61 @@ object StoreManifest {
     p
   }
 
-  /** Build + publish the IVF centroid+cell pair (family `ivf`). */
+  private val ivfRoles = Seq("centroids", "cells", "codes", "codebook")
+
+  /** Build + publish the IVF serving QUARTET (family `ivf`): trained
+    * centroids, the full-vector cell table (the rerank fetch side),
+    * and — round 11 — the PQ sidecar: a 48-bit packed-code table
+    * partitioned by cell (the ~16-bytes/vector ADC ranking side,
+    * [[Similarity.writePqSidecar]]) plus its 128-row codebook.
+    */
   def publishIvf(s: SparkSession, manifest: String, d: String,
       saltBuckets: Int = 1): Prepared = {
-    val p = prepare(s, manifest, "ivf", Seq("centroids", "cells"))
+    val p = prepare(s, manifest, "ivf", ivfRoles)
     Similarity.writeIvfStore(s, d, p.tables("centroids"), p.tables("cells"),
       saltBuckets)
+    Similarity.writePqSidecar(s, p.tables("cells"), p.tables("codebook"),
+      p.tables("codes"), saltBuckets)
     publish(s, manifest, "ivf", p)
     p
   }
 
   /** [[Similarity.retrainIvfStore]] under management; returns the
-    * cell-churn report (q161's shape) alongside the new version.
+    * cell-churn report (q161's shape) alongside the new version. The
+    * PQ sidecar is re-derived from the reassigned cell table (codes
+    * themselves are codebook-local and unchanged; their CELL moved),
+    * with the codebook carried forward by reuse — retraining the
+    * coarse quantizer never re-trains the product quantizer.
     */
   def retrainIvf(s: SparkSession, manifest: String, extraCells: DataFrame,
       saltBuckets: Int = 1): (Prepared, DataFrame) = {
     val (_, cur) = currentRequired(s, manifest, "ivf")
-    val p = prepare(s, manifest, "ivf", Seq("centroids", "cells"))
+    val p = prepare(s, manifest, "ivf", ivfRoles,
+      reuse = Map("codebook" -> cur("codebook")))
     val churn = Similarity.retrainIvfStore(s, cur("centroids"), cur("cells"),
       extraCells, p.tables("centroids"), p.tables("cells"), saltBuckets)
+    Similarity.writePqSidecar(s, p.tables("cells"), p.tables("codebook"),
+      p.tables("codes"), saltBuckets)
     publish(s, manifest, "ivf", p)
     (p, churn)
   }
 
   /** [[graft.streaming.AnnIngest.fold]] under management: cells roll
     * forward with the landed batches folded in, centroids carry over
-    * (a fold is not a retrain).
+    * (a fold is not a retrain), and the PQ code table is re-derived
+    * from the folded cell table so the sidecar always covers exactly
+    * the vectors the cell store serves.
     */
   def foldIvfCells(s: SparkSession, manifest: String, cellDir: String,
       saltBuckets: Int = 1): Prepared = {
     val (_, cur) = currentRequired(s, manifest, "ivf")
-    val p = prepare(s, manifest, "ivf", Seq("centroids", "cells"),
-      reuse = Map("centroids" -> cur("centroids")))
+    val p = prepare(s, manifest, "ivf", ivfRoles,
+      reuse = Map("centroids" -> cur("centroids"),
+        "codebook" -> cur("codebook")))
     graft.streaming.AnnIngest.fold(s, cur("cells"), cellDir,
       p.tables("cells"), saltBuckets)
+    Similarity.writePqSidecar(s, p.tables("cells"), p.tables("codebook"),
+      p.tables("codes"), saltBuckets)
     publish(s, manifest, "ivf", p)
     p
   }

@@ -55,6 +55,57 @@ object AnnIngest {
       .start()
   }
 
+  val codeSchema: StructType = StructType.fromDDL(
+    "vec_id BIGINT, pcode BIGINT, batch_id BIGINT, cell BIGINT")
+
+  /** [[start]] plus the PQ sidecar (round 11): each micro-batch lands
+    * BOTH the full-vector cell rows and the 48-bit packed-code rows
+    * ([[Similarity.pqEncodePacked]] against the store's immutable
+    * codebook), each cell-partitioned in its own landing zone — so
+    * the ADC serving path ([[Similarity.adcSearch]]) covers ingested
+    * vectors without waiting for a fold. PQ encoding is row-local
+    * exactly like cell assignment, so incremental codes are bit-equal
+    * to a one-shot encode by construction (PqServeSpec pins it).
+    * Crash safety: both publishes key on the batch id and
+    * [[AtomicLanding.publish]] is idempotent on replay, so a crash
+    * between the two landings re-delivers the batch and converges —
+    * the cells zone is published FIRST, so at any instant the code
+    * zone is a subset of the cell zone (a candidate the codes miss is
+    * a recall loss for one micro-batch, never a dangling fetch).
+    */
+  def startWithCodes(vecs: DataFrame, centStore: DataFrame,
+      codebook: DataFrame, cellDir: String, codesDir: String,
+      checkpoint: String): StreamingQuery = {
+    AtomicLanding.sweepStale(vecs.sparkSession, cellDir)
+    AtomicLanding.sweepStale(vecs.sparkSession, codesDir)
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val withV = batch.select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        // two consumers (cell landing + encode) — pin the assignment
+        val assigned = Similarity.assignCells(withV, centStore)
+          .join(withV, "vec_id")
+          .select(col("vec_id"), col("cell"), col("v"))
+          .localCheckpoint()
+        AtomicLanding.publish(assigned, cellDir, id, Seq("cell"))
+        val codes = Similarity.pqEncodePacked(assigned, codebook)
+          .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+          .select(col("vec_id"), col("cell"), col("pcode"))
+        AtomicLanding.publish(codes, codesDir, id, Seq("cell"))
+      }
+      .start()
+  }
+
+  /** Everything PQ-encoded so far (committed batches only), with
+    * `cell`/`batch_id` as partition columns — the ingest-side twin of
+    * the persisted code table.
+    */
+  def readCodes(spark: SparkSession, codesDir: String): DataFrame =
+    spark.read.schema(codeSchema).parquet(codesDir)
+      .select(col("vec_id"), col("cell"), col("pcode"), col("batch_id"))
+
   /** [[start]] with the centroid store resolved through the version
     * manifest (family `ivf`, role `centroids`) — same restart-to-
     * adopt contract as [[ClusterIngest.startFromManifest]].
@@ -78,6 +129,31 @@ object AnnIngest {
       graft.stores.StoreManifest.currentRequired(spark, manifest, "ivf")
     search(spark, queries, spark.table(cur("centroids")),
       spark.table(cur("cells")), cellDir, nprobe, k)
+  }
+
+  /** The PQ serving path resolved through the manifest: ADC
+    * candidates ranked from the packed-code table UNION the
+    * ingest-landed code zones (both (vec_id, cell, pcode) — the
+    * ranking never touches a vector), exact rerank fetching full
+    * vectors from the cell table ∪ cell landing zone for the admitted
+    * candidates only. Pass empty dirs to serve the base store alone.
+    */
+  def adcSearchFromManifest(spark: SparkSession, queries: DataFrame,
+      manifest: String, cellDir: String = "", codesDir: String = "",
+      nprobe: Int = 2, kAdc: Int = 6, k: Int = 1): DataFrame = {
+    val (_, cur) =
+      graft.stores.StoreManifest.currentRequired(spark, manifest, "ivf")
+    val baseCodes = spark.table(cur("codes"))
+      .select(col("vec_id"), col("cell"), col("pcode"))
+    val codes = if (codesDir.isEmpty) baseCodes
+      else baseCodes.union(readCodes(spark, codesDir)
+        .select(col("vec_id"), col("cell"), col("pcode")))
+    val baseVecs = spark.table(cur("cells")).select(col("vec_id"), col("v"))
+    val vecs = if (cellDir.isEmpty) baseVecs
+      else baseVecs.union(
+        readCells(spark, cellDir).select(col("vec_id"), col("v")))
+    Similarity.adcSearch(queries, spark.table(cur("centroids")),
+      spark.table(cur("codebook")), codes, vecs, nprobe, kAdc, k)
   }
 
   /** Everything ingested so far (committed batches only), with `cell`
