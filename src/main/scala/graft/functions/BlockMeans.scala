@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: the perceptual-hash block reducer —
@@ -31,15 +31,17 @@ case class BlockMeans(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType =>
+      case StringType | BinaryType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"block_means64 requires string, got $t")
+          s"block_means64 requires string or binary, got $t")
     }
 
-  override def nullSafeEval(v: Any): Any =
-    BlockMeans.means(v.asInstanceOf[UTF8String])
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case BinaryType => BlockMeans.means(v.asInstanceOf[Array[Byte]])
+    case _ => BlockMeans.means(v.asInstanceOf[UTF8String])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.BlockMeans.means($c)")
@@ -53,8 +55,13 @@ object BlockMeans {
   /** 64 block means over the UTF-8 bytes of `s` (the same bytes
     * `cast(s as binary)` yields).
     */
-  def means(s: UTF8String): ArrayData = {
-    val b = s.getBytes
+  def means(s: UTF8String): ArrayData = means(s.getBytes)
+
+  /** 64 block means over a raw byte payload (BinaryType input — the
+    * decoded-pixel-plane path, where bytes are NOT valid UTF-8).
+    * The codegen call dispatches here by the argument's static type.
+    */
+  def means(b: Array[Byte]): ArrayData = {
     val n = b.length
     val sums = new Array[Long](64)
     val cnts = new Array[Int](64)
