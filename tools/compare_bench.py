@@ -95,12 +95,32 @@ def main(a_path, b_path, top=15):
     print(f"largest deltas (top {top}):")
     for q, dv in deltas[:top]:
         print(f"  {q:8s}{dv:+6.2f}  (A {a[q]:5.2f} / B {b[q]:5.2f})")
+    # the round-10 verdict's per-query regression gate: flag every
+    # shared query that moved > 15% AND > 0.2 s (the absolute floor
+    # keeps sub-second queries' scheduling jitter out of the list)
+    moves = [(q, b[q] - a[q], (b[q] - a[q]) / a[q] * 100)
+             for q in shared
+             if a[q] > 0 and abs(b[q] - a[q]) > 0.2
+             and abs(b[q] - a[q]) / a[q] > 0.15]
+    moves.sort(key=lambda kv: -abs(kv[2]))
+    print(f"moves > 15% and > 0.2 s: {len(moves)}")
+    for q, dv, pc in moves:
+        print(f"  {q:8s}{dv:+6.2f} ({pc:+5.0f}%)  "
+              f"(A {a[q]:5.2f} / B {b[q]:5.2f})")
     added = sorted(set(b) - set(a))
     removed = sorted(set(a) - set(b))
     if added:
         print("only in B:", ", ".join(f"{q} ({b[q]:.2f}s)" for q in added))
     if removed:
         print("only in A:", ", ".join(f"{q} ({a[q]:.2f}s)" for q in removed))
+    # one machine-grep-able verdict line: the comparable-subset delta
+    # is meaningful only when BOTH runs pass the load gate
+    gates_ok = all(not load_verdict(l).startswith("NON-COMPARABLE")
+                   and "unrecorded" not in load_verdict(l)
+                   for l in (la, lb))
+    print(f"VERDICT: comparable-subset ({len(shared)} queries) "
+          f"{pct:+.1f}%, {len(moves)} flagged moves, "
+          f"load-gate {'OK' if gates_ok else 'FAILED — delta unreliable'}")
     return 0
 
 
