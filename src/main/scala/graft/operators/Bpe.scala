@@ -50,21 +50,27 @@ object Bpe {
     * reusable across trainer configurations).
     */
   private def vocab(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      // the marker-string representation reserves '~' (object doc):
-      // ENFORCE it rather than assume it — a corpus word carrying the
-      // marker would silently corrupt symbol boundaries, and both
-      // engines share the representation so the oracle gate could
-      // never catch the divergence. Such words are dropped from the
-      // vocabulary (documented, mirrored in the oracle's wc CTE); a
-      // deployment that must keep them remaps the marker first.
-      .filter(length(col("w")) > 0 && !col("w").contains("~"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    wordCounts(docs)
       .select(col("w"),
         concat(regexp_replace(col("w"), "(.)", "~~$1"), lit("~~")).as("s"),
         col("c"))
       .localCheckpoint()
+
+  /** The weighted word-count frame — the vocabulary store's delta
+    * unit and the hybrid trainer's input. The marker-string
+    * representation reserves '~' (object doc): ENFORCE it rather than
+    * assume it — a corpus word carrying the marker would silently
+    * corrupt symbol boundaries, and both engines share the
+    * representation so the oracle gate could never catch the
+    * divergence. Such words are dropped (documented, mirrored in the
+    * oracle's wc CTE); a deployment that must keep them remaps the
+    * marker first.
+    */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("~"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
   /** Weighted adjacent-pair counts over the vocabulary frame: split
     * the marker string back into symbols, explode adjacent pairs
@@ -131,11 +137,20 @@ object Bpe {
     * k = 40 run under the DuckDB hash gate.
     */
   def mergesHybrid(docs: DataFrame, k: Int,
+      maxVocab: Long = 10000000L): DataFrame =
+    mergesHybridWc(wordCounts(docs), k, maxVocab)
+
+  /** The hybrid loop over ANY weighted (w, c) frame — the surface the
+    * VOCABULARY STORE trains through ([[mergesHybridFromStore]]): at
+    * 100 TB the trainer never re-reads the corpus, it reads the
+    * incrementally-maintained word-count store.
+    */
+  def mergesHybridWc(wcFrame: DataFrame, k: Int,
       maxVocab: Long = 10000000L): DataFrame = {
-    val s = docs.sparkSession
+    val s = wcFrame.sparkSession
     import s.implicits._
-    val vf = vocab(docs) // localCheckpointed — the count below is a
-    // materialized-frame count, not a second corpus pass. The guard
+    val vf = wcFrame.localCheckpoint() // pinned — the count below is a
+    // materialized-frame count, not a second input pass. The guard
     // runs BEFORE collect(): a vocabulary that outgrows the driver
     // fails on a 1-row aggregate instead of OOMing mid-collect
     // (round-10 advice — the old post-collect require could never
@@ -235,6 +250,87 @@ object Bpe {
     }
     out.result().toDF("iter", "lsym", "rsym", "cnt")
   }
+
+  // ======== Vocabulary store: training without corpus re-reads =========
+  //
+  // The two-tier decomposition's missing persistence half (round 11):
+  // every trainer mode starts from the (word, count) frame, and at
+  // 100 TB that frame should be a MAINTAINED STORE, not a per-run
+  // corpus pass — new corpus installments fold in as delta-sized
+  // bucketed appends (disjoint installments make the union count the
+  // SUM, so sum-on-read is exact under any append count — the gram
+  // store's exact contract, word-keyed), and tokenizer (re)training
+  // reads the store. Same replay guard as the gram store: appends are
+  // stamped with a monotone batch_id; an exact replay is a refused
+  // no-op, a novel non-monotone id throws.
+
+  /** Base vocabulary store build: (w, c, batch_id=0) bucketed on the
+    * word. One corpus pass, ever.
+    */
+  def writeVocabStore(s: SparkSession, d: String, table: String,
+      buckets: Int = -1): Unit =
+    writeVocabStoreOf(Tables.parallel(s, d, "documents"), table, buckets)
+
+  /** [[writeVocabStore]] over any `text` frame (subset builds, specs). */
+  def writeVocabStoreOf(docs: DataFrame, table: String,
+      buckets: Int = -1): Unit = {
+    val s = docs.sparkSession
+    val b =
+      if (buckets > 0) buckets
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    wordCounts(docs)
+      .withColumn("batch_id", lit(0L))
+      .repartition(b, col("w"))
+      .write.bucketBy(b, "w").sortBy("w")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
+  /** Fold a corpus installment's word counts into the store — a
+    * delta-sized bucketed append under the gram store's replay
+    * contract: recorded batch id → refused no-op returning false;
+    * novel id below the watermark → throws (checkpoint reset — the
+    * caller re-bases the epoch); otherwise folded, returns true.
+    */
+  def refreshVocabStore(s: SparkSession, batch: DataFrame,
+      table: String, batchId: Long): Boolean = {
+    require(batchId > 0L,
+      "installment batch ids start at 1 (0 marks the base store build)")
+    val t = s.table(table)
+    require(t.columns.contains("batch_id"),
+      s"$table has no batch_id column — rebuild it via writeVocabStore")
+    val rec = t.select(col("batch_id")).distinct().collect()
+      .map(_.getLong(0))
+    val watermark = if (rec.isEmpty) -1L else rec.max
+    if (rec.contains(batchId)) return false // replayed installment
+    require(batchId > watermark,
+      s"batch id $batchId is below the store watermark $watermark but " +
+        s"was never folded into $table — a non-monotone novel id " +
+        "(checkpoint reset?); re-base the epoch past the watermark")
+    val b = s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    wordCounts(batch)
+      .withColumn("batch_id", lit(batchId))
+      .repartition(b, col("w"))
+      .write.mode("append").bucketBy(b, "w").sortBy("w")
+      .format("parquet").saveAsTable(table)
+    true
+  }
+
+  /** Sum-on-read view — exact after any number of appends; grouping
+    * on the bucket column keeps the aggregate exchange-free.
+    */
+  def readVocabStore(s: SparkSession, table: String): DataFrame =
+    s.table(table).groupBy(col("w")).agg(sum(col("c")).as("c"))
+
+  /** Hybrid merge learning OFF THE STORE — the production trainer
+    * entry: zero corpus passes, one store scan. Equal to training on
+    * the live corpus by the sum-on-read exactness (q180's gate).
+    */
+  def mergesHybridFromStore(s: SparkSession, table: String, k: Int,
+      maxVocab: Long = 10000000L): DataFrame =
+    mergesHybridWc(readVocabStore(s, table), k, maxVocab)
 
   /** Split a word into per-code-point symbols (surrogate pairs stay
     * whole — see [[mergesHybrid]]'s Unicode note).
@@ -593,6 +689,37 @@ object Bpe {
     QueryDef(
       "q176_bpe_hybrid",
       (s, d) => mergesHybrid(Tables.parallel(s, d, "documents"), 40),
-      Some(mergesOracle(40)))
+      Some(mergesOracle(40))),
+
+    // ---- q180: training off the VOCABULARY STORE -----------------------
+    // The persistence half of the two-tier decomposition under the
+    // gate: base store from two thirds of the corpus, the rest folded
+    // in as two bucketed delta installments (one REPLAYED — the
+    // refusal is require'd in-query), then the hybrid trainer reads
+    // the store (sum-on-read, zero corpus passes) and must learn
+    // EXACTLY the merges the full-corpus 20-iteration DuckDB chain
+    // learns — store-refresh exactness, replay idempotence, and
+    // trainer equivalence under one hash check. (Catalog side
+    // effects contained like q174's: fixed table, swept per run.)
+    QueryDef(
+      "q180_bpe_vocab_store",
+      (s, d) => {
+        val tbl = "q180_vocab"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val docs = Tables.parallel(s, d, "documents")
+        writeVocabStoreOf(docs.filter(col("doc_id") % 3 =!= 1), tbl, 8)
+        val rest = docs.filter(col("doc_id") % 3 === 1)
+        require(refreshVocabStore(s, rest.filter(col("doc_id") % 2 === 0),
+          tbl, 1L), "installment 1 must fold")
+        require(refreshVocabStore(s, rest.filter(col("doc_id") % 2 =!= 0),
+          tbl, 2L), "installment 2 must fold")
+        require(!refreshVocabStore(s, rest.filter(col("doc_id") % 2 === 0),
+          tbl, 1L), "replayed installment must be refused")
+        mergesHybridFromStore(s, tbl, 20)
+      },
+      Some(mergesOracle(20)))
   )
 }

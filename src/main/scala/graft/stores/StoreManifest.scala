@@ -320,6 +320,34 @@ object StoreManifest {
     Dedup.refreshGramStore(s, batch, cur("grams"), batchId)
   }
 
+  /** Build + publish the BPE vocabulary store (family `vocab`) — the
+    * (word, count) frame tokenizer training reads instead of the
+    * corpus ([[graft.operators.Bpe.writeVocabStore]], round 11).
+    */
+  def publishVocab(s: SparkSession, manifest: String, d: String,
+      buckets: Int = -1): Prepared = {
+    val p = prepare(s, manifest, "vocab", Seq("words"))
+    graft.operators.Bpe.writeVocabStore(s, d, p.tables("words"), buckets)
+    publish(s, manifest, "vocab", p)
+    p
+  }
+
+  /** [[graft.operators.Bpe.refreshVocabStore]] against the live word
+    * table (append-in-place, replay-guarded — no version flip).
+    */
+  def refreshVocab(s: SparkSession, manifest: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val (_, cur) = currentRequired(s, manifest, "vocab")
+    graft.operators.Bpe.refreshVocabStore(s, batch, cur("words"), batchId)
+  }
+
+  /** Hybrid BPE training off the manifest-resolved vocabulary store. */
+  def trainBpe(s: SparkSession, manifest: String, k: Int,
+      maxVocab: Long = 10000000L): DataFrame = {
+    val (_, cur) = currentRequired(s, manifest, "vocab")
+    graft.operators.Bpe.mergesHybridFromStore(s, cur("words"), k, maxVocab)
+  }
+
   /** [[Dedup.compactGramStore]] (sum-semantics) → next version. */
   def compactGrams(s: SparkSession, manifest: String): Prepared = {
     val (_, cur) = currentRequired(s, manifest, "gram")

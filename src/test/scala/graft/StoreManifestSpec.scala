@@ -131,6 +131,52 @@ class StoreManifestSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS sm2w CASCADE")
   }
 
+  test("vocabulary store: manifest glue, replay guard, train-off-store equivalence") {
+    val wh = Files.createTempDirectory("graft_wh_voc").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS vocstore LOCATION '$wh'")
+    val mf = "vocstore.manifest"
+    try {
+      import graft.operators.Bpe
+      val docs = Tables(spark, sf001, "documents")
+        .select(col("doc_id"), col("text"))
+      StoreManifest.publishVocab(spark, mf, sf001, buckets = 8)
+
+      // fold an installment of brand-new docs; replay is a quiet no-op
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      assert(StoreManifest.refreshVocab(spark, mf, batch, 1L))
+      assert(!StoreManifest.refreshVocab(spark, mf, batch, 1L),
+        "replayed installment must be refused")
+
+      // sum-on-read equals a one-shot recount of the union corpus
+      val corpus = docs.unionByName(batch)
+      val recount = corpus
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0 && !col("w").contains("~"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (_, cur) = StoreManifest.currentRequired(spark, mf, "vocab")
+      val stored = Bpe.readVocabStore(spark, cur("words"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(stored === recount,
+        "vocab store sum-on-read must equal the one-shot recount")
+
+      // training off the store == training off the live corpus
+      def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      assert(report(StoreManifest.trainBpe(spark, mf, 12))
+        === report(Bpe.mergesHybrid(corpus, 12)),
+        "store-trained merges must equal corpus-trained merges")
+
+      // non-monotone novel id throws (checkpoint-reset shape)
+      assert(StoreManifest.refreshVocab(spark, mf, batch.limit(1), 3L))
+      intercept[IllegalArgumentException] {
+        StoreManifest.refreshVocab(spark, mf, batch, 2L)
+      }
+    } finally spark.sql("DROP DATABASE IF EXISTS vocstore CASCADE")
+  }
+
   test("kill between store write and publish: old version current, retry converges") {
     val wh = Files.createTempDirectory("graft_wh_smc").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS smcrash LOCATION '$wh'")
