@@ -332,6 +332,41 @@ object Bpe {
       maxVocab: Long = 10000000L): DataFrame =
     mergesHybridWc(readVocabStore(s, table), k, maxVocab)
 
+  /** Collapse K installments to one summed row per word, one file per
+    * bucket — [[graft.operators.Dedup.compactGramStore]]'s sum-
+    * semantics compaction, word-keyed: rolls forward to `newTable`,
+    * shuffle-free via the forced bucketed scan, and carries the
+    * replay watermark (max batch_id) onto every compacted row so a
+    * pre-compaction batch replayed afterwards still lands in
+    * [[refreshVocabStore]]'s guard.
+    */
+  def compactVocabStore(s: SparkSession, table: String,
+      newTable: String): Unit = {
+    def canon(t: String): (String, String) = {
+      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
+      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
+        id.table.toLowerCase)
+    }
+    require(canon(newTable) != canon(table),
+      "vocab-store compaction rolls forward to a NEW table")
+    val spec = s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed — compaction targets the bucketed stores"))
+    val autoBucketedScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(autoBucketedScan, "true")
+    s.conf.set(autoBucketedScan, "false")
+    try {
+      val wm = s.table(table)
+        .agg(coalesce(max(col("batch_id")), lit(0L)).as("batch_id"))
+      readVocabStore(s, table).crossJoin(broadcast(wm))
+        .write.mode("overwrite")
+        .bucketBy(spec.numBuckets, "w").sortBy("w")
+        .format("parquet").saveAsTable(newTable)
+    } finally s.conf.set(autoBucketedScan, prev)
+  }
+
   /** Split a word into per-code-point symbols (surrogate pairs stay
     * whole — see [[mergesHybrid]]'s Unicode note).
     */

@@ -348,6 +348,17 @@ object StoreManifest {
     graft.operators.Bpe.mergesHybridFromStore(s, cur("words"), k, maxVocab)
   }
 
+  /** [[graft.operators.Bpe.compactVocabStore]] (sum-semantics) →
+    * next version.
+    */
+  def compactVocab(s: SparkSession, manifest: String): Prepared = {
+    val (_, cur) = currentRequired(s, manifest, "vocab")
+    val p = prepare(s, manifest, "vocab", Seq("words"))
+    graft.operators.Bpe.compactVocabStore(s, cur("words"), p.tables("words"))
+    publish(s, manifest, "vocab", p)
+    p
+  }
+
   /** [[Dedup.compactGramStore]] (sum-semantics) → next version. */
   def compactGrams(s: SparkSession, manifest: String): Prepared = {
     val (_, cur) = currentRequired(s, manifest, "gram")

@@ -174,6 +174,20 @@ class StoreManifestSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         StoreManifest.refreshVocab(spark, mf, batch, 2L)
       }
+
+      // compaction: one summed row per word, counts preserved, the
+      // replay watermark carried (batch 3 still refused after)
+      StoreManifest.compactVocab(spark, mf)
+      val (_, cur2) = StoreManifest.currentRequired(spark, mf, "vocab")
+      assert(cur2("words") !== cur("words"), "compaction rolls forward")
+      val compacted = Bpe.readVocabStore(spark, cur2("words"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = Bpe.readVocabStore(spark, cur("words"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(compacted === expected,
+        "compaction must preserve summed counts")
+      assert(!StoreManifest.refreshVocab(spark, mf, batch.limit(1), 3L),
+        "the replay watermark must survive compaction")
     } finally spark.sql("DROP DATABASE IF EXISTS vocstore CASCADE")
   }
 
