@@ -377,7 +377,66 @@ object Multimodal {
              |  max(CASE WHEN band = 1 THEN dv END) AS d1,
              |  max(CASE WHEN band = 2 THEN dv END) AS d2,
              |  max(CASE WHEN band = 3 THEN dv END) AS d3
-             |FROM bands GROUP BY 1, 2, 3""".stripMargin))
+             |FROM bands GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- q181: REAL audio decode → frame features over PCM samples -----
+    // The audio parallel of q179: each doc carries an actual RIFF/WAVE
+    // container (16-bit mono PCM) built in-query — per-doc sample
+    // rate, per-doc sample count, and a variable-size LIST chunk
+    // BEFORE the data chunk, so a parser that assumes the canonical
+    // 44-byte header mis-locates every sample. [[decodeWav]] — a real
+    // chunk-walking RIFF parser at the same mapPartitions decoder
+    // seam — validates fmt (PCM, mono, 16-bit), skips unknown chunks
+    // with even-byte padding per the spec, and decodes the data chunk
+    // into signed samples. Frame features (energy, zero crossings,
+    // peak) are integer-exact; the oracle reproduces the samples
+    // arithmetically and never parses, so the hash gate checks the
+    // parse: a one-byte data offset garbles every 16-bit sample.
+    QueryDef(
+      "q181_wav_decode",
+      (s, d) => {
+        wavFrames(s, d)
+          .select(col("doc_id"), col("sample_rate"), col("frame"),
+            col("energy"), col("zc"), col("peak"))
+      },
+      Some(s"""WITH $wavFrameChainSql
+              |SELECT doc_id, sample_rate, frame, energy, zc, peak
+              |FROM fr""".stripMargin)),
+
+    // ---- q182: silence-span detection over decoded audio frames --------
+    // The span/island machinery on the audio modality: frames whose
+    // energy is at or below the quiet bound (the fixture's quiet
+    // frames hold |s| ≤ 8, so 32-sample energy ≤ 32·64 = 2048) are
+    // "silence"; contiguous silent frames collapse to spans via the
+    // frame − row_number island key (the q164 family's trick, one
+    // row per FRAME — never per sample). Per doc: span count,
+    // longest run, total silent frames — the trim/keep decision a
+    // speech-corpus curation pass makes.
+    QueryDef(
+      "q182_silence_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+        wavFrames(s, d)
+          .filter(col("energy") <= 2048)
+          .withColumn("grp", col("frame") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"), max(col("len")).as("longest_run"),
+            sum(col("len")).as("silent_frames"))
+      },
+      Some(s"""WITH $wavFrameChainSql,
+              |sil AS (SELECT doc_id, frame,
+              |          frame - row_number()
+              |            OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+              |        FROM fr WHERE energy <= 2048),
+              |sp AS (SELECT doc_id, grp, count(*) AS len
+              |       FROM sil GROUP BY 1, 2)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              |  CAST(max(len) AS BIGINT) AS longest_run,
+              |  CAST(sum(len) AS BIGINT) AS silent_frames
+              |FROM sp GROUP BY 1""".stripMargin))
   )
 
   /** The q172/q173 corpus: every payload, plus a PROBE copy of every
@@ -526,4 +585,158 @@ object Multimodal {
       |         max(CASE WHEN band = 3 THEN dv END) AS d3
       |       FROM bands JOIN h USING (doc_id)
       |       GROUP BY 1, 2)""".stripMargin
+
+  /** REAL audio decoder (round-11: the second byte FORMAT verifiable
+    * without codecs): RIFF/WAVE, 16-bit mono PCM. A chunk-walking
+    * parser per the RIFF spec — `RIFF` magic + `WAVE` form type, then
+    * (id, LE32 size) chunks: `fmt ` must declare PCM/mono/16-bit and
+    * precede `data`; unknown chunks (LIST, …) are skipped with the
+    * spec's pad-to-even rule, so the data offset is NOT a constant.
+    * Returns the sample rate and SIGNED samples, or None for anything
+    * malformed (wrong magic, non-PCM fmt, odd data size, truncated
+    * chunk) — the q23 lenient-ingest contract at the binary seam.
+    */
+  private[graft] def decodeWav(
+      payload: Array[Byte]): Option[(Int, Array[Int])] = {
+    def le16(i: Int) = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def le32(i: Int) =
+      le16(i) | ((payload(i + 2) & 0xff) << 16) | ((payload(i + 3) & 0xff) << 24)
+    def tag(i: Int) = new String(payload, i, 4, "US-ASCII")
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var i = 12
+    var sampleRate = -1; var fmtOk = false
+    var samples: Array[Int] = null
+    while (i + 8 <= payload.length) {
+      val id = tag(i); val sz = le32(i + 4); val body = i + 8
+      if (sz < 0 || body + sz > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          sampleRate = le32(body + 4)
+          fmtOk = le16(body) == 1 && le16(body + 2) == 1 && // PCM, mono
+            le16(body + 14) == 16                           // 16-bit
+        case "data" =>
+          if (!fmtOk || sz % 2 != 0) return None // fmt must precede data
+          val out = new Array[Int](sz / 2)
+          var k = 0
+          while (k < out.length) {
+            val u = le16(body + 2 * k)
+            out(k) = if (u >= 32768) u - 65536 else u
+            k += 1
+          }
+          samples = out
+        case _ => () // unknown chunk: skip (LIST/INFO in the fixture)
+      }
+      i = body + sz + (sz & 1) // RIFF chunks pad to even sizes
+    }
+    if (fmtOk && samples != null && sampleRate > 0) Some((sampleRate, samples))
+    else None
+  }
+
+  /** Deterministic RIFF/WAVE fixture over the sf corpus: per doc, a
+    * 16-bit mono PCM clip with n = 128 + (doc_id mod 5)·64 samples at
+    * 8000 + (doc_id mod 3)·4000 Hz, and a LIST/INFO chunk of varying
+    * size placed BEFORE the data chunk — the data offset differs per
+    * doc, so a fixed-44-byte-header parser reads garbage. Sample k:
+    * u = (doc_id·7919 + k·104729) mod 65536; frame-group gate
+    * ((k div 32) + doc_id) mod 5 < 2 selects QUIET frames (signed
+    * s = u mod 17 − 8 ∈ [−8, 8], energy ≤ 2048) vs LOUD ones (s = u
+    * as signed 16-bit, full range) — giving q182 real silence runs.
+    * The oracle reproduces s arithmetically and never sees the bytes.
+    */
+  private def wavClips(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    def le16(e: String) =
+      s"concat(lpad(hex(pmod(($e), 256)), 2, '0'), " +
+        s"lpad(hex(pmod(($e) div 256, 256)), 2, '0'))"
+    def le32(e: String) =
+      s"concat(${le16(s"pmod(($e), 65536)")}, ${le16(s"($e) div 65536")})"
+    val u = "pmod(doc_id * 7919 + k * 104729, 65536)"
+    val sv = s"(CASE WHEN pmod((k div 32) + doc_id, 5) < 2 " +
+      s"THEN pmod(pmod($u, 17) - 8 + 65536, 65536) ELSE $u END)"
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        (lit(128) + pmod(col("doc_id"), lit(5)) * 64).cast("int").as("n"),
+        (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).cast("int").as("sr"),
+        (lit(4) + pmod(col("doc_id"), lit(3)) * 2).cast("int").as("lst"))
+      .select(col("doc_id"), unhex(concat(
+        lit("52494646"), expr(le32("44 + lst + 2 * n")), lit("57415645"),
+        lit("666D7420"), expr(le32("16")), expr(le16("1")), expr(le16("1")),
+        expr(le32("sr")), expr(le32("sr * 2")), expr(le16("2")),
+        expr(le16("16")),
+        lit("4C495354"), expr(le32("lst")), lit("494E464F"),
+        expr("repeat('78', lst - 4)"),
+        lit("64617461"), expr(le32("2 * n")),
+        expr(s"concat_ws('', transform(sequence(0, n - 1), k -> " +
+          s"concat(lpad(hex(pmod($sv, 256)), 2, '0'), " +
+          s"lpad(hex(pmod(($sv) div 256, 256)), 2, '0'))))"))).as("wav"))
+  }
+
+  /** (doc_id, sample_rate, frame, energy, zc, peak): per-32-sample
+    * frame features over the DECODED clip — the q181/q182 shared
+    * frame. Decode is partition-parallel at the mapPartitions seam
+    * (no shuffle); the adjacent-sample pairing for zero crossings is
+    * an ARRAY zip_with over the decoded samples (samples never pay a
+    * per-row window sort — the only exchange in the whole chain is
+    * the frame groupBy's doc_id-hash partial agg). All features are
+    * integer-exact: energy = Σ s², zc counts sign changes between
+    * in-frame neighbors, peak = max |s|.
+    */
+  private def wavFrames(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val dec = wavClips(s, d).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, wav) =>
+          decodeWav(wav).map { case (sr, smp) => (id, sr, smp) }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "smp")
+    dec
+      .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+        expr("""posexplode(zip_with(smp,
+               |  concat(slice(smp, 2, size(smp) - 1), array(CAST(NULL AS INT))),
+               |  (a, b) -> struct(a AS s, b AS s2)))""".stripMargin)
+          .as(Seq("k", "p")))
+      .select(col("doc_id"), col("sample_rate"), col("k"),
+        col("p.s").as("s"), col("p.s2").as("s2"))
+      .groupBy(col("doc_id"), col("sample_rate"),
+        expr("CAST(k div 32 AS BIGINT)").as("frame"))
+      .agg(
+        sum(expr("CAST(s AS BIGINT) * s")).as("energy"),
+        sum(when(expr("k % 32 < 31 AND ((s < 0) != (s2 < 0))"), 1L)
+          .otherwise(0L)).as("zc"),
+        max(abs(col("s"))).cast("long").as("peak"))
+  }
+
+  /** Oracle chain ending in `fr` — the q181/q182 frame features in
+    * DuckDB, derived ARITHMETICALLY from doc_id (the oracle never
+    * parses the RIFF container; the Spark side must, so the hash gate
+    * checks the parse, not the feature math).
+    */
+  private def wavFrameChainSql =
+    """clips AS (SELECT doc_id,
+      |            CAST(128 + (doc_id % 5) * 64 AS INTEGER) AS n,
+      |            CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate
+      |          FROM documents),
+      |smp AS (SELECT doc_id, sample_rate, g.k AS k,
+      |          (doc_id * 7919 + g.k * 104729) % 65536 AS u,
+      |          ((g.k // 32) + doc_id) % 5 < 2 AS quiet
+      |        FROM clips,
+      |          UNNEST(generate_series(0, CAST(n - 1 AS INTEGER))) AS g(k)),
+      |sv AS (SELECT doc_id, sample_rate, k,
+      |         CASE WHEN quiet THEN (u % 17) - 8
+      |              ELSE u - 65536 * CASE WHEN u >= 32768 THEN 1 ELSE 0 END
+      |         END AS s
+      |       FROM smp),
+      |nx AS (SELECT doc_id, sample_rate, k, s,
+      |         lead(s) OVER (PARTITION BY doc_id ORDER BY k) AS s2
+      |       FROM sv),
+      |fr AS (SELECT doc_id, sample_rate, CAST(k // 32 AS BIGINT) AS frame,
+      |         CAST(sum(s * s) AS BIGINT) AS energy,
+      |         CAST(sum(CASE WHEN k % 32 < 31 AND ((s < 0) <> (s2 < 0))
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+      |         CAST(max(abs(s)) AS BIGINT) AS peak
+      |       FROM nx GROUP BY 1, 2, 3)""".stripMargin
 }
