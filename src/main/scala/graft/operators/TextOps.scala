@@ -521,25 +521,7 @@ object TextOps {
           .select(col("term"), col("doc_id"), col("tf"),
             round(col("score"), 4).as("score"), col("rk"))
       },
-      Some("""WITH tf AS (SELECT doc_id, u.term, count(*) AS tf
-             |          FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
-             |          GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-             |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
-             |          FROM dl),
-             |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             |q AS (SELECT term, df FROM dfr ORDER BY df DESC, term LIMIT 5),
-             |sc AS (SELECT q.term, tf.doc_id, tf.tf,
-             |         ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) * (tf * 2.2::DOUBLE / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (tot_dl / n_docs))))
-             |           AS score
-             |       FROM tf JOIN q ON tf.term = q.term
-             |       JOIN dl ON tf.doc_id = dl.doc_id, stats),
-             |r AS (SELECT term, doc_id, tf, score,
-             |        CAST(row_number() OVER (PARTITION BY term
-             |               ORDER BY score DESC, doc_id) AS INTEGER) AS rk
-             |      FROM sc)
-             |SELECT term, doc_id, tf, round(score, 4) AS score, rk
-             |FROM r WHERE rk <= 10""".stripMargin)),
+      Some(bm25OracleSql)),
 
     // ---- q93: sequence-length histogram (log2 buckets) ------------------
     // The length-distribution report sequence packing (q54) and
@@ -1494,6 +1476,239 @@ object TextOps {
              |  round(CAST(sum(r.n) AS BIGINT) / tot.tot, 6) AS coverage,
              |  CAST(least(k, vocab) AS BIGINT) AS vocab_used
              |FROM ks JOIN r ON r.rk <= ks.k CROSS JOIN tot
-             |GROUP BY k, tot.tot, tot.vocab""".stripMargin))
+             |GROUP BY k, tot.tot, tot.vocab""".stripMargin)),
+
+    // ---- q183: BM25 off the DOCUMENT-FREQUENCY STORE -------------------
+    // The retrieval-stats persistence the vocab store (q180) is for
+    // tokenizers: at 100 TB the df / corpus-total statistics BM25
+    // needs are a MAINTAINED STORE, not a per-scoring corpus pass.
+    // Base store from two thirds of the corpus, the rest folded in as
+    // two delta installments (one REPLAYED — the refusal require'd
+    // in-query), then the full corpus is scored with every corpus
+    // statistic (df, n_docs, tot_dl, the top-df query terms) read
+    // from the store — zero corpus passes for statistics; the only
+    // corpus-sized input is the docs being scored, a delta in
+    // production. The oracle is q77's full-recompute chain, so the
+    // hash gate proves store-refresh exactness, replay idempotence,
+    // and scoring equivalence at once. (Catalog side effects
+    // contained like q174's/q180's: fixed tables, swept per run.)
+    QueryDef(
+      "q183_bm25_store",
+      (s, d) => {
+        val tbl = "q183_df"
+        Seq(tbl, tbl + "_stats").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        }
+        val docs = Tables.parallel(s, d, "documents")
+        writeDfStoreOf(docs.filter(col("doc_id") % 3 =!= 1), tbl, 8)
+        val rest = docs.filter(col("doc_id") % 3 === 1)
+        require(refreshDfStore(s, rest.filter(col("doc_id") % 2 === 0),
+          tbl, 1L), "installment 1 must fold")
+        require(refreshDfStore(s, rest.filter(col("doc_id") % 2 =!= 0),
+          tbl, 2L), "installment 2 must fold")
+        require(!refreshDfStore(s, rest.filter(col("doc_id") % 2 === 0),
+          tbl, 1L), "replayed installment must be refused")
+        bm25AgainstStore(s, docs, tbl)
+      },
+      Some(bm25OracleSql))
   )
+
+  // ---- the document-frequency store family (q183) ----------------------
+  //
+  // BM25's corpus statistics decomposed per installment: df sums over
+  // DISJOINT doc sets (a doc contributes to a term's df in exactly one
+  // installment), and (n_docs, tot_dl) sum trivially — so sum-on-read
+  // is exact under any append count, the gram/vocab stores' contract.
+  // Two tables — `table` (term, df, batch_id), bucketed on term, and
+  // metadata-sized `table_stats` (n_docs, tot_dl, batch_id) — with the
+  // TERM table as the replay guard's source of truth and the refresh
+  // ordered stats-first / terms-last so a crash between the two
+  // converges under retry (the StoreManifest roll-forward discipline:
+  // the retry skips the already-landed stats row and re-appends only
+  // the terms; production deployments additionally publish versions
+  // through [[graft.stores.StoreManifest]] for atomic reader cutover).
+
+  /** Per-(doc, term) frequency — the frame every BM25 statistic
+    * derives from.
+    */
+  private def termFreq(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Base df-store build: one corpus pass, ever. */
+  def writeDfStoreOf(docs: org.apache.spark.sql.DataFrame, table: String,
+      buckets: Int = -1): Unit = {
+    val s = docs.sparkSession
+    val b =
+      if (buckets > 0) buckets
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val tf = termFreq(docs)
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("batch_id", lit(0L))
+      .repartition(b, col("term"))
+      .write.bucketBy(b, "term").sortBy("term")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+    dlStats(tf)
+      .withColumn("batch_id", lit(0L))
+      .write.format("parquet").mode("overwrite").saveAsTable(table + "_stats")
+  }
+
+  private def dlStats(tf: org.apache.spark.sql.DataFrame) =
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+
+  /** Land an installment's stats row if (and only if) it is not
+    * already there — the roll-forward half of [[refreshDfStore]],
+    * separated so a crash between the two appends is testable.
+    */
+  private[graft] def landDfStats(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, table: String,
+      batchId: Long): Unit = {
+    val landed = s.table(table + "_stats")
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!landed)
+      dlStats(termFreq(batch))
+        .withColumn("batch_id", lit(batchId))
+        .write.format("parquet").mode("append").saveAsTable(table + "_stats")
+  }
+
+  /** Fold a corpus installment into the df store under the replay
+    * contract (recorded id → refused no-op returning false; novel id
+    * below the watermark → throws — checkpoint reset, re-base the
+    * epoch). The TERM append is the commit point: stats land first
+    * (skipped if a crashed attempt already landed them), so retrying
+    * a crash between the two appends converges with no double count.
+    */
+  def refreshDfStore(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, table: String,
+      batchId: Long): Boolean = {
+    require(batchId > 0L,
+      "installment batch ids start at 1 (0 marks the base store build)")
+    val rec = s.table(table).select(col("batch_id")).distinct().collect()
+      .map(_.getLong(0))
+    val watermark = if (rec.isEmpty) -1L else rec.max
+    if (rec.contains(batchId)) return false // replayed installment
+    require(batchId > watermark,
+      s"batch id $batchId is below the store watermark $watermark but " +
+        s"was never folded into $table — a non-monotone novel id " +
+        "(checkpoint reset?); re-base the epoch past the watermark")
+    val b = s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    landDfStats(s, batch, table, batchId)
+    termFreq(batch).groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(b, col("term"))
+      .write.mode("append").bucketBy(b, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    true
+  }
+
+  /** Sum-on-read df view — exact after any number of appends; the
+    * aggregate groups on the bucket column, so a bucketed scan keeps
+    * it exchange-free.
+    */
+  def readDfStore(s: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.DataFrame =
+    s.table(table).groupBy(col("term")).agg(sum(col("df")).as("df"))
+
+  /** Corpus totals, summed over installments — one row. */
+  def readDfStats(s: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.DataFrame =
+    s.table(table + "_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+
+  /** Collapse K installments to one summed row per term (and one
+    * totals row), rolling forward to `newTable` — the vocab store's
+    * sum-semantics compaction, term-keyed: shuffle-free via the
+    * forced bucketed scan, with the replay watermark (max batch_id)
+    * carried onto every compacted row so a pre-compaction batch
+    * replayed afterwards still lands in [[refreshDfStore]]'s guard.
+    */
+  def compactDfStore(s: org.apache.spark.sql.SparkSession, table: String,
+      newTable: String): Unit = {
+    def canon(t: String): (String, String) = {
+      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
+      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
+        id.table.toLowerCase)
+    }
+    require(canon(newTable) != canon(table),
+      "df-store compaction rolls forward to a NEW table")
+    val spec = s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed — compaction targets the bucketed stores"))
+    val autoBucketedScan =
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(autoBucketedScan, "true")
+    s.conf.set(autoBucketedScan, "false")
+    try {
+      val wm = s.table(table)
+        .agg(coalesce(max(col("batch_id")), lit(0L)).as("batch_id"))
+      readDfStore(s, table).crossJoin(broadcast(wm))
+        .write.mode("overwrite")
+        .bucketBy(spec.numBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(newTable)
+      readDfStats(s, table).crossJoin(broadcast(wm))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(newTable + "_stats")
+    } finally s.conf.set(autoBucketedScan, prev)
+  }
+
+  /** BM25 scoring with every CORPUS statistic read from the store —
+    * q77's arithmetic (rational Robertson idf, k1=1.2 / b=0.75,
+    * explicit DOUBLE literals) with df / n_docs / tot_dl / the top-df
+    * query terms store-sourced; only the docs being SCORED are
+    * tokenized. Store stats broadcast (5 query terms, 1 totals row).
+    */
+  def bm25AgainstStore(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      table: String): org.apache.spark.sql.DataFrame = {
+    val tf = termFreq(docs)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val qterms = readDfStore(s, table)
+      .orderBy(col("df").desc, col("term").asc).limit(5)
+    val stats = readDfStats(s, table)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(
+        "((n_docs - df + 0.5D) / (df + 0.5D)) * (tf * 2.2D / (tf + 1.2D * (0.25D + 0.75D * dl / (tot_dl / n_docs))))"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("term"), col("doc_id"), col("tf"),
+        round(col("score"), 4).as("score"), col("rk"))
+  }
+
+  /** q77's full-recompute BM25 chain — the oracle for both q77 and
+    * the store-backed q183 (store-after-folds ≡ full corpus).
+    */
+  private def bm25OracleSql =
+    """WITH tf AS (SELECT doc_id, u.term, count(*) AS tf
+      |          FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+      |          GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
+      |          FROM dl),
+      |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT term, df FROM dfr ORDER BY df DESC, term LIMIT 5),
+      |sc AS (SELECT q.term, tf.doc_id, tf.tf,
+      |         ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) * (tf * 2.2::DOUBLE / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / (tot_dl / n_docs))))
+      |           AS score
+      |       FROM tf JOIN q ON tf.term = q.term
+      |       JOIN dl ON tf.doc_id = dl.doc_id, stats),
+      |r AS (SELECT term, doc_id, tf, score,
+      |        CAST(row_number() OVER (PARTITION BY term
+      |               ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+      |      FROM sc)
+      |SELECT term, doc_id, tf, round(score, 4) AS score, rk
+      |FROM r WHERE rk <= 10""".stripMargin
 }
