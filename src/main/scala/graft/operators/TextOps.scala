@@ -1539,9 +1539,16 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** The totals table's name: the `_stats` naming convention unless
+    * the caller (e.g. the manifest's `df` family glue, which models
+    * it as a first-class role) names it explicitly.
+    */
+  private def statsOf(table: String, statsTable: String): String =
+    if (statsTable.isEmpty) table + "_stats" else statsTable
+
   /** Base df-store build: one corpus pass, ever. */
   def writeDfStoreOf(docs: org.apache.spark.sql.DataFrame, table: String,
-      buckets: Int = -1): Unit = {
+      buckets: Int = -1, statsTable: String = ""): Unit = {
     val s = docs.sparkSession
     val b =
       if (buckets > 0) buckets
@@ -1554,7 +1561,8 @@ object TextOps {
       .format("parquet").mode("overwrite").saveAsTable(table)
     dlStats(tf)
       .withColumn("batch_id", lit(0L))
-      .write.format("parquet").mode("overwrite").saveAsTable(table + "_stats")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(statsOf(table, statsTable))
   }
 
   private def dlStats(tf: org.apache.spark.sql.DataFrame) =
@@ -1567,13 +1575,14 @@ object TextOps {
     */
   private[graft] def landDfStats(s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame, table: String,
-      batchId: Long): Unit = {
-    val landed = s.table(table + "_stats")
+      batchId: Long, statsTable: String = ""): Unit = {
+    val st = statsOf(table, statsTable)
+    val landed = s.table(st)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
     if (!landed)
       dlStats(termFreq(batch))
         .withColumn("batch_id", lit(batchId))
-        .write.format("parquet").mode("append").saveAsTable(table + "_stats")
+        .write.format("parquet").mode("append").saveAsTable(st)
   }
 
   /** Fold a corpus installment into the df store under the replay
@@ -1585,7 +1594,7 @@ object TextOps {
     */
   def refreshDfStore(s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame, table: String,
-      batchId: Long): Boolean = {
+      batchId: Long, statsTable: String = ""): Boolean = {
     require(batchId > 0L,
       "installment batch ids start at 1 (0 marks the base store build)")
     val rec = s.table(table).select(col("batch_id")).distinct().collect()
@@ -1600,7 +1609,7 @@ object TextOps {
       .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
-    landDfStats(s, batch, table, batchId)
+    landDfStats(s, batch, table, batchId, statsTable)
     termFreq(batch).groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("batch_id", lit(batchId))
       .repartition(b, col("term"))
@@ -1619,8 +1628,8 @@ object TextOps {
 
   /** Corpus totals, summed over installments — one row. */
   def readDfStats(s: org.apache.spark.sql.SparkSession,
-      table: String): org.apache.spark.sql.DataFrame =
-    s.table(table + "_stats")
+      table: String, statsTable: String = ""): org.apache.spark.sql.DataFrame =
+    s.table(statsOf(table, statsTable))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
 
   /** Collapse K installments to one summed row per term (and one
@@ -1631,7 +1640,8 @@ object TextOps {
     * replayed afterwards still lands in [[refreshDfStore]]'s guard.
     */
   def compactDfStore(s: org.apache.spark.sql.SparkSession, table: String,
-      newTable: String): Unit = {
+      newTable: String, statsTable: String = "",
+      newStatsTable: String = ""): Unit = {
     def canon(t: String): (String, String) = {
       val id = s.sessionState.sqlParser.parseTableIdentifier(t)
       (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
@@ -1655,9 +1665,9 @@ object TextOps {
         .write.mode("overwrite")
         .bucketBy(spec.numBuckets, "term").sortBy("term")
         .format("parquet").saveAsTable(newTable)
-      readDfStats(s, table).crossJoin(broadcast(wm))
+      readDfStats(s, table, statsTable).crossJoin(broadcast(wm))
         .write.mode("overwrite").format("parquet")
-        .saveAsTable(newTable + "_stats")
+        .saveAsTable(statsOf(newTable, newStatsTable))
     } finally s.conf.set(autoBucketedScan, prev)
   }
 
@@ -1669,12 +1679,12 @@ object TextOps {
     */
   def bm25AgainstStore(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame,
-      table: String): org.apache.spark.sql.DataFrame = {
+      table: String, statsTable: String = ""): org.apache.spark.sql.DataFrame = {
     val tf = termFreq(docs)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val qterms = readDfStore(s, table)
       .orderBy(col("df").desc, col("term").asc).limit(5)
-    val stats = readDfStats(s, table)
+    val stats = readDfStats(s, table, statsTable)
     val w = Window.partitionBy(col("term"))
       .orderBy(col("score").desc, col("doc_id").asc)
     tf.join(broadcast(qterms), "term")

@@ -251,6 +251,72 @@ object StoreManifest {
     dropTables
   }
 
+  /** Integrity audit (fsck) over the manifest vs the catalog — the
+    * detector for every way the event log and the physical tables can
+    * disagree (q184's oracle-checked surface). One row per finding,
+    * (family, version, role, table_name, finding):
+    *
+    *  - `missing-live`    a LIVE version's table is absent from the
+    *                      catalog: an out-of-band drop — store
+    *                      corruption; readers resolving [[current]]
+    *                      will fail. Restore or publish a rebuild.
+    *  - `missing-retired` a retired version's table is absent but the
+    *                      version was never marked vacuumed: a
+    *                      [[vacuum]] crashed between its drops and
+    *                      its log append — benign; re-run vacuum to
+    *                      converge the log.
+    *  - `stale-vacuumed`  a vacuumed version's table still exists and
+    *                      no surviving version shares it: the drop
+    *                      never happened (or the table reappeared) —
+    *                      a disk leak; drop it.
+    *  - `orphan-table`    a catalog table inside this manifest's
+    *                      namespace (`<manifest>_…`) that NO manifest
+    *                      row references: debris from a write that
+    *                      never got prepared rows — [[vacuum]] cannot
+    *                      see it; reported with family ''/version −1.
+    *
+    * PENDING versions are deliberately NOT audited for missing tables
+    * — a prepare with its write still in flight is the normal state
+    * between [[prepare]] and [[publish]], not a finding. Driver-side
+    * catalog work like [[vacuum]] (O(versions × roles) manifest rows
+    * + one listTables), never a data path.
+    */
+  def fsck(s: SparkSession, manifest: String): DataFrame = {
+    import s.implicits._
+    val st = statusReport(s, manifest)
+      .select(col("family"), col("version"), col("role"), col("table_name"),
+        col("status"))
+      .collect()
+    val referenced = st.map(_.getString(3).toLowerCase).toSet
+    val survivors = st.filter(_.getString(4) != "vacuumed")
+      .map(_.getString(3).toLowerCase).toSet
+    val findings = Seq.newBuilder[(String, Long, String, String, String)]
+    st.foreach { r =>
+      val (f, v, role, t, status) = (r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3), r.getString(4))
+      val exists = s.catalog.tableExists(t)
+      status match {
+        case "live" if !exists =>
+          findings += ((f, v, role, t, "missing-live"))
+        case "retired" if !exists =>
+          findings += ((f, v, role, t, "missing-retired"))
+        case "vacuumed" if exists && !survivors.contains(t.toLowerCase) =>
+          findings += ((f, v, role, t, "stale-vacuumed"))
+        case _ => ()
+      }
+    }
+    val prefix = manifest.toLowerCase + "_"
+    s.catalog.listTables().collect()
+      .filterNot(_.isTemporary)
+      .map(_.name)
+      .filter(n => n.toLowerCase.startsWith(prefix)
+        && !referenced.contains(n.toLowerCase))
+      .sorted
+      .foreach(n => findings += (("", -1L, "", n, "orphan-table")))
+    findings.result()
+      .toDF("family", "version", "role", "table_name", "finding")
+  }
+
   // ------------------------------------------------------------------
   // Family glue: every store family's build / refresh / compact step,
   // routed through prepare → write → publish. These are the entry
@@ -368,6 +434,50 @@ object StoreManifest {
     p
   }
 
+  /** Build + publish the document-frequency store (family `df`,
+    * q183): the term-bucketed df table plus the metadata-sized totals
+    * table as a FIRST-CLASS role — both versioned and vacuumed
+    * together, so neither can become fsck debris.
+    */
+  def publishDf(s: SparkSession, manifest: String, docs: DataFrame,
+      buckets: Int = -1): Prepared = {
+    val p = prepare(s, manifest, "df", Seq("terms", "stats"))
+    graft.operators.TextOps.writeDfStoreOf(docs, p.tables("terms"), buckets,
+      p.tables("stats"))
+    publish(s, manifest, "df", p)
+    p
+  }
+
+  /** [[graft.operators.TextOps.refreshDfStore]] against the live df
+    * pair (append-in-place, replay-guarded — no version flip).
+    */
+  def refreshDf(s: SparkSession, manifest: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val (_, cur) = currentRequired(s, manifest, "df")
+    graft.operators.TextOps.refreshDfStore(s, batch, cur("terms"), batchId,
+      cur("stats"))
+  }
+
+  /** BM25 scoring off the manifest-resolved df store. */
+  def scoreBm25(s: SparkSession, manifest: String,
+      docs: DataFrame): DataFrame = {
+    val (_, cur) = currentRequired(s, manifest, "df")
+    graft.operators.TextOps.bm25AgainstStore(s, docs, cur("terms"),
+      cur("stats"))
+  }
+
+  /** [[graft.operators.TextOps.compactDfStore]] (sum-semantics) →
+    * next version.
+    */
+  def compactDf(s: SparkSession, manifest: String): Prepared = {
+    val (_, cur) = currentRequired(s, manifest, "df")
+    val p = prepare(s, manifest, "df", Seq("terms", "stats"))
+    graft.operators.TextOps.compactDfStore(s, cur("terms"),
+      p.tables("terms"), cur("stats"), p.tables("stats"))
+    publish(s, manifest, "df", p)
+    p
+  }
+
   private val ivfRoles = Seq("centroids", "cells", "codes", "codebook")
 
   /** Build + publish the IVF serving QUARTET (family `ivf`): trained
@@ -478,6 +588,58 @@ object StoreManifest {
              |  ('demo', 2, 'comp', 'q174mf_demo_v2_comp', 'live'),
              |  ('demo', 3, 'band', 'q174mf_demo_v3_band', 'vacuumed'),
              |  ('demo', 3, 'comp', 'q174mf_demo_v3_comp', 'vacuumed')
-             |) AS t(family, version, role, table_name, status)""".stripMargin))
+             |) AS t(family, version, role, table_name, status)""".stripMargin)),
+
+    // ---- q184: manifest fsck under the hash gate ------------------------
+    // A deterministic corruption scenario — every divergence class the
+    // audit detects, staged against two families so the constructions
+    // don't interfere: family `a` publishes v1+v2 and then suffers an
+    // out-of-band drop of a LIVE table (v2) and a crashed-vacuum
+    // artifact (v1's table dropped, version never marked); family `b`
+    // publishes v1+v2, vacuums cleanly, and then v1's table REAPPEARS
+    // (stale-vacuumed); plus one unreferenced table inside the
+    // manifest namespace (orphan debris). The oracle is the literal
+    // expected findings — and, as important, what is NOT in it: `b`'s
+    // properly-vacuumed missing tables and every healthy live table
+    // produce no rows. (Catalog side effects contained like q174's.)
+    QueryDef(
+      "q184_manifest_fsck",
+      (s, _) => {
+        val mf = "q184mf"
+        (Seq(mf, s"${mf}_c_v9_junk") ++ (for {
+          f <- Seq("a", "b"); v <- 1 to 2; r <- Seq("band", "comp")
+        } yield s"${mf}_${f}_v${v}_$r")).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        }
+        init(s, mf)
+        def pub(fam: String): Prepared = {
+          val p = prepare(s, mf, fam, Seq("band", "comp"))
+          Seq("band", "comp").foreach(r => s.range(1).write
+            .mode("overwrite").format("parquet").saveAsTable(p.tables(r)))
+          publish(s, mf, fam, p)
+          p
+        }
+        pub("a"); pub("a") // a: v1 retired, v2 live
+        s.sql(s"DROP TABLE ${mf}_a_v1_band") // crashed vacuum: unmarked drop
+        s.sql(s"DROP TABLE ${mf}_a_v2_comp") // out-of-band drop of a LIVE table
+        pub("b"); pub("b")
+        vacuum(s, mf, "b") // clean: v1 vacuumed, tables dropped
+        s.range(1).write.format("parquet")
+          .saveAsTable(s"${mf}_b_v1_band") // ...and one reappears
+        s.range(1).write.format("parquet")
+          .saveAsTable(s"${mf}_c_v9_junk") // unreferenced debris
+        fsck(s, mf)
+      },
+      Some("""SELECT family, CAST(version AS BIGINT) AS version, role,
+             |       table_name, finding
+             |FROM (VALUES
+             |  ('a', 1, 'band', 'q184mf_a_v1_band', 'missing-retired'),
+             |  ('a', 2, 'comp', 'q184mf_a_v2_comp', 'missing-live'),
+             |  ('b', 1, 'band', 'q184mf_b_v1_band', 'stale-vacuumed'),
+             |  ('', -1, '', 'q184mf_c_v9_junk', 'orphan-table')
+             |) AS t(family, version, role, table_name, finding)""".stripMargin))
   )
 }
