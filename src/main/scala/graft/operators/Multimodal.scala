@@ -436,7 +436,113 @@ object Multimodal {
               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
               |  CAST(max(len) AS BIGINT) AS longest_run,
               |  CAST(sum(len) AS BIGINT) AS silent_frames
-              |FROM sp GROUP BY 1""".stripMargin))
+              |FROM sp GROUP BY 1""".stripMargin)),
+
+    // ---- q185: audio fingerprint near-dup join -------------------------
+    // The q173 machinery is MODALITY-GENERIC — here it runs on
+    // decoded AUDIO: each clip (plus a probe copy of every 17th with
+    // ONE middle sample overwritten — the re-encoded/slightly-edited
+    // duplicate) reduces to a 64-block mean-|amplitude| envelope, the
+    // dHash gradient bits pack into four 16-bit bands, and the salted
+    // band join + codegen'd hamming verify emit pairs ≤ 3 bits apart.
+    // One perturbed sample moves one envelope block ⇒ ≤ 2 dHash bits
+    // (the block's two neighbor comparisons) ⇒ at least two bands
+    // still EQUAL — inside the pigeonhole recall guarantee. The
+    // oracle re-derives the samples arithmetically (never parses), so
+    // the gate again checks the RIFF parse end-to-end.
+    QueryDef(
+      "q185_audio_neardup",
+      (s, d) => {
+        val base = Tables(s, d, "documents")
+          .select(col("doc_id"), col("doc_id").as("gen_id"),
+            lit(0).as("perturb"))
+        val probes = Tables(s, d, "documents")
+          .filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("doc_id").as("gen_id"), lit(1).as("perturb"))
+        val members = audioSigFrame(s, wavClipsOf(base.unionByName(probes)))
+          .select(posexplode(
+            array(col("d0"), col("d1"), col("d2"), col("d3")))
+            .as(Seq("band", "v")),
+            struct(col("doc_id").as("id"), col("d0"), col("d1"),
+              col("d2"), col("d3")).as("m"))
+        Similarity.saltedPairs(members, Seq("band", "v"), 4)
+          .filter((0 to 2).map(bp =>
+            (col("band") <= bp) ||
+              (col(s"pa.d$bp") =!= col(s"pb.d$bp"))).reduce(_ && _))
+          .withColumn("hamming", expr(
+            """cast(bit_count(int(pa.d0) ^ int(pb.d0)) + bit_count(int(pa.d1) ^ int(pb.d1))
+              |   + bit_count(int(pa.d2) ^ int(pb.d2)) + bit_count(int(pa.d3) ^ int(pb.d3))
+              |   as bigint)""".stripMargin))
+          .filter(col("hamming") <= 3)
+          .select(col("pa.id").as("a"), col("pb.id").as("b"),
+            col("hamming"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, doc_id AS gid, 0 AS pert
+             |         FROM documents
+             |       UNION ALL
+             |       SELECT doc_id + 1000000, doc_id, 1 FROM documents
+             |       WHERE doc_id % 17 = 0),
+             |par AS (SELECT doc_id, gid, pert,
+             |          CAST(128 + (gid % 5) * 64 AS INTEGER) AS n
+             |        FROM ids),
+             |smp AS (SELECT doc_id, n, pert, g.k AS k,
+             |          (gid * 7919 + g.k * 104729) % 65536 AS u,
+             |          ((g.k // 32) + gid) % 5 < 2 AS quiet
+             |        FROM par,
+             |          UNNEST(generate_series(0, CAST(n - 1 AS INTEGER))) AS g(k)),
+             |su AS (SELECT doc_id, n, k,
+             |         CASE WHEN pert = 1 AND k = n // 2
+             |              THEN ((CASE WHEN quiet
+             |                          THEN ((u % 17) - 8 + 65536) % 65536
+             |                          ELSE u END) + 12345) % 65536
+             |              ELSE (CASE WHEN quiet
+             |                         THEN ((u % 17) - 8 + 65536) % 65536
+             |                         ELSE u END) END AS sv
+             |       FROM smp),
+             |sgn AS (SELECT doc_id, n, k,
+             |          sv - 65536 * CASE WHEN sv >= 32768 THEN 1 ELSE 0 END
+             |            AS s
+             |        FROM su),
+             |bm AS (SELECT doc_id, CAST((k * 64) // n AS INTEGER) AS i,
+             |         CAST(sum(abs(s)) // count(*) AS BIGINT) AS bv
+             |       FROM sgn GROUP BY 1, 2),
+             |nx AS (SELECT b.doc_id, b.i, b.bv, b2.bv AS nbv
+             |       FROM bm b
+             |       JOIN bm b2 ON b2.doc_id = b.doc_id
+             |         AND b2.i = (b.i + 1) % 64),
+             |bits AS (SELECT doc_id, i // 16 AS band,
+             |           CAST(15 - (i % 16) AS INTEGER) AS pos,
+             |           CASE WHEN bv > nbv THEN 1 ELSE 0 END AS dbit
+             |         FROM nx),
+             |ph AS (SELECT doc_id,
+             |         max(CASE WHEN band = 0 THEN dv END) AS d0,
+             |         max(CASE WHEN band = 1 THEN dv END) AS d1,
+             |         max(CASE WHEN band = 2 THEN dv END) AS d2,
+             |         max(CASE WHEN band = 3 THEN dv END) AS d3
+             |       FROM (SELECT doc_id, band,
+             |               CAST(sum(dbit * (1 << pos)) AS BIGINT) AS dv
+             |             FROM bits GROUP BY 1, 2)
+             |       GROUP BY 1),
+             |db AS (SELECT doc_id, band, dv FROM (
+             |         SELECT doc_id, 0 AS band, d0 AS dv FROM ph
+             |         UNION ALL SELECT doc_id, 1, d1 FROM ph
+             |         UNION ALL SELECT doc_id, 2, d2 FROM ph
+             |         UNION ALL SELECT doc_id, 3, d3 FROM ph)),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |         FROM db x JOIN db y
+             |           ON x.band = y.band AND x.dv = y.dv
+             |              AND x.doc_id < y.doc_id)
+             |SELECT a, b,
+             |  CAST(bit_count(xor(pa.d0, pb.d0)) + bit_count(xor(pa.d1, pb.d1))
+             |     + bit_count(xor(pa.d2, pb.d2)) + bit_count(xor(pa.d3, pb.d3))
+             |     AS BIGINT) AS hamming
+             |FROM cand
+             |JOIN ph pa ON pa.doc_id = cand.a
+             |JOIN ph pb ON pb.doc_id = cand.b
+             |WHERE bit_count(xor(pa.d0, pb.d0)) + bit_count(xor(pa.d1, pb.d1))
+             |    + bit_count(xor(pa.d2, pb.d2)) + bit_count(xor(pa.d3, pb.d3))
+             |      <= 3""".stripMargin))
   )
 
   /** The q172/q173 corpus: every payload, plus a PROBE copy of every
@@ -646,20 +752,36 @@ object Multimodal {
     * The oracle reproduces s arithmetically and never sees the bytes.
     */
   private def wavClips(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    wavClipsOf(Tables(s, d, "documents")
+      .select(col("doc_id"), col("doc_id").as("gen_id"),
+        lit(0).as("perturb")))
+
+  /** [[wavClips]] generalized over a (doc_id, gen_id, perturb) frame:
+    * `gen_id` drives every derived parameter and sample (so a probe
+    * copy under a new doc_id carries the ORIGINAL clip), and
+    * `perturb` = 1 overwrites the single middle sample — the
+    * "slightly edited clip" q185's fingerprint dedup must catch
+    * (q172/q173's probe pattern on the audio modality).
+    */
+  private def wavClipsOf(
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def le16(e: String) =
       s"concat(lpad(hex(pmod(($e), 256)), 2, '0'), " +
         s"lpad(hex(pmod(($e) div 256, 256)), 2, '0'))"
     def le32(e: String) =
       s"concat(${le16(s"pmod(($e), 65536)")}, ${le16(s"($e) div 65536")})"
-    val u = "pmod(doc_id * 7919 + k * 104729, 65536)"
-    val sv = s"(CASE WHEN pmod((k div 32) + doc_id, 5) < 2 " +
+    val u = "pmod(gen_id * 7919 + k * 104729, 65536)"
+    val sv0 = s"(CASE WHEN pmod((k div 32) + gen_id, 5) < 2 " +
       s"THEN pmod(pmod($u, 17) - 8 + 65536, 65536) ELSE $u END)"
-    Tables(s, d, "documents")
-      .select(col("doc_id"),
-        (lit(128) + pmod(col("doc_id"), lit(5)) * 64).cast("int").as("n"),
-        (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).cast("int").as("sr"),
-        (lit(4) + pmod(col("doc_id"), lit(3)) * 2).cast("int").as("lst"))
+    val sv = s"(CASE WHEN perturb = 1 AND k = (n div 2) " +
+      s"THEN pmod($sv0 + 12345, 65536) ELSE $sv0 END)"
+    ids
+      .select(col("doc_id"), col("perturb"),
+        (lit(128) + pmod(col("gen_id"), lit(5)) * 64).cast("int").as("n"),
+        (lit(8000) + pmod(col("gen_id"), lit(3)) * 4000).cast("int").as("sr"),
+        (lit(4) + pmod(col("gen_id"), lit(3)) * 2).cast("int").as("lst"),
+        col("gen_id"))
       .select(col("doc_id"), unhex(concat(
         lit("52494646"), expr(le32("44 + lst + 2 * n")), lit("57415645"),
         lit("666D7420"), expr(le32("16")), expr(le16("1")), expr(le16("1")),
@@ -708,6 +830,31 @@ object Multimodal {
         sum(when(expr("k % 32 < 31 AND ((s < 0) != (s2 < 0))"), 1L)
           .otherwise(0L)).as("zc"),
         max(abs(col("s"))).cast("long").as("peak"))
+  }
+
+  /** (doc_id, a0‥a3, d0‥d3) over DECODED clips: the 64-block
+    * mean-|amplitude| envelope (the clip's area-average downscale —
+    * the audio analogue of q172's block means) fed through the shared
+    * [[phashFromBlocks]] bit chain. q185 joins on the dHash bands —
+    * the gradient envelope is what survives a level shift.
+    */
+  private def audioSigFrame(s: org.apache.spark.sql.SparkSession,
+      clips: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val dec = clips.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, wav) =>
+          decodeWav(wav).map { case (_, smp) => (id, smp) }
+        }
+      }
+      .toDF("doc_id", "smp")
+    phashFromBlocks(
+      dec
+        .select(col("doc_id"), size(col("smp")).as("n"),
+          posexplode(col("smp")).as(Seq("k", "sv")))
+        .groupBy(col("doc_id"), expr("CAST((k * 64) div n AS INT)").as("blk"))
+        .agg(expr("sum(abs(CAST(sv AS BIGINT))) div count(1)").as("bv")),
+      Seq("doc_id"))
   }
 
   /** Oracle chain ending in `fr` — the q181/q182 frame features in

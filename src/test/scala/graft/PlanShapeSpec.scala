@@ -452,4 +452,19 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$q must not join the pair stream back to the corpus:\n$p")
     }
   }
+
+  test("q181 audio decode is shuffle-free until the frame aggregate") {
+    // decode runs partition-parallel at the mapPartitions seam; the
+    // adjacent-sample pairing is an array zip_with, NOT a per-sample
+    // window (which would sort |samples| rows per doc); the only
+    // exchange in the whole chain is the frame groupBy's doc_id hash
+    val p = planOf("q181_wav_decode").split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused")
+        && !l.contains("Broadcast"))
+    assert(exchanges == 1,
+      s"expected exactly one shuffle (the frame groupBy), got $exchanges:\n$p")
+    assert(!p.contains("Window"),
+      s"sample pairing must ride zip_with, not a window sort:\n$p")
+  }
 }

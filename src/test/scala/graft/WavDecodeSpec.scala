@@ -99,4 +99,16 @@ class WavDecodeSpec extends AnyFunSuite {
       .agg(sum("f")).collect()(0).getLong(0)
     assert(got === want, "a decode failure would silently drop frames")
   }
+
+  test("q185 catches every single-sample-edited probe (pigeonhole recall)") {
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("q185_audio_neardup")(
+      spark, "/root/testdata/sf0.001")
+    val caught = pairs.filter(col("b") === col("a") + 1000000L).count()
+    val probes = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 17 === 0).count()
+    assert(caught === probes,
+      "one edited sample moves <= 2 dHash bits; every probe must pair")
+  }
 }
