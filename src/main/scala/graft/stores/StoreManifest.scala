@@ -317,6 +317,51 @@ object StoreManifest {
       .toDF("family", "version", "role", "table_name", "finding")
   }
 
+  /** Event-log retention: roll the manifest forward to `newManifest`,
+    * dropping every event of fully-VACUUMED versions — the only rows
+    * that can accumulate without bound under a steady refresh cadence
+    * (each refresh retires a version; each vacuum closes it) — while
+    * keeping everything semantics depends on:
+    *
+    *  - all events of live / retired / pending versions (status
+    *    derivation and [[current]] are unchanged for them — the spec
+    *    asserts frame equality);
+    *  - each family's MAX version's events even when vacuumed, so
+    *    [[prepare]]'s max+1 allocation stays monotone — without this,
+    *    a family whose every version was vacuumed would restart at
+    *    v1 and collide with dropped history.
+    *
+    * Roll-forward like every store compaction (`require(new != old)`;
+    * the caller re-points consumers, then drops the old log). The
+    * one thing retention trades away: [[fsck]]'s `stale-vacuumed`
+    * audit no longer sees the dropped versions — their tables, if
+    * any resurface, are caught by the orphan audit of the OLD
+    * manifest's namespace only. Metadata-sized frame work throughout.
+    */
+  def compactManifest(s: SparkSession, manifest: String,
+      newManifest: String): Unit = {
+    def canon(t: String): (String, String) = {
+      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
+      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
+        id.table.toLowerCase)
+    }
+    require(canon(newManifest) != canon(manifest),
+      "manifest compaction rolls forward to a NEW event table")
+    val ev = s.table(manifest)
+    val vac = ev.filter(col("event") === "vacuumed")
+      .select(col("family"), col("version")).distinct()
+      .withColumn("is_vac", lit(1))
+    val maxV = ev.groupBy(col("family"))
+      .agg(max(col("version")).as("max_v"))
+    ev
+      .join(vac, Seq("family", "version"), "left")
+      .join(maxV, Seq("family"))
+      .filter(col("is_vac").isNull || col("version") === col("max_v"))
+      .select(col("family"), col("version"), col("role"),
+        col("table_name"), col("event"), col("writer"), col("ts"))
+      .write.mode("overwrite").format("parquet").saveAsTable(newManifest)
+  }
+
   // ------------------------------------------------------------------
   // Family glue: every store family's build / refresh / compact step,
   // routed through prepare → write → publish. These are the entry
@@ -640,6 +685,51 @@ object StoreManifest {
              |  ('a', 2, 'comp', 'q184mf_a_v2_comp', 'missing-live'),
              |  ('b', 1, 'band', 'q184mf_b_v1_band', 'stale-vacuumed'),
              |  ('', -1, '', 'q184mf_c_v9_junk', 'orphan-table')
-             |) AS t(family, version, role, table_name, finding)""".stripMargin))
+             |) AS t(family, version, role, table_name, finding)""".stripMargin)),
+
+    // ---- q186: manifest retention under the hash gate -------------------
+    // The lifecycle loop closed: refresh cadence grows the event log,
+    // [[vacuum]] closes versions, [[compactManifest]] drops the
+    // closed ones. The scenario takes one family through
+    // publish → refresh → vacuum → in-flight prepare, compacts, and
+    // checks the ROLLED-FORWARD log's status derivation: the vacuumed
+    // v1 is gone from history, while v2 (live) and the pending v3
+    // survive byte-identically — [[current]] resolution and the next
+    // [[prepare]]'s version allocation are provably unaffected by
+    // retention (the spec additionally pins the all-vacuumed-family
+    // max-version edge). (Catalog side effects contained like q174's.)
+    QueryDef(
+      "q186_manifest_retention",
+      (s, _) => {
+        val mf = "q186mf"; val mfc = "q186mfc"
+        Seq(mf, mfc, s"${mf}_demo_v1_band", s"${mf}_demo_v1_comp",
+          s"${mf}_demo_v2_band", s"${mf}_demo_v2_comp").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        }
+        init(s, mf)
+        def pub(): Prepared = {
+          val p = prepare(s, mf, "demo", Seq("band", "comp"))
+          Seq("band", "comp").foreach(r => s.range(1).write
+            .mode("overwrite").format("parquet").saveAsTable(p.tables(r)))
+          publish(s, mf, "demo", p)
+          p
+        }
+        pub(); pub()           // v1 retired, v2 live
+        vacuum(s, mf, "demo")  // v1 closed
+        prepare(s, mf, "demo", Seq("band", "comp")) // v3 in flight
+        compactManifest(s, mf, mfc)
+        statusReport(s, mfc)
+      },
+      Some("""SELECT family, CAST(version AS BIGINT) AS version, role,
+             |       table_name, status
+             |FROM (VALUES
+             |  ('demo', 2, 'band', 'q186mf_demo_v2_band', 'live'),
+             |  ('demo', 2, 'comp', 'q186mf_demo_v2_comp', 'live'),
+             |  ('demo', 3, 'band', 'q186mf_demo_v3_band', 'pending'),
+             |  ('demo', 3, 'comp', 'q186mf_demo_v3_comp', 'pending')
+             |) AS t(family, version, role, table_name, status)""".stripMargin))
   )
 }

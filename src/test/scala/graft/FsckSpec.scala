@@ -85,4 +85,28 @@ class FsckSpec extends SparkSpec {
       "vacuum drops BOTH of the retired version's role tables")
     assert(StoreManifest.fsck(spark, "fsckmf3").count() === 0)
   }
+
+  test("manifest retention: current unchanged, allocation stays monotone") {
+    sweep("retmf", "retmfc", "retmf_x_v1_t", "retmf_x_v2_t")
+    StoreManifest.init(spark, "retmf")
+    def pub(): Unit = {
+      val p = StoreManifest.prepare(spark, "retmf", "x", Seq("t"))
+      spark.range(1).write.format("parquet").saveAsTable(p.tables("t"))
+      StoreManifest.publish(spark, "retmf", "x", p)
+    }
+    pub(); pub()
+    StoreManifest.vacuum(spark, "retmf", "x") // v1 closed
+    // family y: every version vacuumed (an abandoned prepare)
+    StoreManifest.prepare(spark, "retmf", "y", Seq("t"))
+    StoreManifest.vacuum(spark, "retmf", "y")
+    StoreManifest.compactManifest(spark, "retmf", "retmfc")
+    assert(StoreManifest.current(spark, "retmfc", "x") ===
+      StoreManifest.current(spark, "retmf", "x"),
+      "retention must not move the live resolution")
+    assert(StoreManifest.prepare(spark, "retmfc", "x", Seq("t")).version
+      === 3L, "allocation continues past the dropped history")
+    assert(StoreManifest.prepare(spark, "retmfc", "y", Seq("t")).version
+      === 2L, "an all-vacuumed family must NOT restart at v1 — its max " +
+        "version's events survive retention exactly for this")
+  }
 }
