@@ -1546,6 +1546,18 @@ object TextOps {
   private def statsOf(table: String, statsTable: String): String =
     if (statsTable.isEmpty) table + "_stats" else statsTable
 
+  /** Drop `s`'s cached relation (file listing) for the tables: an
+    * append from ANOTHER session — the shape [[graft.streaming
+    * .DfIngest]]'s fold mode hits, where foreachBatch hands the store
+    * functions a micro-batch frame bound to a cloned session — lands
+    * files and catalog rows that `s`'s relation cache does not see.
+    * A stale guard read here is not a perf bug but a CORRECTNESS one:
+    * it under-reads the watermark and re-folds a recorded batch.
+    */
+  private def uncache(s: org.apache.spark.sql.SparkSession,
+      names: String*): Unit =
+    names.foreach(n => if (s.catalog.tableExists(n)) s.catalog.refreshTable(n))
+
   /** Base df-store build: one corpus pass, ever. */
   def writeDfStoreOf(docs: org.apache.spark.sql.DataFrame, table: String,
       buckets: Int = -1, statsTable: String = ""): Unit = {
@@ -1577,6 +1589,7 @@ object TextOps {
       batch: org.apache.spark.sql.DataFrame, table: String,
       batchId: Long, statsTable: String = ""): Unit = {
     val st = statsOf(table, statsTable)
+    uncache(s, st)
     val landed = s.table(st)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
     if (!landed)
@@ -1597,6 +1610,7 @@ object TextOps {
       batchId: Long, statsTable: String = ""): Boolean = {
     require(batchId > 0L,
       "installment batch ids start at 1 (0 marks the base store build)")
+    uncache(s, table)
     val rec = s.table(table).select(col("batch_id")).distinct().collect()
       .map(_.getLong(0))
     val watermark = if (rec.isEmpty) -1L else rec.max
@@ -1615,6 +1629,9 @@ object TextOps {
       .repartition(b, col("term"))
       .write.mode("append").bucketBy(b, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
+    // the appends above ran through BATCH's session (possibly a
+    // foreachBatch clone) — make them visible to this one
+    uncache(s, table, statsOf(table, statsTable))
     true
   }
 
