@@ -319,6 +319,42 @@ object StreamBench {
     Result("span_ingest", events / secs, events, secs, scored)
   }
 
+  /** Streaming BM25 serving: the 8th pipeline — each micro-batch
+    * scores against the persisted df store
+    * ([[graft.streaming.DfIngest]], q183's operator): batch-side
+    * tf/dl, store-side df/totals/query-terms (broadcast). Same 1:1
+    * clone/novel feed as span_ingest, so batches mix docs that hit
+    * the query terms with docs that match nothing.
+    */
+  def benchDfIngest(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val wh = Files.createTempDirectory(base.toPath, "wh_sb_df").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sbdf LOCATION '$wh'")
+    graft.operators.TextOps.writeDfStoreOf(
+      Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "sbdf.terms_b")
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def doc(i: Long): (Long, String) =
+      if (i % 2 == 0) (1000000L + i, corpus((i / 2 % corpus.length).toInt)._2)
+      else (1000000L + i,
+        (0 until 40).map(w => s"nv${(i * 31 + w * 7) % 99991}").mkString(" "))
+
+    val docs = MemoryStream[(Long, String)]
+    val outDir = Files.createTempDirectory(base.toPath, "sb_df_out").toString
+    val q = graft.streaming.DfIngest.start(
+      docs.toDF().toDF("doc_id", "text"),
+      "sbdf.terms_b", "sbdf.terms_b_stats", outDir, ckptDir(base, "df"))
+    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
+    q.stop()
+    val scored = graft.streaming.DfIngest.readScores(spark, outDir).count()
+    spark.sql("DROP DATABASE IF EXISTS sbdf CASCADE")
+    Result("df_ingest", events / secs, events, secs, scored)
+  }
+
   /** Streaming boilerplate STRIP: the 7th pipeline — each micro-batch
     * rewrites its docs against the persisted gram store
     * ([[graft.streaming.SpanIngest.startWithStrip]], q175's
@@ -380,13 +416,15 @@ object StreamBench {
     val annIngest = benchAnnIngest(spark, base, n / 20L, batch / 20L)
     val spanIngest = benchSpanIngest(spark, base, n / 20L, batch / 20L)
     val spanStrip = benchSpanStrip(spark, base, n / 20L, batch / 20L)
+    val dfIngest = benchDfIngest(spark, base, n / 20L, batch / 20L)
 
     val json =
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
         s""""unit":"events/sec","events":${alert.events},"secs":${alert.secs},""" +
         s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
         s"""${trending.json},${curation.json},${clustering.json},""" +
-        s"""${annIngest.json},${spanIngest.json},${spanStrip.json}}""" +
+        s"""${annIngest.json},${spanIngest.json},${spanStrip.json},""" +
+        s"""${dfIngest.json}}""" +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")

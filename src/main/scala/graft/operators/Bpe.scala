@@ -295,6 +295,9 @@ object Bpe {
       table: String, batchId: Long): Boolean = {
     require(batchId > 0L,
       "installment batch ids start at 1 (0 marks the base store build)")
+    // stale-relation bust (the DfIngest fold-mode lesson): a previous
+    // fold appended through another session → re-list before the guard
+    s.catalog.refreshTable(table)
     val t = s.table(table)
     require(t.columns.contains("batch_id"),
       s"$table has no batch_id column — rebuild it via writeVocabStore")
@@ -315,6 +318,9 @@ object Bpe {
       .repartition(b, col("w"))
       .write.mode("append").bucketBy(b, "w").sortBy("w")
       .format("parquet").saveAsTable(table)
+    // the append may have run through batch's (cloned) session —
+    // make it visible to this one
+    s.catalog.refreshTable(table)
     true
   }
 

@@ -983,6 +983,11 @@ object Dedup {
       table: String, batchId: Long): Boolean = {
     require(batchId > 0L,
       "installment batch ids start at 1 (0 marks the base store build)")
+    // bust this session's cached relation first: when the previous
+    // fold's append ran through ANOTHER session (the foreachBatch-
+    // clone shape DfIngest's fold mode exposed), a stale file listing
+    // here under-reads the watermark and re-folds a recorded batch
+    s.catalog.refreshTable(table)
     val t = s.table(table)
     require(t.columns.contains("batch_id"),
       s"$table has no batch_id column — rebuild it via writeGramStore; " +
@@ -1014,6 +1019,9 @@ object Dedup {
       .repartition(b, col("gid"))
       .write.mode("append").bucketBy(b, "gid").sortBy("gid")
       .format("parquet").saveAsTable(table)
+    // the append may have run through batch's (cloned) session —
+    // make it visible to this one
+    s.catalog.refreshTable(table)
     true
   }
 
