@@ -146,7 +146,15 @@ object SkewBench {
     // per candidate over the packed codes (no vector is read), and
     // the exact rerank must fetch full vectors for only the kAdc
     // admitted rows — never the probed cell's membership
-    "q177_pq_store_adc", "q178_pq_serve")
+    "q177_pq_store_adc", "q178_pq_serve",
+    // round-11 second wave: the audio near-dup join at 10× rows —
+    // its candidate/verify machinery IS q173's (saltedPairs + struct-
+    // carried bands), so the hot-bucket guard is already timed there;
+    // this target times the NEW upstream at scale: the in-query WAV
+    // synthesis, the partition-parallel RIFF decode, and the
+    // 64-block envelope reduction over ~13M decoded samples — all
+    // linear, shuffle-free until the band join
+    "q185_audio_neardup")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()

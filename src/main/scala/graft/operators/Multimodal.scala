@@ -542,7 +542,149 @@ object Multimodal {
              |JOIN ph pb ON pb.doc_id = cand.b
              |WHERE bit_count(xor(pa.d0, pb.d0)) + bit_count(xor(pa.d1, pb.d1))
              |    + bit_count(xor(pa.d2, pb.d2)) + bit_count(xor(pa.d3, pb.d3))
-             |      <= 3""".stripMargin))
+             |      <= 3""".stripMargin)),
+
+    // ---- q187: REAL video decode → per-frame perceptual hash -----------
+    // The modality triad closed with a real CONTAINER: each doc
+    // carries a YUV4MPEG2 clip (ASCII parameter header, FRAME marker
+    // lines, raw 4:2:0 planes — the uncompressed interchange format
+    // real video tooling emits); [[decodeY4m]] walks the container at
+    // the decoder seam — chroma planes are skipped by ARITHMETIC, so
+    // a parser that mis-sizes them reads the next FRAME marker as
+    // pixel data and the hash gate fails — and the q172 block-mean →
+    // aHash/dHash chain runs per DECODED luma plane. The oracle
+    // re-derives the pixels and never parses.
+    QueryDef(
+      "q187_y4m_decode_phash",
+      (s, d) => videoFrameHashes(s, d),
+      Some(s"""WITH $y4mHashChainSql
+              |SELECT doc_id, f, a0, a1, a2, a3, d0, d1, d2, d3
+              |FROM vh""".stripMargin)),
+
+    // ---- q188: scene-cut detection over decoded video ------------------
+    // What a video curation pass actually derives from frame hashes:
+    // shot boundaries. Consecutive-frame dHash hamming (a per-doc lag
+    // over ≤ 7 frame rows — never a pair join) > 3 marks a cut (the
+    // fixture's measured separation at sf0.01: within-shot ≡ 0, cuts
+    // 8–41 — the 48-pixel frames leave every 4th block empty, which
+    // pins ~24 of the 64 gradient bits and caps small-frame cut
+    // hamming well under the ~32 a full frame yields); the
+    // running cut count is the shot id; per doc: frame count, scene
+    // count, longest shot. The fixture's within-shot frames shift
+    // every pixel by exactly +1 with no mod-256 wrap — the dHash
+    // GRADIENT is provably invariant (bv+1 > nbv+1 ⇔ bv > nbv), so
+    // within-shot hamming is identically 0, while a scene change
+    // switches the fixture's quadratic pixel coefficient and moves
+    // ~half the 64 gradient bits; Y4mDecodeSpec asserts the EXACT
+    // planted scene structure is recovered for every doc.
+    QueryDef(
+      "q188_scene_cuts",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+        val lagged = (0 to 3).foldLeft(videoFrameHashes(s, d)) {
+          (df, b) => df.withColumn(s"p$b", lag(col(s"d$b"), 1).over(w))
+        }
+        lagged
+          .withColumn("cut", when(col("p0").isNull, 0L).otherwise(
+            when(expr(
+              """bit_count(int(d0) ^ int(p0)) + bit_count(int(d1) ^ int(p1))
+                | + bit_count(int(d2) ^ int(p2)) + bit_count(int(d3) ^ int(p3))
+                | > 3""".stripMargin), 1L).otherwise(0L)))
+          .withColumn("shot", sum(col("cut")).over(w))
+          .groupBy(col("doc_id"), col("shot"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("len")).as("n_frames"),
+            count(lit(1)).as("n_scenes"), max(col("len")).as("longest_shot"))
+      },
+      Some(s"""WITH $y4mHashChainSql,
+              |lg AS (SELECT doc_id, f, d0, d1, d2, d3,
+              |         lag(d0) OVER w AS p0, lag(d1) OVER w AS p1,
+              |         lag(d2) OVER w AS p2, lag(d3) OVER w AS p3
+              |       FROM vh
+              |       WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+              |ct AS (SELECT doc_id, f,
+              |         CASE WHEN p0 IS NULL THEN 0
+              |              WHEN bit_count(xor(d0, p0)) + bit_count(xor(d1, p1))
+              |                 + bit_count(xor(d2, p2)) + bit_count(xor(d3, p3))
+              |                   > 3 THEN 1 ELSE 0 END AS cut
+              |       FROM lg),
+              |sh AS (SELECT doc_id, f, sum(cut) OVER
+              |         (PARTITION BY doc_id ORDER BY f) AS shot
+              |       FROM ct),
+              |ln AS (SELECT doc_id, shot, count(*) AS len
+              |       FROM sh GROUP BY 1, 2)
+              |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+              |  CAST(count(*) AS BIGINT) AS n_scenes,
+              |  CAST(max(len) AS BIGINT) AS longest_shot
+              |FROM ln GROUP BY 1""".stripMargin)),
+
+    // ---- q189: clip containment (trim / trailer detection) -------------
+    // The video-native dedup question is not "are two clips byte-near"
+    // but "is clip A a CUT of clip B" — a trim, a trailer, a re-upload
+    // missing the outro. Signature: the dHash of each scene's KEYFRAME
+    // (first frame of the shot — within-shot +1 drift provably cannot
+    // move it, q188's invariance). A is contained in B iff every
+    // (scene_idx, keyframe-hash) of A matches B. Candidate generation
+    // is an equi-join on the 64-bit signature + scene index (the
+    // inverted-index shape — never clip×clip), with a df cap of 64 on
+    // the key: a boilerplate scene shared by >64 clips (a channel's
+    // logo intro at 100 TB) cannot go quadratic; capped scenes then
+    // can't PROVE containment — conservative, like q35's cap. The
+    // fixture plants a trimmed probe (last shot dropped) of every
+    // 17th doc — byte-identical prefix by construction — and the
+    // 240-periodic parameter space makes full-duplicate clip pairs
+    // (mutual containment) emerge naturally at sf0.01+.
+    QueryDef(
+      "q189_clip_containment",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val ids = docs
+          .select(col("doc_id"), col("doc_id").as("gid"), lit(0).as("trim"))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("doc_id").as("gid"), lit(1).as("trim")))
+        val kf = videoFrameHashesOf(s, y4mClipsOf(ids))
+          .withColumn("sl",
+            (lit(2) + pmod(pmod(col("doc_id"), lit(1000000L)), lit(2)))
+              .cast("int"))
+          .filter(pmod(col("f"), col("sl")) === 0)
+          .select(col("doc_id"), expr("f div sl").as("scene"),
+            col("d0"), col("d1"), col("d2"), col("d3"))
+        val key = Seq("scene", "d0", "d1", "d2", "d3")
+        val ns = kf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_scenes"))
+        val dfc = kf.groupBy(key.map(col): _*)
+          .agg(count(lit(1)).as("dfc")).filter(col("dfc") <= 64)
+          .drop("dfc")
+        val elig = kf.join(dfc, key)
+        elig.as("ea").join(elig.as("eb"), key)
+          .filter(col("ea.doc_id") =!= col("eb.doc_id"))
+          .groupBy(col("ea.doc_id").as("a"), col("eb.doc_id").as("b"))
+          .agg(count(lit(1)).as("scenes"))
+          .join(ns.withColumnRenamed("doc_id", "a"), "a")
+          .filter(col("scenes") === col("n_scenes"))
+          .select(col("a"), col("b"), col("scenes"))
+      },
+      Some(s"""WITH $y4mCorpusChainSql,
+              |kf AS (SELECT v.doc_id, v.f // c.sl AS scene,
+              |         v.d0, v.d1, v.d2, v.d3
+              |       FROM vh v JOIN clips c ON c.doc_id = v.doc_id
+              |       WHERE v.f % c.sl = 0),
+              |ns AS (SELECT doc_id, count(*) AS n_scenes FROM kf
+              |       GROUP BY 1),
+              |dfc AS (SELECT scene, d0, d1, d2, d3 FROM kf
+              |        GROUP BY 1, 2, 3, 4, 5 HAVING count(*) <= 64),
+              |elig AS (SELECT kf.* FROM kf
+              |         JOIN dfc USING (scene, d0, d1, d2, d3)),
+              |pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+              |         count(*) AS matched
+              |       FROM elig a JOIN elig b
+              |         USING (scene, d0, d1, d2, d3)
+              |       WHERE a.doc_id != b.doc_id GROUP BY 1, 2)
+              |SELECT pr.a, pr.b, CAST(pr.matched AS BIGINT) AS scenes
+              |FROM pr JOIN ns ON ns.doc_id = pr.a
+              |WHERE pr.matched = ns.n_scenes""".stripMargin))
   )
 
   /** The q172/q173 corpus: every payload, plus a PROBE copy of every
@@ -856,6 +998,239 @@ object Multimodal {
         .agg(expr("sum(abs(CAST(sv AS BIGINT))) div count(1)").as("bv")),
       Seq("doc_id"))
   }
+
+  /** REAL video decoder (round 11: the third byte FORMAT verifiable
+    * without codecs): YUV4MPEG2 (y4m), the uncompressed interchange
+    * container mjpegtools established — an ASCII parameter header
+    * (`YUV4MPEG2 W<w> H<h> …`, order-free tokens), then per frame a
+    * `FRAME` marker line (its own optional parameters tolerated) and
+    * the raw planes: w·h luma bytes + two (w/2)·(h/2) chroma planes
+    * (C420 family, the format's default). Returns (w, h, luma planes)
+    * — one byte array per frame, chroma skipped by arithmetic — or
+    * None for anything malformed (wrong magic, missing/odd W/H, a
+    * non-4:2:0 colourspace, truncated planes): the q23 lenient-ingest
+    * contract at the binary seam, shared with [[decodePpm]]/
+    * [[decodeWav]].
+    */
+  private[graft] def decodeY4m(
+      payload: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n') i += 1
+      i
+    }
+    val hEnd = lineEnd(0)
+    if (hEnd >= payload.length) return None
+    val header = new String(payload, 0, hEnd, "US-ASCII").split(" ")
+    if (header.isEmpty || header(0) != "YUV4MPEG2") return None
+    var w = -1; var h = -1
+    header.drop(1).foreach { tok =>
+      if (tok.nonEmpty) tok.charAt(0) match {
+        case 'W' => w = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'C' => if (!tok.drop(1).startsWith("420")) return None
+        case _ => () // F/I/A/X parameters: irrelevant to the planes
+      }
+    }
+    if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2) * 2
+    val frames = Array.newBuilder[Array[Byte]]
+    var i = hEnd + 1
+    while (i < payload.length) {
+      val fEnd = lineEnd(i)
+      if (fEnd >= payload.length) return None
+      val marker = new String(payload, i, fEnd - i, "US-ASCII")
+      if (marker != "FRAME" && !marker.startsWith("FRAME ")) return None
+      val body = fEnd + 1
+      if (body + ySize + cSize > payload.length) return None
+      frames += java.util.Arrays.copyOfRange(payload, body, body + ySize)
+      i = body + ySize + cSize
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some((w, h, fs))
+  }
+
+  /** Deterministic y4m fixture over the sf corpus: per doc a C420
+    * clip with even dims w ∈ {8,12,16}, h ∈ {6,8}, 4–7 frames in
+    * shots of 2–3 frames. Luma pixel p of frame f (scene = f div
+    * shot_len): (doc_id·31 + p²·(89 + scene·64) + p·13 + scene·151)
+    * mod 240, plus f. Two properties carry the q188 ground truth:
+    * (1) within a shot consecutive frames shift every pixel by
+    * exactly +1 and values stay ≤ 239 + 6 < 256 — NO wraparound, so
+    * block means shift by exactly +1 and every dHash gradient bit is
+    * provably unchanged (bv+1 > nbv+1 ⇔ bv > nbv); (2) a scene
+    * change switches the QUADRATIC coefficient (89 + scene·64 mod
+    * 240: 89, 153, 217, 41 — distinct for the ≤ 4 scenes a 7-frame
+    * clip can hold), decorrelating the whole oscillation pattern —
+    * a constant or linear scene term would be largely invisible to a
+    * gradient hash (measured: scene·9973 moved ≤ 6 of 64 bits).
+    * Chroma planes are per-frame constant fill the decoder must SKIP
+    * by arithmetic — a parser that mis-sizes them reads the next
+    * FRAME marker as pixel data.
+    */
+  private def y4mClips(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    y4mClipsOf(Tables(s, d, "documents")
+      .select(col("doc_id"), col("doc_id").as("gid"),
+        lit(0).as("trim")))
+
+  /** The generator over an explicit ids frame (doc_id, gid, trim):
+    * clip parameters and pixel content derive from `gid`, the row is
+    * labeled `doc_id`, and `trim = 1` drops the LAST SHOT (frame
+    * count becomes (scenes−1)·sl — the q189 trimmed-probe bytes are
+    * the base clip's prefix by construction, because the luma
+    * formula depends only on (gid, scene, p, f)).
+    */
+  private def y4mClipsOf(
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lum =
+      "pmod(gid * 31 + p * p * (89 + (f div sl) * 64) + p * 13" +
+        " + (f div sl) * 151, 240) + f"
+    ids
+      .select(col("doc_id"), col("gid"), col("trim"),
+        (lit(8) + pmod(col("gid"), lit(3)) * 4).cast("int").as("w"),
+        (lit(6) + pmod(col("gid"), lit(2)) * 2).cast("int").as("h"),
+        (lit(4) + pmod(col("gid"), lit(4))).cast("int").as("nf0"),
+        (lit(2) + pmod(col("gid"), lit(2))).cast("int").as("sl"))
+      .withColumn("nf", expr(
+        """cast(case when trim = 1
+          |  then (((nf0 + sl - 1) div sl) - 1) * sl
+          |  else nf0 end as int)""".stripMargin))
+      .drop("trim", "nf0")
+      .select(col("doc_id"), concat(
+        concat(lit("YUV4MPEG2 W"), col("w").cast("string"),
+          lit(" H"), col("h").cast("string"),
+          lit(" F25:1 Ip A1:1 C420\n")).cast("binary"),
+        unhex(expr(
+          s"""concat_ws('', transform(sequence(0, nf - 1), f -> concat(
+             |  '4652414D450A',
+             |  concat_ws('', transform(sequence(0, w * h - 1),
+             |    p -> lpad(hex($lum), 2, '0'))),
+             |  repeat(lpad(hex(pmod(doc_id + f, 256)), 2, '0'),
+             |    (w div 2) * (h div 2) * 2))))""".stripMargin)))
+        .as("clip"))
+  }
+
+  /** (doc_id, f, a0‥a3, d0‥d3): per-frame perceptual hash over the
+    * DECODED luma planes — [[phashFromBlocks]] keyed by a synthetic
+    * unique frame key (the chain's window partitions on keys.head).
+    */
+  private def videoFrameHashes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    videoFrameHashesOf(s, y4mClips(s, d))
+
+  /** Same chain over an explicit (doc_id, clip) frame — the q189
+    * corpus (originals ∪ trimmed probes) reuses it.
+    */
+  private def videoFrameHashesOf(s: org.apache.spark.sql.SparkSession,
+      clips: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.BlockMeans.register(s)
+    val frames = clips.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, clip) =>
+          decodeY4m(clip).toSeq.flatMap { case (_, _, lumas) =>
+            lumas.iterator.zipWithIndex.map { case (y, f) =>
+              (id * 1000L + f, id, f, y)
+            }
+          }
+        }
+      }
+      .toDF("pk", "doc_id", "f", "y")
+    phashFromBlocks(
+      frames.select(col("pk"), col("doc_id"), col("f"),
+        posexplode(expr("block_means64(y)")).as(Seq("blk", "bv"))),
+      Seq("pk", "doc_id", "f"))
+      .drop("pk")
+  }
+
+  /** Oracle chain ending in `vh` — q187/q188's per-frame dHash/aHash
+    * bands in DuckDB, derived ARITHMETICALLY from doc_id (the oracle
+    * never parses the container; the Spark side must).
+    */
+  private def y4mHashChainSql =
+    """clips AS (SELECT doc_id, doc_id AS gid,
+      |            CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS w,
+      |            CAST(6 + (doc_id % 2) * 2 AS INTEGER) AS h,
+      |            CAST(4 + (doc_id % 4) AS INTEGER) AS nf,
+      |            CAST(2 + (doc_id % 2) AS INTEGER) AS sl
+      |          FROM documents),
+      |""".stripMargin + y4mVhFromClipsSql
+
+  /** The q189 corpus variant: originals plus a TRIMMED probe of
+    * every 17th doc (its last shot dropped — (scenes−1)·sl frames,
+    * byte-identical to the base clip's prefix).
+    */
+  private def y4mCorpusChainSql =
+    """ids AS (SELECT doc_id, doc_id AS gid, 0 AS trm FROM documents
+      |        UNION ALL
+      |        SELECT doc_id + 1000000, doc_id, 1 FROM documents
+      |        WHERE doc_id % 17 = 0),
+      |clips AS (SELECT doc_id, gid,
+      |            CAST(8 + (gid % 3) * 4 AS INTEGER) AS w,
+      |            CAST(6 + (gid % 2) * 2 AS INTEGER) AS h,
+      |            CAST(CASE WHEN trm = 1
+      |                 THEN (((4 + gid % 4) + (2 + gid % 2) - 1)
+      |                        // (2 + gid % 2) - 1) * (2 + gid % 2)
+      |                 ELSE 4 + gid % 4 END AS INTEGER) AS nf,
+      |            CAST(2 + (gid % 2) AS INTEGER) AS sl
+      |          FROM ids),
+      |""".stripMargin + y4mVhFromClipsSql
+
+  /** px → vh over whichever `clips` CTE precedes it (must provide
+    * doc_id, gid, w, h, nf, sl — pixel content derives from gid, so
+    * a probe labeled doc_id+1000000 reuses its base doc's pattern).
+    */
+  private def y4mVhFromClipsSql =
+    """px AS (SELECT doc_id, gf.f AS f, w * h AS n, gp.p AS p,
+      |         (gid * 31 + gp.p * gp.p * (89 + (gf.f // sl) * 64)
+      |            + gp.p * 13 + (gf.f // sl) * 151) % 240 + gf.f
+      |           AS bv
+      |       FROM clips,
+      |         UNNEST(generate_series(0, CAST(nf - 1 AS INTEGER))) AS gf(f),
+      |         UNNEST(generate_series(0, CAST(w * h - 1 AS INTEGER))) AS gp(p)),
+      |bma AS (SELECT doc_id, f, CAST((p * 64) // n AS INTEGER) AS i,
+      |          CAST(sum(bv) // count(*) AS BIGINT) AS bv
+      |        FROM px GROUP BY 1, 2, 3),
+      |-- the 48-byte frames (w=8, h=6) leave 16 of the 64 blocks empty;
+      |-- block_means64 defines an empty block as mean 0, so the oracle
+      |-- must materialize ALL 64 blocks or the circular-neighbor join
+      |-- silently drops the last occupied block's row
+      |bm AS (SELECT fr.doc_id, fr.f, fr.i, coalesce(bma.bv, 0) AS bv
+      |       FROM (SELECT doc_id, gf.f AS f, gi.i AS i FROM clips,
+      |               UNNEST(generate_series(0, CAST(nf - 1 AS INTEGER)))
+      |                 AS gf(f),
+      |               UNNEST(generate_series(0, 63)) AS gi(i)) fr
+      |       LEFT JOIN bma ON bma.doc_id = fr.doc_id AND bma.f = fr.f
+      |         AND bma.i = fr.i),
+      |st AS (SELECT doc_id, f, CAST(sum(bv) AS BIGINT) AS tot
+      |       FROM bm GROUP BY 1, 2),
+      |nx AS (SELECT b.doc_id, b.f, b.i, b.bv, b2.bv AS nbv, st.tot
+      |       FROM bm b
+      |       JOIN bm b2 ON b2.doc_id = b.doc_id AND b2.f = b.f
+      |         AND b2.i = (b.i + 1) % 64
+      |       JOIN st ON st.doc_id = b.doc_id AND st.f = b.f),
+      |bits AS (SELECT doc_id, f, i // 16 AS band,
+      |           CAST(15 - (i % 16) AS INTEGER) AS pos,
+      |           CASE WHEN 64 * bv > tot THEN 1 ELSE 0 END AS abit,
+      |           CASE WHEN bv > nbv THEN 1 ELSE 0 END AS dbit
+      |         FROM nx),
+      |bands AS (SELECT doc_id, f, band,
+      |            CAST(sum(abit * (1 << pos)) AS BIGINT) AS av,
+      |            CAST(sum(dbit * (1 << pos)) AS BIGINT) AS dv
+      |          FROM bits GROUP BY 1, 2, 3),
+      |vh AS (SELECT doc_id, CAST(f AS INTEGER) AS f,
+      |         max(CASE WHEN band = 0 THEN av END) AS a0,
+      |         max(CASE WHEN band = 1 THEN av END) AS a1,
+      |         max(CASE WHEN band = 2 THEN av END) AS a2,
+      |         max(CASE WHEN band = 3 THEN av END) AS a3,
+      |         max(CASE WHEN band = 0 THEN dv END) AS d0,
+      |         max(CASE WHEN band = 1 THEN dv END) AS d1,
+      |         max(CASE WHEN band = 2 THEN dv END) AS d2,
+      |         max(CASE WHEN band = 3 THEN dv END) AS d3
+      |       FROM bands GROUP BY 1, 2)""".stripMargin
 
   /** Oracle chain ending in `fr` — the q181/q182 frame features in
     * DuckDB, derived ARITHMETICALLY from doc_id (the oracle never
