@@ -1172,7 +1172,66 @@ object TrainPrep {
               |  CAST(max(n_chars) AS BIGINT) AS max_len,
               |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
               |  count(DISTINCT source) AS n_sources
-              |FROM r GROUP BY shard""".stripMargin))
+              |FROM r GROUP BY shard""".stripMargin)),
+
+    // ---- q190: quality-classifier inference (hashing trick) ------------
+    // The curation step q32/q66's heuristics approximate in real
+    // pipelines is a trained linear classifier (fastText-style, the
+    // CCNet recipe): hash every unigram+bigram into a fixed bucket
+    // space (the hashing trick, Weinberger et al. 2009 — signed, so
+    // collisions cancel in expectation), dot with a weight vector,
+    // threshold. Model INFERENCE is the 100 TB-relevant part and it
+    // is embarrassingly parallel — this plan has ZERO exchanges: the
+    // feature array, the hash, and the dot product all run inside one
+    // map stage via aggregate(); nothing is exploded, nothing
+    // shuffles, the output is one row per input row. Weights are
+    // integer milli-units derived deterministically from the bucket
+    // id (a stand-in for a trained vector — the DATA PATH is what's
+    // exercised; swap the formula for a broadcast lookup to serve a
+    // real model), so the score is an exact BIGINT — no float-order
+    // nondeterminism. keep ⇔ mean milli-weight > 50 (τ = 0.05),
+    // spelled as the integer cross-multiply score·20 > n_feat.
+    QueryDef(
+      "q190_hash_classifier",
+      (s, d) => {
+        graft.functions.Md5Long.register(s)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .withColumn("bi", when(size(col("t")) >= 2, expr(
+            "transform(sequence(1, size(t) - 1)," +
+              " i -> concat_ws(' ', slice(t, i, 2)))"))
+            .otherwise(expr("cast(array() as array<string>)")))
+          .select(col("doc_id"),
+            (size(col("t")) + size(col("bi"))).cast("long").as("n_feat"),
+            expr(
+              """aggregate(concat(t, bi), 0L, (acc, w) ->
+                |  acc + (case when pmod(md5long(concat('s#', w)), 2) = 0
+                |              then 1L else -1L end)
+                |      * ((pmod(md5long(w), 1024) * 2654435761L) % 2001
+                |         - 1000))""".stripMargin).as("score_milli"))
+          .withColumn("keep", col("score_milli") * 20 > col("n_feat"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |fe AS (SELECT doc_id, u.term AS term
+             |       FROM toks, UNNEST(t) AS u(term)
+             |       UNION ALL
+             |       SELECT doc_id, t[g.i] || ' ' || t[g.i + 1]
+             |       FROM toks,
+             |         UNNEST(generate_series(1, CAST(len(t) - 1 AS INTEGER)))
+             |           AS g(i)
+             |       WHERE len(t) >= 2),
+             |sc AS (SELECT doc_id,
+             |         CASE WHEN ('0x' || substr(md5('s#' || term), 1, 15))
+             |                   ::BIGINT % 2 = 0
+             |              THEN 1 ELSE -1 END
+             |         * ((('0x' || substr(md5(term), 1, 15))::BIGINT % 1024)
+             |            * 2654435761 % 2001 - 1000) AS c
+             |       FROM fe)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+             |  CAST(sum(c) AS BIGINT) AS score_milli,
+             |  sum(c) * 20 > count(*) AS keep
+             |FROM sc GROUP BY doc_id""".stripMargin))
   )
 
   /** q136's per-document assignment — (doc_id, n, split) with every
