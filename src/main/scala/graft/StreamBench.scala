@@ -393,6 +393,41 @@ object StreamBench {
     Result("span_strip", events / secs, events, secs, stripped)
   }
 
+  /** Streaming video curation: decode-at-ingest (the dominant cost —
+    * each event is a full y4m container parsed, hashed, and
+    * scene-segmented) plus the containment probe against a reference
+    * keyframe library built from the sf0.001 corpus. Events alternate
+    * re-uploads (trims of library clips — must flag contained) and
+    * novel clips.
+    */
+  def benchMediaIngest(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val refIds = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val ref = graft.operators.Multimodal.clipKeyframes(spark,
+      refIds.toSeq.map(g => (g, graft.operators.Multimodal.y4mClipBytes(g)))
+        .toDF("doc_id", "clip")).cache()
+    ref.count() // build the library outside the measured window
+    def clip(i: Long): (Long, Array[Byte]) =
+      if (i % 2 == 0)
+        (3000000L + i, graft.operators.Multimodal.y4mClipBytes(
+          refIds((i / 2 % refIds.length).toInt), trim = true))
+      else (3000000L + i,
+        graft.operators.Multimodal.y4mClipBytes(1000000L + i))
+
+    val clips = MemoryStream[(Long, Array[Byte])]
+    val outDir = Files.createTempDirectory(base.toPath, "sb_mi_out").toString
+    val q = graft.streaming.MediaIngest.start(
+      clips.toDF().toDF("doc_id", "clip"), ref, outDir, ckptDir(base, "mi"))
+    val (events, secs) = feedAndMeasure(clips, q, clip, n, batch)
+    q.stop()
+    val landed = graft.streaming.MediaIngest.readStats(spark, outDir).count()
+    ref.unpersist()
+    Result("media_ingest", events / secs, events, secs, landed)
+  }
+
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
@@ -417,6 +452,8 @@ object StreamBench {
     val spanIngest = benchSpanIngest(spark, base, n / 20L, batch / 20L)
     val spanStrip = benchSpanStrip(spark, base, n / 20L, batch / 20L)
     val dfIngest = benchDfIngest(spark, base, n / 20L, batch / 20L)
+    // decode-bound: each event is a ~1 KB container parse + hash chain
+    val mediaIngest = benchMediaIngest(spark, base, n / 100L, batch / 100L)
 
     val json =
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
@@ -424,7 +461,7 @@ object StreamBench {
         s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
         s"""${trending.json},${curation.json},${clustering.json},""" +
         s"""${annIngest.json},${spanIngest.json},${spanStrip.json},""" +
-        s"""${dfIngest.json}}""" +
+        s"""${dfIngest.json},${mediaIngest.json}}""" +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")

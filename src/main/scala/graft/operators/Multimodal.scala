@@ -579,25 +579,7 @@ object Multimodal {
     // planted scene structure is recovered for every doc.
     QueryDef(
       "q188_scene_cuts",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
-        val lagged = (0 to 3).foldLeft(videoFrameHashes(s, d)) {
-          (df, b) => df.withColumn(s"p$b", lag(col(s"d$b"), 1).over(w))
-        }
-        lagged
-          .withColumn("cut", when(col("p0").isNull, 0L).otherwise(
-            when(expr(
-              """bit_count(int(d0) ^ int(p0)) + bit_count(int(d1) ^ int(p1))
-                | + bit_count(int(d2) ^ int(p2)) + bit_count(int(d3) ^ int(p3))
-                | > 3""".stripMargin), 1L).otherwise(0L)))
-          .withColumn("shot", sum(col("cut")).over(w))
-          .groupBy(col("doc_id"), col("shot"))
-          .agg(count(lit(1)).as("len"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("len")).as("n_frames"),
-            count(lit(1)).as("n_scenes"), max(col("len")).as("longest_shot"))
-      },
+      (s, d) => clipSceneStats(s, y4mClips(s, d)),
       Some(s"""WITH $y4mHashChainSql,
               |lg AS (SELECT doc_id, f, d0, d1, d2, d3,
               |         lag(d0) OVER w AS p0, lag(d1) OVER w AS p1,
@@ -623,11 +605,13 @@ object Multimodal {
     // ---- q189: clip containment (trim / trailer detection) -------------
     // The video-native dedup question is not "are two clips byte-near"
     // but "is clip A a CUT of clip B" — a trim, a trailer, a re-upload
-    // missing the outro. Signature: the dHash of each scene's KEYFRAME
-    // (first frame of the shot — within-shot +1 drift provably cannot
-    // move it, q188's invariance). A is contained in B iff every
-    // (scene_idx, keyframe-hash) of A matches B. Candidate generation
-    // is an equi-join on the 64-bit signature + scene index (the
+    // missing the outro. Signature: the dHash of each DETECTED shot's
+    // keyframe (first frame after each q188 cut — nothing about the
+    // fixture's planted shot length enters the operator; within-shot
+    // +1 drift provably cannot move the keyframe hash, q188's
+    // invariance). A is contained in B iff every (scene_idx,
+    // keyframe-hash) of A matches B. Candidate generation is an
+    // equi-join on the 64-bit signature + scene index (the
     // inverted-index shape — never clip×clip), with a df cap of 64 on
     // the key: a boilerplate scene shared by >64 clips (a channel's
     // logo intro at 100 TB) cannot go quadratic; capped scenes then
@@ -645,13 +629,7 @@ object Multimodal {
           .unionByName(docs.filter(col("doc_id") % 17 === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"),
               col("doc_id").as("gid"), lit(1).as("trim")))
-        val kf = videoFrameHashesOf(s, y4mClipsOf(ids))
-          .withColumn("sl",
-            (lit(2) + pmod(pmod(col("doc_id"), lit(1000000L)), lit(2)))
-              .cast("int"))
-          .filter(pmod(col("f"), col("sl")) === 0)
-          .select(col("doc_id"), expr("f div sl").as("scene"),
-            col("d0"), col("d1"), col("d2"), col("d3"))
+        val kf = clipKeyframes(s, y4mClipsOf(ids))
         val key = Seq("scene", "d0", "d1", "d2", "d3")
         val ns = kf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_scenes"))
         val dfc = kf.groupBy(key.map(col): _*)
@@ -667,10 +645,24 @@ object Multimodal {
           .select(col("a"), col("b"), col("scenes"))
       },
       Some(s"""WITH $y4mCorpusChainSql,
-              |kf AS (SELECT v.doc_id, v.f // c.sl AS scene,
-              |         v.d0, v.d1, v.d2, v.d3
-              |       FROM vh v JOIN clips c ON c.doc_id = v.doc_id
-              |       WHERE v.f % c.sl = 0),
+              |lg AS (SELECT doc_id, f, d0, d1, d2, d3,
+              |         lag(d0) OVER w AS p0, lag(d1) OVER w AS p1,
+              |         lag(d2) OVER w AS p2, lag(d3) OVER w AS p3
+              |       FROM vh
+              |       WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+              |ct AS (SELECT doc_id, f, d0, d1, d2, d3,
+              |         p0 IS NULL AS fst,
+              |         CASE WHEN p0 IS NULL THEN 0
+              |              WHEN bit_count(xor(d0, p0)) + bit_count(xor(d1, p1))
+              |                 + bit_count(xor(d2, p2)) + bit_count(xor(d3, p3))
+              |                   > 3 THEN 1 ELSE 0 END AS cut
+              |       FROM lg),
+              |kf AS (SELECT doc_id, scene, d0, d1, d2, d3 FROM
+              |         (SELECT doc_id, f, d0, d1, d2, d3, fst, cut,
+              |            sum(cut) OVER (PARTITION BY doc_id ORDER BY f)
+              |              AS scene
+              |          FROM ct)
+              |       WHERE fst OR cut = 1),
               |ns AS (SELECT doc_id, count(*) AS n_scenes FROM kf
               |       GROUP BY 1),
               |dfc AS (SELECT scene, d0, d1, d2, d3 FROM kf
@@ -1082,7 +1074,7 @@ object Multimodal {
     * the base clip's prefix by construction, because the luma
     * formula depends only on (gid, scene, p, f)).
     */
-  private def y4mClipsOf(
+  private[graft] def y4mClipsOf(
       ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val lum =
       "pmod(gid * 31 + p * p * (89 + (f div sl) * 64) + p * 13" +
@@ -1145,6 +1137,105 @@ object Multimodal {
       Seq("pk", "doc_id", "f"))
       .drop("pk")
   }
+
+  /** Scala-side twin of the [[y4mClipsOf]] fixture generator — one
+    * clip's container bytes for driver-local fixture construction
+    * (MediaIngestSpec, StreamBench's media feed). Same parameter and
+    * pixel arithmetic; `trim` drops the last shot like the q189
+    * probes.
+    */
+  private[graft] def y4mClipBytes(gid: Long, trim: Boolean = false)
+      : Array[Byte] = {
+    val w = (8 + (gid % 3) * 4).toInt
+    val h = (6 + (gid % 2) * 2).toInt
+    val nf0 = (4 + (gid % 4)).toInt
+    val sl = (2 + (gid % 2)).toInt
+    val nf = if (trim) ((nf0 + sl - 1) / sl - 1) * sl else nf0
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](
+      64 + nf * (6 + w * h * 3 / 2))
+    out ++= s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    var f = 0
+    while (f < nf) {
+      out ++= "FRAME\n".getBytes("US-ASCII")
+      val sc = f / sl
+      var p = 0
+      while (p < w * h) {
+        out += ((gid * 31 + p.toLong * p * (89 + sc * 64) + p * 13L +
+          sc * 151L) % 240 + f).toByte
+        p += 1
+      }
+      val c = ((gid + f) % 256).toByte
+      out ++= Array.fill((w / 2) * (h / 2) * 2)(c)
+      f += 1
+    }
+    out.toArray
+  }
+
+  /** (doc_id, f, a0‥a3, d0‥d3, is_first, cut, shot): decoded frames
+    * with DETECTED shot structure — cut = consecutive-frame dHash
+    * hamming > 3 (a per-doc lag over the clip's frame rows, never a
+    * pair join), shot = running cut count. The shared spine of q188
+    * (scene stats), q189 (containment keyframes), and the streaming
+    * [[graft.streaming.MediaIngest]].
+    */
+  private[graft] def clipShots(s: org.apache.spark.sql.SparkSession,
+      clips: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+    val lagged = (0 to 3).foldLeft(videoFrameHashesOf(s, clips)) {
+      (df, b) => df.withColumn(s"p$b", lag(col(s"d$b"), 1).over(w))
+    }
+    lagged
+      .withColumn("is_first", col("p0").isNull)
+      .withColumn("cut", when(col("is_first"), 0L).otherwise(
+        when(expr(
+          """bit_count(int(d0) ^ int(p0)) + bit_count(int(d1) ^ int(p1))
+            | + bit_count(int(d2) ^ int(p2)) + bit_count(int(d3) ^ int(p3))
+            | > 3""".stripMargin), 1L).otherwise(0L)))
+      .withColumn("shot", sum(col("cut")).over(w))
+      .drop("p0", "p1", "p2", "p3")
+  }
+
+  /** q188's operator over any clip frame: per-clip frame count,
+    * detected scene count, longest shot.
+    */
+  private[graft] def clipSceneStats(s: org.apache.spark.sql.SparkSession,
+      clips: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sceneStatsFromShots(clipShots(s, clips))
+
+  /** [[clipSceneStats]] over an already-computed shots frame — the
+    * streaming path computes [[clipShots]] once per micro-batch and
+    * derives both stats and keyframes from it.
+    */
+  private[graft] def sceneStatsFromShots(
+      shots: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    shots
+      .groupBy(col("doc_id"), col("shot"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("n_frames"),
+        count(lit(1)).as("n_scenes"), max(col("len")).as("longest_shot"))
+
+  /** q189's signature rows: one per DETECTED shot — the shot's first
+    * frame (the keyframe: either the clip's first frame or a cut
+    * frame) carries its dHash bands as the scene signature.
+    */
+  private[graft] def clipKeyframes(s: org.apache.spark.sql.SparkSession,
+      clips: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    keyframesFromShots(clipShots(s, clips))
+
+  /** [[clipKeyframes]] over an already-computed shots frame. */
+  private[graft] def keyframesFromShots(
+      shots: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    shots
+      .filter(col("is_first") || col("cut") === 1)
+      .select(col("doc_id"), col("shot").as("scene"),
+        col("d0"), col("d1"), col("d2"), col("d3"))
 
   /** Oracle chain ending in `vh` — q187/q188's per-frame dHash/aHash
     * bands in DuckDB, derived ARITHMETICALLY from doc_id (the oracle

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Streaming video curation — decode AT INGEST: every micro-batch of
+  * raw clip containers (YUV4MPEG2 bytes) runs the q187/q188 chain
+  * once — partition-parallel decode at the mapPartitions seam, fused
+  * `block_means64` per luma plane, per-frame dHash, detected shot
+  * structure — and lands one row per clip: frame count, scene count,
+  * longest shot, and a `contained` flag from the q189 containment
+  * check against a reference keyframe table (the known-clip library:
+  * a re-upload whose every detected scene signature matches one
+  * reference clip is flagged before it reaches training).
+  *
+  * Contracts shared with the other ingests (SpanIngest / AnnIngest /
+  * DfIngest): offsets-only checkpoint (all corpus knowledge lives in
+  * the reference table, refreshed out-of-band), atomic per-batch
+  * landing, restart resumes instantly. The shots frame is computed
+  * ONCE per batch (localCheckpoint) and feeds both the stats and the
+  * keyframe branch — decode is the dominant cost and must not run
+  * twice.
+  *
+  * At 100 TB: decode is embarrassingly parallel (one clip never
+  * crosses a partition); the containment probe is an equi-join on the
+  * 64-bit scene signature against a reference table that is
+  * signature-bucketed and df-capped when built (q189's cap — a
+  * boilerplate intro scene cannot fan out); only keyframe rows
+  * (scenes, not frames) reach the join.
+  *
+  * Input schema: (doc_id: Long, clip: Array[Byte]).
+  */
+object MediaIngest {
+
+  val statsSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, n_frames BIGINT, n_scenes BIGINT, " +
+      "longest_shot BIGINT, contained BOOLEAN, batch_id BIGINT")
+
+  def start(clips: DataFrame, refKeyframes: DataFrame,
+      outDir: String, checkpoint: String): StreamingQuery = {
+    val s = clips.sparkSession
+    AtomicLanding.sweepStale(s, outDir)
+    clips.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // batch_id is the landing partition (batch_id=<id> dir), not a
+        // physical column — AtomicLanding's convention
+        AtomicLanding.publish(score(s, batch, refKeyframes), outDir, id)
+      }
+      .start()
+  }
+
+  /** One batch's scoring — also the spec's batch-equivalence target.
+    * Returns (doc_id, n_frames, n_scenes, longest_shot, contained).
+    */
+  private[graft] def score(s: SparkSession, batch: DataFrame,
+      refKeyframes: DataFrame): DataFrame = {
+    // decode once: stats and keyframes are two consumers of the same
+    // shots frame, and without the checkpoint each action would rerun
+    // the whole decode+hash chain
+    val shots = Multimodal.clipShots(s, batch.toDF("doc_id", "clip"))
+      .localCheckpoint()
+    val stats = Multimodal.sceneStatsFromShots(shots)
+    val kf = Multimodal.keyframesFromShots(shots)
+    val key = Seq("scene", "d0", "d1", "d2", "d3")
+    val contained = kf
+      .join(refKeyframes.select(
+        col("doc_id").as("ref_id"),
+        col("scene"), col("d0"), col("d1"), col("d2"), col("d3")), key)
+      .groupBy(col("doc_id"), col("ref_id"))
+      .agg(count(lit(1)).as("matched"))
+      .join(stats.select(col("doc_id"), col("n_scenes")), "doc_id")
+      .filter(col("matched") === col("n_scenes"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contained", lit(true))
+    stats.join(contained, Seq("doc_id"), "left")
+      .withColumn("contained", coalesce(col("contained"), lit(false)))
+  }
+
+  /** Read everything landed so far (committed batches only). */
+  def readStats(s: SparkSession, outDir: String): DataFrame =
+    s.read.schema(statsSchema).parquet(outDir)
+      .select(col("doc_id"), col("n_frames"), col("n_scenes"),
+        col("longest_shot"), col("contained"), col("batch_id"))
+}
