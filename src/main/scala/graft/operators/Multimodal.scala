@@ -581,22 +581,7 @@ object Multimodal {
       "q188_scene_cuts",
       (s, d) => clipSceneStats(s, y4mClips(s, d)),
       Some(s"""WITH $y4mHashChainSql,
-              |lg AS (SELECT doc_id, f, d0, d1, d2, d3,
-              |         lag(d0) OVER w AS p0, lag(d1) OVER w AS p1,
-              |         lag(d2) OVER w AS p2, lag(d3) OVER w AS p3
-              |       FROM vh
-              |       WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
-              |ct AS (SELECT doc_id, f,
-              |         CASE WHEN p0 IS NULL THEN 0
-              |              WHEN bit_count(xor(d0, p0)) + bit_count(xor(d1, p1))
-              |                 + bit_count(xor(d2, p2)) + bit_count(xor(d3, p3))
-              |                   > 3 THEN 1 ELSE 0 END AS cut
-              |       FROM lg),
-              |sh AS (SELECT doc_id, f, sum(cut) OVER
-              |         (PARTITION BY doc_id ORDER BY f) AS shot
-              |       FROM ct),
-              |ln AS (SELECT doc_id, shot, count(*) AS len
-              |       FROM sh GROUP BY 1, 2)
+              |$y4mShotLenSql
               |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
               |  CAST(count(*) AS BIGINT) AS n_scenes,
               |  CAST(max(len) AS BIGINT) AS longest_shot
@@ -676,7 +661,123 @@ object Multimodal {
               |       WHERE a.doc_id != b.doc_id GROUP BY 1, 2)
               |SELECT pr.a, pr.b, CAST(pr.matched AS BIGINT) AS scenes
               |FROM pr JOIN ns ON ns.doc_id = pr.a
-              |WHERE pr.matched = ns.n_scenes""".stripMargin))
+              |WHERE pr.matched = ns.n_scenes""".stripMargin)),
+
+    // ---- q191: cross-modal curation capstone ---------------------------
+    // One keep/drop decision per doc from ALL FOUR modality chains —
+    // the join a real multimodal training-data pipeline ends in:
+    // text (token count + q66's top-bigram repetition), audio (silent
+    // frame fraction over the DECODED RIFF stream), video (detected
+    // scene count over the DECODED y4m stream), image (dHash texture
+    // bits over the payload phash — a near-constant payload has few
+    // gradient bits). Every signal is per-doc (no pair joins), every
+    // threshold integer (repetition 0.06 = mb·50 ≥ 3·(n−1); silence
+    // 1/2 = silent·2 > frames), so the verdict is exact. `reason` is
+    // the drop bitmask (1 short | 2 repetitive | 4 half-silent |
+    // 8 few-scenes | 16 flat-image); keep ⇔ reason = 0. Thresholds
+    // sit INSIDE each fixture signal's variance so every bit is
+    // reachable and multi-bit reasons occur — and the resulting
+    // aggressive drop rate is the realistic shape (curation drops
+    // most of a raw crawl). The plan:
+    // four independent per-doc aggregates meeting in three doc_id
+    // equi-joins — each modality chain keeps its own partition flow,
+    // and at 100 TB each side would be a different physical TABLE
+    // (text, decoded-audio features, decoded-video features, phash)
+    // joined on the bucketed doc key.
+    QueryDef(
+      "q191_multimodal_curation",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        val text = toks
+          .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+          .join(toks.filter(size(col("t")) >= 2)
+            .select(col("doc_id"), explode(expr(
+              "transform(sequence(1, size(t) - 1)," +
+                " i -> concat_ws(' ', slice(t, i, 2)))")).as("bg"))
+            .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+            .groupBy(col("doc_id")).agg(max(col("c")).as("mb")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("mb"), lit(0L)).as("mb"))
+        val au = wavFrames(s, d).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_aframes"),
+            sum(when(col("energy") <= 2048, 1L).otherwise(0L)).as("silent"))
+        val vid = clipSceneStats(s, y4mClips(s, d))
+          .select(col("doc_id"), col("n_scenes"))
+        val im = phashFrame(docs.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), expr(
+            """cast(bit_count(int(d0)) + bit_count(int(d1))
+              |   + bit_count(int(d2)) + bit_count(int(d3)) as bigint)"""
+              .stripMargin).as("texture_bits"))
+        text.join(au, "doc_id").join(vid, "doc_id").join(im, "doc_id")
+          .withColumn("reason",
+            when(col("n_tokens") < 5, 1L).otherwise(0L) +
+              when(col("n_tokens") >= 2 &&
+                col("mb") * 50 >= (col("n_tokens") - 1) * 3, 2L)
+                .otherwise(0L) +
+              when(col("silent") * 2 >= col("n_aframes"), 4L).otherwise(0L) +
+              when(col("n_scenes") < 3, 8L).otherwise(0L) +
+              when(col("texture_bits") < 28, 16L).otherwise(0L))
+          .withColumn("keep", col("reason") === 0L)
+          .select(col("doc_id"), col("n_tokens"), col("mb"),
+            col("silent"), col("n_aframes"), col("n_scenes"),
+            col("texture_bits"), col("reason"), col("keep"))
+      },
+      Some(s"""SELECT t.doc_id, t.n_tokens, t.mb, a.silent, a.n_aframes,
+              |  v.n_scenes, i.texture_bits,
+              |  CAST(CASE WHEN t.n_tokens < 5 THEN 1 ELSE 0 END
+              |   + CASE WHEN t.n_tokens >= 2
+              |          AND t.mb * 50 >= (t.n_tokens - 1) * 3
+              |          THEN 2 ELSE 0 END
+              |   + CASE WHEN a.silent * 2 >= a.n_aframes THEN 4 ELSE 0 END
+              |   + CASE WHEN v.n_scenes < 3 THEN 8 ELSE 0 END
+              |   + CASE WHEN i.texture_bits < 28 THEN 16 ELSE 0 END
+              |   AS BIGINT) AS reason,
+              |  (CASE WHEN t.n_tokens < 5 THEN 1 ELSE 0 END
+              |   + CASE WHEN t.n_tokens >= 2
+              |          AND t.mb * 50 >= (t.n_tokens - 1) * 3
+              |          THEN 2 ELSE 0 END
+              |   + CASE WHEN a.silent * 2 >= a.n_aframes THEN 4 ELSE 0 END
+              |   + CASE WHEN v.n_scenes < 3 THEN 8 ELSE 0 END
+              |   + CASE WHEN i.texture_bits < 28 THEN 16 ELSE 0 END) = 0
+              |    AS keep
+              |FROM
+              |  (SELECT b.doc_id, b.n AS n_tokens,
+              |     CAST(coalesce(u.mb, 0) AS BIGINT) AS mb
+              |   FROM (SELECT doc_id,
+              |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              |         FROM documents) b
+              |   LEFT JOIN
+              |     (SELECT doc_id, max(c) AS mb FROM
+              |        (SELECT doc_id, bg, count(*) AS c FROM
+              |           (SELECT doc_id,
+              |              t[g.i] || ' ' || t[g.i + 1] AS bg
+              |            FROM (SELECT doc_id, string_split(text, ' ') AS t
+              |                  FROM documents) x,
+              |              UNNEST(generate_series(1,
+              |                CAST(len(t) - 1 AS INTEGER))) AS g(i)
+              |            WHERE len(t) >= 2)
+              |         GROUP BY 1, 2)
+              |      GROUP BY 1) u ON u.doc_id = b.doc_id) t
+              |JOIN
+              |  (WITH $wavFrameChainSql
+              |   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_aframes,
+              |     CAST(sum(CASE WHEN energy <= 2048 THEN 1 ELSE 0 END)
+              |          AS BIGINT) AS silent
+              |   FROM fr GROUP BY 1) a ON a.doc_id = t.doc_id
+              |JOIN
+              |  (WITH $y4mHashChainSql,
+              |   $y4mShotLenSql
+              |   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scenes
+              |   FROM ln GROUP BY 1) v ON v.doc_id = t.doc_id
+              |JOIN
+              |  (WITH corpus AS (SELECT doc_id, text FROM documents),
+              |   $phashFromCorpusSql
+              |   SELECT doc_id,
+              |     CAST(bit_count(d0) + bit_count(d1) + bit_count(d2)
+              |        + bit_count(d3) AS BIGINT) AS texture_bits
+              |   FROM ph) i ON i.doc_id = t.doc_id""".stripMargin))
   )
 
   /** The q172/q173 corpus: every payload, plus a PROBE copy of every
@@ -791,7 +892,35 @@ object Multimodal {
       |          FROM documents WHERE doc_id % 17 = 0),
       |corpus AS (SELECT doc_id, text FROM documents
       |           UNION ALL SELECT doc_id, text FROM probe),
-      |h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |""".stripMargin + phashFromCorpusSql
+
+  /** `vh` → `ln`: q188's cut detection + shot lengths (one row per
+    * (doc, shot)); q191's video signal reuses it.
+    */
+  private def y4mShotLenSql =
+    """lg AS (SELECT doc_id, f, d0, d1, d2, d3,
+      |         lag(d0) OVER w AS p0, lag(d1) OVER w AS p1,
+      |         lag(d2) OVER w AS p2, lag(d3) OVER w AS p3
+      |       FROM vh
+      |       WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+      |ct AS (SELECT doc_id, f,
+      |         CASE WHEN p0 IS NULL THEN 0
+      |              WHEN bit_count(xor(d0, p0)) + bit_count(xor(d1, p1))
+      |                 + bit_count(xor(d2, p2)) + bit_count(xor(d3, p3))
+      |                   > 3 THEN 1 ELSE 0 END AS cut
+      |       FROM lg),
+      |sh AS (SELECT doc_id, f, sum(cut) OVER
+      |         (PARTITION BY doc_id ORDER BY f) AS shot
+      |       FROM ct),
+      |ln AS (SELECT doc_id, shot, count(*) AS len
+      |       FROM sh GROUP BY 1, 2)""".stripMargin
+
+  /** `corpus` → `ph`: the aHash/dHash chain over whatever `corpus`
+    * CTE precedes it (q172/q173 prepend probes; q191 scores the
+    * plain documents).
+    */
+  private def phashFromCorpusSql =
+    """h AS (SELECT doc_id, hex(encode(text)) AS hx,
       |        CAST(octet_length(encode(text)) AS BIGINT) AS n
       |      FROM corpus),
       |fb AS (SELECT doc_id, CAST(((g.p - 1) * 64) // n AS INTEGER) AS i,
