@@ -154,7 +154,13 @@ object SkewBench {
     // synthesis, the partition-parallel RIFF decode, and the
     // 64-block envelope reduction over ~13M decoded samples — all
     // linear, shuffle-free until the band join
-    "q185_audio_neardup")
+    "q185_audio_neardup",
+    // round-11 third wave: the video triad at 10× rows — q187 times
+    // the container decode + fused block-mean hash over ~44k frames
+    // (linear, shuffle-free until the per-doc window); q191 times the
+    // cross-modal capstone: all four modality chains (text, RIFF
+    // decode, y4m decode, payload phash) meeting in doc_id equi-joins
+    "q187_y4m_decode_phash", "q191_multimodal_curation")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()

@@ -630,24 +630,7 @@ object Multimodal {
           .select(col("a"), col("b"), col("scenes"))
       },
       Some(s"""WITH $y4mCorpusChainSql,
-              |lg AS (SELECT doc_id, f, d0, d1, d2, d3,
-              |         lag(d0) OVER w AS p0, lag(d1) OVER w AS p1,
-              |         lag(d2) OVER w AS p2, lag(d3) OVER w AS p3
-              |       FROM vh
-              |       WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
-              |ct AS (SELECT doc_id, f, d0, d1, d2, d3,
-              |         p0 IS NULL AS fst,
-              |         CASE WHEN p0 IS NULL THEN 0
-              |              WHEN bit_count(xor(d0, p0)) + bit_count(xor(d1, p1))
-              |                 + bit_count(xor(d2, p2)) + bit_count(xor(d3, p3))
-              |                   > 3 THEN 1 ELSE 0 END AS cut
-              |       FROM lg),
-              |kf AS (SELECT doc_id, scene, d0, d1, d2, d3 FROM
-              |         (SELECT doc_id, f, d0, d1, d2, d3, fst, cut,
-              |            sum(cut) OVER (PARTITION BY doc_id ORDER BY f)
-              |              AS scene
-              |          FROM ct)
-              |       WHERE fst OR cut = 1),
+              |$y4mKeyframeSql,
               |ns AS (SELECT doc_id, count(*) AS n_scenes FROM kf
               |       GROUP BY 1),
               |dfc AS (SELECT scene, d0, d1, d2, d3 FROM kf
@@ -777,7 +760,74 @@ object Multimodal {
               |   SELECT doc_id,
               |     CAST(bit_count(d0) + bit_count(d1) + bit_count(d2)
               |        + bit_count(d3) AS BIGINT) AS texture_bits
-              |   FROM ph) i ON i.doc_id = t.doc_id""".stripMargin))
+              |   FROM ph) i ON i.doc_id = t.doc_id""".stripMargin)),
+
+    // ---- q192: the keyframe library as a MAINTAINED store --------------
+    // q189's containment check deployed the way production runs it:
+    // the reference library persisted (signature-bucketed), grown per
+    // installment under the replay contract, and served to the scorer
+    // — one hash gate proving base build, refresh exactness, replay
+    // refusal, and scoring equivalence at once (the q183 pattern on
+    // the video modality). The fixture makes both verdicts REAL: the
+    // base build holds full clips of doc_id % 3 ≠ 0, the installment
+    // folds TRIMMED clips of the rest (a previews library), and the
+    // scored batch is full clips — so a % 3 ≠ 0 clip is contained
+    // while a % 3 = 0 clip's last scene has no reference match
+    // (mod-240 parameter twins preserve the % 3 class: 240 % 3 = 0,
+    // so a twin of a previews-only doc is also previews-only).
+    // (Catalog side effects contained like q174/q183's: fixed table,
+    // swept per run.)
+    QueryDef(
+      "q192_keyframe_store",
+      (s, d) => {
+        val tbl = "q192_kf"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val docs = Tables.parallel(s, d, "documents")
+        def ids(pred: org.apache.spark.sql.Column, label: Long, trim: Int) =
+          docs.filter(pred).select(
+            (col("doc_id") + label).as("doc_id"),
+            col("doc_id").as("gid"), lit(trim).as("trim"))
+        writeKeyframeStore(s,
+          y4mClipsOf(ids(col("doc_id") % 3 =!= 0, 0L, 0)), tbl, 8)
+        require(refreshKeyframeStore(s,
+          y4mClipsOf(ids(col("doc_id") % 3 === 0, 0L, 1)), tbl, 1L),
+          "installment 1 must fold")
+        require(!refreshKeyframeStore(s,
+          y4mClipsOf(ids(col("doc_id") % 3 === 0, 0L, 1)), tbl, 1L),
+          "replayed installment must be refused")
+        scoreAgainstKeyframes(s,
+          y4mClipsOf(ids(col("doc_id") % 17 === 0, 1000000L, 0)),
+          readKeyframeStore(s, tbl))
+      },
+      Some(s"""WITH ids AS (SELECT doc_id, doc_id AS gid,
+              |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS trm
+              |       FROM documents
+              |       UNION ALL
+              |       SELECT doc_id + 1000000, doc_id, 0 FROM documents
+              |       WHERE doc_id % 17 = 0),
+              |$y4mClipsFromIdsSql,
+              |$y4mKeyframeSql,
+              |sk AS (SELECT * FROM kf WHERE doc_id < 1000000),
+              |bk AS (SELECT * FROM kf WHERE doc_id >= 1000000),
+              |bln AS (SELECT doc_id, shot, count(*) AS len FROM shf
+              |        WHERE doc_id >= 1000000 GROUP BY 1, 2),
+              |ns AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+              |         CAST(count(*) AS BIGINT) AS n_scenes,
+              |         CAST(max(len) AS BIGINT) AS longest_shot
+              |       FROM bln GROUP BY 1),
+              |pr AS (SELECT b.doc_id AS doc_id, s2.doc_id AS ref_id,
+              |         count(*) AS matched
+              |       FROM bk b JOIN sk s2 USING (scene, d0, d1, d2, d3)
+              |       GROUP BY 1, 2),
+              |hit AS (SELECT DISTINCT pr.doc_id FROM pr
+              |        JOIN ns USING (doc_id)
+              |        WHERE pr.matched = ns.n_scenes)
+              |SELECT ns.doc_id, ns.n_frames, ns.n_scenes, ns.longest_shot,
+              |  hit.doc_id IS NOT NULL AS contained
+              |FROM ns LEFT JOIN hit USING (doc_id)""".stripMargin))
   )
 
   /** The q172/q173 corpus: every payload, plus a PROBE copy of every
@@ -894,26 +944,38 @@ object Multimodal {
       |           UNION ALL SELECT doc_id, text FROM probe),
       |""".stripMargin + phashFromCorpusSql
 
-  /** `vh` → `ln`: q188's cut detection + shot lengths (one row per
-    * (doc, shot)); q191's video signal reuses it.
+  /** `vh` → `shf`: the detected shot structure per frame (hash bands
+    * carried, fst/cut flags, running shot id) — the shared tail of
+    * q188 (lengths), q189/q192 (keyframes), q191 (scene counts).
     */
-  private def y4mShotLenSql =
+  private def y4mShotFrameSql =
     """lg AS (SELECT doc_id, f, d0, d1, d2, d3,
       |         lag(d0) OVER w AS p0, lag(d1) OVER w AS p1,
       |         lag(d2) OVER w AS p2, lag(d3) OVER w AS p3
       |       FROM vh
       |       WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
-      |ct AS (SELECT doc_id, f,
+      |ct AS (SELECT doc_id, f, d0, d1, d2, d3,
+      |         p0 IS NULL AS fst,
       |         CASE WHEN p0 IS NULL THEN 0
       |              WHEN bit_count(xor(d0, p0)) + bit_count(xor(d1, p1))
       |                 + bit_count(xor(d2, p2)) + bit_count(xor(d3, p3))
       |                   > 3 THEN 1 ELSE 0 END AS cut
       |       FROM lg),
-      |sh AS (SELECT doc_id, f, sum(cut) OVER
-      |         (PARTITION BY doc_id ORDER BY f) AS shot
-      |       FROM ct),
+      |shf AS (SELECT doc_id, f, d0, d1, d2, d3, fst, cut,
+      |          sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS shot
+      |        FROM ct)""".stripMargin
+
+  /** `vh` → `ln`: q188's shot lengths (one row per (doc, shot)). */
+  private def y4mShotLenSql =
+    y4mShotFrameSql + """,
       |ln AS (SELECT doc_id, shot, count(*) AS len
-      |       FROM sh GROUP BY 1, 2)""".stripMargin
+      |       FROM shf GROUP BY 1, 2)""".stripMargin
+
+  /** `vh` → `kf`: one signature row per detected shot (q189/q192). */
+  private def y4mKeyframeSql =
+    y4mShotFrameSql + """,
+      |kf AS (SELECT doc_id, shot AS scene, d0, d1, d2, d3
+      |       FROM shf WHERE fst OR cut = 1)""".stripMargin
 
   /** `corpus` → `ph`: the aHash/dHash chain over whatever `corpus`
     * CTE precedes it (q172/q173 prepend probes; q191 scores the
@@ -1366,6 +1428,100 @@ object Multimodal {
       .select(col("doc_id"), col("shot").as("scene"),
         col("d0"), col("d1"), col("d2"), col("d3"))
 
+  // ---- the keyframe store family (q192) --------------------------------
+  //
+  // The reference clip library as a MAINTAINED store: one row per
+  // (reference clip, detected scene) — (ref_id, scene, d0‥d3,
+  // batch_id) — bucketed on the four signature columns (the
+  // containment probe's join key), appended per installment under the
+  // replay contract the gram/vocab/df stores established (recorded id
+  // → refused no-op; novel id below the watermark → throws). No
+  // sum-on-read here: rows are set-valued signatures, exact under any
+  // append count because the guard keeps installments disjoint.
+
+  /** Base library build: one decode pass over the reference clips. */
+  def writeKeyframeStore(s: org.apache.spark.sql.SparkSession,
+      clips: org.apache.spark.sql.DataFrame, table: String,
+      buckets: Int = -1): Unit = {
+    val b =
+      if (buckets > 0) buckets
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    clipKeyframes(s, clips)
+      .withColumnRenamed("doc_id", "ref_id")
+      .withColumn("batch_id", lit(0L))
+      .repartition(b, col("d0"), col("d1"), col("d2"), col("d3"))
+      .write.bucketBy(b, "d0", "d1", "d2", "d3")
+      .sortBy("d0", "d1", "d2", "d3")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
+  /** Fold an installment of NEW reference clips into the library
+    * under the replay contract.
+    */
+  def refreshKeyframeStore(s: org.apache.spark.sql.SparkSession,
+      clips: org.apache.spark.sql.DataFrame, table: String,
+      batchId: Long): Boolean = {
+    require(batchId > 0L,
+      "installment batch ids start at 1 (0 marks the base store build)")
+    TextOps.uncache(s, table)
+    val rec = s.table(table).select(col("batch_id")).distinct().collect()
+      .map(_.getLong(0))
+    val watermark = if (rec.isEmpty) -1L else rec.max
+    if (rec.contains(batchId)) return false // replayed installment
+    require(batchId > watermark,
+      s"batch id $batchId is below the store watermark $watermark but " +
+        s"was never folded into $table — a non-monotone novel id " +
+        "(checkpoint reset?); re-base the epoch past the watermark")
+    val b = s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    clipKeyframes(s, clips)
+      .withColumnRenamed("doc_id", "ref_id")
+      .withColumn("batch_id", lit(batchId))
+      .repartition(b, col("d0"), col("d1"), col("d2"), col("d3"))
+      .write.mode("append").bucketBy(b, "d0", "d1", "d2", "d3")
+      .sortBy("d0", "d1", "d2", "d3")
+      .format("parquet").saveAsTable(table)
+    TextOps.uncache(s, table)
+    true
+  }
+
+  /** The serving view: (doc_id, scene, d0‥d3) signature rows. */
+  def readKeyframeStore(s: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.DataFrame =
+    s.table(table).select(col("ref_id").as("doc_id"), col("scene"),
+      col("d0"), col("d1"), col("d2"), col("d3"))
+
+  /** One batch of clips scored against a reference keyframe frame:
+    * (doc_id, n_frames, n_scenes, longest_shot, contained) — decode
+    * runs ONCE (localCheckpoint) and feeds both the stats and the
+    * keyframe branch; the containment probe is an equi-join on the
+    * signature, so a bucketed store side scans co-partitioned.
+    */
+  private[graft] def scoreAgainstKeyframes(
+      s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      refKeyframes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val shots = clipShots(s, batch.toDF("doc_id", "clip")).localCheckpoint()
+    val stats = sceneStatsFromShots(shots)
+    val kf = keyframesFromShots(shots)
+    val key = Seq("scene", "d0", "d1", "d2", "d3")
+    val contained = kf
+      .join(refKeyframes.select(
+        col("doc_id").as("ref_id"),
+        col("scene"), col("d0"), col("d1"), col("d2"), col("d3")), key)
+      .groupBy(col("doc_id"), col("ref_id"))
+      .agg(count(lit(1)).as("matched"))
+      .join(stats.select(col("doc_id"), col("n_scenes")), "doc_id")
+      .filter(col("matched") === col("n_scenes"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contained", lit(true))
+    stats.join(contained, Seq("doc_id"), "left")
+      .withColumn("contained", coalesce(col("contained"), lit(false)))
+  }
+
   /** Oracle chain ending in `vh` — q187/q188's per-frame dHash/aHash
     * bands in DuckDB, derived ARITHMETICALLY from doc_id (the oracle
     * never parses the container; the Spark side must).
@@ -1388,7 +1544,14 @@ object Multimodal {
       |        UNION ALL
       |        SELECT doc_id + 1000000, doc_id, 1 FROM documents
       |        WHERE doc_id % 17 = 0),
-      |clips AS (SELECT doc_id, gid,
+      |""".stripMargin + y4mClipsFromIdsSql
+
+  /** `ids` (doc_id, gid, trm) → `vh`: clip parameters + pixels from
+    * gid, trim drops the last shot — for callers that supply their
+    * own corpus (q189's probes, q192's store/batch split).
+    */
+  private def y4mClipsFromIdsSql =
+    """clips AS (SELECT doc_id, gid,
       |            CAST(8 + (gid % 3) * 4 AS INTEGER) AS w,
       |            CAST(6 + (gid % 2) * 2 AS INTEGER) AS h,
       |            CAST(CASE WHEN trm = 1

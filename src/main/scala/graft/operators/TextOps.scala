@@ -1554,7 +1554,7 @@ object TextOps {
     * A stale guard read here is not a perf bug but a CORRECTNESS one:
     * it under-reads the watermark and re-folds a recorded batch.
     */
-  private def uncache(s: org.apache.spark.sql.SparkSession,
+  private[graft] def uncache(s: org.apache.spark.sql.SparkSession,
       names: String*): Unit =
     names.foreach(n => if (s.catalog.tableExists(n)) s.catalog.refreshTable(n))
 

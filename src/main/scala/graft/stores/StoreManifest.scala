@@ -523,6 +523,28 @@ object StoreManifest {
     p
   }
 
+  /** Build + publish the video keyframe library (family `kf`, q192):
+    * one decode pass over the reference clips, signature-bucketed.
+    */
+  def publishKeyframes(s: SparkSession, manifest: String,
+      clips: DataFrame, buckets: Int = -1): Prepared = {
+    val p = prepare(s, manifest, "kf", Seq("frames"))
+    graft.operators.Multimodal.writeKeyframeStore(s, clips,
+      p.tables("frames"), buckets)
+    publish(s, manifest, "kf", p)
+    p
+  }
+
+  /** [[graft.operators.Multimodal.refreshKeyframeStore]] against the
+    * live library (append-in-place, replay-guarded — no version flip).
+    */
+  def refreshKeyframes(s: SparkSession, manifest: String,
+      clips: DataFrame, batchId: Long): Boolean = {
+    val (_, cur) = currentRequired(s, manifest, "kf")
+    graft.operators.Multimodal.refreshKeyframeStore(s, clips,
+      cur("frames"), batchId)
+  }
+
   private val ivfRoles = Seq("centroids", "cells", "codes", "codebook")
 
   /** Build + publish the IVF serving QUARTET (family `ivf`): trained

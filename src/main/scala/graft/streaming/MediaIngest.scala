@@ -56,29 +56,24 @@ object MediaIngest {
 
   /** One batch's scoring — also the spec's batch-equivalence target.
     * Returns (doc_id, n_frames, n_scenes, longest_shot, contained).
+    * Delegates to [[Multimodal.scoreAgainstKeyframes]] (the q192
+    * operator) so streaming and batch share one plan.
     */
   private[graft] def score(s: SparkSession, batch: DataFrame,
-      refKeyframes: DataFrame): DataFrame = {
-    // decode once: stats and keyframes are two consumers of the same
-    // shots frame, and without the checkpoint each action would rerun
-    // the whole decode+hash chain
-    val shots = Multimodal.clipShots(s, batch.toDF("doc_id", "clip"))
-      .localCheckpoint()
-    val stats = Multimodal.sceneStatsFromShots(shots)
-    val kf = Multimodal.keyframesFromShots(shots)
-    val key = Seq("scene", "d0", "d1", "d2", "d3")
-    val contained = kf
-      .join(refKeyframes.select(
-        col("doc_id").as("ref_id"),
-        col("scene"), col("d0"), col("d1"), col("d2"), col("d3")), key)
-      .groupBy(col("doc_id"), col("ref_id"))
-      .agg(count(lit(1)).as("matched"))
-      .join(stats.select(col("doc_id"), col("n_scenes")), "doc_id")
-      .filter(col("matched") === col("n_scenes"))
-      .select(col("doc_id")).distinct()
-      .withColumn("contained", lit(true))
-    stats.join(contained, Seq("doc_id"), "left")
-      .withColumn("contained", coalesce(col("contained"), lit(false)))
+      refKeyframes: DataFrame): DataFrame =
+    Multimodal.scoreAgainstKeyframes(s, batch, refKeyframes)
+
+  /** [[start]] with the keyframe library resolved through the version
+    * manifest — the production entry (readers cut over atomically on
+    * `publish`, like the other manifest-resolved ingests).
+    */
+  def startFromManifest(clips: DataFrame, manifest: String,
+      outDir: String, checkpoint: String): StreamingQuery = {
+    val s = clips.sparkSession
+    val (_, cur) =
+      graft.stores.StoreManifest.currentRequired(s, manifest, "kf")
+    start(clips, Multimodal.readKeyframeStore(s, cur("frames")),
+      outDir, checkpoint)
   }
 
   /** Read everything landed so far (committed batches only). */
