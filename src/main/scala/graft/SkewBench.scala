@@ -150,8 +150,8 @@ object SkewBench {
     // round-11 second wave: the audio near-dup join at 10× rows —
     // its candidate/verify machinery IS q173's (saltedPairs + struct-
     // carried bands), so the hot-bucket guard is already timed there;
-    // this target times the NEW upstream at scale: the in-query WAV
-    // synthesis, the partition-parallel RIFF decode, and the
+    // this target times the NEW upstream at scale: the WAV synthesis
+    // (JVM builder), the partition-parallel RIFF decode, and the
     // 64-block envelope reduction over ~13M decoded samples — all
     // linear, shuffle-free until the band join
     "q185_audio_neardup",

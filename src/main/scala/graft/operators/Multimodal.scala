@@ -91,18 +91,34 @@ object Multimodal {
     * the hash gate fails.
     */
   private def ppmImages(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
+      d: String): org.apache.spark.sql.DataFrame = {
+    // fixture synthesis via the JVM builder — same measured rationale
+    // as [[y4mClipsOf]]/[[wavClipsOf]] (the per-pixel hex-string SQL
+    // generator dominated the query; identical bytes, oracle
+    // unaffected — it derives pixels arithmetically)
+    import s.implicits._
     Tables(s, d, "documents")
-      .select(col("doc_id"),
-        (lit(8) + pmod(col("doc_id"), lit(5)) * 4).cast("int").as("w"),
-        (lit(6) + pmod(col("doc_id"), lit(3)) * 2).cast("int").as("h"))
-      .select(col("doc_id"), concat(
-        concat(lit("P6\n"), col("w").cast("string"), lit(" "),
-          col("h").cast("string"), lit("\n255\n")).cast("binary"),
-        unhex(expr(
-          """concat_ws('', transform(sequence(0, w * h * 3 - 1),
-            |  k -> lpad(hex(pmod(doc_id * 131 + k * 17, 256)), 2, '0')))"""
-            .stripMargin))).as("img"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, ppmImageBytes(id))))
+      .toDF("doc_id", "img")
+  }
+
+  /** One P6 raster's bytes: ASCII header + w·h RGB triples of
+    * (doc_id·131 + k·17) mod 256.
+    */
+  private[graft] def ppmImageBytes(docId: Long): Array[Byte] = {
+    val w = (8 + (docId % 5) * 4).toInt
+    val h = (6 + (docId % 3) * 2).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var k = 0
+    while (k < w * h * 3) {
+      out(header.length + k) = ((docId * 131 + k * 17) % 256).toByte
+      k += 1
+    }
+    out
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // ---- q50: binary column + typed metadata (oracle-checked) ----------
@@ -1091,33 +1107,54 @@ object Multimodal {
     */
   private def wavClipsOf(
       ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def le16(e: String) =
-      s"concat(lpad(hex(pmod(($e), 256)), 2, '0'), " +
-        s"lpad(hex(pmod(($e) div 256, 256)), 2, '0'))"
-    def le32(e: String) =
-      s"concat(${le16(s"pmod(($e), 65536)")}, ${le16(s"($e) div 65536")})"
-    val u = "pmod(gen_id * 7919 + k * 104729, 65536)"
-    val sv0 = s"(CASE WHEN pmod((k div 32) + gen_id, 5) < 2 " +
-      s"THEN pmod(pmod($u, 17) - 8 + 65536, 65536) ELSE $u END)"
-    val sv = s"(CASE WHEN perturb = 1 AND k = (n div 2) " +
-      s"THEN pmod($sv0 + 12345, 65536) ELSE $sv0 END)"
-    ids
-      .select(col("doc_id"), col("perturb"),
-        (lit(128) + pmod(col("gen_id"), lit(5)) * 64).cast("int").as("n"),
-        (lit(8000) + pmod(col("gen_id"), lit(3)) * 4000).cast("int").as("sr"),
-        (lit(4) + pmod(col("gen_id"), lit(3)) * 2).cast("int").as("lst"),
-        col("gen_id"))
-      .select(col("doc_id"), unhex(concat(
-        lit("52494646"), expr(le32("44 + lst + 2 * n")), lit("57415645"),
-        lit("666D7420"), expr(le32("16")), expr(le16("1")), expr(le16("1")),
-        expr(le32("sr")), expr(le32("sr * 2")), expr(le16("2")),
-        expr(le16("16")),
-        lit("4C495354"), expr(le32("lst")), lit("494E464F"),
-        expr("repeat('78', lst - 4)"),
-        lit("64617461"), expr(le32("2 * n")),
-        expr(s"concat_ws('', transform(sequence(0, n - 1), k -> " +
-          s"concat(lpad(hex(pmod($sv, 256)), 2, '0'), " +
-          s"lpad(hex(pmod(($sv) div 256, 256)), 2, '0'))))"))).as("wav"))
+    // fixture SYNTHESIS via the tight JVM builder, for the same
+    // measured reason as [[y4mClipsOf]]: the first cut assembled the
+    // container as per-sample hex-string SQL (each 16-bit sample two
+    // lpad(hex(pmod…)) evaluations of a nested CASE chain — ~2.6M
+    // interpreted ops at sf0.1) and the generator dominated the audio
+    // queries. Identical bytes; the oracle derives samples
+    // arithmetically and never runs a generator.
+    import ids.sparkSession.implicits._
+    ids.select(col("doc_id"), col("gen_id"), col("perturb"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, gen, pert) =>
+        (id, wavClipBytes(gen, pert == 1))
+      })
+      .toDF("doc_id", "wav")
+  }
+
+  /** One RIFF/WAVE container's bytes — 16-bit mono PCM with a LIST
+    * chunk before data (so a canonical-44-byte-header parser
+    * misreads every sample). Same arithmetic as the oracle's `smp`
+    * chain; `perturb` bumps the middle sample by +12345 (the q185
+    * probe edit).
+    */
+  private[graft] def wavClipBytes(genId: Long, perturb: Boolean = false)
+      : Array[Byte] = {
+    val n = (128 + (genId % 5) * 64).toInt
+    val sr = (8000 + (genId % 3) * 4000).toInt
+    val lst = (4 + (genId % 3) * 2).toInt
+    val out = new java.io.ByteArrayOutputStream(52 + lst + 2 * n)
+    def ascii(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    ascii("RIFF"); le32(44 + lst + 2 * n); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1)
+    le32(sr); le32(sr * 2); le16(2); le16(16)
+    ascii("LIST"); le32(lst); ascii("INFO")
+    var i = 0
+    while (i < lst - 4) { out.write('x'); i += 1 }
+    ascii("data"); le32(2 * n)
+    var k = 0
+    while (k < n) {
+      val u = ((genId * 7919 + k * 104729L) % 65536).toInt
+      val quiet = ((k / 32) + genId) % 5 < 2
+      val sv0 = if (quiet) ((u % 17) - 8 + 65536) % 65536 else u
+      val sv = if (perturb && k == n / 2) (sv0 + 12345) % 65536 else sv0
+      le16(sv)
+      k += 1
+    }
+    out.toByteArray
   }
 
   /** (doc_id, sample_rate, frame, energy, zc, peak): per-32-sample
@@ -1267,32 +1304,22 @@ object Multimodal {
     */
   private[graft] def y4mClipsOf(
       ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val lum =
-      "pmod(gid * 31 + p * p * (89 + (f div sl) * 64) + p * 13" +
-        " + (f div sl) * 151, 240) + f"
-    ids
-      .select(col("doc_id"), col("gid"), col("trim"),
-        (lit(8) + pmod(col("gid"), lit(3)) * 4).cast("int").as("w"),
-        (lit(6) + pmod(col("gid"), lit(2)) * 2).cast("int").as("h"),
-        (lit(4) + pmod(col("gid"), lit(4))).cast("int").as("nf0"),
-        (lit(2) + pmod(col("gid"), lit(2))).cast("int").as("sl"))
-      .withColumn("nf", expr(
-        """cast(case when trim = 1
-          |  then (((nf0 + sl - 1) div sl) - 1) * sl
-          |  else nf0 end as int)""".stripMargin))
-      .drop("trim", "nf0")
-      .select(col("doc_id"), concat(
-        concat(lit("YUV4MPEG2 W"), col("w").cast("string"),
-          lit(" H"), col("h").cast("string"),
-          lit(" F25:1 Ip A1:1 C420\n")).cast("binary"),
-        unhex(expr(
-          s"""concat_ws('', transform(sequence(0, nf - 1), f -> concat(
-             |  '4652414D450A',
-             |  concat_ws('', transform(sequence(0, w * h - 1),
-             |    p -> lpad(hex($lum), 2, '0'))),
-             |  repeat(lpad(hex(pmod(doc_id + f, 256)), 2, '0'),
-             |    (w div 2) * (h div 2) * 2))))""".stripMargin)))
-        .as("clip"))
+    // fixture SYNTHESIS, not the operator: the first cut assembled
+    // the container as a per-pixel hex-string SQL chain
+    // (lpad(hex(lum)) per pixel → concat_ws → unhex) and that
+    // generator — ~3.4M interpreted string ops at sf0.1 — dominated
+    // every video query; [[y4mClipBytes]] builds the identical bytes
+    // in one tight JVM loop per clip. Still distributed (a map over
+    // the ids frame), still deterministic, and the ORACLE never runs
+    // a generator at all (it derives pixels arithmetically), so the
+    // hash gate is unchanged.
+    import ids.sparkSession.implicits._
+    ids.select(col("doc_id"), col("gid"), col("trim"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, gid, trim) =>
+        (id, y4mClipBytes(gid, trim == 1))
+      })
+      .toDF("doc_id", "clip")
   }
 
   /** (doc_id, f, a0‥a3, d0‥d3): per-frame perceptual hash over the
@@ -1492,6 +1519,46 @@ object Multimodal {
       table: String): org.apache.spark.sql.DataFrame =
     s.table(table).select(col("ref_id").as("doc_id"), col("scene"),
       col("d0"), col("d1"), col("d2"), col("d3"))
+
+  /** Collapse K installments into one (set semantics — rows are
+    * already disjoint because the replay guard keeps installments
+    * disjoint, so this is a rewrite, not an aggregate), rolling
+    * forward to `newTable` with the replay watermark (max batch_id)
+    * carried onto every row — a pre-compaction batch replayed
+    * afterwards still lands in [[refreshKeyframeStore]]'s guard.
+    * Shuffle-free via the forced bucketed scan.
+    */
+  def compactKeyframeStore(s: org.apache.spark.sql.SparkSession,
+      table: String, newTable: String): Unit = {
+    def canon(t: String): (String, String) = {
+      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
+      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
+        id.table.toLowerCase)
+    }
+    require(canon(newTable) != canon(table),
+      "keyframe-store compaction rolls forward to a NEW table")
+    val spec = s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed — compaction targets the bucketed stores"))
+    val autoBucketedScan =
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(autoBucketedScan, "true")
+    s.conf.set(autoBucketedScan, "false")
+    try {
+      val wm = s.table(table)
+        .agg(coalesce(max(col("batch_id")), lit(0L)).as("batch_id"))
+      s.table(table)
+        .select(col("ref_id"), col("scene"),
+          col("d0"), col("d1"), col("d2"), col("d3"))
+        .crossJoin(broadcast(wm))
+        .write.mode("overwrite")
+        .bucketBy(spec.numBuckets, "d0", "d1", "d2", "d3")
+        .sortBy("d0", "d1", "d2", "d3")
+        .format("parquet").saveAsTable(newTable)
+    } finally s.conf.set(autoBucketedScan, prev)
+  }
 
   /** One batch of clips scored against a reference keyframe frame:
     * (doc_id, n_frames, n_scenes, longest_shot, contained) — decode

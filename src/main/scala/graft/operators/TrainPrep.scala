@@ -1231,6 +1231,63 @@ object TrainPrep {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
              |  CAST(sum(c) AS BIGINT) AS score_milli,
              |  sum(c) * 20 > count(*) AS keep
+             |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    // ---- q193: the same model served from a WEIGHT TABLE ---------------
+    // q190 inlines the weights as arithmetic; a trained model ships as
+    // a weight VECTOR — this is that serving shape: a 1024-row
+    // (bucket, w_milli) table broadcast-joined to the exploded
+    // feature stream, partial-aggregated per doc. ONE exchange total
+    // (the doc_id agg — map-side combine runs in the scan stage right
+    // after the broadcast join); the weight side never shuffles
+    // anything. The oracle is IDENTICAL to q190's, so the hash gate
+    // doubles as a proof that the two serving paths — fused
+    // arithmetic and broadcast lookup — compute the same model.
+    QueryDef(
+      "q193_classifier_broadcast",
+      (s, d) => {
+        graft.functions.Md5Long.register(s)
+        val weights = s.range(0, 1024).toDF("j")
+          .select(col("j"),
+            ((col("j") * 2654435761L) % 2001 - 1000).as("w_milli"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .withColumn("bi", when(size(col("t")) >= 2, expr(
+            "transform(sequence(1, size(t) - 1)," +
+              " i -> concat_ws(' ', slice(t, i, 2)))"))
+            .otherwise(expr("cast(array() as array<string>)")))
+          .select(col("doc_id"),
+            explode(concat(col("t"), col("bi"))).as("term"))
+          .select(col("doc_id"),
+            pmod(expr("md5long(term)"), lit(1024)).as("j"),
+            when(pmod(expr("md5long(concat('s#', term))"), lit(2)) === 0, 1L)
+              .otherwise(-1L).as("sign"))
+          .join(broadcast(weights), "j")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_feat"),
+            sum(col("sign") * col("w_milli")).as("score_milli"))
+          .withColumn("keep", col("score_milli") * 20 > col("n_feat"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |fe AS (SELECT doc_id, u.term AS term
+             |       FROM toks, UNNEST(t) AS u(term)
+             |       UNION ALL
+             |       SELECT doc_id, t[g.i] || ' ' || t[g.i + 1]
+             |       FROM toks,
+             |         UNNEST(generate_series(1, CAST(len(t) - 1 AS INTEGER)))
+             |           AS g(i)
+             |       WHERE len(t) >= 2),
+             |sc AS (SELECT doc_id,
+             |         CASE WHEN ('0x' || substr(md5('s#' || term), 1, 15))
+             |                   ::BIGINT % 2 = 0
+             |              THEN 1 ELSE -1 END
+             |         * ((('0x' || substr(md5(term), 1, 15))::BIGINT % 1024)
+             |            * 2654435761 % 2001 - 1000) AS c
+             |       FROM fe)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+             |  CAST(sum(c) AS BIGINT) AS score_milli,
+             |  sum(c) * 20 > count(*) AS keep
              |FROM sc GROUP BY doc_id""".stripMargin))
   )
 

@@ -545,6 +545,18 @@ object StoreManifest {
       cur("frames"), batchId)
   }
 
+  /** [[graft.operators.Multimodal.compactKeyframeStore]] → next
+    * version.
+    */
+  def compactKeyframes(s: SparkSession, manifest: String): Prepared = {
+    val (_, cur) = currentRequired(s, manifest, "kf")
+    val p = prepare(s, manifest, "kf", Seq("frames"))
+    graft.operators.Multimodal.compactKeyframeStore(s, cur("frames"),
+      p.tables("frames"))
+    publish(s, manifest, "kf", p)
+    p
+  }
+
   private val ivfRoles = Seq("centroids", "cells", "codes", "codebook")
 
   /** Build + publish the IVF serving QUARTET (family `ivf`): trained

@@ -57,4 +57,44 @@ class HashClassifierSpec extends AnyFunSuite {
     assert(got.values.exists(_._3) && got.values.exists(!_._3),
       "fixture corpus should land docs on both sides of the threshold")
   }
+
+  test("the inference plan has ZERO exchanges (map-only scoring)") {
+    val spark = SparkSpec.session
+    val plan = SparkEntry.queries("q190_hash_classifier")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      "hashing-trick inference must not shuffle — the whole score is " +
+        "computed inside one map stage")
+  }
+
+  test("broadcast-table serving (q193) equals fused-arithmetic serving (q190)") {
+    val spark = SparkSpec.session
+    val a = SparkEntry.queries("q190_hash_classifier")(
+      spark, "/root/testdata/sf0.001")
+    val b = SparkEntry.queries("q193_classifier_broadcast")(
+      spark, "/root/testdata/sf0.001")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "the two serving paths must compute the same model")
+    // the weight side broadcasts; the corpus pays one exchange (the
+    // per-doc aggregation), nothing else. AQE off so the physical
+    // tree is inspectable (the SpanIngestSpec precedent).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q193_classifier_broadcast")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.nonEmpty, "weights must join as a broadcast")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.size <= 1,
+        s"expected at most the doc_id agg exchange, got ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

@@ -81,4 +81,35 @@ class KeyframeStoreSpec extends SparkSpec {
     assert(direct.except(want).isEmpty && want.except(direct).isEmpty,
       "streamed landing must equal the direct store scoring")
   }
+
+  test("compaction preserves the serving view and carries the replay watermark") {
+    sweep("kfc", "kfc_kf_v1_frames", "kfc_kf_v2_frames")
+    graft.stores.StoreManifest.publishKeyframes(spark, "kfc",
+      clipsOf(1L to 10L), 4)
+    assert(graft.stores.StoreManifest.refreshKeyframes(spark, "kfc",
+      clipsOf(11L to 14L), 1L))
+    assert(graft.stores.StoreManifest.refreshKeyframes(spark, "kfc",
+      clipsOf(15L to 18L), 2L))
+    val before = Multimodal.readKeyframeStore(spark, "kfc_kf_v1_frames")
+
+    graft.stores.StoreManifest.compactKeyframes(spark, "kfc")
+    val (_, cur) = graft.stores.StoreManifest
+      .currentRequired(spark, "kfc", "kf")
+    assert(cur("frames") === "kfc_kf_v2_frames", "compaction flips version")
+    val after = Multimodal.readKeyframeStore(spark, cur("frames"))
+    assert(after.except(before).isEmpty && before.except(after).isEmpty,
+      "compaction must not change the serving view")
+    assert(spark.table(cur("frames")).select(col("batch_id"))
+      .distinct().collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "one installment left, carrying the max pre-compaction id")
+    // a pre-compaction batch replayed after the cutover is still a
+    // refused no-op (the carried watermark covers it)
+    assert(!Multimodal.refreshKeyframeStore(spark, clipsOf(11L to 14L),
+      cur("frames"), 2L))
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.refreshKeyframeStore(spark, clipsOf(19L to 20L),
+        cur("frames"), 1L)
+    }
+    assert(ex.getMessage.contains("watermark"))
+  }
 }
