@@ -200,6 +200,31 @@ object StoreManifest {
           .otherwise("pending").as("status"))
   }
 
+  /** Pinned-version resolution — snapshot reads: the role → table
+    * map of an EXPLICIT version, as long as it is published and not
+    * vacuumed (`live` or `retired`). A reader pinned to version v
+    * keeps resolving the same physical tables across later publishes
+    * (retired versions stay on disk until [[vacuum]]); after vacuum
+    * the pin fails LOUDLY rather than silently reading a live table
+    * it never asked for.
+    */
+  def at(s: SparkSession, manifest: String, family: String,
+      version: Long): Map[String, String] = {
+    require(s.catalog.tableExists(manifest), s"no manifest $manifest")
+    val rows = statusReport(s, manifest)
+      .filter(col("family") === family && col("version") === version)
+      .select(col("role"), col("table_name"), col("status"))
+      .collect()
+    require(rows.nonEmpty,
+      s"$family v$version was never prepared in $manifest " +
+        "(or its events were compacted away after vacuum)")
+    val st = rows.head.getString(2)
+    require(st == "live" || st == "retired",
+      s"$family v$version is $st — a snapshot read needs a published, " +
+        "un-vacuumed version")
+    rows.map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
   /** The live version's (version, role → table), if any version has
     * been published (and not vacuumed — which [[vacuum]] never does
     * to the live one).

@@ -63,6 +63,36 @@ object MediaIngest {
       refKeyframes: DataFrame): DataFrame =
     Multimodal.scoreAgainstKeyframes(s, batch, refKeyframes)
 
+  /** Maintain + score: each micro-batch first FOLDS its clips'
+    * keyframes into the library ([[Multimodal.refreshKeyframeStore]]
+    * keyed by the micro-batch id — exactly-once via the replay guard,
+    * the DfIngest fold-mode contract: a crash-redelivered id is a
+    * refused no-op, a checkpoint reset throws until `epochBase` is
+    * rebased) and then scores the batch against the library that now
+    * includes it — so an identical re-upload WITHIN a later batch is
+    * flagged contained by the fold of an earlier one.
+    */
+  def startWithFold(clips: DataFrame, table: String,
+      outDir: String, checkpoint: String,
+      epochBase: Long = 0L): StreamingQuery = {
+    val s = clips.sparkSession
+    AtomicLanding.sweepStale(s, outDir)
+    clips.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // foreachBatch ids start at 0; installments at 1 (0 marks the
+        // base build). A refused fold (false) is the crash-replay
+        // no-op; the scores still republish so the landing converges.
+        Multimodal.refreshKeyframeStore(s, batch.toDF("doc_id", "clip"),
+          table, epochBase + id + 1L)
+        AtomicLanding.publish(
+          score(s, batch, Multimodal.readKeyframeStore(s, table)),
+          outDir, id)
+      }
+      .start()
+  }
+
   /** [[start]] with the keyframe library resolved through the version
     * manifest — the production entry (readers cut over atomically on
     * `publish`, like the other manifest-resolved ingests).

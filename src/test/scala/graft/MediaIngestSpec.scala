@@ -85,6 +85,64 @@ class MediaIngestSpec extends SparkSpec {
     assert(landed(1003L)._1 === 6L && landed(1003L)._2 === 2L)
   }
 
+  test("fold mode grows the library at ingest; a later re-upload is caught") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def sweep(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    sweep("mi_fold_frames")
+    Multimodal.writeKeyframeStore(spark,
+      (1L to 5L).map(g => (g, Multimodal.y4mClipBytes(g)))
+        .toDF("doc_id", "clip"),
+      "mi_fold_frames", 4)
+
+    // batch 1 carries a NOVEL clip (gid 50); batch 2 carries its
+    // identical re-upload — containment must come from batch 1's FOLD
+    val src = MemoryStream[(Long, Array[Byte])]
+    val outDir = Files.createTempDirectory("mif_out").toString
+    val ckpt = Files.createTempDirectory("mif_ckpt").toString
+    val q = graft.streaming.MediaIngest.startWithFold(
+      src.toDF().toDF("doc_id", "clip"), "mi_fold_frames", outDir, ckpt)
+    try {
+      src.addData(Seq((50L, Multimodal.y4mClipBytes(50L))))
+      q.processAllAvailable()
+      src.addData(Seq((9050L, Multimodal.y4mClipBytes(50L)),
+        (9003L, Multimodal.y4mClipBytes(3L, trim = true))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = graft.streaming.MediaIngest.readStats(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    // 50 scored against base ∪ its own fold — contained (an identical
+    // row of itself is in the library it was just folded into)
+    assert(landed(50L), "a folded clip matches itself in the library")
+    assert(landed(9050L),
+      "re-upload in a later batch must be caught by the earlier fold")
+    assert(landed(9003L), "trim of a base-build clip caught")
+
+    // the fold installments (batch ids 1, 2) are recorded: replays
+    // are refused no-ops
+    assert(!Multimodal.refreshKeyframeStore(spark,
+      Seq((50L, Multimodal.y4mClipBytes(50L))).toDF("doc_id", "clip"),
+      "mi_fold_frames", 1L))
+    // and the library equals the batch recompute over everything fed
+    val want = Multimodal.clipKeyframes(spark,
+      ((1L to 5L).map(g => (g, Multimodal.y4mClipBytes(g))) ++
+        Seq((50L, Multimodal.y4mClipBytes(50L)),
+          (9050L, Multimodal.y4mClipBytes(50L)),
+          (9003L, Multimodal.y4mClipBytes(3L, trim = true))))
+        .toDF("doc_id", "clip"))
+    val got = Multimodal.readKeyframeStore(spark, "mi_fold_frames")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "fold-mode library must equal the batch recompute")
+  }
+
   test("a clip EXTENDING a reference is not contained (extra scene unmatched)") {
     import spark.implicits._
     // reference library holds the TRIMMED clip; the stream carries the

@@ -75,6 +75,45 @@ class StoreManifestSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS smlife CASCADE")
   }
 
+  test("snapshot reads: at(v) pins a retired version until vacuum, then fails loudly") {
+    val wh = Files.createTempDirectory("graft_wh_smat").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS smat LOCATION '$wh'")
+    val mf = "smat.manifest"
+    try {
+      StoreManifest.init(spark, mf)
+      val p1 = StoreManifest.prepare(spark, mf, "fam", Seq("t"))
+      spark.range(10).write.mode("overwrite").format("parquet")
+        .saveAsTable(p1.tables("t"))
+      StoreManifest.publish(spark, mf, "fam", p1)
+      val p2 = StoreManifest.prepare(spark, mf, "fam", Seq("t"))
+      spark.range(20).write.mode("overwrite").format("parquet")
+        .saveAsTable(p2.tables("t"))
+      StoreManifest.publish(spark, mf, "fam", p2)
+
+      // the pin resolves the RETIRED version's physical table and a
+      // snapshot read reproduces v1's data after v2 went live
+      val pinned = StoreManifest.at(spark, mf, "fam", 1L)
+      assert(pinned === p1.tables)
+      assert(spark.table(pinned("t")).count() === 10L,
+        "a reader pinned to v1 must still see v1's rows")
+      assert(StoreManifest.at(spark, mf, "fam", 2L) === p2.tables)
+
+      // a pending version is not snapshot-readable
+      val p3 = StoreManifest.prepare(spark, mf, "fam", Seq("t"))
+      val exPend = intercept[IllegalArgumentException] {
+        StoreManifest.at(spark, mf, "fam", p3.version)
+      }
+      assert(exPend.getMessage.contains("pending"))
+
+      // vacuum retires the pin LOUDLY — no silent fallback to live
+      StoreManifest.vacuum(spark, mf, "fam")
+      val exVac = intercept[IllegalArgumentException] {
+        StoreManifest.at(spark, mf, "fam", 1L)
+      }
+      assert(exVac.getMessage.contains("vacuumed"))
+    } finally spark.sql("DROP DATABASE IF EXISTS smat CASCADE")
+  }
+
   test("two-writer interleaves fail loudly at publish (round-10 verdict item)") {
     val wh = Files.createTempDirectory("graft_wh_sm2w").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS sm2w LOCATION '$wh'")
