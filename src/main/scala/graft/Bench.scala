@@ -110,15 +110,6 @@ object Bench {
       .flatMap(q => Seq.fill(repeat)(q))
     val raw = selected.map { case (name, fn) =>
       spark.catalog.clearCache()
-      // Drop RDD blocks leaked by the previous query: the iterative
-      // operators pin intermediate frames with localCheckpoint (by
-      // design — documented at each site), and in a 190+-query suite
-      // those blocks otherwise accumulate in the block manager for
-      // the JVM's lifetime, taxing every later query's GC with state
-      // it never created. Production sessions are per-job, so this
-      // is a bench-harness concern only.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
       // Drain the ContextCleaner BEFORE timing: the previous query's
       // shuffle/broadcast garbage otherwise gets collected mid-query,
       // and blocking cleanup contends with the scheduler (measured

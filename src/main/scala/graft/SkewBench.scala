@@ -195,10 +195,6 @@ object SkewBench {
     val selected = Targets.filter(n => subset.forall(_.contains(n)))
       .flatMap(n => Seq.fill(repeat)(n))
     val raw = selected.map { name =>
-      // drop RDD blocks leaked by the previous query's
-      // localCheckpoints — same bench-harness hygiene as Bench
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
       System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(500)
       val t0 = System.nanoTime()
       val n = Bench.force(SparkEntry.queries(name)(spark, dir))
