@@ -673,11 +673,14 @@ object Multimodal {
     // threshold integer (repetition 0.06 = mb·50 ≥ 3·(n−1); silence
     // 1/2 = silent·2 > frames), so the verdict is exact. `reason` is
     // the drop bitmask (1 short | 2 repetitive | 4 half-silent |
-    // 8 few-scenes | 16 flat-image); keep ⇔ reason = 0. Thresholds
-    // sit INSIDE each fixture signal's variance so every bit is
-    // reachable and multi-bit reasons occur — and the resulting
-    // aggressive drop rate is the realistic shape (curation drops
-    // most of a raw crawl). The plan:
+    // 8 few-scenes | 16 flat-image); keep ⇔ reason = 0. The four
+    // content thresholds sit INSIDE their fixture signal's variance
+    // so those bits all fire and multi-bit reasons occur — and the
+    // resulting aggressive drop rate is the realistic shape
+    // (curation drops most of a raw crawl); the short-doc bit keeps
+    // the real-world floor (5 tokens), which this corpus never
+    // undercuts (min 10) — a threshold that exists for degenerate
+    // input, not for the healthy fixture. The plan:
     // four independent per-doc aggregates meeting in three doc_id
     // equi-joins — each modality chain keeps its own partition flow,
     // and at 100 TB each side would be a different physical TABLE

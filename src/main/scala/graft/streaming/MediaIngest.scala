@@ -26,10 +26,14 @@ import org.apache.spark.sql.types.StructType
   *
   * At 100 TB: decode is embarrassingly parallel (one clip never
   * crosses a partition); the containment probe is an equi-join on the
-  * 64-bit scene signature against a reference table that is
-  * signature-bucketed and df-capped when built (q189's cap — a
-  * boilerplate intro scene cannot fan out); only keyframe rows
-  * (scenes, not frames) reach the join.
+  * 64-bit scene signature against a signature-bucketed reference
+  * table, and only keyframe rows (scenes, not frames) reach the join.
+  * The q189 df cap (a boilerplate intro scene shared by >64 refs must
+  * not fan out) belongs to the library MAINTENANCE side — apply it
+  * when building/compacting the store, where its one aggregate over
+  * the library amortizes across every served batch; the serving join
+  * deliberately trusts the store rather than re-derive the cap per
+  * micro-batch (that would re-scan the whole library every batch).
   *
   * Input schema: (doc_id: Long, clip: Array[Byte]).
   */
