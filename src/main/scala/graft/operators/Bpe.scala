@@ -273,62 +273,26 @@ object Bpe {
 
   /** [[writeVocabStore]] over any `text` frame (subset builds, specs). */
   def writeVocabStoreOf(docs: DataFrame, table: String,
-      buckets: Int = -1): Unit = {
-    val s = docs.sparkSession
-    val b =
-      if (buckets > 0) buckets
-      else s.conf.get("spark.sql.shuffle.partitions").toInt
-    wordCounts(docs)
-      .withColumn("batch_id", lit(0L))
-      .repartition(b, col("w"))
-      .write.bucketBy(b, "w").sortBy("w")
-      .format("parquet").mode("overwrite").saveAsTable(table)
-  }
+      buckets: Int = -1): Unit =
+    graft.stores.DeltaStore.write(docs.sparkSession, wordCounts(docs),
+      table, Seq("w"), buckets)
 
   /** Fold a corpus installment's word counts into the store — a
-    * delta-sized bucketed append under the gram store's replay
+    * delta-sized bucketed append under the shared DeltaStore replay
     * contract: recorded batch id → refused no-op returning false;
     * novel id below the watermark → throws (checkpoint reset — the
     * caller re-bases the epoch); otherwise folded, returns true.
     */
   def refreshVocabStore(s: SparkSession, batch: DataFrame,
-      table: String, batchId: Long): Boolean = {
-    require(batchId > 0L,
-      "installment batch ids start at 1 (0 marks the base store build)")
-    // stale-relation bust (the DfIngest fold-mode lesson): a previous
-    // fold appended through another session → re-list before the guard
-    s.catalog.refreshTable(table)
-    val t = s.table(table)
-    require(t.columns.contains("batch_id"),
-      s"$table has no batch_id column — rebuild it via writeVocabStore")
-    val rec = t.select(col("batch_id")).distinct().collect()
-      .map(_.getLong(0))
-    val watermark = if (rec.isEmpty) -1L else rec.max
-    if (rec.contains(batchId)) return false // replayed installment
-    require(batchId > watermark,
-      s"batch id $batchId is below the store watermark $watermark but " +
-        s"was never folded into $table — a non-monotone novel id " +
-        "(checkpoint reset?); re-base the epoch past the watermark")
-    val b = s.sessionState.catalog
-      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
-    wordCounts(batch)
-      .withColumn("batch_id", lit(batchId))
-      .repartition(b, col("w"))
-      .write.mode("append").bucketBy(b, "w").sortBy("w")
-      .format("parquet").saveAsTable(table)
-    // the append may have run through batch's (cloned) session —
-    // make it visible to this one
-    s.catalog.refreshTable(table)
-    true
-  }
+      table: String, batchId: Long): Boolean =
+    graft.stores.DeltaStore.refresh(s, wordCounts(batch),
+      table, Seq("w"), batchId)
 
   /** Sum-on-read view — exact after any number of appends; grouping
     * on the bucket column keeps the aggregate exchange-free.
     */
   def readVocabStore(s: SparkSession, table: String): DataFrame =
-    s.table(table).groupBy(col("w")).agg(sum(col("c")).as("c"))
+    graft.stores.DeltaStore.readSum(s, table, Seq("w"), Seq("c"))
 
   /** Hybrid merge learning OFF THE STORE — the production trainer
     * entry: zero corpus passes, one store scan. Equal to training on
@@ -347,31 +311,9 @@ object Bpe {
     * [[refreshVocabStore]]'s guard.
     */
   def compactVocabStore(s: SparkSession, table: String,
-      newTable: String): Unit = {
-    def canon(t: String): (String, String) = {
-      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
-      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
-        id.table.toLowerCase)
-    }
-    require(canon(newTable) != canon(table),
-      "vocab-store compaction rolls forward to a NEW table")
-    val spec = s.sessionState.catalog
-      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table is not bucketed — compaction targets the bucketed stores"))
-    val autoBucketedScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = s.conf.get(autoBucketedScan, "true")
-    s.conf.set(autoBucketedScan, "false")
-    try {
-      val wm = s.table(table)
-        .agg(coalesce(max(col("batch_id")), lit(0L)).as("batch_id"))
-      readVocabStore(s, table).crossJoin(broadcast(wm))
-        .write.mode("overwrite")
-        .bucketBy(spec.numBuckets, "w").sortBy("w")
-        .format("parquet").saveAsTable(newTable)
-    } finally s.conf.set(autoBucketedScan, prev)
-  }
+      newTable: String): Unit =
+    graft.stores.DeltaStore.compact(s, table, newTable,
+      readVocabStore(s, table), Seq("w"))
 
   /** Split a word into per-code-point symbols (surrogate pairs stay
     * whole — see [[mergesHybrid]]'s Unicode note).

@@ -928,19 +928,13 @@ object Dedup {
     * re-shuffles; only the batch's gram frame routes to the buckets.
     */
   def writeGramStore(s: SparkSession, d: String, table: String,
-      buckets: Int = -1): Unit = {
-    val b =
-      if (buckets > 0) buckets
-      else s.conf.get("spark.sql.shuffle.partitions").toInt
+      buckets: Int = -1): Unit =
     // batch_id 0 marks the base build; installments append 1, 2, …
     // and [[refreshGramStore]] uses max(batch_id) as the replay
-    // watermark
-    gramDf(tokenizedDocs(Tables.parallel(s, d, "documents")))
-      .withColumn("batch_id", lit(0L))
-      .repartition(b, col("gid"))
-      .write.bucketBy(b, "gid").sortBy("gid")
-      .format("parquet").mode("overwrite").saveAsTable(table)
-  }
+    // watermark (the shared DeltaStore contract)
+    graft.stores.DeltaStore.write(s,
+      gramDf(tokenizedDocs(Tables.parallel(s, d, "documents"))),
+      table, Seq("gid"), buckets)
 
   /** Fold an ingest batch's gram frequencies into the persisted gram
     * store — the span-coverage face of [[refreshStores]]: a
@@ -980,59 +974,16 @@ object Dedup {
     * exactly the replay the guard absorbs.
     */
   def refreshGramStore(s: SparkSession, batch: DataFrame,
-      table: String, batchId: Long): Boolean = {
-    require(batchId > 0L,
-      "installment batch ids start at 1 (0 marks the base store build)")
-    // bust this session's cached relation first: when the previous
-    // fold's append ran through ANOTHER session (the foreachBatch-
-    // clone shape DfIngest's fold mode exposed), a stale file listing
-    // here under-reads the watermark and re-folds a recorded batch
-    s.catalog.refreshTable(table)
-    val t = s.table(table)
-    require(t.columns.contains("batch_id"),
-      s"$table has no batch_id column — rebuild it via writeGramStore; " +
-        "the replay guard needs the per-installment watermark")
-    // Distinguish a genuine REPLAY (this exact id was already folded
-    // — refuse, no-op, return false) from NOVEL data carrying a
-    // non-monotone id (id below the watermark but never recorded —
-    // e.g. a streaming checkpoint reset restarting micro-batch ids at
-    // 0): silently refusing the latter would under-count the store,
-    // so it throws instead; the caller must re-base the epoch (offset
-    // new ids past the recorded watermark). One column-pruned scan of
-    // the BIGINT batch_id column; distinct ids are installment-count
-    // sized, not row-count sized.
-    val rec = t.select(col("batch_id")).distinct().collect()
-      .map(_.getLong(0))
-    val watermark = if (rec.isEmpty) -1L else rec.max
-    if (rec.contains(batchId)) return false // replayed installment
-    require(batchId > watermark,
-      s"batch id $batchId is below the store watermark $watermark but " +
-        s"was never folded into $table — a non-monotone novel id " +
-        "(checkpoint reset?); re-base the epoch past the watermark " +
-        "instead of silently dropping the installment")
-    val b = s.sessionState.catalog
-      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
-    gramFrequencies(batch)
-      .withColumn("batch_id", lit(batchId))
-      .repartition(b, col("gid"))
-      .write.mode("append").bucketBy(b, "gid").sortBy("gid")
-      .format("parquet").saveAsTable(table)
-    // the append may have run through batch's (cloned) session —
-    // make it visible to this one
-    s.catalog.refreshTable(table)
-    true
-  }
+      table: String, batchId: Long): Boolean =
+    graft.stores.DeltaStore.refresh(s, gramFrequencies(batch),
+      table, Seq("gid"), batchId)
 
   /** Sum-on-read view of the gram store — exact after any number of
-    * [[refreshGramStore]] appends. Grouping on the bucket column lets
-    * the scan's hash partitioning satisfy the aggregate's
-    * distribution: bucket-local arithmetic, no exchange
-    * (SpanIngestSpec pins the plan).
+    * [[refreshGramStore]] appends (the shared DeltaStore view;
+    * SpanIngestSpec pins the exchange-free plan).
     */
   def readGramStore(s: SparkSession, table: String): DataFrame =
-    s.table(table).groupBy(col("gid")).agg(sum(col("df")).as("df"))
+    graft.stores.DeltaStore.readSum(s, table, Seq("gid"), Seq("df"))
 
   /** Collapse K refresh appends to one summed row per gid, one file
     * per bucket — [[compactStore]]'s job with SUM semantics. Rolls
@@ -1045,34 +996,9 @@ object Dedup {
     * compaction is still refused by [[refreshGramStore]]'s guard.
     */
   def compactGramStore(s: SparkSession, table: String,
-      newTable: String): Unit = {
-    def canon(t: String): (String, String) = {
-      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
-      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
-        id.table.toLowerCase)
-    }
-    require(canon(newTable) != canon(table),
-      "gram-store compaction rolls forward to a NEW table")
-    val spec = s.sessionState.catalog
-      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table is not bucketed — compaction targets the bucketed stores"))
-    val autoBucketedScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = s.conf.get(autoBucketedScan, "true")
-    s.conf.set(autoBucketedScan, "false")
-    try {
-      val wm =
-        if (s.table(table).columns.contains("batch_id"))
-          s.table(table)
-            .agg(coalesce(max(col("batch_id")), lit(0L)).as("batch_id"))
-        else s.range(1).select(lit(0L).as("batch_id"))
-      readGramStore(s, table).crossJoin(broadcast(wm))
-        .write.mode("overwrite")
-        .bucketBy(spec.numBuckets, "gid").sortBy("gid")
-        .format("parquet").saveAsTable(newTable)
-    } finally s.conf.set(autoBucketedScan, prev)
-  }
+      newTable: String): Unit =
+    graft.stores.DeltaStore.compact(s, table, newTable,
+      readGramStore(s, table), Seq("gid"))
 
   /** INCREMENTAL duplicated-span coverage: q164 for an ingest batch
     * against a persisted corpus, without touching the corpus. A batch

@@ -63,11 +63,15 @@ object Multimodal {
     }
     def readInt(): Int = {
       skipWs()
-      var v = -1
+      // accumulate in Long: an adversarial 12-digit dimension must
+      // read as "too big" (-1), not wrap into a small positive Int
+      // that defeats the truncation check below (round-12 advice fix)
+      var v = -1L
       while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
-        v = math.max(v, 0) * 10 + (payload(i) - '0'); i += 1
+        v = math.min(math.max(v, 0L) * 10 + (payload(i) - '0'), Int.MaxValue.toLong)
+        i += 1
       }
-      v
+      v.toInt
     }
     if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
       return None
@@ -75,9 +79,12 @@ object Multimodal {
     val w = readInt(); val h = readInt(); val maxv = readInt()
     if (w <= 0 || h <= 0 || maxv != 255) return None
     i += 1 // exactly one whitespace byte separates maxval from the plane
-    val n = w * h * 3
-    if (i + n > payload.length) return None
-    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + n)))
+    // plane size in Long: w·h·3 overflows Int at ~26k×26k, and a
+    // wrapped-negative n would pass the truncation check and crash
+    // copyOfRange — lenient ingest must return None instead
+    val n = w.toLong * h * 3
+    if (n <= 0 || i + n > payload.length) return None
+    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + n.toInt)))
   }
 
   /** Deterministic PPM P6 fixture over the sf corpus: per doc, a
@@ -884,6 +891,53 @@ object Multimodal {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  md5(text) AS content_md5,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |FROM documents""".stripMargin)),
+
+    // ---- q195: WARC/WET record framing over the gzip seam ---------------
+    // q194 decoded one member per row; a real crawl file is ONE gzip
+    // stream of MANY members — one document per member, boundaries
+    // recoverable only by walking the deflate chain. The fixture
+    // packs the corpus into ~97 "crawl files" (doc_id mod 97), each
+    // file one payload of per-doc gzip members concatenated in doc_id
+    // order; the seam re-frames every file with [[gunzipMembers]] and
+    // emits one row per RECOVERED record: its file, its position in
+    // the chain, and byte/md5 facts of the recovered plaintext. The
+    // oracle reads the plain corpus and reconstructs the expected
+    // framing arithmetically (row_number over doc_id within the
+    // file), so the hash gate proves both halves: every member
+    // decompresses to its exact document AND lands at its exact
+    // offset in the chain — a one-record framing slip shifts every
+    // later rec_idx in that file. Parallelism is per-file (the member
+    // chain is physically sequential — the real WET constraint);
+    // decode memory is O(member), not O(file).
+    QueryDef(
+      "q195_warc_members",
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.parallel(s, d, "documents")
+          .groupBy((col("doc_id") % 97).as("file_id"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+            .as("recs"))
+          .as[(Long, Seq[(Long, String)])]
+          .mapPartitions(_.map { case (fid, recs) =>
+            (fid, recs.toArray.flatMap(r =>
+              gzipBytes(r._2.getBytes("UTF-8"))))
+          })
+        files.mapPartitions(_.flatMap { case (fid, gz) =>
+          gunzipMembers(gz).toSeq.flatMap(_.iterator.zipWithIndex.map {
+            case (b, k) => (fid, k.toLong, b)
+          })
+        }).toDF("file_id", "rec_idx", "raw")
+          .select(col("file_id"), col("rec_idx"),
+            length(col("raw")).cast("long").as("n_bytes"),
+            md5(col("raw")).as("content_md5"))
+      },
+      Some("""SELECT doc_id % 97 AS file_id,
+             |  CAST(row_number() OVER (PARTITION BY doc_id % 97
+             |                          ORDER BY doc_id) - 1 AS BIGINT)
+             |    AS rec_idx,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS content_md5
              |FROM documents""".stripMargin))
   )
 
@@ -1097,7 +1151,10 @@ object Multimodal {
     var samples: Array[Int] = null
     while (i + 8 <= payload.length) {
       val id = tag(i); val sz = le32(i + 4); val body = i + 8
-      if (sz < 0 || body + sz > payload.length) return None
+      // bound in Long: body + sz wraps negative for an adversarial
+      // ~2 GB declared size, passing an Int check and driving the
+      // sz/2 allocation below to multi-GB — None, not OOM/crash
+      if (sz < 0 || body.toLong + sz > payload.length) return None
       id match {
         case "fmt " =>
           if (sz < 16) return None
@@ -1294,8 +1351,13 @@ object Multimodal {
       }
     }
     if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
-    val ySize = w * h
-    val cSize = (w / 2) * (h / 2) * 2
+    // plane sizes in Long: W65536 H65536 parses to valid Ints but
+    // w·h wraps to 0, making every truncation check below pass and
+    // copyOfRange throw — lenient ingest returns None (round-12
+    // advice fix, shared contract with decodePpm/decodeWav)
+    val ySize = w.toLong * h
+    val cSize = (w / 2).toLong * (h / 2) * 2
+    if (ySize + cSize > payload.length) return None
     val frames = Array.newBuilder[Array[Byte]]
     var i = hEnd + 1
     while (i < payload.length) {
@@ -1305,8 +1367,8 @@ object Multimodal {
       if (marker != "FRAME" && !marker.startsWith("FRAME ")) return None
       val body = fEnd + 1
       if (body + ySize + cSize > payload.length) return None
-      frames += java.util.Arrays.copyOfRange(payload, body, body + ySize)
-      i = body + ySize + cSize
+      frames += java.util.Arrays.copyOfRange(payload, body, body + ySize.toInt)
+      i = (body + ySize + cSize).toInt
     }
     val fs = frames.result()
     if (fs.isEmpty) None else Some((w, h, fs))
@@ -1452,6 +1514,87 @@ object Multimodal {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Multi-member gzip with RECORD BOUNDARIES — the WARC/WET framing
+    * (round-12 verdict item): a real crawl file is ONE gzip stream of
+    * many members, one document per member, and recovering documents
+    * means recovering member offsets — which [[gunzip]]'s read-through
+    * (correct per the gzip spec for "the" payload) destroys by
+    * concatenation. This walks the stream member by member: header
+    * parsed field-by-field (magic, CM=8, then the optional FEXTRA/
+    * FNAME/FCOMMENT/FHCRC fields the JDK fixture never writes but
+    * real crawlers do), body inflated raw (`Inflater(nowrap)` so WE
+    * own the byte cursor — `GZIPInputStream` buffers ahead and loses
+    * the member end), trailer CRC32 + ISIZE verified per member.
+    *
+    * All-or-none lenient contract, same as every decoder at this
+    * seam: any malformed member (bad magic mid-stream, truncated
+    * deflate, CRC/length mismatch, trailing garbage) rejects the
+    * whole payload with None — a salvage policy that silently drops
+    * the tail of a crawl file is a data-loss decision that belongs to
+    * the caller, not the decoder.
+    *
+    * Scale shape: one file decodes sequentially within its row (the
+    * members of a .wet.gz are a physical chain — there is no random
+    * access without an external index), files decode partition-
+    * parallel; memory is O(one member's plaintext), not O(file).
+    */
+  private[graft] def gunzipMembers(
+      payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val members = Seq.newBuilder[Array[Byte]]
+    var off = 0
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      le16(i).toLong | (le16(i + 2).toLong << 16)
+    if (payload.length == 0) return None
+    while (off < payload.length) {
+      // ---- member header ----
+      if (off + 10 > payload.length || u8(off) != 0x1f ||
+        u8(off + 1) != 0x8b || u8(off + 2) != 8) return None
+      val flg = u8(off + 3)
+      if ((flg & 0xe0) != 0) return None // reserved bits must be zero
+      var i = off + 10
+      if ((flg & 4) != 0) { // FEXTRA: XLEN + payload
+        if (i + 2 > payload.length) return None
+        i += 2 + le16(i)
+      }
+      def skipZeroTerminated(): Boolean = {
+        while (i < payload.length && payload(i) != 0) i += 1
+        if (i >= payload.length) false else { i += 1; true }
+      }
+      if ((flg & 8) != 0 && !skipZeroTerminated()) return None  // FNAME
+      if ((flg & 16) != 0 && !skipZeroTerminated()) return None // FCOMMENT
+      if ((flg & 2) != 0) i += 2                                // FHCRC
+      if (i > payload.length) return None
+      // ---- deflate body, raw, so the cursor stays ours ----
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(payload, i, payload.length - i)
+        val out = new java.io.ByteArrayOutputStream(8192)
+        val crc = new java.util.zip.CRC32
+        val buf = new Array[Byte](8192)
+        try {
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && !inf.finished()) return None // truncated
+            out.write(buf, 0, n); crc.update(buf, 0, n)
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => return None
+        }
+        val body = out.toByteArray
+        val end = i + inf.getBytesRead.toInt
+        // ---- trailer: CRC32 + ISIZE (mod 2^32) ----
+        if (end + 8 > payload.length ||
+          le32(end) != crc.getValue ||
+          le32(end + 4) != (body.length.toLong & 0xffffffffL)) return None
+        members += body
+        off = end + 8
+      } finally inf.end()
+    }
+    Some(members.result())
+  }
+
   /** gzip-compress (one member) — the fixture packer for q194. */
   private[graft] def gzipBytes(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
@@ -1538,59 +1681,45 @@ object Multimodal {
   // sum-on-read here: rows are set-valued signatures, exact under any
   // append count because the guard keeps installments disjoint.
 
+  private val kfKey = Seq("d0", "d1", "d2", "d3")
+
   /** Base library build: one decode pass over the reference clips. */
   def writeKeyframeStore(s: org.apache.spark.sql.SparkSession,
       clips: org.apache.spark.sql.DataFrame, table: String,
-      buckets: Int = -1): Unit = {
-    val b =
-      if (buckets > 0) buckets
-      else s.conf.get("spark.sql.shuffle.partitions").toInt
-    clipKeyframes(s, clips)
-      .withColumnRenamed("doc_id", "ref_id")
-      .withColumn("batch_id", lit(0L))
-      .repartition(b, col("d0"), col("d1"), col("d2"), col("d3"))
-      .write.bucketBy(b, "d0", "d1", "d2", "d3")
-      .sortBy("d0", "d1", "d2", "d3")
-      .format("parquet").mode("overwrite").saveAsTable(table)
-  }
+      buckets: Int = -1): Unit =
+    graft.stores.DeltaStore.write(s,
+      clipKeyframes(s, clips).withColumnRenamed("doc_id", "ref_id"),
+      table, kfKey, buckets)
 
   /** Fold an installment of NEW reference clips into the library
-    * under the replay contract.
+    * under the shared DeltaStore replay contract.
     */
   def refreshKeyframeStore(s: org.apache.spark.sql.SparkSession,
       clips: org.apache.spark.sql.DataFrame, table: String,
-      batchId: Long): Boolean = {
-    require(batchId > 0L,
-      "installment batch ids start at 1 (0 marks the base store build)")
-    TextOps.uncache(s, table)
-    val rec = s.table(table).select(col("batch_id")).distinct().collect()
-      .map(_.getLong(0))
-    val watermark = if (rec.isEmpty) -1L else rec.max
-    if (rec.contains(batchId)) return false // replayed installment
-    require(batchId > watermark,
-      s"batch id $batchId is below the store watermark $watermark but " +
-        s"was never folded into $table — a non-monotone novel id " +
-        "(checkpoint reset?); re-base the epoch past the watermark")
-    val b = s.sessionState.catalog
-      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
-    clipKeyframes(s, clips)
-      .withColumnRenamed("doc_id", "ref_id")
-      .withColumn("batch_id", lit(batchId))
-      .repartition(b, col("d0"), col("d1"), col("d2"), col("d3"))
-      .write.mode("append").bucketBy(b, "d0", "d1", "d2", "d3")
-      .sortBy("d0", "d1", "d2", "d3")
-      .format("parquet").saveAsTable(table)
-    TextOps.uncache(s, table)
-    true
-  }
+      batchId: Long): Boolean =
+    graft.stores.DeltaStore.refresh(s,
+      clipKeyframes(s, clips).withColumnRenamed("doc_id", "ref_id"),
+      table, kfKey, batchId)
 
   /** The serving view: (doc_id, scene, d0‥d3) signature rows. */
   def readKeyframeStore(s: org.apache.spark.sql.SparkSession,
       table: String): org.apache.spark.sql.DataFrame =
-    s.table(table).select(col("ref_id").as("doc_id"), col("scene"),
-      col("d0"), col("d1"), col("d2"), col("d3"))
+    readKeyframeStoreBefore(s, table, Long.MaxValue)
+
+  /** The serving view pinned to installments strictly below
+    * `beforeBatch` — the fold-mode ingest's pre-fold snapshot (a batch
+    * must never score against its own just-folded rows, including on
+    * crash replay where the refused fold means those rows are already
+    * present). The filter rides the bucketed scan; batch_id is a plain
+    * data column, so this prunes rows, not buckets — installments are
+    * signature-bucketed precisely so serving never depends on
+    * batch layout.
+    */
+  def readKeyframeStoreBefore(s: org.apache.spark.sql.SparkSession,
+      table: String, beforeBatch: Long): org.apache.spark.sql.DataFrame =
+    s.table(table).filter(col("batch_id") < beforeBatch)
+      .select(col("ref_id").as("doc_id"), col("scene"),
+        col("d0"), col("d1"), col("d2"), col("d3"))
 
   /** Collapse K installments into one (set semantics — rows are
     * already disjoint because the replay guard keeps installments
@@ -1601,36 +1730,13 @@ object Multimodal {
     * Shuffle-free via the forced bucketed scan.
     */
   def compactKeyframeStore(s: org.apache.spark.sql.SparkSession,
-      table: String, newTable: String): Unit = {
-    def canon(t: String): (String, String) = {
-      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
-      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
-        id.table.toLowerCase)
-    }
-    require(canon(newTable) != canon(table),
-      "keyframe-store compaction rolls forward to a NEW table")
-    val spec = s.sessionState.catalog
-      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table is not bucketed — compaction targets the bucketed stores"))
-    val autoBucketedScan =
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = s.conf.get(autoBucketedScan, "true")
-    s.conf.set(autoBucketedScan, "false")
-    try {
-      val wm = s.table(table)
-        .agg(coalesce(max(col("batch_id")), lit(0L)).as("batch_id"))
-      s.table(table)
-        .select(col("ref_id"), col("scene"),
-          col("d0"), col("d1"), col("d2"), col("d3"))
-        .crossJoin(broadcast(wm))
-        .write.mode("overwrite")
-        .bucketBy(spec.numBuckets, "d0", "d1", "d2", "d3")
-        .sortBy("d0", "d1", "d2", "d3")
-        .format("parquet").saveAsTable(newTable)
-    } finally s.conf.set(autoBucketedScan, prev)
-  }
+      table: String, newTable: String): Unit =
+    // set semantics: rows are already disjoint under the replay
+    // guard, so the view is a plain projection, not a sum
+    graft.stores.DeltaStore.compact(s, table, newTable,
+      s.table(table).select(col("ref_id"), col("scene"),
+        col("d0"), col("d1"), col("d2"), col("d3")),
+      kfKey)
 
   /** One batch of clips scored against a reference keyframe frame:
     * (doc_id, n_frames, n_scenes, longest_shot, contained) — decode

@@ -1173,8 +1173,17 @@ object TextOps {
             "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
             .as("b"))
           .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // Four consumers read `counts` (probe + both marginals + N).
+        // The canonical exchanges are identical, but AQE's runtime
+        // stage reuse did NOT dedupe them — the executed plan scanned
+        // and re-aggregated the full bigram stream 4× (round-12
+        // finding; bench q122 2.4× the pinned time). Materialize the
+        // aggregate once, same pin as pqCodebook: the frame is
+        // distinct-bigram-bounded (Zipf-truncated, not corpus-sized),
+        // so the checkpoint is index-scale, not data-scale.
         val counts = bi.groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("c12"))
+          .localCheckpoint(true)
         val left = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
         val right = counts.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
         val tot = counts.agg(sum(col("c12")).as("n_tot"))
@@ -1556,21 +1565,16 @@ object TextOps {
     */
   private[graft] def uncache(s: org.apache.spark.sql.SparkSession,
       names: String*): Unit =
-    names.foreach(n => if (s.catalog.tableExists(n)) s.catalog.refreshTable(n))
+    graft.stores.DeltaStore.uncache(s, names: _*)
 
   /** Base df-store build: one corpus pass, ever. */
   def writeDfStoreOf(docs: org.apache.spark.sql.DataFrame, table: String,
       buckets: Int = -1, statsTable: String = ""): Unit = {
     val s = docs.sparkSession
-    val b =
-      if (buckets > 0) buckets
-      else s.conf.get("spark.sql.shuffle.partitions").toInt
     val tf = termFreq(docs)
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("batch_id", lit(0L))
-      .repartition(b, col("term"))
-      .write.bucketBy(b, "term").sortBy("term")
-      .format("parquet").mode("overwrite").saveAsTable(table)
+    graft.stores.DeltaStore.write(s,
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      table, Seq("term"), buckets)
     dlStats(tf)
       .withColumn("batch_id", lit(0L))
       .write.format("parquet").mode("overwrite")
@@ -1608,31 +1612,15 @@ object TextOps {
   def refreshDfStore(s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame, table: String,
       batchId: Long, statsTable: String = ""): Boolean = {
-    require(batchId > 0L,
-      "installment batch ids start at 1 (0 marks the base store build)")
-    uncache(s, table)
-    val rec = s.table(table).select(col("batch_id")).distinct().collect()
-      .map(_.getLong(0))
-    val watermark = if (rec.isEmpty) -1L else rec.max
-    if (rec.contains(batchId)) return false // replayed installment
-    require(batchId > watermark,
-      s"batch id $batchId is below the store watermark $watermark but " +
-        s"was never folded into $table — a non-monotone novel id " +
-        "(checkpoint reset?); re-base the epoch past the watermark")
-    val b = s.sessionState.catalog
-      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
-    landDfStats(s, batch, table, batchId, statsTable)
-    termFreq(batch).groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("batch_id", lit(batchId))
-      .repartition(b, col("term"))
-      .write.mode("append").bucketBy(b, "term").sortBy("term")
-      .format("parquet").saveAsTable(table)
-    // the appends above ran through BATCH's session (possibly a
-    // foreachBatch clone) — make them visible to this one
-    uncache(s, table, statsOf(table, statsTable))
-    true
+    val folded = graft.stores.DeltaStore.refresh(s,
+      termFreq(batch).groupBy(col("term")).agg(count(lit(1)).as("df")),
+      table, Seq("term"), batchId,
+      // stats land BEFORE the term append (the commit point), so a
+      // crash between the two appends retries into a converging
+      // no-double-count — landDfStats skips an already-landed row
+      beforeCommit = () => landDfStats(s, batch, table, batchId, statsTable))
+    if (folded) uncache(s, statsOf(table, statsTable))
+    folded
   }
 
   /** Sum-on-read df view — exact after any number of appends; the
@@ -1641,7 +1629,7 @@ object TextOps {
     */
   def readDfStore(s: org.apache.spark.sql.SparkSession,
       table: String): org.apache.spark.sql.DataFrame =
-    s.table(table).groupBy(col("term")).agg(sum(col("df")).as("df"))
+    graft.stores.DeltaStore.readSum(s, table, Seq("term"), Seq("df"))
 
   /** Corpus totals, summed over installments — one row. */
   def readDfStats(s: org.apache.spark.sql.SparkSession,
@@ -1658,35 +1646,13 @@ object TextOps {
     */
   def compactDfStore(s: org.apache.spark.sql.SparkSession, table: String,
       newTable: String, statsTable: String = "",
-      newStatsTable: String = ""): Unit = {
-    def canon(t: String): (String, String) = {
-      val id = s.sessionState.sqlParser.parseTableIdentifier(t)
-      (id.database.getOrElse(s.catalog.currentDatabase).toLowerCase,
-        id.table.toLowerCase)
-    }
-    require(canon(newTable) != canon(table),
-      "df-store compaction rolls forward to a NEW table")
-    val spec = s.sessionState.catalog
-      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table is not bucketed — compaction targets the bucketed stores"))
-    val autoBucketedScan =
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = s.conf.get(autoBucketedScan, "true")
-    s.conf.set(autoBucketedScan, "false")
-    try {
-      val wm = s.table(table)
-        .agg(coalesce(max(col("batch_id")), lit(0L)).as("batch_id"))
-      readDfStore(s, table).crossJoin(broadcast(wm))
-        .write.mode("overwrite")
-        .bucketBy(spec.numBuckets, "term").sortBy("term")
-        .format("parquet").saveAsTable(newTable)
-      readDfStats(s, table, statsTable).crossJoin(broadcast(wm))
+      newStatsTable: String = ""): Unit =
+    graft.stores.DeltaStore.compact(s, table, newTable,
+      readDfStore(s, table), Seq("term"),
+      extra = wm => readDfStats(s, table, statsTable)
+        .crossJoin(broadcast(wm))
         .write.mode("overwrite").format("parquet")
-        .saveAsTable(statsOf(newTable, newStatsTable))
-    } finally s.conf.set(autoBucketedScan, prev)
-  }
+        .saveAsTable(statsOf(newTable, newStatsTable)))
 
   /** BM25 scoring with every CORPUS statistic read from the store —
     * q77's arithmetic (rational Robertson idf, k1=1.2 / b=0.75,

@@ -77,9 +77,43 @@ object StoreManifest {
     "family STRING, version BIGINT, role STRING, table_name STRING, " +
       "event STRING, writer STRING, ts TIMESTAMP"
 
-  /** Create the (empty) manifest event table if absent. Idempotent. */
-  def init(s: SparkSession, manifest: String): Unit =
+  private val schemaCols =
+    Seq("family", "version", "role", "table_name", "event", "writer", "ts")
+
+  /** Create the (empty) manifest event table if absent. Idempotent.
+    *
+    * Schema is ASSERTED on every init (round-12 advice fix): CREATE
+    * IF NOT EXISTS silently keeps a pre-existing table, so a manifest
+    * written before the `writer` column existed would survive with 6
+    * columns — the next append fails with a schema mismatch and,
+    * worse, [[publish]]'s positional reads would address the wrong
+    * fields. A manifest that differs ONLY by the missing `writer`
+    * column is migrated in place (roll-forward: historical events get
+    * writer = '' — no live writer can conflict with them, so the
+    * publish-time conflict check treats them as pre-nonce history);
+    * any other divergence loud-fails with a rebuild instruction
+    * rather than a positional-read surprise.
+    */
+  def init(s: SparkSession, manifest: String): Unit = {
     s.sql(s"CREATE TABLE IF NOT EXISTS $manifest ($schemaDdl) USING parquet")
+    val cols = s.table(manifest).columns.toSeq
+    if (cols != schemaCols) {
+      if (cols == schemaCols.filterNot(_ == "writer")) {
+        val migrated = s.table(manifest)
+          .withColumn("writer", lit(""))
+          .select(schemaCols.map(col): _*)
+          .collect() // metadata-sized: O(versions × roles) rows
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+        s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              java.util.Arrays.asList(migrated: _*)), schema)
+          .write.mode("overwrite").option("overwriteSchema", "true")
+          .format("parquet").saveAsTable(manifest)
+      } else throw new IllegalStateException(
+        s"manifest $manifest has schema $cols, expected $schemaCols — " +
+          "not a known migration; rebuild the manifest")
+    }
+  }
 
   private def append(s: SparkSession, manifest: String,
       rows: Seq[(String, Long, String, String, String, String)]): Unit = {
@@ -582,7 +616,33 @@ object StoreManifest {
     p
   }
 
-  private val ivfRoles = Seq("centroids", "cells", "codes", "codebook")
+  private val ivfRoles =
+    Seq("centroids", "cells", "codes", "codebook", "wm")
+
+  /** The fold watermark role: a ONE-ROW table recording the highest
+    * landing-zone batch_id whose vectors this version's cell/code
+    * tables already contain. Serving unions the published store with
+    * the live landing zone; without the watermark, batches folded by
+    * [[foldIvfCells]] but not yet cleared from the zone would be
+    * served TWICE — harmless-ish for exact search (a repeated
+    * candidate row) but corrupting for ADC ranking, where
+    * adcRank's per-candidate sum would add each code's distance
+    * twice (round-12 advice fix). A watermark row costs one
+    * metadata-sized read at serve time; the alternative — vec_id
+    * dedup on the union — is a shuffle of the ranking side per
+    * query batch, which the billion-vector shape can't afford.
+    */
+  private def writeWm(s: SparkSession, table: String, wm: Long): Unit = {
+    import s.implicits._
+    Seq(wm).toDF("wm").write.mode("overwrite")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** The version's fold watermark; -1 (serve every landing batch) for
+    * versions published before the role existed.
+    */
+  def foldWatermark(s: SparkSession, cur: Map[String, String]): Long =
+    cur.get("wm").map(t => s.table(t).head().getLong(0)).getOrElse(-1L)
 
   /** Build + publish the IVF serving QUARTET (family `ivf`): trained
     * centroids, the full-vector cell table (the rerank fetch side),
@@ -597,6 +657,7 @@ object StoreManifest {
       saltBuckets)
     Similarity.writePqSidecar(s, p.tables("cells"), p.tables("codebook"),
       p.tables("codes"), saltBuckets)
+    writeWm(s, p.tables("wm"), -1L) // base build: no landing batch folded
     publish(s, manifest, "ivf", p)
     p
   }
@@ -609,7 +670,8 @@ object StoreManifest {
     * coarse quantizer never re-trains the product quantizer.
     */
   def retrainIvf(s: SparkSession, manifest: String, extraCells: DataFrame,
-      saltBuckets: Int = 1): (Prepared, DataFrame) = {
+      saltBuckets: Int = 1,
+      foldedWatermark: Option[Long] = None): (Prepared, DataFrame) = {
     val (_, cur) = currentRequired(s, manifest, "ivf")
     val p = prepare(s, manifest, "ivf", ivfRoles,
       reuse = Map("codebook" -> cur("codebook")))
@@ -617,6 +679,10 @@ object StoreManifest {
       extraCells, p.tables("centroids"), p.tables("cells"), saltBuckets)
     Similarity.writePqSidecar(s, p.tables("cells"), p.tables("codebook"),
       p.tables("codes"), saltBuckets)
+    // a retrain carries the previous fold watermark unless the caller
+    // folded landing batches in via extraCells and says so
+    writeWm(s, p.tables("wm"),
+      foldedWatermark.getOrElse(foldWatermark(s, cur)))
     publish(s, manifest, "ivf", p)
     (p, churn)
   }
@@ -633,10 +699,16 @@ object StoreManifest {
     val p = prepare(s, manifest, "ivf", ivfRoles,
       reuse = Map("centroids" -> cur("centroids"),
         "codebook" -> cur("codebook")))
+    // capture the watermark from the SAME zone state the fold reads:
+    // batches landing after this read carry higher ids and stay
+    // served from the zone until the next fold
+    val wm = graft.streaming.AnnIngest.readCells(s, cellDir)
+      .agg(coalesce(max(col("batch_id")), lit(-1L))).head().getLong(0)
     graft.streaming.AnnIngest.fold(s, cur("cells"), cellDir,
-      p.tables("cells"), saltBuckets)
+      p.tables("cells"), saltBuckets, maxBatch = wm)
     Similarity.writePqSidecar(s, p.tables("cells"), p.tables("codebook"),
       p.tables("codes"), saltBuckets)
+    writeWm(s, p.tables("wm"), math.max(wm, foldWatermark(s, cur)))
     publish(s, manifest, "ivf", p)
     p
   }

@@ -128,7 +128,9 @@ object AnnIngest {
     val (_, cur) =
       graft.stores.StoreManifest.currentRequired(spark, manifest, "ivf")
     search(spark, queries, spark.table(cur("centroids")),
-      spark.table(cur("cells")), cellDir, nprobe, k)
+      spark.table(cur("cells")), cellDir, nprobe, k,
+      minBatchExclusive =
+        graft.stores.StoreManifest.foldWatermark(spark, cur))
   }
 
   /** The PQ serving path resolved through the manifest: ADC
@@ -143,15 +145,23 @@ object AnnIngest {
       nprobe: Int = 2, kAdc: Int = 6, k: Int = 1): DataFrame = {
     val (_, cur) =
       graft.stores.StoreManifest.currentRequired(spark, manifest, "ivf")
+    // landing-zone batches at or below the version's fold watermark
+    // are ALREADY in the published tables — serving them again would
+    // double every duplicated code's contribution inside adcRank's
+    // per-candidate sum (round-12 advice fix; the batch_id predicate
+    // prunes zone PARTITIONS, so the filter is directory-level free)
+    val wm = graft.stores.StoreManifest.foldWatermark(spark, cur)
     val baseCodes = spark.table(cur("codes"))
       .select(col("vec_id"), col("cell"), col("pcode"))
     val codes = if (codesDir.isEmpty) baseCodes
       else baseCodes.union(readCodes(spark, codesDir)
+        .filter(col("batch_id") > wm)
         .select(col("vec_id"), col("cell"), col("pcode")))
     val baseVecs = spark.table(cur("cells")).select(col("vec_id"), col("v"))
     val vecs = if (cellDir.isEmpty) baseVecs
       else baseVecs.union(
-        readCells(spark, cellDir).select(col("vec_id"), col("v")))
+        readCells(spark, cellDir).filter(col("batch_id") > wm)
+          .select(col("vec_id"), col("v")))
     Similarity.adcSearch(queries, spark.table(cur("centroids")),
       spark.table(cur("codebook")), codes, vecs, nprobe, kAdc, k)
   }
@@ -180,7 +190,8 @@ object AnnIngest {
     * when the hot cell is at its largest).
     */
   def fold(spark: SparkSession, baseCellTable: String, cellDir: String,
-      newCellTable: String, saltBuckets: Int = 1): Unit = {
+      newCellTable: String, saltBuckets: Int = 1,
+      maxBatch: Long = Long.MaxValue): Unit = {
     def canon(t: String): (String, String) = {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(t)
       (id.database.getOrElse(spark.catalog.currentDatabase).toLowerCase,
@@ -188,8 +199,13 @@ object AnnIngest {
     }
     require(canon(newCellTable) != canon(baseCellTable),
       "the folded cell store rolls forward to a NEW table")
+    // `maxBatch` pins the fold to a zone snapshot taken BEFORE this
+    // read: a batch landing mid-fold stays in the zone for the next
+    // fold instead of being folded ABOVE the recorded watermark and
+    // then served twice (the manifest fold passes its watermark here)
     spark.table(baseCellTable).select(col("vec_id"), col("cell"), col("v"))
       .union(readCells(spark, cellDir)
+        .filter(col("batch_id") <= maxBatch)
         .select(col("vec_id"), col("cell"), col("v")))
       .repartition(col("cell"),
         pmod(col("vec_id"), lit(saltBuckets.toLong)))
@@ -209,8 +225,13 @@ object AnnIngest {
     */
   def search(spark: SparkSession, queries: DataFrame, centStore: DataFrame,
       baseCells: DataFrame, cellDir: String,
-      nprobe: Int = 2, k: Int = 1): DataFrame = {
+      nprobe: Int = 2, k: Int = 1,
+      minBatchExclusive: Long = -1L): DataFrame = {
+    // zone batches ≤ minBatchExclusive are already folded into
+    // baseCells; serving them again duplicates candidate rows (and a
+    // duplicated top-k entry when both copies rank)
     val ingested = readCells(spark, cellDir)
+      .filter(col("batch_id") > minBatchExclusive)
       .select(col("vec_id"), col("cell"), col("v"))
     Similarity.annSearch(queries, centStore,
       baseCells.select(col("vec_id"), col("cell"), col("v")).union(ingested),

@@ -67,14 +67,27 @@ object MediaIngest {
       refKeyframes: DataFrame): DataFrame =
     Multimodal.scoreAgainstKeyframes(s, batch, refKeyframes)
 
-  /** Maintain + score: each micro-batch first FOLDS its clips'
-    * keyframes into the library ([[Multimodal.refreshKeyframeStore]]
-    * keyed by the micro-batch id — exactly-once via the replay guard,
-    * the DfIngest fold-mode contract: a crash-redelivered id is a
-    * refused no-op, a checkpoint reset throws until `epochBase` is
-    * rebased) and then scores the batch against the library that now
-    * includes it — so an identical re-upload WITHIN a later batch is
-    * flagged contained by the fold of an earlier one.
+  /** Maintain + score: each micro-batch SCORES against the library as
+    * of the previous batch, then FOLDS its own keyframes in
+    * ([[Multimodal.refreshKeyframeStore]] keyed by the micro-batch id
+    * — exactly-once via the replay guard, the DfIngest fold-mode
+    * contract: a crash-redelivered id is a refused no-op, a checkpoint
+    * reset throws until `epochBase` is rebased). Score-BEFORE-fold is
+    * load-bearing (round-12 advice fix): folding first made every
+    * decodable clip match its own just-landed signatures, so
+    * `contained` was vacuously true for novel clips and carried no
+    * signal. Pre-fold scoring gives `contained` the same meaning as
+    * serve mode — "this clip's scenes all existed before this batch"
+    * — so a re-upload in a LATER batch is flagged by the earlier fold,
+    * while a novel clip scores false.
+    *
+    * Crash convergence is order-independent: a crash after publish but
+    * before the fold replays the id, re-scores against the same
+    * pre-fold library (the fold never landed), republishes bit-for-bit
+    * and then folds; a crash after the fold replays into a refused
+    * fold no-op and a republish of the same pre-fold score, because
+    * the score join filters reference rows to installments BELOW the
+    * replayed id.
     */
   def startWithFold(clips: DataFrame, table: String,
       outDir: String, checkpoint: String,
@@ -86,13 +99,17 @@ object MediaIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // foreachBatch ids start at 0; installments at 1 (0 marks the
-        // base build). A refused fold (false) is the crash-replay
-        // no-op; the scores still republish so the landing converges.
+        // base build). The reference side is pinned to installments
+        // strictly below this batch's own — equivalent to reading the
+        // store pre-fold, but ALSO correct on crash replay, where the
+        // refused fold means this id's rows are already in the table
+        // and must not self-match.
+        val inst = epochBase + id + 1L
+        val preFold = Multimodal.readKeyframeStoreBefore(s, table, inst)
+        AtomicLanding.publish(score(s, batch, preFold), outDir, id)
         Multimodal.refreshKeyframeStore(s, batch.toDF("doc_id", "clip"),
-          table, epochBase + id + 1L)
-        AtomicLanding.publish(
-          score(s, batch, Multimodal.readKeyframeStore(s, table)),
-          outDir, id)
+          table, inst)
+        () // a refused fold (false) is the crash-replay no-op
       }
       .start()
   }

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.stores.DeltaStore
+import org.apache.spark.sql.functions._
+
+/** The shared delta-store core, tested ONCE (round-12 verdict item):
+  * the four families (gram/vocab/df/keyframe) delegate their
+  * write/refresh/read/compact to [[DeltaStore]], so the replay,
+  * crash-convergence, and compaction contract is pinned here against
+  * a toy store instead of four hand-rolled copies. Family specs keep
+  * their DOMAIN pins (sum-on-read == recount, store == recompute);
+  * this spec owns the mechanism.
+  */
+class DeltaStoreSpec extends SparkSpec {
+
+  private def toy(n: Long, off: Long = 0L) = {
+    import spark.implicits._
+    (0L until n).map(i => (i + off, 1L)).toDF("k", "v")
+  }
+
+  test("replay guard: replay refused, non-monotone novel id throws, monotone folds") {
+    val wh = Files.createTempDirectory("graft_wh_ds").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dsc LOCATION '$wh'")
+    val t = "dsc.toy"
+    try {
+      DeltaStore.write(spark, toy(10), t, Seq("k"), buckets = 4)
+      assert(DeltaStore.refresh(spark, toy(5, 100), t, Seq("k"), 1L))
+      assert(!DeltaStore.refresh(spark, toy(5, 100), t, Seq("k"), 1L),
+        "an exact replay must be a refused no-op")
+      // the refused replay must not have derived OR appended anything
+      assert(spark.table(t).count() === 15)
+      assert(DeltaStore.refresh(spark, toy(5, 200), t, Seq("k"), 3L),
+        "ids may skip (epochs), monotone is the only requirement")
+      val e = intercept[IllegalArgumentException] {
+        DeltaStore.refresh(spark, toy(5, 300), t, Seq("k"), 2L)
+      }
+      assert(e.getMessage.contains("non-monotone"),
+        "a NOVEL id below the watermark is a checkpoint reset — throw")
+      // sum-on-read: base ∪ installments, overlapping keys sum
+      assert(DeltaStore.refresh(spark, toy(10), t, Seq("k"), 4L))
+      val summed = DeltaStore.readSum(spark, t, Seq("k"), Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(summed(0L) === 2L && summed(100L) === 1L)
+      assert(summed.size === 20)
+    } finally spark.sql("DROP DATABASE IF EXISTS dsc CASCADE")
+  }
+
+  test("refresh is lazy on replay and runs beforeCommit only when admitted") {
+    val wh = Files.createTempDirectory("graft_wh_ds2").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dsl LOCATION '$wh'")
+    val t = "dsl.toy"
+    try {
+      DeltaStore.write(spark, toy(3), t, Seq("k"), buckets = 2)
+      var derived = 0; var hooked = 0
+      def delta = { derived += 1; toy(2, 50) }
+      assert(DeltaStore.refresh(spark, delta, t, Seq("k"), 1L,
+        beforeCommit = () => hooked += 1))
+      assert(derived === 1 && hooked === 1)
+      assert(!DeltaStore.refresh(spark, delta, t, Seq("k"), 1L,
+        beforeCommit = () => hooked += 1))
+      assert(derived === 1,
+        "a refused replay must never derive the batch frame")
+      assert(hooked === 1,
+        "a refused replay must never run the sidecar hook")
+    } finally spark.sql("DROP DATABASE IF EXISTS dsl CASCADE")
+  }
+
+  test("compact rolls forward, keeps the watermark, refuses in-place; extra hook runs") {
+    val wh = Files.createTempDirectory("graft_wh_ds3").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dsk LOCATION '$wh'")
+    val t = "dsk.toy"; val t2 = "dsk.toy_c"
+    try {
+      DeltaStore.write(spark, toy(6), t, Seq("k"), buckets = 2)
+      assert(DeltaStore.refresh(spark, toy(6), t, Seq("k"), 1L))
+      assert(DeltaStore.refresh(spark, toy(3), t, Seq("k"), 2L))
+      intercept[IllegalArgumentException] {
+        DeltaStore.compact(spark, t, t, // in-place is undefined mid-read
+          DeltaStore.readSum(spark, t, Seq("k"), Seq("v")), Seq("k"))
+      }
+      var extraWm = -1L
+      DeltaStore.compact(spark, t, t2,
+        DeltaStore.readSum(spark, t, Seq("k"), Seq("v")), Seq("k"),
+        extra = wm => extraWm = wm.head().getLong(0))
+      assert(extraWm === 2L, "the extra hook sees the carried watermark")
+      // one row per key, values summed, watermark on every row
+      val rows = spark.table(t2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.length === 6)
+      assert(rows.filter(_._1 < 3).forall(_._2 === 3L))
+      assert(rows.forall(_._3 === 2L),
+        "compaction must carry max(batch_id) onto every row")
+      // a pre-compaction batch replayed after compaction: the id set
+      // collapsed to the watermark, so the replay lands in the
+      // loud-fail branch — conservative, an operator decision
+      intercept[IllegalArgumentException] {
+        DeltaStore.refresh(spark, toy(1), t2, Seq("k"), 1L)
+      }
+      // post-compaction appends continue above the watermark
+      assert(DeltaStore.refresh(spark, toy(2), t2, Seq("k"), 3L))
+      assert(DeltaStore.readSum(spark, t2, Seq("k"), Seq("v"))
+        .filter(col("k") === 0L).head().getLong(1) === 4L)
+      // compacted stores stay bucketed: the roll-forward target takes
+      // further installments and compacts again
+      DeltaStore.compact(spark, t2, "dsk.toy_c2",
+        DeltaStore.readSum(spark, t2, Seq("k"), Seq("v")), Seq("k"))
+      assert(spark.table("dsk.toy_c2").agg(max(col("batch_id")))
+        .head().getLong(0) === 3L)
+    } finally spark.sql("DROP DATABASE IF EXISTS dsk CASCADE")
+  }
+
+  test("multi-column keys bucket and compact on the full key (keyframe shape)") {
+    val wh = Files.createTempDirectory("graft_wh_ds4").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dsm LOCATION '$wh'")
+    import spark.implicits._
+    val t = "dsm.sig"
+    try {
+      val rows = Seq((1L, 2L, 10L), (3L, 4L, 11L)).toDF("a", "b", "x")
+      DeltaStore.write(spark, rows, t, Seq("a", "b"), buckets = 2)
+      assert(DeltaStore.refresh(spark,
+        Seq((5L, 6L, 12L)).toDF("a", "b", "x"), t, Seq("a", "b"), 1L))
+      // set semantics: the view is a projection, disjointness comes
+      // from the guard — compact keeps all rows, once each
+      DeltaStore.compact(spark, t, "dsm.sig_c",
+        spark.table(t).select(col("a"), col("b"), col("x")), Seq("a", "b"))
+      assert(spark.table("dsm.sig_c").count() === 3)
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("dsm.sig_c"))
+        .bucketSpec
+      assert(spec.exists(_.bucketColumnNames === Seq("a", "b")),
+        "the roll-forward target must bucket on the full key")
+    } finally spark.sql("DROP DATABASE IF EXISTS dsm CASCADE")
+  }
+}

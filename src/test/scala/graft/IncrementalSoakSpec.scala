@@ -39,7 +39,7 @@ class IncrementalSoakSpec extends SparkSpec {
   test("3 cycles across dedup + gram + ivf stores, invariants green each cycle") {
     val wh = Files.createTempDirectory("graft_wh_soak").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS soak LOCATION '$wh'")
-    val mf = "soak.manifest"
+    var mf = "soak.manifest"
     try {
       val docs0 = Tables(spark, sf001, "documents")
         .select(col("doc_id"), col("text"))
@@ -84,6 +84,19 @@ class IncrementalSoakSpec extends SparkSpec {
         if (c == 2) {
           StoreManifest.compactDedup(spark, mf)
           StoreManifest.compactGrams(spark, mf)
+          // round-12 verdict item: manifest maintenance IN the loop —
+          // roll the event log forward and fsck it mid-soak, so the
+          // bounded-log claim holds in the deployed shape (cycle 3
+          // continues on the compacted manifest: versioning resumes
+          // past the kept max, the families' live tables resolve)
+          val mf2 = "soak.manifest_c"
+          StoreManifest.compactManifest(spark, mf, mf2)
+          val findings = StoreManifest.fsck(spark, mf2)
+          assert(findings.count() === 0,
+            s"mid-soak fsck must be clean: ${findings.collect().mkString}")
+          assert(spark.table(mf2).count() < spark.table(mf).count(),
+            "compaction must actually shrink the event log")
+          mf = mf2
         }
         Seq("dedup", "gram", "ivf")
           .foreach(f => StoreManifest.vacuum(spark, mf, f))

@@ -119,9 +119,12 @@ class MediaIngestSpec extends SparkSpec {
 
     val landed = graft.streaming.MediaIngest.readStats(spark, outDir)
       .collect().map(r => (r.getLong(0), r.getBoolean(4))).toMap
-    // 50 scored against base ∪ its own fold — contained (an identical
-    // row of itself is in the library it was just folded into)
-    assert(landed(50L), "a folded clip matches itself in the library")
+    // 50 scores against the PRE-fold library (round-12 fix: fold-
+    // before-score made every decodable clip match its own just-
+    // landed signatures, so `contained` was vacuously true and
+    // carried no signal) — novel, so NOT contained
+    assert(!landed(50L),
+      "a novel clip must not be flagged by its own batch's fold")
     assert(landed(9050L),
       "re-upload in a later batch must be caught by the earlier fold")
     assert(landed(9003L), "trim of a base-build clip caught")

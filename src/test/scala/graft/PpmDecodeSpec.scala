@@ -57,6 +57,19 @@ class PpmDecodeSpec extends AnyFunSuite {
       "non-numeric height")
   }
 
+  test("adversarial dimensions overflow to None, not a crash (round-12 fix)") {
+    // 46341² · 3 wraps Int negative — pre-fix this passed the
+    // truncation check and crashed copyOfRange
+    assert(Multimodal.decodePpm("P6\n46341 46341\n255\n ".getBytes).isEmpty,
+      "w·h·3 Int overflow must read as truncated, not negative-size")
+    // a 12-digit dimension overflows the Int accumulator itself
+    assert(Multimodal.decodePpm("P6\n999999999999 2\n255\n ".getBytes).isEmpty,
+      "overlong dimension digits must not wrap into a small positive")
+    // near-max legal-looking dims with a tiny payload: still None
+    assert(Multimodal.decodePpm("P6\n2147483647 2147483647\n255\n ".getBytes)
+      .isEmpty)
+  }
+
   test("trailing bytes after the plane are tolerated (stream padding)") {
     val Some((_, _, plane)) =
       Multimodal.decodePpm(ppm("P6\n2 1\n255\n", px6 :+ 99.toByte))

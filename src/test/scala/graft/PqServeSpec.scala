@@ -50,7 +50,9 @@ class PqServeSpec extends SparkSpec {
       StoreManifest.publishIvf(spark, mf, sf001)
       val (_, cur) = StoreManifest.currentRequired(spark, mf, "ivf")
       assert(cur.keySet ===
-        Set("centroids", "cells", "codes", "codebook"))
+        Set("centroids", "cells", "codes", "codebook", "wm"))
+      assert(StoreManifest.foldWatermark(spark, cur) === -1L,
+        "a base build serves every landing batch")
       // the serving projection: id + partition cell + ONE packed long
       assert(spark.table(cur("codes")).columns.sorted.toSeq ===
         Seq("cell", "pcode", "vec_id"))
@@ -163,6 +165,28 @@ class PqServeSpec extends SparkSpec {
       assert(res.head.getLong(1) === 1000000L,
         s"ADC serving must admit and rerank the ingested clone: ${res.head}")
       assert(res.head.getDouble(2) === 1.0)
+
+      // ---- round-12 advice fix: fold, then serve with the landing
+      // dirs STILL POPULATED. The folded version's watermark excludes
+      // the already-folded batch from the union, so ADC sums each
+      // code once — serving with stale dirs must be bit-equal to
+      // serving the published store alone (before the fix, the
+      // doubled (vec_id, cell, pcode) rows silently doubled afx).
+      StoreManifest.foldIvfCells(spark, mf, cellDir)
+      val fcur = StoreManifest.currentRequired(spark, mf, "ivf")._2
+      assert(StoreManifest.foldWatermark(spark, fcur) === 0L,
+        "fold must record the landed batch id as its watermark")
+      def serve(cd: String, xd: String) =
+        AnnIngest.adcSearchFromManifest(spark, q0, mf, cd, xd,
+          nprobe = 2, kAdc = 6, k = 1)
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+      val stale = serve(cellDir, codesDir)
+      val clean = serve("", "")
+      assert(stale === clean,
+        "a folded batch still in the landing zone must not be served twice")
+      assert(stale.head._2 === 1000000L && stale.head._3 === 1.0)
     } finally spark.sql("DROP DATABASE IF EXISTS pqing CASCADE")
   }
 }

@@ -376,4 +376,47 @@ class StoreManifestSpec extends SparkSpec {
         s"manifest-resolved strip must empty the stored clone: $stripped")
     } finally spark.sql("DROP DATABASE IF EXISTS smspan CASCADE")
   }
+
+  test("init migrates a pre-writer-column manifest; rejects unknown schemas") {
+    val wh = Files.createTempDirectory("graft_wh_smm").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS smmig LOCATION '$wh'")
+    try {
+      import spark.implicits._
+      // a manifest created BEFORE the writer column existed: 6 cols.
+      // CREATE IF NOT EXISTS would silently keep it, the next append
+      // would schema-mismatch and publish's positional reads would
+      // address the wrong fields (round-12 advice fix).
+      val old = "smmig.oldmf"
+      val ts = new java.sql.Timestamp(1000L)
+      Seq(("fam", 1L, "a", "smmig.oldmf_fam_v1_a", "prepared", ts),
+          ("fam", 1L, "a", "smmig.oldmf_fam_v1_a", "published", ts))
+        .toDF("family", "version", "role", "table_name", "event", "ts")
+        .write.format("parquet").saveAsTable(old)
+      StoreManifest.init(spark, old)
+      assert(spark.table(old).columns.toSeq ===
+        Seq("family", "version", "role", "table_name", "event", "writer",
+          "ts"), "init must roll the old manifest forward to 7 columns")
+      assert(spark.table(old).filter(col("writer") =!= "").count() === 0,
+        "historical events migrate with the pre-nonce empty writer")
+      // the migrated manifest works end-to-end: history intact, a new
+      // prepare/publish cycle lands on top of it
+      spark.range(1).write.mode("overwrite").format("parquet")
+        .saveAsTable("smmig.oldmf_fam_v1_a")
+      val p = StoreManifest.prepare(spark, old, "fam", Seq("a"))
+      assert(p.version === 2L, "migrated history must drive versioning")
+      spark.range(2).write.mode("overwrite").format("parquet")
+        .saveAsTable(p.tables("a"))
+      StoreManifest.publish(spark, old, "fam", p)
+      assert(StoreManifest.currentRequired(spark, old, "fam")._1 === 2L)
+
+      // anything OTHER than the known 6-column shape loud-fails
+      val alien = "smmig.alienmf"
+      Seq(("x", 1L)).toDF("family", "version")
+        .write.format("parquet").saveAsTable(alien)
+      val e = intercept[IllegalStateException] {
+        StoreManifest.init(spark, alien)
+      }
+      assert(e.getMessage.contains("rebuild the manifest"))
+    } finally spark.sql("DROP DATABASE IF EXISTS smmig CASCADE")
+  }
 }

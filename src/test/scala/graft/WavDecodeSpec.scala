@@ -86,6 +86,20 @@ class WavDecodeSpec extends AnyFunSuite {
       "odd data size cannot be 16-bit samples")
   }
 
+  test("adversarial chunk sizes overflow to None, not OOM (round-12 fix)") {
+    // declared size 0x7ffffff0: body+sz wraps negative in Int, so the
+    // pre-fix bound check passed and sz/2 drove a ~1 GB allocation
+    val huge = wav(chunk("fmt ", fmtBody()),
+      "data".getBytes("US-ASCII") ++ le32(0x7ffffff0) ++ Array[Byte](1, 2))
+    assert(Multimodal.decodeWav(huge).isEmpty,
+      "declared-size overflow must read as truncated")
+    // same wrap on a skipped unknown chunk
+    val hugeSkip = wav(
+      "LIST".getBytes("US-ASCII") ++ le32(0x7ffffffc) ++ Array[Byte](9),
+      chunk("fmt ", fmtBody()), chunk("data", pcm(tone)))
+    assert(Multimodal.decodeWav(hugeSkip).isEmpty)
+  }
+
   test("the q181 fixture round-trips through the parser end-to-end") {
     val spark = SparkSpec.session
     val rows = SparkEntry.queries("q181_wav_decode")(

@@ -61,6 +61,20 @@ class Y4mDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodeY4m(badMarker).isEmpty, "corrupt FRAME marker")
   }
 
+  test("adversarial dimensions overflow to None, not a crash (round-12 fix)") {
+    // 65536·65536 wraps w·h to 0 in Int — pre-fix every truncation
+    // check passed and copyOfRange threw on the first frame
+    assert(Multimodal.decodeY4m(
+      clip("YUV4MPEG2 W65536 H65536", Seq(frame(1)))).isEmpty,
+      "w·h Int overflow must read as truncated, not zero-size planes")
+    assert(Multimodal.decodeY4m(
+      clip("YUV4MPEG2 W2147483646 H2", Seq(frame(1)))).isEmpty)
+    // dims whose digits overflow Int parse as invalid (-1) already —
+    // keep the guard pinned
+    assert(Multimodal.decodeY4m(
+      clip("YUV4MPEG2 W99999999999 H2", Seq(frame(1)))).isEmpty)
+  }
+
   test("q188 recovers the exact scene structure the fixture plants") {
     val spark = SparkSpec.session
     val rows = SparkEntry.queries("q188_scene_cuts")(
