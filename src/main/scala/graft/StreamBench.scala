@@ -393,6 +393,47 @@ object StreamBench {
     Result("span_strip", events / secs, events, secs, stripped)
   }
 
+  /** Streaming crawl ingest (the 10th pipeline): each event is ONE
+    * multi-member gzip crawl file (8 docs per file — re-crawls of the
+    * sf0.001 corpus alternating with novel docs), re-framed at
+    * ingest, quality-scored, and exact-dup-flagged against the
+    * maintained fingerprint store (which grows per batch under the
+    * replay contract). Throughput is per FILE; out_rows counts the
+    * recovered records (8×).
+    */
+  def benchCrawlIngest(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val wh = Files.createTempDirectory(base.toPath, "wh_sb_ci").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sbci LOCATION '$wh'")
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    def gz(t: String): Array[Byte] =
+      graft.operators.Multimodal.gzipBytes(t.getBytes("UTF-8"))
+    def novel(i: Long, k: Int): String =
+      (0 until 40).map(w => s"cw${(i * 53 + k * 17 + w * 7) % 99991}")
+        .mkString(" ")
+    def file(i: Long): (Long, Array[Byte]) =
+      (5000000L + i, (0 until 8).toArray.flatMap { k =>
+        if ((i + k) % 2 == 0) gz(corpus(((i + k) / 2 % corpus.length).toInt))
+        else gz(novel(i, k))
+      })
+    graft.streaming.CrawlIngest.writeFpStore(spark,
+      corpus.indices.map(j => (j.toLong, gz(corpus(j))))
+        .toDF("file_id", "payload"), "sbci.fps_b")
+    val files = MemoryStream[(Long, Array[Byte])]
+    val outDir = Files.createTempDirectory(base.toPath, "sb_ci_out").toString
+    val q = graft.streaming.CrawlIngest.startWithFold(
+      files.toDF().toDF("file_id", "payload"), "sbci.fps_b",
+      outDir, ckptDir(base, "ci"))
+    val (events, secs) = feedAndMeasure(files, q, file, n, batch)
+    q.stop()
+    val landed = graft.streaming.CrawlIngest.readStats(spark, outDir).count()
+    spark.sql("DROP DATABASE IF EXISTS sbci CASCADE")
+    Result("crawl_ingest", events / secs, events, secs, landed)
+  }
+
   /** Streaming video curation: decode-at-ingest (the dominant cost —
     * each event is a full y4m container parsed, hashed, and
     * scene-segmented) plus the containment probe against a reference
@@ -401,7 +442,8 @@ object StreamBench {
     * novel clips.
     */
   def benchMediaIngest(spark: SparkSession, base: java.io.File, n: Long,
-      batch: Long): Result = {
+      batch: Long, tag: String = "mi",
+      name: String = "media_ingest"): Result = {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
     val refIds = Tables(spark, "/root/testdata/sf0.001", "documents")
@@ -420,12 +462,12 @@ object StreamBench {
     val clips = MemoryStream[(Long, Array[Byte])]
     val outDir = Files.createTempDirectory(base.toPath, "sb_mi_out").toString
     val q = graft.streaming.MediaIngest.start(
-      clips.toDF().toDF("doc_id", "clip"), ref, outDir, ckptDir(base, "mi"))
+      clips.toDF().toDF("doc_id", "clip"), ref, outDir, ckptDir(base, tag))
     val (events, secs) = feedAndMeasure(clips, q, clip, n, batch)
     q.stop()
     val landed = graft.streaming.MediaIngest.readStats(spark, outDir).count()
     ref.unpersist()
-    Result("media_ingest", events / secs, events, secs, landed)
+    Result(name, events / secs, events, secs, landed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -454,6 +496,13 @@ object StreamBench {
     val dfIngest = benchDfIngest(spark, base, n / 20L, batch / 20L)
     // decode-bound: each event is a ~1 KB container parse + hash chain
     val mediaIngest = benchMediaIngest(spark, base, n / 100L, batch / 100L)
+    // linear-scaling point (round-12 verdict item): 2× the corpus at
+    // the same batch size — decode-bound throughput should hold flat
+    // if the per-batch decode really spreads across the cores
+    val mediaIngest2x = benchMediaIngest(spark, base, n / 50L,
+      batch / 100L, tag = "mi2x", name = "media_ingest_2x")
+    // framing-bound: each event is an 8-member gzip file
+    val crawlIngest = benchCrawlIngest(spark, base, n / 100L, batch / 100L)
 
     val json =
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
@@ -461,7 +510,8 @@ object StreamBench {
         s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
         s"""${trending.json},${curation.json},${clustering.json},""" +
         s"""${annIngest.json},${spanIngest.json},${spanStrip.json},""" +
-        s"""${dfIngest.json},${mediaIngest.json}}""" +
+        s"""${dfIngest.json},${mediaIngest.json},${mediaIngest2x.json},""" +
+        s"""${crawlIngest.json}}""" +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")

@@ -912,34 +912,108 @@ object Multimodal {
     // decode memory is O(member), not O(file).
     QueryDef(
       "q195_warc_members",
-      (s, d) => {
-        import s.implicits._
-        val files = Tables.parallel(s, d, "documents")
-          .groupBy((col("doc_id") % 97).as("file_id"))
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
-            .as("recs"))
-          .as[(Long, Seq[(Long, String)])]
-          .mapPartitions(_.map { case (fid, recs) =>
-            (fid, recs.toArray.flatMap(r =>
-              gzipBytes(r._2.getBytes("UTF-8"))))
-          })
-        files.mapPartitions(_.flatMap { case (fid, gz) =>
-          gunzipMembers(gz).toSeq.flatMap(_.iterator.zipWithIndex.map {
-            case (b, k) => (fid, k.toLong, b)
-          })
-        }).toDF("file_id", "rec_idx", "raw")
-          .select(col("file_id"), col("rec_idx"),
-            length(col("raw")).cast("long").as("n_bytes"),
-            md5(col("raw")).as("content_md5"))
-      },
+      (s, d) => frameCrawl(s, crawlFiles(s, d))
+        .select(col("file_id"), col("rec_idx"),
+          length(col("raw")).cast("long").as("n_bytes"),
+          md5(col("raw")).as("content_md5")),
       Some("""SELECT doc_id % 97 AS file_id,
              |  CAST(row_number() OVER (PARTITION BY doc_id % 97
              |                          ORDER BY doc_id) - 1 AS BIGINT)
              |    AS rec_idx,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  md5(text) AS content_md5
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- q196: crawl curation capstone ----------------------------------
+    // The full crawl-shaped front door in ONE hash-gated chain:
+    // compressed multi-member files → record framing (q195) →
+    // recovered plaintext → quality scoring (q32's length × type-
+    // token-ratio arithmetic) → EXACT dedup over the recovered bytes
+    // (md5 groups; the lexicographically-first (file_id, rec_idx)
+    // copy is the canonical keeper — the deterministic pick every
+    // curation run needs so reruns keep the SAME copy) → the
+    // keep/drop verdict training ingestion consumes. Everything
+    // derives from the DECOMPRESSED payloads, so the gate proves the
+    // whole chain end to end; the oracle reconstructs framing +
+    // verdicts from the plain corpus arithmetically. Scale shape: the
+    // fp group-agg and join are one fingerprint-keyed exchange each
+    // (16-byte keys, corpus-cardinality), the framing/scoring ride
+    // the scan — no pair joins, no windows over the corpus.
+    QueryDef(
+      "q196_crawl_pipeline",
+      (s, d) => {
+        val scored = frameCrawl(s, crawlFiles(s, d))
+          .withColumn("text", col("raw").cast("string"))
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n", size(col("toks")))
+          .withColumn("nd", size(array_distinct(col("toks"))))
+          .select(col("file_id"), col("rec_idx"),
+            md5(col("raw")).as("fp"),
+            round(least(lit(1.0), col("n") / 100.0)
+              * (col("nd") / col("n")), 4).as("quality"))
+        val groups = scored.groupBy(col("fp"))
+          .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"),
+            count(lit(1)).as("n_copies"))
+        scored.join(groups, "fp")
+          .select(col("file_id"), col("rec_idx"), col("quality"),
+            (col("n_copies") > 1).as("is_dup"),
+            (col("quality") >= 0.3 &&
+              col("canon.file_id") === col("file_id") &&
+              col("canon.rec_idx") === col("rec_idx")).as("keep"))
+      },
+      Some("""WITH r AS (SELECT doc_id % 97 AS file_id,
+             |    CAST(row_number() OVER (PARTITION BY doc_id % 97
+             |                            ORDER BY doc_id) - 1 AS BIGINT)
+             |      AS rec_idx,
+             |    md5(text) AS fp,
+             |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+             |      * (len(list_distinct(string_split(text, ' ')))
+             |         / len(string_split(text, ' '))), 4) AS quality
+             |  FROM documents),
+             |c AS (SELECT fp, count(*) AS n_copies,
+             |        min(file_id * 1000000 + rec_idx) AS ck
+             |      FROM r GROUP BY fp)
+             |SELECT file_id, rec_idx, quality,
+             |  n_copies > 1 AS is_dup,
+             |  quality >= 0.3 AND file_id * 1000000 + rec_idx = ck AS keep
+             |FROM r JOIN c USING (fp)""".stripMargin))
   )
+
+  /** The q195/q196 crawl fixture: the corpus packed into ~97 "crawl
+    * files" — one multi-member gzip payload per file, one document
+    * per member, members concatenated in doc_id order.
+    */
+  private def crawlFiles(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.parallel(s, d, "documents")
+      .groupBy((col("doc_id") % 97).as("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("recs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.map { case (fid, recs) =>
+        (fid, recs.toArray.flatMap(r => gzipBytes(r._2.getBytes("UTF-8"))))
+      }).toDF("file_id", "payload")
+  }
+
+  /** Record framing over a (file_id, payload) frame of multi-member
+    * gzip crawl files: one row per recovered record —
+    * (file_id, rec_idx, raw) — via [[gunzipMembers]] at the
+    * partition-parallel decoder seam. Malformed files are DROPPED
+    * whole (the all-or-none member contract); per-file decode is
+    * sequential by physical necessity, files decode in parallel.
+    */
+  private[graft] def frameCrawl(s: org.apache.spark.sql.SparkSession,
+      files: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    files.as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, gz) =>
+        gunzipMembers(gz).toSeq.flatMap(_.iterator.zipWithIndex.map {
+          case (b, k) => (fid, k.toLong, b)
+        })
+      }).toDF("file_id", "rec_idx", "raw")
+  }
 
   /** The q172/q173 corpus: every payload, plus a PROBE copy of every
     * 17th one with a single byte overwritten at the payload center.
@@ -1701,6 +1775,16 @@ object Multimodal {
       clipKeyframes(s, clips).withColumnRenamed("doc_id", "ref_id"),
       table, kfKey, batchId)
 
+  /** [[refreshKeyframeStore]] from an already-decoded shots frame —
+    * shares one decode per batch with the fold-mode scorer.
+    */
+  def refreshKeyframeStoreFromShots(s: org.apache.spark.sql.SparkSession,
+      shots: org.apache.spark.sql.DataFrame, table: String,
+      batchId: Long): Boolean =
+    graft.stores.DeltaStore.refresh(s,
+      keyframesFromShots(shots).withColumnRenamed("doc_id", "ref_id"),
+      table, kfKey, batchId)
+
   /** The serving view: (doc_id, scene, d0‥d3) signature rows. */
   def readKeyframeStore(s: org.apache.spark.sql.SparkSession,
       table: String): org.apache.spark.sql.DataFrame =
@@ -1744,12 +1828,42 @@ object Multimodal {
     * keyframe branch; the containment probe is an equi-join on the
     * signature, so a bucketed store side scans co-partitioned.
     */
+  /** Spread a clip batch across the executor cores BEFORE the decode
+    * seam (round-12 verdict item): a streaming micro-batch often
+    * arrives in one (or few) partitions, and decode is the dominant
+    * per-event cost of the media pipeline — one fat partition
+    * serializes the whole batch on one core. The round-robin shuffle
+    * moves only the raw container bytes once, which decode-bound work
+    * amortizes immediately; batches already wider than half the cores
+    * pass through untouched (the Tables.parallel rule).
+    */
+  private[graft] def spreadClips(
+      batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cores = batch.sparkSession.sparkContext.defaultParallelism
+    if (batch.rdd.getNumPartitions * 2 < cores) batch.repartition(cores)
+    else batch
+  }
+
   private[graft] def scoreAgainstKeyframes(
       s: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame,
       refKeyframes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    scoreShotsAgainstKeyframes(
+      clipShots(s, spreadClips(batch.toDF("doc_id", "clip")))
+        .localCheckpoint(),
+      refKeyframes)
+
+  /** [[scoreAgainstKeyframes]] over an already-computed (and
+    * materialized) shots frame — the fold-mode ingest decodes each
+    * batch ONCE and feeds this and [[refreshKeyframeStoreFromShots]]
+    * from the same frame.
+    */
+  private[graft] def scoreShotsAgainstKeyframes(
+      shots: org.apache.spark.sql.DataFrame,
+      refKeyframes: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val shots = clipShots(s, batch.toDF("doc_id", "clip")).localCheckpoint()
     val stats = sceneStatsFromShots(shots)
     val kf = keyframesFromShots(shots)
     val key = Seq("scene", "d0", "d1", "d2", "d3")

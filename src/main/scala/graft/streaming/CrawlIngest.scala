@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import graft.stores.DeltaStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Streaming crawl ingest — the q195/q196 chain deployed (the 10th
+  * pipeline): every micro-batch of compressed multi-member crawl
+  * files is RE-FRAMED at ingest ([[Multimodal.frameCrawl]] — one
+  * document per gzip member, partition-parallel across files), each
+  * recovered record scored (q32 quality arithmetic) and
+  * fingerprinted, checked for EXACT duplication against a maintained
+  * fingerprint store, and landed one row per record.
+  *
+  * The fingerprint store is the FIRST new family built directly on
+  * [[DeltaStore]] (the round-12 extraction): fp-keyed, set-valued —
+  * about 30 lines of glue where the gram/vocab/df/keyframe families
+  * each hand-rolled the contract. Same fold-mode discipline as
+  * MediaIngest: the batch scores against the PRE-fold store
+  * (installments strictly below its own — a record must not match
+  * its own batch's fingerprints, including on crash replay where the
+  * refused fold means those rows are already present), then folds its
+  * fingerprints in. Within-batch duplicates are flagged separately
+  * (`dup_in_batch`) by the same canonical-copy rule as q196, so the
+  * two signals compose into the keep/drop verdict downstream
+  * curation applies.
+  *
+  * Shared ingest contracts: offsets-only checkpoint, atomic per-batch
+  * landing, replay-guarded folds, crash convergence (a replayed batch
+  * re-scores against the same pre-fold snapshot bit-for-bit).
+  *
+  * At 100 TB: framing is embarrassingly parallel across files (one
+  * file never crosses a partition; per-file member chains are
+  * physically sequential); the store probe is an equi-join on the
+  * 16-byte fingerprint against an fp-bucketed table — the batch side
+  * routes to the buckets, the corpus-sized store never re-shuffles.
+  *
+  * Input schema: (file_id: Long, payload: Array[Byte]).
+  */
+object CrawlIngest {
+
+  val statsSchema: StructType = StructType.fromDDL(
+    "file_id BIGINT, rec_idx BIGINT, n_bytes BIGINT, fp STRING, " +
+      "quality DOUBLE, dup_of_store BOOLEAN, dup_in_batch BOOLEAN, " +
+      "batch_id BIGINT")
+
+  /** Base fingerprint-store build from a (file_id, payload) crawl
+    * corpus — one framing pass; (fp) rows, fp-bucketed.
+    */
+  def writeFpStore(s: SparkSession, files: DataFrame, table: String,
+      buckets: Int = -1): Unit =
+    DeltaStore.write(s,
+      score(s, files).select(col("fp")).distinct(),
+      table, Seq("fp"), buckets)
+
+  /** One batch's framing + scoring: (file_id, rec_idx, n_bytes, fp,
+    * quality, dup_in_batch) — `dup_in_batch` marks every non-
+    * canonical copy within the batch (q196's deterministic
+    * lexicographic-first keeper rule).
+    */
+  private[graft] def score(s: SparkSession, files: DataFrame): DataFrame = {
+    val recs = Multimodal.frameCrawl(s,
+      files.toDF("file_id", "payload"))
+      .withColumn("text", col("raw").cast("string"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nd", size(array_distinct(col("toks"))))
+      .select(col("file_id"), col("rec_idx"),
+        length(col("raw")).cast("long").as("n_bytes"),
+        md5(col("raw")).as("fp"),
+        round(least(lit(1.0), col("n") / 100.0)
+          * (col("nd") / col("n")), 4).as("quality"))
+    val groups = recs.groupBy(col("fp"))
+      .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"))
+    recs.join(groups, "fp")
+      .select(col("file_id"), col("rec_idx"), col("n_bytes"), col("fp"),
+        col("quality"),
+        (col("canon.file_id") =!= col("file_id") ||
+          col("canon.rec_idx") =!= col("rec_idx")).as("dup_in_batch"))
+  }
+
+  /** Maintain + score: frame the batch, flag records whose
+    * fingerprint the PRE-fold store already holds, land the verdicts,
+    * fold the batch's fingerprints in (replay-guarded — the DfIngest
+    * fold-mode contract).
+    */
+  def startWithFold(files: DataFrame, fpTable: String,
+      outDir: String, checkpoint: String,
+      epochBase: Long = 0L): StreamingQuery = {
+    val s = files.sparkSession
+    AtomicLanding.sweepStale(s, outDir)
+    files.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val inst = epochBase + id + 1L
+        val scored = score(s, batch).localCheckpoint()
+        // pre-fold snapshot: installments strictly below this one
+        val store = s.table(fpTable).filter(col("batch_id") < inst)
+          .select(col("fp")).withColumn("seen", lit(true))
+        AtomicLanding.publish(
+          scored.join(store, Seq("fp"), "left")
+            .select(col("file_id"), col("rec_idx"), col("n_bytes"),
+              col("fp"), col("quality"),
+              coalesce(col("seen"), lit(false)).as("dup_of_store"),
+              col("dup_in_batch")),
+          outDir, id)
+        // fold only NOVEL fingerprints: unlike the keyframe family,
+        // where installments are content-disjoint by construction, a
+        // crawl re-delivers content — without the anti-join a
+        // re-crawled fp would land once per installment, and the
+        // serving probe's equi-join would then MULTIPLY matched
+        // records. The anti-join routes the batch side to the store's
+        // fp buckets; the store side never re-shuffles.
+        DeltaStore.refresh(s,
+          scored.select(col("fp")).distinct()
+            .join(s.table(fpTable).filter(col("batch_id") < inst)
+              .select(col("fp")), Seq("fp"), "left_anti"),
+          fpTable, Seq("fp"), inst)
+        () // a refused fold (false) is the crash-replay no-op
+      }
+      .start()
+  }
+
+  /** Read everything landed so far (committed batches only). */
+  def readStats(s: SparkSession, outDir: String): DataFrame =
+    s.read.schema(statsSchema).parquet(outDir)
+      .select(col("file_id"), col("rec_idx"), col("n_bytes"), col("fp"),
+        col("quality"), col("dup_of_store"), col("dup_in_batch"),
+        col("batch_id"))
+}

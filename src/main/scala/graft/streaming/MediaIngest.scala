@@ -106,9 +106,15 @@ object MediaIngest {
         // and must not self-match.
         val inst = epochBase + id + 1L
         val preFold = Multimodal.readKeyframeStoreBefore(s, table, inst)
-        AtomicLanding.publish(score(s, batch, preFold), outDir, id)
-        Multimodal.refreshKeyframeStore(s, batch.toDF("doc_id", "clip"),
-          table, inst)
+        // decode ONCE per batch: score and fold share the spread +
+        // materialized shots frame (decode dominates this pipeline)
+        val shots = Multimodal.clipShots(s,
+          Multimodal.spreadClips(batch.toDF("doc_id", "clip")))
+          .localCheckpoint()
+        AtomicLanding.publish(
+          Multimodal.scoreShotsAgainstKeyframes(shots, preFold),
+          outDir, id)
+        Multimodal.refreshKeyframeStoreFromShots(s, shots, table, inst)
         () // a refused fold (false) is the crash-replay no-op
       }
       .start()

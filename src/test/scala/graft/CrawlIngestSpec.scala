@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Multimodal
+import graft.streaming.CrawlIngest
+import org.apache.spark.sql.functions._
+
+/** The streaming crawl front door (q195/q196 → CrawlIngest): framing
+  * at ingest, quality + fingerprint per recovered record, exact-dup
+  * flags against a maintained fp store (the first family built
+  * directly on DeltaStore). Pins:
+  *
+  *  1. framing exactness through the stream: every member of every
+  *     fed file lands, at its exact (file_id, rec_idx), with the
+  *     plaintext facts of the original docs;
+  *  2. dup semantics across batches: a record re-crawled in a LATER
+  *     batch is flagged dup_of_store by the earlier batch's fold; a
+  *     record duplicated WITHIN a batch is flagged dup_in_batch on
+  *     the non-canonical copy only; novel records carry neither flag
+  *     (score-before-fold: a batch never matches its own fold);
+  *  3. the store fold is replay-guarded (the DeltaStore contract).
+  */
+class CrawlIngestSpec extends SparkSpec {
+
+  private def doc(i: Long): String =
+    (0 until 30).map(w => s"w${(i * 31 + w * 7) % 1000} t$w").mkString(" ")
+
+  private def pack(docs: Seq[String]): Array[Byte] =
+    docs.toArray.flatMap(d =>
+      Multimodal.gzipBytes(d.getBytes("UTF-8")))
+
+  test("framing, cross-batch dup flags, and the replay guard through the stream") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def sweep(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    sweep("ci_fps")
+    // base store: docs 1..5 crawled before the stream starts
+    CrawlIngest.writeFpStore(spark,
+      Seq((0L, pack((1L to 5L).map(doc)))).toDF("file_id", "payload"),
+      "ci_fps", 4)
+
+    val src = MemoryStream[(Long, Array[Byte])]
+    val outDir = Files.createTempDirectory("ci_out").toString
+    val ckpt = Files.createTempDirectory("ci_ckpt").toString
+    val q = CrawlIngest.startWithFold(
+      src.toDF().toDF("file_id", "payload"), "ci_fps", outDir, ckpt)
+    try {
+      // batch 1: file 10 = re-crawl of doc 2 (in base store), novel
+      // doc 100, and doc 101 twice (within-batch dup)
+      src.addData(Seq(
+        (10L, pack(Seq(doc(2), doc(100), doc(101), doc(101))))))
+      q.processAllAvailable()
+      // batch 2: file 11 re-crawls doc 100 — batch 1's FOLD must flag
+      // it — plus novel doc 102
+      src.addData(Seq((11L, pack(Seq(doc(100), doc(102))))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = CrawlIngest.readStats(spark, outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(3), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(landed.size === 6, s"every member lands exactly once: $landed")
+
+    // 1. framing exactness: fingerprints match the plaintext
+    def fpOf(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(doc(i).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(landed((10L, 0L))._1 === fpOf(2))
+    assert(landed((11L, 1L))._1 === fpOf(102))
+
+    // 2. dup semantics
+    assert(landed((10L, 0L))._2, "re-crawl of a base-store doc flagged")
+    assert(!landed((10L, 1L))._2 && !landed((10L, 1L))._3,
+      "novel record carries neither flag (no self-match on own fold)")
+    assert(!landed((10L, 2L))._3 && landed((10L, 3L))._3,
+      "within-batch dup: only the non-canonical copy flagged")
+    assert(landed((11L, 0L))._2,
+      "a later batch's re-crawl is caught by the earlier batch's fold")
+    assert(!landed((11L, 1L))._2)
+
+    // 3. the fold is replay-guarded: installment 1 replays as a no-op
+    assert(!graft.stores.DeltaStore.refresh(spark,
+      Seq("zz").toDF("fp"), "ci_fps", Seq("fp"), 1L))
+    // and the store equals base ∪ batch fingerprints, once each
+    val stored = spark.table("ci_fps").select(col("fp")).collect()
+      .map(_.getString(0))
+    assert(stored.length === stored.distinct.length,
+      "set store: a re-crawled fingerprint must NOT land twice " +
+        "(the novel-only anti-join at fold time)")
+    assert(stored.toSet ===
+      ((1L to 5L) ++ Seq(100L, 101L, 102L)).map(fpOf).toSet,
+      "store covers base + both batches' novel fingerprints, once each")
+  }
+}

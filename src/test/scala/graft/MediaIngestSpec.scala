@@ -146,6 +146,22 @@ class MediaIngestSpec extends SparkSpec {
       "fold-mode library must equal the batch recompute")
   }
 
+  test("a one-partition clip batch spreads across the cores before decode") {
+    import spark.implicits._
+    // the streaming shape: a micro-batch often lands in ONE partition,
+    // and decode is the pipeline's dominant cost — a fat partition
+    // would serialize the whole batch on one core (round-12 fix)
+    val one = (1L to 50L).map(g => (g, Multimodal.y4mClipBytes(g)))
+      .toDF("doc_id", "clip").coalesce(1)
+    assert(one.rdd.getNumPartitions === 1)
+    val cores = spark.sparkContext.defaultParallelism
+    assert(Multimodal.spreadClips(one).rdd.getNumPartitions === cores,
+      "a narrow batch must widen to the executor cores")
+    // an already-wide batch passes through with no extra shuffle
+    val wide = one.repartition(cores)
+    assert(Multimodal.spreadClips(wide).rdd.getNumPartitions === cores)
+  }
+
   test("a clip EXTENDING a reference is not contained (extra scene unmatched)") {
     import spark.implicits._
     // reference library holds the TRIMMED clip; the stream carries the

@@ -373,14 +373,21 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"queries must broadcast against the corpus:\n$p")
   }
 
-  test("q122 re-reads the bigram aggregate, not the corpus, per marginal") {
+  test("q122 computes the bigram aggregate ONCE; marginals read the pinned frame") {
     // counts(w1, w2) feeds four consumers (probe side, both
-    // marginals, the N total): Spark inlines each, but exchange reuse
-    // must collapse them onto ONE corpus-token explode+aggregate —
-    // otherwise every marginal re-scans the corpus at 100 TB
+    // marginals, the N total). Exchange reuse collapsed the four
+    // SOURCE exchanges, but each marginal still re-ran the final
+    // aggregate over the reused shuffle output — and the round-11
+    // bench caught the residual recompute (isolated A/B 1.51→0.99 s
+    // from pinning). `counts` is now localCheckpointed (round 12), so
+    // the executed query must read the materialized frame and NEVER
+    // touch the corpus: the parquet scan happens exactly once, inside
+    // the checkpoint, before this plan runs.
     val p = planOf("q122_collocations")
-    assert(p.contains("ReusedExchange"),
-      s"marginals must reuse the bigram-counts exchange:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"marginals must read the pinned bigram frame:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus must not be re-scanned by any consumer:\n$p")
   }
 
   test("q124/q131 broadcast their codebook/centroid tables, never cartesian") {
