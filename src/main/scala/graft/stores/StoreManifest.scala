@@ -538,6 +538,31 @@ object StoreManifest {
     p
   }
 
+  /** Build + publish the crawl fingerprint store (family `fp`, round
+    * 12): the fp-bucketed exact-dup table [[graft.streaming
+    * .CrawlIngest]] probes and folds at ingest.
+    */
+  def publishFps(s: SparkSession, manifest: String, files: DataFrame,
+      buckets: Int = -1): Prepared = {
+    val p = prepare(s, manifest, "fp", Seq("fps"))
+    graft.streaming.CrawlIngest.writeFpStore(s, files, p.tables("fps"),
+      buckets)
+    publish(s, manifest, "fp", p)
+    p
+  }
+
+  /** Roll K fingerprint installments into one bucketed rewrite (set
+    * semantics) under a new version.
+    */
+  def compactFps(s: SparkSession, manifest: String): Prepared = {
+    val (_, cur) = currentRequired(s, manifest, "fp")
+    val p = prepare(s, manifest, "fp", Seq("fps"))
+    graft.streaming.CrawlIngest.compactFpStore(s, cur("fps"),
+      p.tables("fps"))
+    publish(s, manifest, "fp", p)
+    p
+  }
+
   /** Build + publish the document-frequency store (family `df`,
     * q183): the term-bucketed df table plus the metadata-sized totals
     * table as a FIRST-CLASS role — both versioned and vacuumed

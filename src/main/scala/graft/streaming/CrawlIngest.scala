@@ -125,6 +125,27 @@ object CrawlIngest {
       .start()
   }
 
+  /** [[startWithFold]] with the fingerprint store resolved through
+    * the version manifest (family `fp`) — the production entry, same
+    * three-line glue as the other manifest-resolved ingests.
+    */
+  def startFromManifest(files: DataFrame, manifest: String,
+      outDir: String, checkpoint: String,
+      epochBase: Long = 0L): StreamingQuery = {
+    val (_, cur) = graft.stores.StoreManifest.currentRequired(
+      files.sparkSession, manifest, "fp")
+    startWithFold(files, cur("fps"), outDir, checkpoint, epochBase)
+  }
+
+  /** Set-semantics compaction: rows are unique by the novel-only
+    * fold, so the view is a plain projection; the DeltaStore core
+    * carries the replay watermark forward.
+    */
+  def compactFpStore(s: SparkSession, table: String,
+      newTable: String): Unit =
+    DeltaStore.compact(s, table, newTable,
+      s.table(table).select(col("fp")), Seq("fp"))
+
   /** Read everything landed so far (committed batches only). */
   def readStats(s: SparkSession, outDir: String): DataFrame =
     s.read.schema(statsSchema).parquet(outDir)

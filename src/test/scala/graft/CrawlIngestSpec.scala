@@ -101,4 +101,45 @@ class CrawlIngestSpec extends SparkSpec {
       ((1L to 5L) ++ Seq(100L, 101L, 102L)).map(fpOf).toSet,
       "store covers base + both batches' novel fingerprints, once each")
   }
+
+  test("manifest-resolved ingest; compaction preserves the set and the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = Files.createTempDirectory("graft_wh_cim").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS cim LOCATION '$wh'")
+    val mf = "cim.manifest"
+    try {
+      graft.stores.StoreManifest.publishFps(spark,
+        mf, Seq((0L, pack((1L to 4L).map(doc)))).toDF("file_id", "payload"),
+        buckets = 4)
+      val src = MemoryStream[(Long, Array[Byte])]
+      val outDir = Files.createTempDirectory("cim_out").toString
+      val q = graft.streaming.CrawlIngest.startFromManifest(
+        src.toDF().toDF("file_id", "payload"), mf, outDir,
+        Files.createTempDirectory("cim_ckpt").toString)
+      try {
+        src.addData(Seq((20L, pack(Seq(doc(1), doc(200))))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val landed = graft.streaming.CrawlIngest.readStats(spark, outDir)
+        .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+      assert(landed === Map(0L -> true, 1L -> false),
+        "manifest-resolved serving: base-store re-crawl flagged, novel not")
+
+      // compaction: set preserved, watermark carried, replay refused
+      val before = spark.table(graft.stores.StoreManifest
+        .currentRequired(spark, mf, "fp")._2("fps"))
+        .select(col("fp")).collect().map(_.getString(0)).toSet
+      graft.stores.StoreManifest.compactFps(spark, mf)
+      val cur2 = graft.stores.StoreManifest
+        .currentRequired(spark, mf, "fp")._2("fps")
+      val after = spark.table(cur2)
+        .select(col("fp")).collect().map(_.getString(0)).toSet
+      assert(after === before, "compaction must preserve the fp set")
+      assert(!graft.stores.DeltaStore.refresh(spark,
+        Seq("zz").toDF("fp"), cur2, Seq("fp"), 1L),
+        "a pre-compaction installment id must stay refused after the roll")
+    } finally spark.sql("DROP DATABASE IF EXISTS cim CASCADE")
+  }
 }
