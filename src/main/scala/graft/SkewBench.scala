@@ -160,7 +160,15 @@ object SkewBench {
     // (linear, shuffle-free until the per-doc window); q191 times the
     // cross-modal capstone: all four modality chains (text, RIFF
     // decode, y4m decode, payload phash) meeting in doc_id equi-joins
-    "q187_y4m_decode_phash", "q191_multimodal_curation")
+    "q187_y4m_decode_phash", "q191_multimodal_curation",
+    // round-12: the crawl front door at 10× rows — ~97 member chains
+    // of ~500 gzip members each, so the per-file SEQUENTIAL framing
+    // constraint (a .wet.gz has no random access) meets real chain
+    // lengths while files decode partition-parallel; the fp dedup agg
+    // rides hash-partitioned md5 keys (uniform by construction — the
+    // near-identical hot block differs per doc, so exact dedup must
+    // NOT collapse it, and the count proves that)
+    "q196_crawl_pipeline")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()

@@ -703,6 +703,59 @@ object Bpe {
           tbl, 1L), "replayed installment must be refused")
         mergesHybridFromStore(s, tbl, 20)
       },
-      Some(mergesOracle(20)))
+      Some(mergesOracle(20))),
+
+    // ---- q197: corpus RE-ENCODE — per-document token streams -----------
+    // The apply half q162 summarizes: the actual per-document BPE
+    // token sequence a training run exports after the tokenizer is
+    // trained. Same scale insight, taken to the document level:
+    // ENCODING IS A VOCABULARY-SIZED JOIN — the merge chain runs on
+    // distinct words only ([[mergedVocab]]), each word's segmentation
+    // becomes a space-joined token string ONCE, and the corpus
+    // re-encode is (doc_id, pos, w) ⋈ vocab followed by one
+    // doc-keyed reassembly (sort_array over bounded per-doc rows —
+    // the q140 pattern, never a corpus-wide window). The stream is
+    // fingerprinted rather than exported raw so the gate carries the
+    // FULL sequence (one transposed token anywhere changes the md5)
+    // at 32 bytes per row; n_tokens is the exact budget number a
+    // packing step (q128) consumes. The vocab join is unhinted — at
+    // 100 TB the segmentation table is ~10⁸ rows (the q69 lesson).
+    QueryDef(
+      "q197_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.parallel(s, d, "documents")
+        val vf = mergedVocab(docs, 5).select(col("w"),
+          expr("replace(substring(s, 3, length(s) - 4), '~~', ' ')")
+            .as("toks"),
+          (size(split(col("s"), "~~")) - 2).cast("long").as("n_syms"))
+        docs
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .filter(length(col("w")) > 0)
+          .join(vf, "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_syms")).as("n_tokens"),
+            md5(concat_ws(" ", expr(
+              "transform(sort_array(collect_list(struct(pos, toks))), " +
+                "x -> x.toks)"))).as("stream_fp"))
+      },
+      Some(s"""WITH ${chainSql(5)},
+              |vf AS (SELECT w,
+              |         replace(substr(s, 3, length(s) - 4), '~~', ' ')
+              |           AS toks,
+              |         CAST(len(string_split(s, '~~')) - 2 AS BIGINT)
+              |           AS n_syms
+              |       FROM w5),
+              |p AS (SELECT doc_id, i AS pos, t[i] AS w
+              |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+              |            FROM documents),
+              |           UNNEST(generate_series(1, len(t))) AS g(i)
+              |      WHERE len(t[i]) > 0),
+              |j AS (SELECT doc_id, pos, toks, n_syms FROM p JOIN vf USING (w))
+              |SELECT doc_id, count(*) AS n_words,
+              |  CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+              |  md5(string_agg(toks, ' ' ORDER BY pos)) AS stream_fp
+              |FROM j GROUP BY doc_id""".stripMargin))
   )
 }

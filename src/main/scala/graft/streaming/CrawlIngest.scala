@@ -62,8 +62,10 @@ object CrawlIngest {
     * lexicographic-first keeper rule).
     */
   private[graft] def score(s: SparkSession, files: DataFrame): DataFrame = {
+    // same narrow-micro-batch hazard as the media seam: a 1-partition
+    // batch of files would decode serially on one core
     val recs = Multimodal.frameCrawl(s,
-      files.toDF("file_id", "payload"))
+      Multimodal.spreadClips(files.toDF("file_id", "payload")))
       .withColumn("text", col("raw").cast("string"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")))
