@@ -551,6 +551,16 @@ object StoreManifest {
     p
   }
 
+  /** [[graft.streaming.CrawlIngest.refreshFpStore]] against the live
+    * fp table (append-in-place, replay-guarded — no version flip).
+    */
+  def refreshFps(s: SparkSession, manifest: String, files: DataFrame,
+      batchId: Long): Boolean = {
+    val (_, cur) = currentRequired(s, manifest, "fp")
+    graft.streaming.CrawlIngest.refreshFpStore(s, files, cur("fps"),
+      batchId)
+  }
+
   /** Roll K fingerprint installments into one bucketed rewrite (set
     * semantics) under a new version.
     */

@@ -110,22 +110,35 @@ object CrawlIngest {
               coalesce(col("seen"), lit(false)).as("dup_of_store"),
               col("dup_in_batch")),
           outDir, id)
-        // fold only NOVEL fingerprints: unlike the keyframe family,
-        // where installments are content-disjoint by construction, a
-        // crawl re-delivers content — without the anti-join a
-        // re-crawled fp would land once per installment, and the
-        // serving probe's equi-join would then MULTIPLY matched
-        // records. The anti-join routes the batch side to the store's
-        // fp buckets; the store side never re-shuffles.
-        DeltaStore.refresh(s,
-          scored.select(col("fp")).distinct()
-            .join(s.table(fpTable).filter(col("batch_id") < inst)
-              .select(col("fp")), Seq("fp"), "left_anti"),
-          fpTable, Seq("fp"), inst)
+        foldFps(s, scored.select(col("fp")).distinct(), fpTable, inst)
         () // a refused fold (false) is the crash-replay no-op
       }
       .start()
   }
+
+  /** Fold a distinct-fp frame under the replay contract, appending
+    * only NOVEL fingerprints: unlike the keyframe family, where
+    * installments are content-disjoint by construction, a crawl
+    * re-delivers content — without the anti-join a re-crawled fp
+    * would land once per installment, and the serving probe's
+    * equi-join would then MULTIPLY matched records. The anti-join
+    * routes the batch side to the store's fp buckets; the store side
+    * never re-shuffles.
+    */
+  private def foldFps(s: SparkSession, fps: DataFrame, table: String,
+      batchId: Long): Boolean =
+    DeltaStore.refresh(s,
+      fps.join(s.table(table).filter(col("batch_id") < batchId)
+        .select(col("fp")), Seq("fp"), "left_anti"),
+      table, Seq("fp"), batchId)
+
+  /** Batch-side fold of a crawl-file frame's fingerprints — the
+    * out-of-band maintenance entry (the soak spec's path; the
+    * streaming fold shares [[foldFps]]).
+    */
+  def refreshFpStore(s: SparkSession, files: DataFrame, table: String,
+      batchId: Long): Boolean =
+    foldFps(s, score(s, files).select(col("fp")).distinct(), table, batchId)
 
   /** [[startWithFold]] with the fingerprint store resolved through
     * the version manifest (family `fp`) — the production entry, same

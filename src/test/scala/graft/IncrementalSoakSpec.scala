@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 /** FULL-LOOP incremental soak (the round-9 verdict's item 5): three
   * cycles of ingest → assign/score/land → refresh → compact → vacuum,
-  * run across ALL THREE store families through the manifest-managed
+  * run across ALL FOUR store families through the manifest-managed
   * paths, with the closed-form invariant of each family re-verified
   * after every cycle:
   *
@@ -36,7 +36,7 @@ class IncrementalSoakSpec extends SparkSpec {
   private def partitions(labels: Iterable[(Long, Long)]): Set[Set[Long]] =
     labels.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
 
-  test("3 cycles across dedup + gram + ivf stores, invariants green each cycle") {
+  test("3 cycles across dedup + gram + ivf + fp stores, invariants green each cycle") {
     val wh = Files.createTempDirectory("graft_wh_soak").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS soak LOCATION '$wh'")
     var mf = "soak.manifest"
@@ -50,9 +50,20 @@ class IncrementalSoakSpec extends SparkSpec {
       StoreManifest.publishDedup(spark, mf, sf001, buckets = 8)
       StoreManifest.publishGrams(spark, mf, sf001, buckets = 8)
       StoreManifest.publishIvf(spark, mf, sf001)
+      // round-12: the fp family (crawl exact-dup store, the first
+      // DeltaStore-native family) soaks alongside the original three
+      import spark.implicits._
+      def gzOf(df: DataFrame) = {
+        val rows = df.select(col("doc_id"), col("text")).collect()
+          .sortBy(_.getLong(0))
+        Seq((0L, rows.flatMap(r => graft.operators.Multimodal.gzipBytes(
+          r.getString(1).getBytes("UTF-8"))))).toDF("file_id", "payload")
+      }
+      StoreManifest.publishFps(spark, mf, gzOf(docs0), buckets = 8)
 
       var corpus: DataFrame = docs0.localCheckpoint(true)
       var allVecs: DataFrame = vecs0.localCheckpoint(true)
+      var fpCorpus: DataFrame = docs0.localCheckpoint(true)
 
       for (c <- 1 to 3) {
         val batch = docs0.filter(col("doc_id") % 7 === (c % 7).toLong)
@@ -68,6 +79,17 @@ class IncrementalSoakSpec extends SparkSpec {
           s"cycle $c gram installment must fold")
         assert(!StoreManifest.refreshGrams(spark, mf, batch, c.toLong),
           s"cycle $c replay must be refused")
+        // fp family: the crawl batch carries a cycle-salted text so
+        // each cycle contributes NOVEL fingerprints (unsalted, every
+        // batch doc is a text-identical re-crawl of a base doc and
+        // the novel-only fold would append nothing)
+        val fpBatch = batch.select(col("doc_id"),
+          concat(lit(s"cyc$c "), col("text")).as("text"))
+        assert(StoreManifest.refreshFps(spark, mf, gzOf(fpBatch), c.toLong),
+          s"cycle $c fp installment must fold")
+        assert(!StoreManifest.refreshFps(spark, mf, gzOf(fpBatch), c.toLong),
+          s"cycle $c fp replay must be refused")
+        fpCorpus = fpCorpus.unionByName(fpBatch).localCheckpoint(true)
         val cellDir = Files.createTempDirectory(s"soak_cells_$c").toString
         val cents = spark.table(
           StoreManifest.currentRequired(spark, mf, "ivf")._2("centroids"))
@@ -84,6 +106,7 @@ class IncrementalSoakSpec extends SparkSpec {
         if (c == 2) {
           StoreManifest.compactDedup(spark, mf)
           StoreManifest.compactGrams(spark, mf)
+          StoreManifest.compactFps(spark, mf)
           // round-12 verdict item: manifest maintenance IN the loop —
           // roll the event log forward and fsck it mid-soak, so the
           // bounded-log claim holds in the deployed shape (cycle 3
@@ -98,7 +121,7 @@ class IncrementalSoakSpec extends SparkSpec {
             "compaction must actually shrink the event log")
           mf = mf2
         }
-        Seq("dedup", "gram", "ivf")
+        Seq("dedup", "gram", "ivf", "fp")
           .foreach(f => StoreManifest.vacuum(spark, mf, f))
 
         // ---- invariant 1: dedup closure equality ----
@@ -130,6 +153,17 @@ class IncrementalSoakSpec extends SparkSpec {
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(storedCells === reassign,
           s"cycle $c: folded cells must be bit-equal to a full reassign")
+
+        // ---- invariant 4: fp store == md5 set of everything crawled ----
+        val fcur = StoreManifest.currentRequired(spark, mf, "fp")._2
+        val fps = spark.table(fcur("fps")).select(col("fp")).collect()
+          .map(_.getString(0))
+        assert(fps.length === fps.distinct.length,
+          s"cycle $c: the novel-only fold must keep the store a SET")
+        val wantFps = fpCorpus.select(md5(col("text"))).distinct()
+          .collect().map(_.getString(0)).toSet
+        assert(fps.toSet === wantFps,
+          s"cycle $c: fp store must equal the crawl corpus' md5 set")
       }
 
       // ---- final: warm-start retrain conserves every vector ----
@@ -154,6 +188,7 @@ class IncrementalSoakSpec extends SparkSpec {
       assert(versions("dedup") === 5L, s"dedup: v1 +3 refresh +compact: $versions")
       assert(versions("gram") === 2L, s"gram: v1 +compact: $versions")
       assert(versions("ivf") === 5L, s"ivf: v1 +3 folds +retrain: $versions")
+      assert(versions("fp") === 2L, s"fp: v1 +compact: $versions")
     } finally spark.sql("DROP DATABASE IF EXISTS soak CASCADE")
   }
 }
