@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Bpe, Dedup, EventOps, Multimodal, Relational, Similarity, TextOps, TrainPrep}
+import graft.operators.{Bpe, Dedup, EventOps, Multimodal, Relational, Similarity, TextOps, TrainPrep, WebCuration}
 import graft.stores.StoreManifest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++ Dedup.defs ++
       Similarity.defs ++ Multimodal.defs ++ TrainPrep.defs ++ Bpe.defs ++
-      StoreManifest.defs
+      StoreManifest.defs ++ WebCuration.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

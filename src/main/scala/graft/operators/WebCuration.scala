@@ -1,0 +1,281 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/host-level crawl curation — the web-native half of the crawl
+  * front door (q195/q196 recover the records; these queries curate by
+  * WHERE they came from, the way production web-corpus pipelines do:
+  * per-host caps so no domain dominates the mixture, host blocklists,
+  * and URL-revisit resolution so a page fetched five times lands
+  * once).
+  *
+  * Record shape: WET-style members — the first CRLFCRLF-terminated
+  * line of each recovered record is the target URI, the rest is the
+  * extracted plaintext (the header/body split every crawl-derived
+  * corpus starts from). The fixture packs the driver corpus into
+  * multi-member gzip files exactly like q195's, with the URI line
+  * prepended per member, so the whole chain — decompress → frame →
+  * header split → URL parse → host policy — sits under one hash gate
+  * the oracle reconstructs arithmetically from the plain corpus.
+  *
+  * Scale shapes (the 100 TB postures):
+  *  - header split + `parse_url` are row-local projections riding the
+  *    decode scan — no exchange;
+  *  - the per-host cap is an EXACT two-phase top-K: salt-local
+  *    row_number prunes each host to ≤ 32·K candidates (a record in
+  *    its host's global top-K has ≤ K−1 records above it, so its
+  *    salt-local rank is ≤ K — the union of salt-local top-Ks is a
+  *    superset of the global top-K), then the final per-host window
+  *    sorts only the bounded candidate set. A plain
+  *    `row_number() OVER (PARTITION BY host)` sorts EVERY record of a
+  *    host in one task — the mega-host straggler this construction
+  *    exists to kill;
+  *  - the keep-set joins back on (file_id, rec_idx) — hosts×K rows,
+  *    record-keyed equi-join (AQE broadcasts it when small; never
+  *    forced, since hosts×K at web scale can exceed driver memory);
+  *  - URL-revisit resolution is one url-keyed exchange (group-agg)
+  *    plus one join back — q196's fingerprint shape with url as the
+  *    key; no windows over the corpus, no pair joins.
+  */
+object WebCuration {
+
+  /** Hosts dropped outright by curation policy (the blocklist every
+    * crawl pipeline carries; literal here — production feeds it from
+    * a config table and broadcast-joins).
+    */
+  private val Blocklist = Seq("src7.example.org", "src13.example.org")
+
+  /** Per-host document cap (FineWeb-style anti-domination). */
+  private val HostCap = 15
+
+  /** Salt fan-out for the two-phase top-K (≈ cores, bounds the
+    * candidate set at 32·K per host).
+    */
+  private val Salts = 32
+
+  /** The WET fixture: the corpus packed into ~97 crawl files — one
+    * multi-member gzip payload per file, one document per member in
+    * doc_id order (q195's fixture), each member prefixed with its
+    * WET-style URI header line. The URL is page-keyed
+    * (`/p<doc_id % 13>`), so distinct documents on the same
+    * (source, page) model RE-FETCHES of one URL — the revisit shape
+    * q200 resolves.
+    */
+  private def wetFiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.parallel(s, d, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.org/p"),
+          pmod(col("doc_id"), lit(13L))).as("url"),
+        col("text"))
+      .groupBy((col("doc_id") % 97).as("file_id"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("url"), col("text")))).as("recs"))
+      .as[(Long, Seq[(Long, String, String)])]
+      .mapPartitions(_.map { case (fid, recs) =>
+        (fid, recs.toArray.flatMap(r => Multimodal.gzipBytes(
+          (r._2 + "\r\n\r\n" + r._3).getBytes("UTF-8"))))
+      }).toDF("file_id", "payload")
+  }
+
+  /** Header-split + URL-parse + body quality over an already-framed
+    * (file_id, rec_idx, raw) frame: (file_id, rec_idx, url, host,
+    * path, body, quality). The header split is first-CRLFCRLF — a
+    * body may legally contain CRLF line breaks (spec-pinned); q32's
+    * quality arithmetic runs on the BODY only.
+    */
+  private[graft] def parseWet(framed: DataFrame): DataFrame =
+    framed
+      .withColumn("m", col("raw").cast("string"))
+      .withColumn("url", substring_index(col("m"), "\r\n\r\n", 1))
+      .withColumn("body",
+        col("m").substr(length(col("url")) + 5, length(col("m"))))
+      .withColumn("toks", split(col("body"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nd", size(array_distinct(col("toks"))))
+      .select(col("file_id"), col("rec_idx"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        col("body"),
+        round(least(lit(1.0), col("n") / 100.0)
+          * (col("nd") / col("n")), 4).as("quality"))
+
+  /** Framed + parsed records of the [[wetFiles]] fixture — everything
+    * derives from the decompressed payloads.
+    */
+  private[graft] def wetRecords(s: SparkSession, d: String): DataFrame =
+    parseWet(Multimodal.frameCrawl(s, wetFiles(s, d)))
+
+  /** EXACT per-host top-`cap` keep-set by (quality desc, file_id,
+    * rec_idx) — the two-phase construction documented above, on a
+    * (file_id, rec_idx, host, quality) frame. Returns
+    * (file_id, rec_idx) keep rows.
+    */
+  private[graft] def capKeepSet(recs: DataFrame, cap: Int): DataFrame = {
+    val w1 = Window
+      .partitionBy(col("host"),
+        pmod(col("file_id") * 31L + col("rec_idx"), lit(Salts.toLong)))
+      .orderBy(col("quality").desc, col("file_id"), col("rec_idx"))
+    val w2 = Window.partitionBy(col("host"))
+      .orderBy(col("quality").desc, col("file_id"), col("rec_idx"))
+    recs
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= cap)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= cap)
+      .select(col("file_id"), col("rec_idx"))
+  }
+
+  /** Oracle CTE reconstructing [[wetRecords]] arithmetically from the
+    * plain corpus (q195's framing identity + the URL construction).
+    */
+  private val WetSql =
+    """w AS (SELECT doc_id % 97 AS file_id,
+      |    CAST(row_number() OVER (PARTITION BY doc_id % 97
+      |                            ORDER BY doc_id) - 1 AS BIGINT)
+      |      AS rec_idx,
+      |    'https://' || source || '.example.org/p' || (doc_id % 13)
+      |      AS url,
+      |    source || '.example.org' AS host,
+      |    '/p' || (doc_id % 13) AS path,
+      |    md5(text) AS body_md5,
+      |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+      |      * (len(list_distinct(string_split(text, ' ')))
+      |         / len(string_split(text, ' '))), 4) AS quality
+      |  FROM documents)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q198: WET record framing + URL parse --------------------------
+    // The header/body seam under the hash gate: a one-character slip
+    // in the CRLFCRLF split corrupts either the URL or the body md5
+    // of EVERY record. parse_url is a row-local projection riding the
+    // decode scan.
+    QueryDef(
+      "q198_wet_frame",
+      (s, d) => wetRecords(s, d)
+        .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
+          col("path"), md5(col("body")).as("body_md5")),
+      Some(s"""WITH $WetSql
+             |SELECT file_id, rec_idx, url, host, path, body_md5
+             |FROM w""".stripMargin)),
+
+    // ---- q199: host-level curation (blocklist + per-host cap) ----------
+    // Blocked hosts drop outright; surviving hosts keep their EXACT
+    // top-HostCap records by (quality desc, file_id, rec_idx) — the
+    // deterministic total order reruns must reproduce. Exactness of
+    // the two-phase cap vs the naive single window is spec-pinned on
+    // a skewed frame (WebCurationSpec).
+    QueryDef(
+      "q199_host_curation",
+      (s, d) => {
+        val recs = wetRecords(s, d)
+          .select(col("file_id"), col("rec_idx"), col("host"),
+            col("quality"))
+        val keepSet =
+          capKeepSet(recs.filter(!col("host").isin(Blocklist: _*)), HostCap)
+            .withColumn("in_cap", lit(true))
+        recs.join(keepSet, Seq("file_id", "rec_idx"), "left")
+          .select(col("file_id"), col("rec_idx"), col("host"),
+            col("quality"),
+            col("host").isin(Blocklist: _*).as("blocked"),
+            coalesce(col("in_cap"), lit(false)).as("kept"))
+      },
+      Some(s"""WITH $WetSql,
+             |nb AS (SELECT file_id, rec_idx,
+             |         row_number() OVER (PARTITION BY host
+             |           ORDER BY quality DESC, file_id, rec_idx) AS rk
+             |       FROM w
+             |       WHERE host NOT IN ('src7.example.org',
+             |                          'src13.example.org'))
+             |SELECT w.file_id, w.rec_idx, w.host, w.quality,
+             |  w.host IN ('src7.example.org', 'src13.example.org')
+             |    AS blocked,
+             |  coalesce(nb.rk <= $HostCap, false) AS kept
+             |FROM w LEFT JOIN nb
+             |  ON w.file_id = nb.file_id AND w.rec_idx = nb.rec_idx"""
+        .stripMargin)),
+
+    // ---- q200: URL revisit resolution ----------------------------------
+    // A crawl fetches the same URL repeatedly; training ingestion
+    // wants ONE copy per page. Latest-fetch-wins ((file_id, rec_idx)
+    // max — the crawl's own delivery order), with the version count
+    // (distinct bodies seen) kept as the page-volatility signal.
+    // One url-keyed exchange + one join back; never a window over
+    // the corpus.
+    QueryDef(
+      "q200_url_revisit",
+      (s, d) => {
+        val recs = wetRecords(s, d)
+          .select(col("file_id"), col("rec_idx"), col("url"),
+            md5(col("body")).as("body_md5"))
+        val pages = recs.groupBy(col("url"))
+          .agg(max(struct(col("file_id"), col("rec_idx"))).as("latest"),
+            count(lit(1)).as("n_fetches"),
+            countDistinct(col("body_md5")).as("n_versions"))
+        recs.join(pages, "url")
+          .select(col("file_id"), col("rec_idx"), col("url"),
+            col("n_fetches"), col("n_versions"),
+            (col("latest.file_id") === col("file_id") &&
+              col("latest.rec_idx") === col("rec_idx")).as("is_latest"))
+      },
+      Some(s"""WITH $WetSql,
+             |p AS (SELECT url,
+             |        max(file_id * 1000000 + rec_idx) AS latest,
+             |        CAST(count(*) AS BIGINT) AS n_fetches,
+             |        CAST(count(DISTINCT body_md5) AS BIGINT)
+             |          AS n_versions
+             |      FROM w GROUP BY url)
+             |SELECT file_id, rec_idx, url, n_fetches, n_versions,
+             |  file_id * 1000000 + rec_idx = latest AS is_latest
+             |FROM w JOIN p USING (url)""".stripMargin)),
+
+    // ---- q201: PII scrub ------------------------------------------------
+    // Regex redaction of contact-shaped spans (the Dolma/CCNet scrub
+    // step), restricted to the RE2-compatible subset (q63's rule) so
+    // Java regex and the oracle's RE2 agree. Pure row-local projection
+    // — codegen'd regex over the scan, no exchange; counts land next
+    // to the scrubbed hash so the gate proves both detection and
+    // replacement. The fixture plants one email + one phone per doc
+    // arithmetically (the driver corpus is clean word salad).
+    QueryDef(
+      "q201_pii_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        Tables(s, d, "documents")
+          .withColumn("t",
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com or +1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000L)).cast("string"),
+                4, "0")))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(emailRe)).cast("long")
+              .as("n_emails"),
+            regexp_count(col("t"), lit(phoneRe)).cast("long")
+              .as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("scrubbed_md5"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    text || ' contact user' || doc_id
+             |      || '@mail.example.com or +1-555-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t,
+             |    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}'))
+             |    AS BIGINT) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g'))
+             |    AS scrubbed_md5
+             |FROM t""".stripMargin))
+  )
+}
