@@ -168,7 +168,14 @@ object SkewBench {
     // rides hash-partitioned md5 keys (uniform by construction — the
     // near-identical hot block differs per doc, so exact dedup must
     // NOT collapse it, and the count proves that)
-    "q196_crawl_pipeline")
+    "q196_crawl_pipeline",
+    // round-12 second wave: host-level curation where the corpus has
+    // FOUR hosts — every host is a mega-host (~12.5k records at 10×),
+    // the exact adversary the two-phase cap exists for: the naive
+    // per-host window would sort each host's full record set in one
+    // task (4 busy cores, 28 idle); the salt-local phase prunes each
+    // host to ≤ 32·15 candidates before the only per-host sort
+    "q199_host_curation")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()
