@@ -64,7 +64,7 @@ object WebCuration {
     * (source, page) model RE-FETCHES of one URL — the revisit shape
     * q200 resolves.
     */
-  private def wetFiles(s: SparkSession, d: String): DataFrame = {
+  private[graft] def wetFiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.parallel(s, d, "documents")
       .select(col("doc_id"),
@@ -109,25 +109,38 @@ object WebCuration {
   private[graft] def wetRecords(s: SparkSession, d: String): DataFrame =
     parseWet(Multimodal.frameCrawl(s, wetFiles(s, d)))
 
-  /** EXACT per-host top-`cap` keep-set by (quality desc, file_id,
-    * rec_idx) — the two-phase construction documented above, on a
-    * (file_id, rec_idx, host, quality) frame. Returns
-    * (file_id, rec_idx) keep rows.
+  /** EXACT per-host rank (1-based under `orderCols`) for every record
+    * whose rank ≤ `cap`; records beyond the cap are ABSENT (their rank
+    * is provably > cap: a record with ≤ cap−1 records above it
+    * host-globally has ≤ cap−1 above it salt-locally too, so the
+    * salt-local prune keeps every true top-cap member). The two-phase
+    * construction documented above — the only per-host sort runs on
+    * ≤ Salts·cap candidates. Shared by the q199 quality cap and the
+    * crawl seam's first-seen budget admission
+    * ([[graft.streaming.CrawlIngest]]).
     */
-  private[graft] def capKeepSet(recs: DataFrame, cap: Int): DataFrame = {
+  private[graft] def hostRanks(recs: DataFrame, cap: Int,
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val w1 = Window
       .partitionBy(col("host"),
         pmod(col("file_id") * 31L + col("rec_idx"), lit(Salts.toLong)))
-      .orderBy(col("quality").desc, col("file_id"), col("rec_idx"))
-    val w2 = Window.partitionBy(col("host"))
-      .orderBy(col("quality").desc, col("file_id"), col("rec_idx"))
+      .orderBy(orderCols: _*)
+    val w2 = Window.partitionBy(col("host")).orderBy(orderCols: _*)
     recs
       .withColumn("r1", row_number().over(w1))
       .filter(col("r1") <= cap)
       .withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= cap)
-      .select(col("file_id"), col("rec_idx"))
+      .drop("r1")
   }
+
+  /** Per-host top-`cap` keep-set by (quality desc, file_id, rec_idx) —
+    * q199's deterministic total order. Returns (file_id, rec_idx).
+    */
+  private[graft] def capKeepSet(recs: DataFrame, cap: Int): DataFrame =
+    hostRanks(recs, cap,
+      Seq(col("quality").desc, col("file_id"), col("rec_idx")))
+      .select(col("file_id"), col("rec_idx"))
 
   /** Oracle CTE reconstructing [[wetRecords]] arithmetically from the
     * plain corpus (q195's framing identity + the URL construction).
@@ -276,6 +289,72 @@ object WebCuration {
              |    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
              |    '<EMAIL>', 'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g'))
              |    AS scrubbed_md5
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // ---- q202: incremental host-budget admission ------------------------
+    // The crawl seam's WET machinery under the hash gate: three crawl
+    // waves (files split by file_id % 3) flow through
+    // [[graft.streaming.CrawlIngest.wetVerdicts]]/`foldWet` against
+    // REAL fp + host-counts stores — body-fingerprint dup flags from
+    // the pre-fold fp store, first-B-seen admission from the pre-fold
+    // admitted counts. The oracle's closed form: admission in
+    // delivery order with an admitted-count store saturating at B is
+    // EXACTLY "per-host first-seen rank over (wave, file_id, rec_idx)
+    // ≤ B" (induction: admitted-so-far = min(B, seen-so-far), so a
+    // record is admitted iff its global rank ≤ B). Contrast with
+    // q199: a stream admits the first B it SEES; only a batch pass
+    // can keep the best B by quality.
+    QueryDef(
+      "q202_host_budget",
+      (s, d) => {
+        import graft.streaming.CrawlIngest
+        val B = 10
+        val (fpT, hostT) = ("q202_fp", "q202_hosts")
+        Seq(fpT, hostT).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        }
+        graft.stores.DeltaStore.write(s,
+          s.range(0).select(col("id").cast("string").as("fp")),
+          fpT, Seq("fp"), 8)
+        CrawlIngest.writeHostStore(s, hostT, 8)
+        val files = wetFiles(s, d).localCheckpoint()
+        val waves = (1 to 3).map { wv =>
+          val wave = files.filter(
+            pmod(col("file_id"), lit(3L)) === (wv - 1).toLong)
+          val v = CrawlIngest
+            .wetVerdicts(s, wave, fpT, hostT, B, wv.toLong)
+            .localCheckpoint()
+          require(CrawlIngest.foldWet(s, v, fpT, hostT, wv.toLong),
+            s"wave $wv must fold")
+          v
+        }
+        require(!CrawlIngest.foldWet(s, waves.last, fpT, hostT, 3L),
+          "replayed wave must be refused")
+        waves.reduce(_ unionByName _)
+          .select(col("file_id"), col("rec_idx"), col("host"),
+            col("dup_of_store"), col("dup_in_batch"), col("admitted"))
+      },
+      Some(s"""WITH $WetSql,
+             |wv AS (SELECT *, file_id % 3 AS wave,
+             |         file_id * 1000000 + rec_idx AS ck
+             |       FROM w),
+             |fw AS (SELECT body_md5, min(wave) AS first_wave
+             |       FROM wv GROUP BY 1),
+             |cn AS (SELECT wave, body_md5, min(ck) AS cck
+             |       FROM wv GROUP BY 1, 2),
+             |rk AS (SELECT ck, row_number() OVER (PARTITION BY host
+             |         ORDER BY wave, file_id, rec_idx) AS rn
+             |       FROM wv)
+             |SELECT wv.file_id, wv.rec_idx, wv.host,
+             |  wv.wave > fw.first_wave AS dup_of_store,
+             |  wv.ck <> cn.cck AS dup_in_batch,
+             |  rk.rn <= 10 AS admitted
+             |FROM wv
+             |JOIN fw USING (body_md5)
+             |JOIN cn ON wv.wave = cn.wave AND wv.body_md5 = cn.body_md5
+             |JOIN rk ON wv.ck = rk.ck""".stripMargin))
   )
 }

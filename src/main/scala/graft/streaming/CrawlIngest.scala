@@ -140,6 +140,133 @@ object CrawlIngest {
       batchId: Long): Boolean =
     foldFps(s, score(s, files).select(col("fp")).distinct(), table, batchId)
 
+  // ---- WET mode: URL-aware ingest + host-budget admission -------------
+  //
+  // The q198–q201 surface deployed: members carry a WET-style URI
+  // header, so each record lands with its url/host, is exact-dup
+  // flagged on its BODY fingerprint, and passes a per-host ADMISSION
+  // BUDGET enforced incrementally from a maintained host-counts store
+  // (family `hoststats`, SUM semantics on DeltaStore). Streaming
+  // admission is FIRST-B-SEEN in delivery order — a stream cannot
+  // pick the best B by quality the way q199's batch cap does; the
+  // closed form (per-host rank over (batch, file_id, rec_idx) ≤ B) is
+  // what q202 pins against the store path. The store holds ADMITTED
+  // counts, so it saturates at B per host and stays metadata-sized
+  // regardless of crawl volume.
+
+  val wetSchema: StructType = StructType.fromDDL(
+    "file_id BIGINT, rec_idx BIGINT, url STRING, host STRING, " +
+      "fp STRING, quality DOUBLE, dup_of_store BOOLEAN, " +
+      "dup_in_batch BOOLEAN, admitted BOOLEAN, batch_id BIGINT")
+
+  /** Empty host-counts store (host, n_admitted, batch_id) — the
+    * bootstrap; every crawl wave folds through [[foldWet]].
+    */
+  def writeHostStore(s: SparkSession, table: String,
+      buckets: Int = -1): Unit =
+    DeltaStore.write(s,
+      s.range(0).select(col("id").cast("string").as("host"),
+        col("id").as("n_admitted")),
+      table, Seq("host"), buckets)
+
+  /** One WET batch's framing + verdicts against the PRE-fold stores:
+    * body-fingerprint exact-dup flags (store + within-batch canonical
+    * rule) and the host-budget admission — admitted iff the host's
+    * admitted-so-far count plus the record's first-seen rank within
+    * the batch stays within `budget`. The rank comes from the
+    * two-phase construction ([[graft.operators.WebCuration.hostRanks]]
+    * with cap = budget): records pruned there have rank > budget ≥
+    * the remaining headroom, so they are exactly the not-admitted
+    * ones — no mega-host ever sorts in one task.
+    */
+  private[graft] def wetVerdicts(s: SparkSession, files: DataFrame,
+      fpTable: String, hostTable: String, budget: Int,
+      inst: Long): DataFrame = {
+    val recs = graft.operators.WebCuration.parseWet(
+      Multimodal.frameCrawl(s, Multimodal.spreadClips(
+        files.toDF("file_id", "payload"))))
+      .withColumn("fp", md5(col("body")))
+      .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
+        col("fp"), col("quality"))
+    val canon = recs.groupBy(col("fp"))
+      .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"))
+    val flagged = recs.join(canon, "fp")
+      .join(s.table(fpTable).filter(col("batch_id") < inst)
+        .select(col("fp")).withColumn("seen", lit(true)),
+        Seq("fp"), "left")
+      .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
+        col("fp"), col("quality"),
+        coalesce(col("seen"), lit(false)).as("dup_of_store"),
+        (col("canon.file_id") =!= col("file_id") ||
+          col("canon.rec_idx") =!= col("rec_idx")).as("dup_in_batch"))
+    val sofar = s.table(hostTable).filter(col("batch_id") < inst)
+      .groupBy(col("host")).agg(sum(col("n_admitted")).as("n_sofar"))
+    val ranks = graft.operators.WebCuration.hostRanks(
+      flagged.select(col("file_id"), col("rec_idx"), col("host")),
+      budget, Seq(col("file_id"), col("rec_idx")))
+    flagged
+      .join(ranks, Seq("file_id", "rec_idx", "host"), "left")
+      .join(sofar, Seq("host"), "left")
+      .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
+        col("fp"), col("quality"), col("dup_of_store"),
+        col("dup_in_batch"),
+        (coalesce(col("rk"), lit(budget + 1))
+          + coalesce(col("n_sofar"), lit(0L)) <= budget).as("admitted"))
+  }
+
+  /** Fold one WET batch's verdicts into BOTH stores under the replay
+    * contract: novel body fingerprints into the fp store, per-host
+    * ADMITTED counts into the host store. Fold order is fp-first /
+    * host-last with the HOST fold as the commit point; a crash
+    * between the two retries into convergence — the fp refold is
+    * refused (no-op) and the host fold proceeds, and both serving
+    * reads filter `batch_id < inst`, so a half-folded batch never
+    * sees its own rows. The host delta always carries an empty-host
+    * sentinel row (n_admitted = 0): a saturated batch admits NOTHING,
+    * and without the sentinel its empty append would leave no
+    * watermark — the replay guard would re-admit the batch forever.
+    * The sentinel never joins a real host (parse_url hosts are
+    * non-empty) and sums to zero.
+    */
+  private[graft] def foldWet(s: SparkSession, verdicts: DataFrame,
+      fpTable: String, hostTable: String, inst: Long): Boolean = {
+    foldFps(s, verdicts.select(col("fp")).distinct(), fpTable, inst)
+    DeltaStore.refresh(s,
+      verdicts.filter(col("admitted"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_admitted"))
+        .unionByName(s.range(1)
+          .select(lit("").as("host"), lit(0L).as("n_admitted"))),
+      hostTable, Seq("host"), inst)
+  }
+
+  /** WET crawl ingest: frame, flag, admit against the budget, land,
+    * fold both stores — the URL-aware production shape of
+    * [[startWithFold]].
+    */
+  def startWet(files: DataFrame, fpTable: String, hostTable: String,
+      budget: Int, outDir: String, checkpoint: String,
+      epochBase: Long = 0L): StreamingQuery = {
+    val s = files.sparkSession
+    AtomicLanding.sweepStale(s, outDir)
+    files.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val inst = epochBase + id + 1L
+        val v = wetVerdicts(s, batch, fpTable, hostTable, budget, inst)
+          .localCheckpoint()
+        AtomicLanding.publish(v, outDir, id)
+        foldWet(s, v, fpTable, hostTable, inst)
+        ()
+      }
+      .start()
+  }
+
+  /** Read everything landed by [[startWet]] (committed batches only). */
+  def readWet(s: SparkSession, outDir: String): DataFrame =
+    s.read.schema(wetSchema).parquet(outDir)
+      .select(wetSchema.fieldNames.map(col): _*)
+
   /** [[startWithFold]] with the fingerprint store resolved through
     * the version manifest (family `fp`) — the production entry, same
     * three-line glue as the other manifest-resolved ingests.

@@ -102,6 +102,81 @@ class CrawlIngestSpec extends SparkSpec {
       "store covers base + both batches' novel fingerprints, once each")
   }
 
+  test("WET ingest: host budget enforced across batches; saturated batch still watermarks") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def wet(url: String, body: String): String = url + "\r\n\r\n" + body
+    def packWet(members: Seq[String]): Array[Byte] =
+      members.toArray.flatMap(m =>
+        Multimodal.gzipBytes(m.getBytes("UTF-8")))
+    Seq("ciw_fps", "ciw_hosts").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    graft.stores.DeltaStore.write(spark,
+      spark.range(0).select(col("id").cast("string").as("fp")),
+      "ciw_fps", Seq("fp"), 4)
+    CrawlIngest.writeHostStore(spark, "ciw_hosts", 4)
+
+    val src = MemoryStream[(Long, Array[Byte])]
+    val outDir = Files.createTempDirectory("ciw_out").toString
+    val q = CrawlIngest.startWet(
+      src.toDF().toDF("file_id", "payload"), "ciw_fps", "ciw_hosts",
+      budget = 3, outDir,
+      Files.createTempDirectory("ciw_ckpt").toString)
+    try {
+      // batch 1: host a → 2 records, host b → 1 (all inside budget 3)
+      src.addData(Seq((0L, packWet(Seq(
+        wet("https://a.example.org/p1", doc(1)),
+        wet("https://a.example.org/p2", doc(2)),
+        wet("https://b.example.org/p1", doc(3)))))))
+      q.processAllAvailable()
+      // batch 2: host a → 2 more (only the FIRST fits: 2 + 1 ≤ 3),
+      // one of them a re-crawl of doc(1)'s body (dup_of_store)
+      src.addData(Seq((1L, packWet(Seq(
+        wet("https://a.example.org/p1", doc(1)),
+        wet("https://a.example.org/p3", doc(4)))))))
+      q.processAllAvailable()
+      // batch 3: host a saturated — admits NOTHING (the watermark
+      // sentinel is what keeps this batch replay-refused)
+      src.addData(Seq((2L, packWet(Seq(
+        wet("https://a.example.org/p4", doc(5)),
+        wet("https://a.example.org/p5", doc(6)))))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = CrawlIngest.readWet(spark, outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(3), r.getBoolean(6), r.getBoolean(8)))).toMap
+    assert(landed.size === 7)
+    assert(landed((0L, 0L)) === (("a.example.org", false, true)))
+    assert(landed((0L, 2L)) === (("b.example.org", false, true)))
+    assert(landed((1L, 0L)) === (("a.example.org", true, true)),
+      "batch-2 re-crawl: dup-flagged by batch 1's fold, still admitted " +
+        "(budget counts fetches in delivery order, dedup is downstream)")
+    assert(landed((1L, 1L)) === (("a.example.org", false, false)),
+      "second record of batch 2 exceeds host a's remaining budget")
+    assert(!landed((2L, 0L))._3 && !landed((2L, 1L))._3,
+      "saturated host admits nothing")
+
+    // admitted counts: a = 3 (saturated), b = 1; sentinel sums away
+    val counts = graft.stores.DeltaStore
+      .readSum(spark, "ciw_hosts", Seq("host"), Seq("n_admitted"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a.example.org") === 3L && counts("b.example.org") === 1L)
+
+    // the zero-admission batch 3 still landed its watermark: replaying
+    // installment 3 must be REFUSED (the sentinel-row fix)
+    assert(!graft.stores.DeltaStore.refresh(spark,
+      Seq(("zz", 1L)).toDF("host", "n_admitted"),
+      "ciw_hosts", Seq("host"), 3L),
+      "a saturated batch must still record its replay watermark")
+  }
+
   test("manifest-resolved ingest; compaction preserves the set and the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
