@@ -434,6 +434,51 @@ object StreamBench {
     Result("crawl_ingest", events / secs, events, secs, landed)
   }
 
+  /** WET crawl ingest (round 12): [[benchCrawlIngest]]'s file shape
+    * plus the URL-aware chain — header split, parse_url, and the
+    * host-budget admission against the maintained host-counts store.
+    * 50 hosts rotate across files with budget 500 each, so the run
+    * crosses saturation mid-stream (late batches admit less — the
+    * production steady state where most of a mega-host's fetches are
+    * refused cheaply).
+    */
+  def benchWetIngest(spark: SparkSession, base: java.io.File, n: Long,
+      batch: Long): Result = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val wh = Files.createTempDirectory(base.toPath, "wh_sb_wi").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sbwi LOCATION '$wh'")
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    def gz(t: String): Array[Byte] =
+      graft.operators.Multimodal.gzipBytes(t.getBytes("UTF-8"))
+    def novel(i: Long, k: Int): String =
+      (0 until 40).map(w => s"cw${(i * 53 + k * 17 + w * 7) % 99991}")
+        .mkString(" ")
+    def file(i: Long): (Long, Array[Byte]) =
+      (6000000L + i, (0 until 8).toArray.flatMap { k =>
+        val body =
+          if ((i + k) % 2 == 0) corpus(((i + k) / 2 % corpus.length).toInt)
+          else novel(i, k)
+        gz(s"https://h${(i * 8 + k) % 50}.example.org/p${i * 8 + k}" +
+          "\r\n\r\n" + body)
+      })
+    graft.stores.DeltaStore.write(spark,
+      spark.range(0).select(col("id").cast("string").as("fp")),
+      "sbwi.fps_b", Seq("fp"))
+    graft.streaming.CrawlIngest.writeHostStore(spark, "sbwi.hosts_b")
+    val files = MemoryStream[(Long, Array[Byte])]
+    val outDir = Files.createTempDirectory(base.toPath, "sb_wi_out").toString
+    val q = graft.streaming.CrawlIngest.startWet(
+      files.toDF().toDF("file_id", "payload"), "sbwi.fps_b",
+      "sbwi.hosts_b", budget = 500, outDir, ckptDir(base, "wi"))
+    val (events, secs) = feedAndMeasure(files, q, file, n, batch)
+    q.stop()
+    val landed = graft.streaming.CrawlIngest.readWet(spark, outDir).count()
+    spark.sql("DROP DATABASE IF EXISTS sbwi CASCADE")
+    Result("wet_ingest", events / secs, events, secs, landed)
+  }
+
   /** Streaming video curation: decode-at-ingest (the dominant cost —
     * each event is a full y4m container parsed, hashed, and
     * scene-segmented) plus the containment probe against a reference
@@ -503,6 +548,8 @@ object StreamBench {
       batch / 100L, tag = "mi2x", name = "media_ingest_2x")
     // framing-bound: each event is an 8-member gzip file
     val crawlIngest = benchCrawlIngest(spark, base, n / 100L, batch / 100L)
+    // URL-aware framing + host-budget admission over the same shape
+    val wetIngest = benchWetIngest(spark, base, n / 100L, batch / 100L)
 
     val json =
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
@@ -511,7 +558,7 @@ object StreamBench {
         s"""${trending.json},${curation.json},${clustering.json},""" +
         s"""${annIngest.json},${spanIngest.json},${spanStrip.json},""" +
         s"""${dfIngest.json},${mediaIngest.json},${mediaIngest2x.json},""" +
-        s"""${crawlIngest.json}}""" +
+        s"""${crawlIngest.json},${wetIngest.json}}""" +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")
