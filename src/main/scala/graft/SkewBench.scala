@@ -171,11 +171,18 @@ object SkewBench {
     "q196_crawl_pipeline",
     // round-12 second wave: host-level curation where the corpus has
     // FOUR hosts — every host is a mega-host (~12.5k records at 10×),
-    // the exact adversary the two-phase cap exists for: the naive
-    // per-host window would sort each host's full record set in one
-    // task (4 busy cores, 28 idle); the salt-local phase prunes each
-    // host to ≤ 32·15 candidates before the only per-host sort
-    "q199_host_curation")
+    // the exact adversary of per-host ranking: an unfiltered window
+    // would sort each host's full record set in one task (4 busy
+    // cores, 28 idle); Catalyst's inferred partial WindowGroupLimit
+    // caps what each map task ships to 15 rows per host, so the only
+    // per-host sort sees ≤ partitions·15 candidates
+    "q199_host_curation",
+    // the URL-aware capstone under the same 4-host corpus: the
+    // revisit agg's url keys are BRUTALLY hot (4 sources × 13 pages
+    // = 52 urls over 50k records ≈ 960 fetches per url) — max/min
+    // per-key aggs must collapse map-side (partial agg), and the
+    // join-backs ride the same 52-key exchange without tipping
+    "q203_web_pipeline")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()

@@ -24,15 +24,12 @@ import org.apache.spark.sql.functions._
   * Scale shapes (the 100 TB postures):
   *  - header split + `parse_url` are row-local projections riding the
   *    decode scan — no exchange;
-  *  - the per-host cap is an EXACT two-phase top-K: salt-local
-  *    row_number prunes each host to ≤ 32·K candidates (a record in
-  *    its host's global top-K has ≤ K−1 records above it, so its
-  *    salt-local rank is ≤ K — the union of salt-local top-Ks is a
-  *    superset of the global top-K), then the final per-host window
-  *    sorts only the bounded candidate set. A plain
-  *    `row_number() OVER (PARTITION BY host)` sorts EVERY record of a
-  *    host in one task — the mega-host straggler this construction
-  *    exists to kill;
+  *  - the per-host cap is ONE window whose `row_number() ≤ K` filter
+  *    Catalyst rewrites into partial + final `WindowGroupLimit`
+  *    nodes: each map task ships at most K rows per host, so the
+  *    per-host sort above the exchange runs on ≤ mapPartitions·K
+  *    candidates, never a mega-host's full record set (plan-asserted;
+  *    see [[hostRanks]]);
   *  - the keep-set joins back on (file_id, rec_idx) — hosts×K rows,
   *    record-keyed equi-join (AQE broadcasts it when small; never
   *    forced, since hosts×K at web scale can exceed driver memory);
@@ -50,11 +47,6 @@ object WebCuration {
 
   /** Per-host document cap (FineWeb-style anti-domination). */
   private val HostCap = 15
-
-  /** Salt fan-out for the two-phase top-K (≈ cores, bounds the
-    * candidate set at 32·K per host).
-    */
-  private val Salts = 32
 
   /** The WET fixture: the corpus packed into ~97 crawl files — one
     * multi-member gzip payload per file, one document per member in
@@ -110,28 +102,25 @@ object WebCuration {
     parseWet(Multimodal.frameCrawl(s, wetFiles(s, d)))
 
   /** EXACT per-host rank (1-based under `orderCols`) for every record
-    * whose rank ≤ `cap`; records beyond the cap are ABSENT (their rank
-    * is provably > cap: a record with ≤ cap−1 records above it
-    * host-globally has ≤ cap−1 above it salt-locally too, so the
-    * salt-local prune keeps every true top-cap member). The two-phase
-    * construction documented above — the only per-host sort runs on
-    * ≤ Salts·cap candidates. Shared by the q199 quality cap and the
+    * whose rank ≤ `cap`; records beyond the cap are ABSENT. ONE window
+    * — Catalyst's `InferWindowGroupLimit` rewrites the
+    * `row_number() ≤ cap` filter into a PARTIAL `WindowGroupLimit`
+    * below the host exchange (each map task ships at most `cap` rows
+    * per host) plus a final one above it, so the per-host sort runs on
+    * ≤ mapPartitions·cap candidates, never a mega-host's full record
+    * set — the built-in form of the salted two-phase top-K, one
+    * exchange cheaper (both WindowGroupLimit nodes are plan-asserted
+    * in WebCurationSpec; if that inference ever regresses, revive the
+    * salt-local pre-rank). Shared by the q199 quality cap and the
     * crawl seam's first-seen budget admission
     * ([[graft.streaming.CrawlIngest]]).
     */
   private[graft] def hostRanks(recs: DataFrame, cap: Int,
       orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val w1 = Window
-      .partitionBy(col("host"),
-        pmod(col("file_id") * 31L + col("rec_idx"), lit(Salts.toLong)))
-      .orderBy(orderCols: _*)
-    val w2 = Window.partitionBy(col("host")).orderBy(orderCols: _*)
+    val w = Window.partitionBy(col("host")).orderBy(orderCols: _*)
     recs
-      .withColumn("r1", row_number().over(w1))
-      .filter(col("r1") <= cap)
-      .withColumn("rk", row_number().over(w2))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= cap)
-      .drop("r1")
   }
 
   /** Per-host top-`cap` keep-set by (quality desc, file_id, rec_idx) —
@@ -180,7 +169,7 @@ object WebCuration {
     // Blocked hosts drop outright; surviving hosts keep their EXACT
     // top-HostCap records by (quality desc, file_id, rec_idx) — the
     // deterministic total order reruns must reproduce. Exactness of
-    // the two-phase cap vs the naive single window is spec-pinned on
+    // the group-limited cap vs an unfiltered full rank is spec-pinned on
     // a skewed frame (WebCurationSpec).
     QueryDef(
       "q199_host_curation",
@@ -355,6 +344,80 @@ object WebCuration {
              |FROM wv
              |JOIN fw USING (body_md5)
              |JOIN cn ON wv.wave = cn.wave AND wv.body_md5 = cn.body_md5
-             |JOIN rk ON wv.ck = rk.ck""".stripMargin))
+             |JOIN rk ON wv.ck = rk.ck""".stripMargin)),
+
+    // ---- q203: web curation capstone -------------------------------------
+    // q196's front door made URL-aware — the full chain in ONE
+    // hash-gated verdict, stage order fixed (each stage sees only the
+    // survivors of the previous one, so reruns reproduce the exact
+    // keep set):
+    //   1. revisit resolution — latest fetch per URL (q200);
+    //   2. exact dedup ACROSS pages — among latest fetches, the
+    //      lexicographically-first copy of each body is canonical
+    //      (two URLs mirroring one page keep one copy);
+    //   3. host blocklist + q196's quality floor;
+    //   4. per-host cap by quality (q199) over what's left.
+    // Scale shape: two url/fp-keyed exchanges + join-backs, the
+    // group-limited cap window, and row-local everything else — no
+    // pair joins, no corpus windows, no driver state.
+    QueryDef(
+      "q203_web_pipeline",
+      (s, d) => {
+        val recs = wetRecords(s, d)
+          .withColumn("fp", md5(col("body")))
+          .withColumn("ck",
+            col("file_id") * 1000000L + col("rec_idx"))
+          .select(col("file_id"), col("rec_idx"), col("ck"), col("url"),
+            col("host"), col("fp"), col("quality"))
+        val latest = recs.groupBy(col("url"))
+          .agg(max(col("ck")).as("lck"))
+        val l = recs.join(latest, "url")
+          .withColumn("is_latest", col("ck") === col("lck"))
+        val canon = l.filter(col("is_latest"))
+          .groupBy(col("fp")).agg(min(col("ck")).as("cck"))
+        val e = l.join(canon, Seq("fp"), "left")
+          .withColumn("is_canon",
+            col("is_latest") && col("ck") === col("cck"))
+          .withColumn("blocked", col("host").isin(Blocklist: _*))
+          .withColumn("eligible",
+            col("is_latest") && col("is_canon") && !col("blocked") &&
+              col("quality") >= 0.3)
+        val kept = hostRanks(
+          e.filter(col("eligible"))
+            .select(col("file_id"), col("rec_idx"), col("host"),
+              col("quality")),
+          HostCap,
+          Seq(col("quality").desc, col("file_id"), col("rec_idx")))
+          .select(col("file_id"), col("rec_idx"), lit(true).as("in_cap"))
+        e.join(kept, Seq("file_id", "rec_idx"), "left")
+          .select(col("file_id"), col("rec_idx"), col("host"),
+            col("quality"), col("is_latest"), col("is_canon"),
+            col("blocked"),
+            (col("eligible") && coalesce(col("in_cap"), lit(false)))
+              .as("keep"))
+      },
+      Some(s"""WITH $WetSql,
+             |wv AS (SELECT *, file_id * 1000000 + rec_idx AS ck FROM w),
+             |lat AS (SELECT url, max(ck) AS lck FROM wv GROUP BY 1),
+             |l AS (SELECT wv.*, wv.ck = lat.lck AS is_latest
+             |      FROM wv JOIN lat USING (url)),
+             |cn AS (SELECT body_md5, min(ck) AS cck
+             |       FROM l WHERE is_latest GROUP BY 1),
+             |e AS (SELECT l.*,
+             |        l.is_latest AND l.ck = cn.cck AS is_canon,
+             |        l.host IN ('src7.example.org', 'src13.example.org')
+             |          AS blocked
+             |      FROM l LEFT JOIN cn USING (body_md5)),
+             |rk AS (SELECT ck, row_number() OVER (PARTITION BY host
+             |         ORDER BY quality DESC, file_id, rec_idx) AS rn
+             |       FROM e
+             |       WHERE is_latest AND is_canon AND NOT blocked
+             |         AND quality >= 0.3)
+             |SELECT e.file_id, e.rec_idx, e.host, e.quality,
+             |  e.is_latest, e.is_canon, e.blocked,
+             |  e.is_latest AND e.is_canon AND NOT e.blocked
+             |    AND e.quality >= 0.3
+             |    AND coalesce(rk.rn <= $HostCap, false) AS keep
+             |FROM e LEFT JOIN rk ON e.ck = rk.ck""".stripMargin))
   )
 }

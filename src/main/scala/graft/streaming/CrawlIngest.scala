@@ -174,10 +174,10 @@ object CrawlIngest {
     * rule) and the host-budget admission — admitted iff the host's
     * admitted-so-far count plus the record's first-seen rank within
     * the batch stays within `budget`. The rank comes from the
-    * two-phase construction ([[graft.operators.WebCuration.hostRanks]]
+    * group-limited window ([[graft.operators.WebCuration.hostRanks]]
     * with cap = budget): records pruned there have rank > budget ≥
     * the remaining headroom, so they are exactly the not-admitted
-    * ones — no mega-host ever sorts in one task.
+    * ones — no mega-host ever sorts its full batch in one task.
     */
   private[graft] def wetVerdicts(s: SparkSession, files: DataFrame,
       fpTable: String, hostTable: String, budget: Int,

@@ -34,7 +34,7 @@ class WebCurationSpec extends SparkSpec {
     assert(rows(1).getString(4) === "plain body")
   }
 
-  test("two-phase host cap == naive single-window rank on a skewed frame") {
+  test("host cap: exact top-15 on a skewed frame; partial WindowGroupLimit inferred") {
     import spark.implicits._
     // one mega-host (900 rows) + two small ones, quality ties included
     val recs = ((0 until 900).map(i =>
@@ -44,18 +44,28 @@ class WebCurationSpec extends SparkSpec {
       (0 until 20).map(i => (200L + i, 0L, "mid.example.org",
         (i % 3).toDouble / 10.0)))
       .toDF("file_id", "rec_idx", "host", "quality")
-    val got = WebCuration.capKeepSet(recs, 15)
+    val capped = WebCuration.capKeepSet(recs, 15)
+    val got = capped
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val w = Window.partitionBy(col("host"))
       .orderBy(col("quality").desc, col("file_id"), col("rec_idx"))
     val want = recs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 15)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().filter(_.getAs[Int]("rk") <= 15)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want)
     assert(want.count { case (f, _) => f < 100L } === 15,
       "the mega-host must be capped at exactly 15")
     assert(want.count { case (f, _) => f >= 100L && f < 200L } === 8,
       "an under-cap host keeps everything")
+    // the scale guard: Catalyst must rewrite the rank filter into a
+    // PARTIAL WindowGroupLimit below the host exchange (each map task
+    // ships ≤ cap rows per host) — if this inference ever regresses,
+    // hostRanks needs an explicit salt-local pre-rank again
+    val plan = capped.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected the PARTIAL (map-side) group limit:\n$plan")
   }
 
   test("revisit keeper is the latest fetch and survives record order") {
