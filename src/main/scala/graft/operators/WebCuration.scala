@@ -418,6 +418,57 @@ object WebCuration {
              |  e.is_latest AND e.is_canon AND NOT e.blocked
              |    AND e.quality >= 0.3
              |    AND coalesce(rk.rn <= $HostCap, false) AS keep
-             |FROM e LEFT JOIN rk ON e.ck = rk.ck""".stripMargin))
+             |FROM e LEFT JOIN rk ON e.ck = rk.ck""".stripMargin)),
+
+    // ---- q204: robots-style path rules (longest-prefix wins) -------------
+    // Hierarchical allow/deny resolution the way robots.txt semantics
+    // work: a record matches every rule whose host is '*' or its own
+    // and whose path PREFIX it starts with; the LONGEST matching
+    // prefix decides, a host-specific rule beating a '*' rule of the
+    // same length. Resolution is one broadcast join (the rule table is
+    // config-sized) + a per-record argmax over the matches — max_by
+    // with a (prefix_len, host_specific) struct key, no window, no
+    // shuffle beyond the final projection; records ride the scan.
+    QueryDef(
+      "q204_robots_rules",
+      (s, d) => {
+        import s.implicits._
+        val rules = Seq(
+          ("*", "/", true),               // global default: allow
+          ("*", "/p7", false),            // /p7* denied everywhere...
+          ("src2.example.org", "/p7", true), // ...but src2 re-allows
+          ("src3.example.org", "/p1", false), // /p1* denied on src3
+          ("src3.example.org", "/p12", true), // longest match wins
+          ("src5.example.org", "/", false)    // whole host denied
+        ).toDF("r_host", "prefix", "allow")
+        wetRecords(s, d)
+          .select(col("file_id"), col("rec_idx"), col("host"), col("path"))
+          .join(broadcast(rules),
+            (col("r_host") === "*" || col("r_host") === col("host")) &&
+              col("path").startsWith(col("prefix")))
+          .groupBy(col("file_id"), col("rec_idx"), col("host"),
+            col("path"))
+          .agg(max(struct(length(col("prefix")).as("plen"),
+            (col("r_host") =!= "*").as("specific"),
+            col("allow").as("allow"))).as("m"))
+          .select(col("file_id"), col("rec_idx"), col("host"), col("path"),
+            col("m.plen").cast("long").as("rule_len"),
+            col("m.allow").as("allowed"))
+      },
+      Some(s"""WITH $WetSql,
+             |rules(r_host, prefix, allow) AS (VALUES
+             |  ('*', '/', true), ('*', '/p7', false),
+             |  ('src2.example.org', '/p7', true),
+             |  ('src3.example.org', '/p1', false),
+             |  ('src3.example.org', '/p12', true),
+             |  ('src5.example.org', '/', false))
+             |SELECT file_id, rec_idx, host, path,
+             |  CAST(max(len(prefix)) AS BIGINT) AS rule_len,
+             |  arg_max(allow, len(prefix) * 2
+             |    + CASE WHEN r_host <> '*' THEN 1 ELSE 0 END) AS allowed
+             |FROM w JOIN rules
+             |  ON (r_host = '*' OR r_host = host)
+             | AND starts_with(path, prefix)
+             |GROUP BY 1, 2, 3, 4""".stripMargin))
   )
 }
