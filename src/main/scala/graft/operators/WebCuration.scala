@@ -131,6 +131,49 @@ object WebCuration {
       Seq(col("quality").desc, col("file_id"), col("rec_idx")))
       .select(col("file_id"), col("rec_idx"))
 
+  /** q203's verdict chain over an arbitrary parsed-record frame
+    * (file_id, rec_idx, url, host, body, quality) — stage order fixed
+    * so reruns reproduce the exact keep set: revisit latest-fetch per
+    * URL → exact dedup among latest fetches (lexicographic-first
+    * canonical) → blocklist + quality floor → per-host cap. Output one
+    * verdict row per input record. Property-tested against a
+    * sequential reference on random corpora (WebCurationPropertySpec).
+    */
+  private[graft] def webVerdicts(parsed: DataFrame, cap: Int,
+      blocklist: Seq[String]): DataFrame = {
+    val recs = parsed
+      .withColumn("fp", md5(col("body")))
+      .withColumn("ck", col("file_id") * 1000000L + col("rec_idx"))
+      .select(col("file_id"), col("rec_idx"), col("ck"), col("url"),
+        col("host"), col("fp"), col("quality"))
+    val latest = recs.groupBy(col("url"))
+      .agg(max(col("ck")).as("lck"))
+    val l = recs.join(latest, "url")
+      .withColumn("is_latest", col("ck") === col("lck"))
+    val canon = l.filter(col("is_latest"))
+      .groupBy(col("fp")).agg(min(col("ck")).as("cck"))
+    val e = l.join(canon, Seq("fp"), "left")
+      .withColumn("is_canon",
+        col("is_latest") && col("ck") === col("cck"))
+      .withColumn("blocked", col("host").isin(blocklist: _*))
+      .withColumn("eligible",
+        col("is_latest") && col("is_canon") && !col("blocked") &&
+          col("quality") >= 0.3)
+    val kept = hostRanks(
+      e.filter(col("eligible"))
+        .select(col("file_id"), col("rec_idx"), col("host"),
+          col("quality")),
+      cap,
+      Seq(col("quality").desc, col("file_id"), col("rec_idx")))
+      .select(col("file_id"), col("rec_idx"), lit(true).as("in_cap"))
+    e.join(kept, Seq("file_id", "rec_idx"), "left")
+      .select(col("file_id"), col("rec_idx"), col("host"),
+        col("quality"), col("is_latest"), col("is_canon"),
+        col("blocked"),
+        (col("eligible") && coalesce(col("in_cap"), lit(false)))
+          .as("keep"))
+  }
+
   /** Oracle CTE reconstructing [[wetRecords]] arithmetically from the
     * plain corpus (q195's framing identity + the URL construction).
     */
@@ -362,40 +405,7 @@ object WebCuration {
     // pair joins, no corpus windows, no driver state.
     QueryDef(
       "q203_web_pipeline",
-      (s, d) => {
-        val recs = wetRecords(s, d)
-          .withColumn("fp", md5(col("body")))
-          .withColumn("ck",
-            col("file_id") * 1000000L + col("rec_idx"))
-          .select(col("file_id"), col("rec_idx"), col("ck"), col("url"),
-            col("host"), col("fp"), col("quality"))
-        val latest = recs.groupBy(col("url"))
-          .agg(max(col("ck")).as("lck"))
-        val l = recs.join(latest, "url")
-          .withColumn("is_latest", col("ck") === col("lck"))
-        val canon = l.filter(col("is_latest"))
-          .groupBy(col("fp")).agg(min(col("ck")).as("cck"))
-        val e = l.join(canon, Seq("fp"), "left")
-          .withColumn("is_canon",
-            col("is_latest") && col("ck") === col("cck"))
-          .withColumn("blocked", col("host").isin(Blocklist: _*))
-          .withColumn("eligible",
-            col("is_latest") && col("is_canon") && !col("blocked") &&
-              col("quality") >= 0.3)
-        val kept = hostRanks(
-          e.filter(col("eligible"))
-            .select(col("file_id"), col("rec_idx"), col("host"),
-              col("quality")),
-          HostCap,
-          Seq(col("quality").desc, col("file_id"), col("rec_idx")))
-          .select(col("file_id"), col("rec_idx"), lit(true).as("in_cap"))
-        e.join(kept, Seq("file_id", "rec_idx"), "left")
-          .select(col("file_id"), col("rec_idx"), col("host"),
-            col("quality"), col("is_latest"), col("is_canon"),
-            col("blocked"),
-            (col("eligible") && coalesce(col("in_cap"), lit(false)))
-              .as("keep"))
-      },
+      (s, d) => webVerdicts(wetRecords(s, d), HostCap, Blocklist),
       Some(s"""WITH $WetSql,
              |wv AS (SELECT *, file_id * 1000000 + rec_idx AS ck FROM w),
              |lat AS (SELECT url, max(ck) AS lck FROM wv GROUP BY 1),
