@@ -463,9 +463,7 @@ object StreamBench {
         gz(s"https://h${(i * 8 + k) % 50}.example.org/p${i * 8 + k}" +
           "\r\n\r\n" + body)
       })
-    graft.stores.DeltaStore.write(spark,
-      spark.range(0).select(col("id").cast("string").as("fp")),
-      "sbwi.fps_b", Seq("fp"))
+    graft.streaming.CrawlIngest.writeFpStoreEmpty(spark, "sbwi.fps_b")
     graft.streaming.CrawlIngest.writeHostStore(spark, "sbwi.hosts_b")
     val files = MemoryStream[(Long, Array[Byte])]
     val outDir = Files.createTempDirectory(base.toPath, "sb_wi_out").toString

@@ -348,9 +348,7 @@ object WebCuration {
             s.conf.get("spark.sql.warehouse.dir"), t)
           p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
         }
-        graft.stores.DeltaStore.write(s,
-          s.range(0).select(col("id").cast("string").as("fp")),
-          fpT, Seq("fp"), 8)
+        CrawlIngest.writeFpStoreEmpty(s, fpT, 8)
         CrawlIngest.writeHostStore(s, hostT, 8)
         val files = wetFiles(s, d).localCheckpoint()
         val waves = (1 to 3).map { wv =>

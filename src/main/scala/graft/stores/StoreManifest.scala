@@ -573,6 +573,38 @@ object StoreManifest {
     p
   }
 
+  /** Publish the WET crawl seam's store pair (family `wet`): the body
+    * fingerprint store and the host admitted-counts store as TWO
+    * ROLES of one family — versioned, compacted, and vacuumed
+    * together, so a reader never mixes a compacted fp table with a
+    * pre-compaction host table. Both bootstrap empty (a crawl's
+    * stores grow from ingest).
+    */
+  def publishWet(s: SparkSession, manifest: String,
+      buckets: Int = -1): Prepared = {
+    val p = prepare(s, manifest, "wet", Seq("fps", "hosts"))
+    graft.streaming.CrawlIngest.writeFpStoreEmpty(s, p.tables("fps"),
+      buckets)
+    graft.streaming.CrawlIngest.writeHostStore(s, p.tables("hosts"),
+      buckets)
+    publish(s, manifest, "wet", p)
+    p
+  }
+
+  /** Roll BOTH wet-seam stores under one new version: fp set
+    * rewrite + host-count sum collapse, one atomic reader cutover.
+    */
+  def compactWet(s: SparkSession, manifest: String): Prepared = {
+    val (_, cur) = currentRequired(s, manifest, "wet")
+    val p = prepare(s, manifest, "wet", Seq("fps", "hosts"))
+    graft.streaming.CrawlIngest.compactFpStore(s, cur("fps"),
+      p.tables("fps"))
+    graft.streaming.CrawlIngest.compactHostStore(s, cur("hosts"),
+      p.tables("hosts"))
+    publish(s, manifest, "wet", p)
+    p
+  }
+
   /** Build + publish the document-frequency store (family `df`,
     * q183): the term-bucketed df table plus the metadata-sized totals
     * table as a FIRST-CLASS role — both versioned and vacuumed

@@ -267,6 +267,40 @@ object CrawlIngest {
     s.read.schema(wetSchema).parquet(outDir)
       .select(wetSchema.fieldNames.map(col): _*)
 
+  /** Empty fingerprint store — the crawl-native bootstrap (the store
+    * grows from ingest; [[writeFpStore]] seeds from a pre-crawled
+    * corpus instead).
+    */
+  def writeFpStoreEmpty(s: SparkSession, table: String,
+      buckets: Int = -1): Unit =
+    DeltaStore.write(s,
+      s.range(0).select(col("id").cast("string").as("fp")),
+      table, Seq("fp"), buckets)
+
+  /** SUM-semantics compaction of the host-counts store: the admitted
+    * counts collapse via [[DeltaStore.readSum]] (shuffle-free on the
+    * host buckets), the replay watermark rides the roll — the gram
+    * store's contract. The zero-count sentinel rows collapse into one.
+    */
+  def compactHostStore(s: SparkSession, table: String,
+      newTable: String): Unit =
+    DeltaStore.compact(s, table, newTable,
+      DeltaStore.readSum(s, table, Seq("host"), Seq("n_admitted")),
+      Seq("host"))
+
+  /** [[startWet]] with BOTH stores resolved through the version
+    * manifest (family `wet`, roles `fps` + `hosts` — one family, so a
+    * compaction flips readers to both new tables atomically).
+    */
+  def startWetFromManifest(files: DataFrame, manifest: String,
+      budget: Int, outDir: String, checkpoint: String,
+      epochBase: Long = 0L): StreamingQuery = {
+    val (_, cur) = graft.stores.StoreManifest.currentRequired(
+      files.sparkSession, manifest, "wet")
+    startWet(files, cur("fps"), cur("hosts"), budget, outDir,
+      checkpoint, epochBase)
+  }
+
   /** [[startWithFold]] with the fingerprint store resolved through
     * the version manifest (family `fp`) — the production entry, same
     * three-line glue as the other manifest-resolved ingests.

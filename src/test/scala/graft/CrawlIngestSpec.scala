@@ -117,9 +117,7 @@ class CrawlIngestSpec extends SparkSpec {
         spark.conf.get("spark.sql.warehouse.dir"), t)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     }
-    graft.stores.DeltaStore.write(spark,
-      spark.range(0).select(col("id").cast("string").as("fp")),
-      "ciw_fps", Seq("fp"), 4)
+    CrawlIngest.writeFpStoreEmpty(spark, "ciw_fps", 4)
     CrawlIngest.writeHostStore(spark, "ciw_hosts", 4)
 
     val src = MemoryStream[(Long, Array[Byte])]
@@ -175,6 +173,66 @@ class CrawlIngestSpec extends SparkSpec {
       Seq(("zz", 1L)).toDF("host", "n_admitted"),
       "ciw_hosts", Seq("host"), 3L),
       "a saturated batch must still record its replay watermark")
+  }
+
+  test("manifest-resolved WET ingest; compactWet rolls both roles atomically") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def wet(url: String, body: String): String = url + "\r\n\r\n" + body
+    def packWet(members: Seq[String]): Array[Byte] =
+      members.toArray.flatMap(m =>
+        Multimodal.gzipBytes(m.getBytes("UTF-8")))
+    val wh = Files.createTempDirectory("graft_wh_wim").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS wim LOCATION '$wh'")
+    val mf = "wim.manifest"
+    try {
+      graft.stores.StoreManifest.publishWet(spark, mf, buckets = 4)
+      val src = MemoryStream[(Long, Array[Byte])]
+      val outDir = Files.createTempDirectory("wim_out").toString
+      val q = CrawlIngest.startWetFromManifest(
+        src.toDF().toDF("file_id", "payload"), mf, budget = 2, outDir,
+        Files.createTempDirectory("wim_ckpt").toString)
+      try {
+        src.addData(Seq((0L, packWet(Seq(
+          wet("https://a.example.org/p1", doc(1)),
+          wet("https://a.example.org/p2", doc(2)),
+          wet("https://a.example.org/p3", doc(3)))))))
+        q.processAllAvailable()
+        src.addData(Seq((1L, packWet(Seq(
+          wet("https://a.example.org/p4", doc(4)))))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val admitted = CrawlIngest.readWet(spark, outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(8)).toMap
+      assert(admitted === Map((0L, 0L) -> true, (0L, 1L) -> true,
+        (0L, 2L) -> false, (1L, 0L) -> false),
+        "budget 2: first two admitted, host saturated after batch 1")
+
+      // compaction: BOTH roles flip under one new version; counts and
+      // fp set preserved; pre-compaction installment ids stay refused
+      val before = graft.stores.StoreManifest.currentRequired(
+        spark, mf, "wet")._2
+      val fpsBefore = spark.table(before("fps")).select(col("fp"))
+        .collect().map(_.getString(0)).toSet
+      graft.stores.StoreManifest.compactWet(spark, mf)
+      val (v2, cur2) = graft.stores.StoreManifest.currentRequired(
+        spark, mf, "wet")
+      assert(cur2("fps") != before("fps") &&
+        cur2("hosts") != before("hosts"),
+        "one compaction must roll BOTH roles")
+      assert(spark.table(cur2("fps")).select(col("fp"))
+        .collect().map(_.getString(0)).toSet === fpsBefore)
+      val counts = graft.stores.DeltaStore.readSum(
+        spark, cur2("hosts"), Seq("host"), Seq("n_admitted"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts("a.example.org") === 2L)
+      assert(!graft.stores.DeltaStore.refresh(spark,
+        Seq(("zz", 1L)).toDF("host", "n_admitted"),
+        cur2("hosts"), Seq("host"), 2L),
+        "a pre-compaction installment id must stay refused after the roll")
+    } finally spark.sql("DROP DATABASE IF EXISTS wim CASCADE")
   }
 
   test("manifest-resolved ingest; compaction preserves the set and the watermark") {
