@@ -591,6 +591,20 @@ object StoreManifest {
     p
   }
 
+  /** One WET crawl batch through the live store pair: verdicts
+    * against the pre-fold snapshots, then the replay-guarded double
+    * fold (the batch-side maintenance entry; [[publishWet]] family).
+    */
+  def refreshWet(s: SparkSession, manifest: String, files: DataFrame,
+      budget: Int, batchId: Long): Boolean = {
+    val (_, cur) = currentRequired(s, manifest, "wet")
+    val v = graft.streaming.CrawlIngest
+      .wetVerdicts(s, files, cur("fps"), cur("hosts"), budget, batchId)
+      .localCheckpoint()
+    graft.streaming.CrawlIngest.foldWet(s, v, cur("fps"), cur("hosts"),
+      batchId)
+  }
+
   /** Roll BOTH wet-seam stores under one new version: fp set
     * rewrite + host-count sum collapse, one atomic reader cutover.
     */

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
 
 /** FULL-LOOP incremental soak (the round-9 verdict's item 5): three
   * cycles of ingest → assign/score/land → refresh → compact → vacuum,
-  * run across ALL FOUR store families through the manifest-managed
+  * run across ALL FIVE store families through the manifest-managed
   * paths, with the closed-form invariant of each family re-verified
-  * after every cycle:
+  * after every cycle (fp: store == crawl-corpus md5 set, once each;
+  * wet: host admitted-counts == a sequential budget simulation, fp
+  * role == crawled md5 set):
   *
   *  - dedup:  the component store's partition structure equals a
   *            from-scratch transitive closure over everything
@@ -36,7 +38,7 @@ class IncrementalSoakSpec extends SparkSpec {
   private def partitions(labels: Iterable[(Long, Long)]): Set[Set[Long]] =
     labels.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
 
-  test("3 cycles across dedup + gram + ivf + fp stores, invariants green each cycle") {
+  test("3 cycles across dedup + gram + ivf + fp + wet stores, invariants green each cycle") {
     val wh = Files.createTempDirectory("graft_wh_soak").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS soak LOCATION '$wh'")
     var mf = "soak.manifest"
@@ -60,6 +62,21 @@ class IncrementalSoakSpec extends SparkSpec {
           r.getString(1).getBytes("UTF-8"))))).toDF("file_id", "payload")
       }
       StoreManifest.publishFps(spark, mf, gzOf(docs0), buckets = 8)
+      // round-12 second wave: the wet family (fp + host-budget roles,
+      // one version) soaks as the 5th — bootstrap empty, budget 2
+      StoreManifest.publishWet(spark, mf, buckets = 8)
+      val wetBudget = 2
+      def gzWet(df: DataFrame, fileId: Long) = {
+        val rows = df.select(col("doc_id"), col("text")).collect()
+          .sortBy(_.getLong(0))
+        Seq((fileId, rows.flatMap(r =>
+          graft.operators.Multimodal.gzipBytes(
+            (s"https://s${r.getLong(0) % 5}.example.org/p${r.getLong(0)}" +
+              "\r\n\r\n" + r.getString(1)).getBytes("UTF-8")))))
+          .toDF("file_id", "payload")
+      }
+      val hostSim = scala.collection.mutable.Map[String, Long]()
+      var wetMd5s = Set.empty[String]
 
       var corpus: DataFrame = docs0.localCheckpoint(true)
       var allVecs: DataFrame = vecs0.localCheckpoint(true)
@@ -90,6 +107,20 @@ class IncrementalSoakSpec extends SparkSpec {
         assert(!StoreManifest.refreshFps(spark, mf, gzOf(fpBatch), c.toLong),
           s"cycle $c fp replay must be refused")
         fpCorpus = fpCorpus.unionByName(fpBatch).localCheckpoint(true)
+        // wet family: same cycle-salted batch through the double fold;
+        // sequential budget simulation tracks expected admissions
+        // (records per host in doc order, admit while count < budget)
+        assert(StoreManifest.refreshWet(spark, mf, gzWet(fpBatch, c.toLong),
+          wetBudget, c.toLong), s"cycle $c wet installment must fold")
+        assert(!StoreManifest.refreshWet(spark, mf, gzWet(fpBatch, c.toLong),
+          wetBudget, c.toLong), s"cycle $c wet replay must be refused")
+        fpBatch.select(col("doc_id"), md5(col("text")).as("m")).collect()
+          .sortBy(_.getLong(0)).foreach { r =>
+            val h = s"s${r.getLong(0) % 5}.example.org"
+            if (hostSim.getOrElse(h, 0L) < wetBudget)
+              hostSim(h) = hostSim.getOrElse(h, 0L) + 1L
+            wetMd5s += r.getString(1)
+          }
         val cellDir = Files.createTempDirectory(s"soak_cells_$c").toString
         val cents = spark.table(
           StoreManifest.currentRequired(spark, mf, "ivf")._2("centroids"))
@@ -107,6 +138,7 @@ class IncrementalSoakSpec extends SparkSpec {
           StoreManifest.compactDedup(spark, mf)
           StoreManifest.compactGrams(spark, mf)
           StoreManifest.compactFps(spark, mf)
+          StoreManifest.compactWet(spark, mf)
           // round-12 verdict item: manifest maintenance IN the loop —
           // roll the event log forward and fsck it mid-soak, so the
           // bounded-log claim holds in the deployed shape (cycle 3
@@ -121,7 +153,7 @@ class IncrementalSoakSpec extends SparkSpec {
             "compaction must actually shrink the event log")
           mf = mf2
         }
-        Seq("dedup", "gram", "ivf", "fp")
+        Seq("dedup", "gram", "ivf", "fp", "wet")
           .foreach(f => StoreManifest.vacuum(spark, mf, f))
 
         // ---- invariant 1: dedup closure equality ----
@@ -164,6 +196,20 @@ class IncrementalSoakSpec extends SparkSpec {
           .collect().map(_.getString(0)).toSet
         assert(fps.toSet === wantFps,
           s"cycle $c: fp store must equal the crawl corpus' md5 set")
+
+        // ---- invariant 5: wet host counts == sequential budget sim ----
+        val wcur = StoreManifest.currentRequired(spark, mf, "wet")._2
+        val counts = graft.stores.DeltaStore
+          .readSum(spark, wcur("hosts"), Seq("host"), Seq("n_admitted"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+          .filter(_._1.nonEmpty).filter(_._2 > 0L).toMap
+        assert(counts === hostSim.toMap.filter(_._2 > 0L),
+          s"cycle $c: admitted counts must match the sequential budget")
+        val wfps = spark.table(wcur("fps")).select(col("fp")).collect()
+          .map(_.getString(0))
+        assert(wfps.length === wfps.distinct.length &&
+          wfps.toSet === wetMd5s,
+          s"cycle $c: wet fp role must equal the crawled md5 set, once each")
       }
 
       // ---- final: warm-start retrain conserves every vector ----
@@ -189,6 +235,7 @@ class IncrementalSoakSpec extends SparkSpec {
       assert(versions("gram") === 2L, s"gram: v1 +compact: $versions")
       assert(versions("ivf") === 5L, s"ivf: v1 +3 folds +retrain: $versions")
       assert(versions("fp") === 2L, s"fp: v1 +compact: $versions")
+      assert(versions("wet") === 2L, s"wet: v1 +compact: $versions")
     } finally spark.sql("DROP DATABASE IF EXISTS soak CASCADE")
   }
 }
