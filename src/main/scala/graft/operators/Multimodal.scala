@@ -951,6 +951,9 @@ object Multimodal {
             md5(col("raw")).as("fp"),
             round(least(lit(1.0), col("n") / 100.0)
               * (col("nd") / col("n")), 4).as("quality"))
+          // slim; pinned so the fp group-agg and its join-back share
+          // ONE decompress+frame pass (the q122 exchange-reuse lesson)
+          .localCheckpoint(true)
         val groups = scored.groupBy(col("fp"))
           .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"),
             count(lit(1)).as("n_copies"))

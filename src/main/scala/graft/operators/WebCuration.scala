@@ -141,11 +141,16 @@ object WebCuration {
     */
   private[graft] def webVerdicts(parsed: DataFrame, cap: Int,
       blocklist: Seq[String]): DataFrame = {
+    // the slim projection (no body) has FOUR consumers below (latest
+    // agg, its join-back, the canon agg, the cap ranks) — without the
+    // pin each one re-runs the upstream decode+parse chain (the q122
+    // lesson; executed plan showed 4× MapPartitions before the pin)
     val recs = parsed
       .withColumn("fp", md5(col("body")))
       .withColumn("ck", col("file_id") * 1000000L + col("rec_idx"))
       .select(col("file_id"), col("rec_idx"), col("ck"), col("url"),
         col("host"), col("fp"), col("quality"))
+      .localCheckpoint(true)
     val latest = recs.groupBy(col("url"))
       .agg(max(col("ck")).as("lck"))
     val l = recs.join(latest, "url")
@@ -217,9 +222,12 @@ object WebCuration {
     QueryDef(
       "q199_host_curation",
       (s, d) => {
+        // slim projection pinned: the cap keep-set and the verdict
+        // join-back would each re-run the decode chain (q122 lesson)
         val recs = wetRecords(s, d)
           .select(col("file_id"), col("rec_idx"), col("host"),
             col("quality"))
+          .localCheckpoint(true)
         val keepSet =
           capKeepSet(recs.filter(!col("host").isin(Blocklist: _*)), HostCap)
             .withColumn("in_cap", lit(true))
@@ -254,9 +262,11 @@ object WebCuration {
     QueryDef(
       "q200_url_revisit",
       (s, d) => {
+        // pinned: the page agg and its join-back share one decode
         val recs = wetRecords(s, d)
           .select(col("file_id"), col("rec_idx"), col("url"),
             md5(col("body")).as("body_md5"))
+          .localCheckpoint(true)
         val pages = recs.groupBy(col("url"))
           .agg(max(struct(col("file_id"), col("rec_idx"))).as("latest"),
             count(lit(1)).as("n_fetches"),

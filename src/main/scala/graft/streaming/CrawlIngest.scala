@@ -63,7 +63,9 @@ object CrawlIngest {
     */
   private[graft] def score(s: SparkSession, files: DataFrame): DataFrame = {
     // same narrow-micro-batch hazard as the media seam: a 1-partition
-    // batch of files would decode serially on one core
+    // batch of files would decode serially on one core; the slim
+    // scored projection is pinned — the canonical-copy agg and its
+    // join-back below would each re-run the decode otherwise
     val recs = Multimodal.frameCrawl(s,
       Multimodal.spreadClips(files.toDF("file_id", "payload")))
       .withColumn("text", col("raw").cast("string"))
@@ -75,6 +77,7 @@ object CrawlIngest {
         md5(col("raw")).as("fp"),
         round(least(lit(1.0), col("n") / 100.0)
           * (col("nd") / col("n")), 4).as("quality"))
+      .localCheckpoint(true)
     val groups = recs.groupBy(col("fp"))
       .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"))
     recs.join(groups, "fp")
@@ -99,7 +102,7 @@ object CrawlIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val inst = epochBase + id + 1L
-        val scored = score(s, batch).localCheckpoint()
+        val scored = score(s, batch) // pinned inside score
         // pre-fold snapshot: installments strictly below this one
         val store = s.table(fpTable).filter(col("batch_id") < inst)
           .select(col("fp")).withColumn("seen", lit(true))
@@ -182,12 +185,15 @@ object CrawlIngest {
   private[graft] def wetVerdicts(s: SparkSession, files: DataFrame,
       fpTable: String, hostTable: String, budget: Int,
       inst: Long): DataFrame = {
+    // slim (no body); pinned — canon agg, its join-back, and the
+    // admission ranks would each re-run the batch's decode otherwise
     val recs = graft.operators.WebCuration.parseWet(
       Multimodal.frameCrawl(s, Multimodal.spreadClips(
         files.toDF("file_id", "payload"))))
       .withColumn("fp", md5(col("body")))
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
         col("fp"), col("quality"))
+      .localCheckpoint(true)
     val canon = recs.groupBy(col("fp"))
       .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"))
     val flagged = recs.join(canon, "fp")
