@@ -487,6 +487,73 @@ object WebCuration {
              |FROM w JOIN rules
              |  ON (r_host = '*' OR r_host = host)
              | AND starts_with(path, prefix)
-             |GROUP BY 1, 2, 3, 4""".stripMargin))
+             |GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    // ---- q205: rules at the crawl seam (ingest-enforced robots) ----------
+    // q204's resolution DEPLOYED into the WET store path: three waves
+    // through wetVerdicts/foldWet with a rule table — a disallowed
+    // record lands allowed=false, is never admitted, and consumes NO
+    // budget (the closed form: admitted iff allowed AND per-host
+    // first-seen rank AMONG ALLOWED records ≤ B). A record matching no
+    // rule is allowed — the robots default — so the table here
+    // deliberately has no '*'/'/' catch-all.
+    QueryDef(
+      "q205_wet_rules",
+      (s, d) => {
+        import graft.streaming.CrawlIngest
+        import s.implicits._
+        val B = 10
+        val (fpT, hostT) = ("q205_fp", "q205_hosts")
+        Seq(fpT, hostT).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        }
+        CrawlIngest.writeFpStoreEmpty(s, fpT, 8)
+        CrawlIngest.writeHostStore(s, hostT, 8)
+        val rules = Seq(
+          ("*", "/p7", false),
+          ("src3.example.org", "/p1", false),
+          ("src3.example.org", "/p12", true))
+          .toDF("r_host", "prefix", "allow")
+        val files = wetFiles(s, d).localCheckpoint()
+        val waves = (1 to 3).map { wv =>
+          val wave = files.filter(
+            pmod(col("file_id"), lit(3L)) === (wv - 1).toLong)
+          val v = CrawlIngest
+            .wetVerdicts(s, wave, fpT, hostT, B, wv.toLong, Some(rules))
+            .localCheckpoint()
+          require(CrawlIngest.foldWet(s, v, fpT, hostT, wv.toLong),
+            s"wave $wv must fold")
+          v
+        }
+        waves.reduce(_ unionByName _)
+          .select(col("file_id"), col("rec_idx"), col("host"),
+            col("allowed"), col("admitted"))
+      },
+      Some(s"""WITH $WetSql,
+             |rules(r_host, prefix, allow) AS (VALUES
+             |  ('*', '/p7', false),
+             |  ('src3.example.org', '/p1', false),
+             |  ('src3.example.org', '/p12', true)),
+             |wv AS (SELECT *, file_id % 3 AS wave,
+             |         file_id * 1000000 + rec_idx AS ck
+             |       FROM w),
+             |al AS (SELECT ck, coalesce(arg_max(allow, len(prefix) * 2
+             |         + CASE WHEN r_host <> '*' THEN 1 ELSE 0 END), true)
+             |         AS allowed
+             |       FROM wv LEFT JOIN rules
+             |         ON (r_host = '*' OR r_host = host)
+             |        AND starts_with(path, prefix)
+             |       GROUP BY ck),
+             |rk AS (SELECT wv.ck, row_number() OVER (PARTITION BY host
+             |         ORDER BY wave, file_id, rec_idx) AS rn
+             |       FROM wv JOIN al USING (ck) WHERE al.allowed)
+             |SELECT wv.file_id, wv.rec_idx, wv.host, al.allowed,
+             |  al.allowed AND coalesce(rk.rn <= 10, false) AS admitted
+             |FROM wv
+             |JOIN al USING (ck)
+             |LEFT JOIN rk ON wv.ck = rk.ck""".stripMargin))
   )
 }

@@ -159,8 +159,9 @@ object CrawlIngest {
 
   val wetSchema: StructType = StructType.fromDDL(
     "file_id BIGINT, rec_idx BIGINT, url STRING, host STRING, " +
-      "fp STRING, quality DOUBLE, dup_of_store BOOLEAN, " +
-      "dup_in_batch BOOLEAN, admitted BOOLEAN, batch_id BIGINT")
+      "fp STRING, quality DOUBLE, allowed BOOLEAN, " +
+      "dup_of_store BOOLEAN, dup_in_batch BOOLEAN, admitted BOOLEAN, " +
+      "batch_id BIGINT")
 
   /** Empty host-counts store (host, n_admitted, batch_id) — the
     * bootstrap; every crawl wave folds through [[foldWet]].
@@ -183,8 +184,8 @@ object CrawlIngest {
     * ones — no mega-host ever sorts its full batch in one task.
     */
   private[graft] def wetVerdicts(s: SparkSession, files: DataFrame,
-      fpTable: String, hostTable: String, budget: Int,
-      inst: Long): DataFrame = {
+      fpTable: String, hostTable: String, budget: Int, inst: Long,
+      rules: Option[DataFrame] = None): DataFrame = {
     // slim (no body); pinned — canon agg, its join-back, and the
     // admission ranks would each re-run the batch's decode otherwise
     val recs = graft.operators.WebCuration.parseWet(
@@ -192,31 +193,53 @@ object CrawlIngest {
         files.toDF("file_id", "payload"))))
       .withColumn("fp", md5(col("body")))
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
-        col("fp"), col("quality"))
+        col("path"), col("fp"), col("quality"))
       .localCheckpoint(true)
-    val canon = recs.groupBy(col("fp"))
+    // robots-style path rules at the seam (q204's longest-prefix
+    // resolution): a disallowed record lands allowed=false for audit,
+    // is never admitted, and CONSUMES NO BUDGET; a record matching no
+    // rule is allowed (the robots default). The fp fold below still
+    // sees every recovered record — a later re-crawl of disallowed
+    // content is still a known duplicate.
+    val allowedRecs = rules match {
+      case None => recs.withColumn("allowed", lit(true))
+      case Some(r) =>
+        val verdicts = recs
+          .join(broadcast(r),
+            (col("r_host") === "*" || col("r_host") === col("host")) &&
+              col("path").startsWith(col("prefix")), "left")
+          .groupBy(col("file_id"), col("rec_idx"))
+          .agg(max(struct(length(col("prefix")).as("plen"),
+            (col("r_host") =!= "*").as("specific"),
+            col("allow").as("allow"))).as("m"))
+          .select(col("file_id"), col("rec_idx"),
+            coalesce(col("m.allow"), lit(true)).as("allowed"))
+        recs.join(verdicts, Seq("file_id", "rec_idx"))
+    }
+    val canon = allowedRecs.groupBy(col("fp"))
       .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"))
-    val flagged = recs.join(canon, "fp")
+    val flagged = allowedRecs.join(canon, "fp")
       .join(s.table(fpTable).filter(col("batch_id") < inst)
         .select(col("fp")).withColumn("seen", lit(true)),
         Seq("fp"), "left")
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
-        col("fp"), col("quality"),
+        col("fp"), col("quality"), col("allowed"),
         coalesce(col("seen"), lit(false)).as("dup_of_store"),
         (col("canon.file_id") =!= col("file_id") ||
           col("canon.rec_idx") =!= col("rec_idx")).as("dup_in_batch"))
     val sofar = s.table(hostTable).filter(col("batch_id") < inst)
       .groupBy(col("host")).agg(sum(col("n_admitted")).as("n_sofar"))
     val ranks = graft.operators.WebCuration.hostRanks(
-      flagged.select(col("file_id"), col("rec_idx"), col("host")),
+      flagged.filter(col("allowed"))
+        .select(col("file_id"), col("rec_idx"), col("host")),
       budget, Seq(col("file_id"), col("rec_idx")))
     flagged
       .join(ranks, Seq("file_id", "rec_idx", "host"), "left")
       .join(sofar, Seq("host"), "left")
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
-        col("fp"), col("quality"), col("dup_of_store"),
+        col("fp"), col("quality"), col("allowed"), col("dup_of_store"),
         col("dup_in_batch"),
-        (coalesce(col("rk"), lit(budget + 1))
+        (col("allowed") && coalesce(col("rk"), lit(budget + 1))
           + coalesce(col("n_sofar"), lit(0L)) <= budget).as("admitted"))
   }
 
@@ -251,7 +274,8 @@ object CrawlIngest {
     */
   def startWet(files: DataFrame, fpTable: String, hostTable: String,
       budget: Int, outDir: String, checkpoint: String,
-      epochBase: Long = 0L): StreamingQuery = {
+      epochBase: Long = 0L,
+      rules: Option[DataFrame] = None): StreamingQuery = {
     val s = files.sparkSession
     AtomicLanding.sweepStale(s, outDir)
     files.writeStream
@@ -259,8 +283,8 @@ object CrawlIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val inst = epochBase + id + 1L
-        val v = wetVerdicts(s, batch, fpTable, hostTable, budget, inst)
-          .localCheckpoint()
+        val v = wetVerdicts(s, batch, fpTable, hostTable, budget, inst,
+          rules).localCheckpoint()
         AtomicLanding.publish(v, outDir, id)
         foldWet(s, v, fpTable, hostTable, inst)
         ()

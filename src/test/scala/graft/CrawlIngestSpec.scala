@@ -149,7 +149,7 @@ class CrawlIngestSpec extends SparkSpec {
 
     val landed = CrawlIngest.readWet(spark, outDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getString(3), r.getBoolean(6), r.getBoolean(8)))).toMap
+        ((r.getString(3), r.getBoolean(7), r.getBoolean(9)))).toMap
     assert(landed.size === 7)
     assert(landed((0L, 0L)) === (("a.example.org", false, true)))
     assert(landed((0L, 2L)) === (("b.example.org", false, true)))
@@ -205,7 +205,7 @@ class CrawlIngestSpec extends SparkSpec {
         q.processAllAvailable()
       } finally q.stop()
       val admitted = CrawlIngest.readWet(spark, outDir).collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(8)).toMap
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(9)).toMap
       assert(admitted === Map((0L, 0L) -> true, (0L, 1L) -> true,
         (0L, 2L) -> false, (1L, 0L) -> false),
         "budget 2: first two admitted, host saturated after batch 1")
