@@ -147,6 +147,9 @@ object WebCuration {
     // lesson; executed plan showed 4× MapPartitions before the pin)
     val recs = parsed
       .withColumn("fp", md5(col("body")))
+      // ck linearizes (file_id, rec_idx) so min/max aggs order fetches;
+      // valid while rec_idx < 1e6 — a real WET file holds ~30–60k
+      // records, far under the bound
       .withColumn("ck", col("file_id") * 1000000L + col("rec_idx"))
       .select(col("file_id"), col("rec_idx"), col("ck"), col("url"),
         col("host"), col("fp"), col("quality"))

@@ -324,11 +324,12 @@ object CrawlIngest {
     */
   def startWetFromManifest(files: DataFrame, manifest: String,
       budget: Int, outDir: String, checkpoint: String,
-      epochBase: Long = 0L): StreamingQuery = {
+      epochBase: Long = 0L,
+      rules: Option[DataFrame] = None): StreamingQuery = {
     val (_, cur) = graft.stores.StoreManifest.currentRequired(
       files.sparkSession, manifest, "wet")
     startWet(files, cur("fps"), cur("hosts"), budget, outDir,
-      checkpoint, epochBase)
+      checkpoint, epochBase, rules)
   }
 
   /** [[startWithFold]] with the fingerprint store resolved through
