@@ -782,11 +782,19 @@ object StoreManifest {
         "codebook" -> cur("codebook")))
     // capture the watermark from the SAME zone state the fold reads:
     // batches landing after this read carry higher ids and stay
-    // served from the zone until the next fold
+    // served from the zone until the next fold. The PREVIOUS
+    // version's watermark is the fold's LOWER bound — zone batches at
+    // or below it are already in cur("cells") (the wm role lets them
+    // stay in the zone), and re-folding them would duplicate their
+    // vec_id rows in the published store forever (round-13 advice
+    // fix; a back-to-back double fold is pinned duplicate-free in
+    // PqServeSpec).
+    val prevWm = foldWatermark(s, cur)
     val wm = graft.streaming.AnnIngest.readCells(s, cellDir)
       .agg(coalesce(max(col("batch_id")), lit(-1L))).head().getLong(0)
     graft.streaming.AnnIngest.fold(s, cur("cells"), cellDir,
-      p.tables("cells"), saltBuckets, maxBatch = wm)
+      p.tables("cells"), saltBuckets, maxBatch = wm,
+      minBatchExclusive = prevWm)
     Similarity.writePqSidecar(s, p.tables("cells"), p.tables("codebook"),
       p.tables("codes"), saltBuckets)
     writeWm(s, p.tables("wm"), math.max(wm, foldWatermark(s, cur)))

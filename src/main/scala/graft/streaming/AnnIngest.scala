@@ -191,7 +191,8 @@ object AnnIngest {
     */
   def fold(spark: SparkSession, baseCellTable: String, cellDir: String,
       newCellTable: String, saltBuckets: Int = 1,
-      maxBatch: Long = Long.MaxValue): Unit = {
+      maxBatch: Long = Long.MaxValue,
+      minBatchExclusive: Long = -1L): Unit = {
     def canon(t: String): (String, String) = {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(t)
       (id.database.getOrElse(spark.catalog.currentDatabase).toLowerCase,
@@ -202,10 +203,19 @@ object AnnIngest {
     // `maxBatch` pins the fold to a zone snapshot taken BEFORE this
     // read: a batch landing mid-fold stays in the zone for the next
     // fold instead of being folded ABOVE the recorded watermark and
-    // then served twice (the manifest fold passes its watermark here)
+    // then served twice (the manifest fold passes its watermark here).
+    // `minBatchExclusive` is the LOWER bound — the PREVIOUS version's
+    // fold watermark: zone batches at or below it are already in
+    // `baseCellTable` (the wm role legitimizes leaving folded batches
+    // in the zone until the ingest restarts with a fresh dir), so a
+    // second fold without the bound would union them in AGAIN,
+    // permanently duplicating vec_id rows in the published cells and
+    // the re-derived code sidecar (round-13 advice fix; both bounds
+    // prune zone PARTITIONS — batch_id is a partition column).
     spark.table(baseCellTable).select(col("vec_id"), col("cell"), col("v"))
       .union(readCells(spark, cellDir)
-        .filter(col("batch_id") <= maxBatch)
+        .filter(col("batch_id") > minBatchExclusive &&
+          col("batch_id") <= maxBatch)
         .select(col("vec_id"), col("cell"), col("v")))
       .repartition(col("cell"),
         pmod(col("vec_id"), lit(saltBuckets.toLong)))

@@ -187,6 +187,27 @@ class PqServeSpec extends SparkSpec {
       assert(stale === clean,
         "a folded batch still in the landing zone must not be served twice")
       assert(stale.head._2 === 1000000L && stale.head._3 === 1.0)
+
+      // ---- round-13 advice fix: a SECOND fold with the zone still
+      // populated must not re-fold the already-folded batch — before
+      // the lower bound, every zone batch ≤ the previous watermark
+      // was unioned into the new cells table AGAIN, permanently
+      // duplicating its vec_id rows in the store and the re-derived
+      // code sidecar (the exact ADC double-count the wm role exists
+      // to prevent, baked into the store instead of the serve path).
+      StoreManifest.foldIvfCells(spark, mf, cellDir)
+      val f2 = StoreManifest.currentRequired(spark, mf, "ivf")._2
+      assert(StoreManifest.foldWatermark(spark, f2) === 0L,
+        "an idle second fold keeps the watermark")
+      Seq("cells", "codes").foreach { role =>
+        val ids = spark.table(f2(role)).select(col("vec_id"))
+          .collect().map(_.getLong(0))
+        assert(ids.length === ids.distinct.length,
+          s"double fold must not duplicate vec_id rows in $role")
+      }
+      assert(spark.table(f2("cells")).filter(col("vec_id") >= 1000000L)
+        .count() === 2L,
+        "both ingested vectors present exactly once after the second fold")
     } finally spark.sql("DROP DATABASE IF EXISTS pqing CASCADE")
   }
 }
