@@ -48,6 +48,33 @@ object WebCuration {
   /** Per-host document cap (FineWeb-style anti-domination). */
   private val HostCap = 15
 
+  /** Conf key selecting how the batch web chain pins its slim
+    * multi-consumer projections: `checkpoint` (default) or `persist`.
+    */
+  val WebPinConf = "spark.graft.web.pin"
+
+  /** Pin a slim multi-consumer projection of the decode+parse chain —
+    * the q122-lesson fix (without it each downstream consumer re-runs
+    * the corpus decode; the executed plan showed 4× MapPartitions).
+    *
+    * 100 TB POSTURE — the trade the default makes: an EAGER
+    * `localCheckpoint(true)` materializes the projection to executor
+    * local storage immediately AND severs lineage, so one lost
+    * executor fails the query instead of recomputing its blocks. That
+    * is distributed (never driver-sized) and free at bench scale, but
+    * a long-running 1000-executor job should prefer
+    * `persist(DISK_ONLY)`: same single-materialization guarantee,
+    * lineage kept (a lost block recomputes from the scan), at the
+    * cost of the first consumer racing the others to populate the
+    * cache. Set [[WebPinConf]] to `persist` for that posture; the
+    * caller owns `unpersist` (the frames here are per-query and die
+    * with the session otherwise).
+    */
+  private def pinSlim(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(WebPinConf, "checkpoint") == "persist")
+      df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else df.localCheckpoint(true)
+
   /** The WET fixture: the corpus packed into ~97 crawl files — one
     * multi-member gzip payload per file, one document per member in
     * doc_id order (q195's fixture), each member prefixed with its
@@ -145,15 +172,18 @@ object WebCuration {
     // agg, its join-back, the canon agg, the cap ranks) — without the
     // pin each one re-runs the upstream decode+parse chain (the q122
     // lesson; executed plan showed 4× MapPartitions before the pin)
-    val recs = parsed
+    // fetch order is struct ordering on (file_id, rec_idx) — unlike
+    // the earlier file_id*1e6+rec_idx linearization, struct min/max
+    // needs no bound on rec_idx, so the documented "arbitrary
+    // parsed-record frame" contract actually holds (round-13 advice
+    // fix; the q203 oracle's linearized ck is equivalent because the
+    // FIXTURE's rec_idx < 1e6, an oracle-side arithmetic identity
+    // rather than an engine assumption)
+    val recs = pinSlim(parsed
       .withColumn("fp", md5(col("body")))
-      // ck linearizes (file_id, rec_idx) so min/max aggs order fetches;
-      // valid while rec_idx < 1e6 — a real WET file holds ~30–60k
-      // records, far under the bound
-      .withColumn("ck", col("file_id") * 1000000L + col("rec_idx"))
+      .withColumn("ck", struct(col("file_id"), col("rec_idx")))
       .select(col("file_id"), col("rec_idx"), col("ck"), col("url"),
-        col("host"), col("fp"), col("quality"))
-      .localCheckpoint(true)
+        col("host"), col("fp"), col("quality")))
     val latest = recs.groupBy(col("url"))
       .agg(max(col("ck")).as("lck"))
     val l = recs.join(latest, "url")
@@ -181,6 +211,39 @@ object WebCuration {
         (col("eligible") && coalesce(col("in_cap"), lit(false)))
           .as("keep"))
   }
+
+  /** Robots-style rule resolution, shared by q204 and the crawl
+    * seam ([[graft.streaming.CrawlIngest.wetVerdicts]]): a record
+    * matches every rule whose host is '*' or its own and whose path
+    * prefix it starts with; resolution is argmax over
+    * (prefix_len, host-specific, allow) — longest prefix wins, a
+    * host-specific rule beats a '*' rule of the same length, and —
+    * the EXPLICIT tie rule (round-13 advice fix) — two rules tying on
+    * BOTH keys with opposite verdicts resolve PERMISSIVELY
+    * (allow=true is the struct max; spec-pinned on a genuine tie in
+    * WebCurationSpec). Real robots.txt has the same ambiguity and
+    * Google's documented resolution is also least-restrictive. NOTE
+    * for oracle-gated queries: DuckDB `arg_max` leaves ties
+    * UNSPECIFIED, so fixtures under the hash gate must keep rule
+    * tables tie-free (q204/q205's are); the engine itself is
+    * deterministic either way. A record matching no rule returns a
+    * null-fielded struct — callers coalesce to the robots default
+    * (allow).
+    *
+    * One broadcast join (the rule table is config-sized) + a
+    * per-record argmax; records ride the scan, nothing corpus-sized
+    * shuffles. `carry` names extra record columns to keep through the
+    * group (avoiding a join-back).
+    */
+  private[graft] def resolveRules(recs: DataFrame, rules: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    recs.join(broadcast(rules),
+        (col("r_host") === "*" || col("r_host") === col("host")) &&
+          col("path").startsWith(col("prefix")), "left")
+      .groupBy((Seq("file_id", "rec_idx") ++ carry).map(col): _*)
+      .agg(max(struct(length(col("prefix")).as("plen"),
+        (col("r_host") =!= "*").as("specific"),
+        col("allow").as("allow"))).as("m"))
 
   /** Oracle CTE reconstructing [[wetRecords]] arithmetically from the
     * plain corpus (q195's framing identity + the URL construction).
@@ -225,12 +288,12 @@ object WebCuration {
     QueryDef(
       "q199_host_curation",
       (s, d) => {
-        // slim projection pinned: the cap keep-set and the verdict
-        // join-back would each re-run the decode chain (q122 lesson)
-        val recs = wetRecords(s, d)
+        // slim projection pinned ([[pinSlim]] posture note): the cap
+        // keep-set and the verdict join-back would each re-run the
+        // decode chain (q122 lesson)
+        val recs = pinSlim(wetRecords(s, d)
           .select(col("file_id"), col("rec_idx"), col("host"),
-            col("quality"))
-          .localCheckpoint(true)
+            col("quality")))
         val keepSet =
           capKeepSet(recs.filter(!col("host").isin(Blocklist: _*)), HostCap)
             .withColumn("in_cap", lit(true))
@@ -265,11 +328,11 @@ object WebCuration {
     QueryDef(
       "q200_url_revisit",
       (s, d) => {
-        // pinned: the page agg and its join-back share one decode
-        val recs = wetRecords(s, d)
+        // pinned ([[pinSlim]] posture note): the page agg and its
+        // join-back share one decode
+        val recs = pinSlim(wetRecords(s, d)
           .select(col("file_id"), col("rec_idx"), col("url"),
-            md5(col("body")).as("body_md5"))
-          .localCheckpoint(true)
+            md5(col("body")).as("body_md5")))
         val pages = recs.groupBy(col("url"))
           .agg(max(struct(col("file_id"), col("rec_idx"))).as("latest"),
             count(lit(1)).as("n_fetches"),
@@ -443,13 +506,12 @@ object WebCuration {
 
     // ---- q204: robots-style path rules (longest-prefix wins) -------------
     // Hierarchical allow/deny resolution the way robots.txt semantics
-    // work: a record matches every rule whose host is '*' or its own
-    // and whose path PREFIX it starts with; the LONGEST matching
-    // prefix decides, a host-specific rule beating a '*' rule of the
-    // same length. Resolution is one broadcast join (the rule table is
-    // config-sized) + a per-record argmax over the matches — max_by
-    // with a (prefix_len, host_specific) struct key, no window, no
-    // shuffle beyond the final projection; records ride the scan.
+    // work — [[resolveRules]] (longest prefix, host-specific beats
+    // '*', exact ties resolve permissively; the rule table here is
+    // tie-free because DuckDB's arg_max tie-break is unspecified —
+    // see the resolveRules scaladoc). One broadcast join + a
+    // per-record argmax, no window, no shuffle beyond the final
+    // projection; records ride the scan.
     QueryDef(
       "q204_robots_rules",
       (s, d) => {
@@ -462,16 +524,12 @@ object WebCuration {
           ("src3.example.org", "/p12", true), // longest match wins
           ("src5.example.org", "/", false)    // whole host denied
         ).toDF("r_host", "prefix", "allow")
-        wetRecords(s, d)
-          .select(col("file_id"), col("rec_idx"), col("host"), col("path"))
-          .join(broadcast(rules),
-            (col("r_host") === "*" || col("r_host") === col("host")) &&
-              col("path").startsWith(col("prefix")))
-          .groupBy(col("file_id"), col("rec_idx"), col("host"),
-            col("path"))
-          .agg(max(struct(length(col("prefix")).as("plen"),
-            (col("r_host") =!= "*").as("specific"),
-            col("allow").as("allow"))).as("m"))
+        resolveRules(
+          wetRecords(s, d)
+            .select(col("file_id"), col("rec_idx"), col("host"),
+              col("path")),
+          rules, carry = Seq("host", "path"))
+          .filter(col("m.plen").isNotNull) // this oracle keeps matched only
           .select(col("file_id"), col("rec_idx"), col("host"), col("path"),
             col("m.plen").cast("long").as("rule_len"),
             col("m.allow").as("allowed"))

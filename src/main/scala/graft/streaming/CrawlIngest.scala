@@ -201,17 +201,12 @@ object CrawlIngest {
     // rule is allowed (the robots default). The fp fold below still
     // sees every recovered record — a later re-crawl of disallowed
     // content is still a known duplicate.
+    // resolution incl. the explicit permissive tie rule lives in ONE
+    // place: [[graft.operators.WebCuration.resolveRules]]
     val allowedRecs = rules match {
       case None => recs.withColumn("allowed", lit(true))
       case Some(r) =>
-        val verdicts = recs
-          .join(broadcast(r),
-            (col("r_host") === "*" || col("r_host") === col("host")) &&
-              col("path").startsWith(col("prefix")), "left")
-          .groupBy(col("file_id"), col("rec_idx"))
-          .agg(max(struct(length(col("prefix")).as("plen"),
-            (col("r_host") =!= "*").as("specific"),
-            col("allow").as("allow"))).as("m"))
+        val verdicts = graft.operators.WebCuration.resolveRules(recs, r)
           .select(col("file_id"), col("rec_idx"),
             coalesce(col("m.allow"), lit(true)).as("allowed"))
         recs.join(verdicts, Seq("file_id", "rec_idx"))

@@ -92,6 +92,33 @@ class WebCurationSpec extends SparkSpec {
     assert(pages("https://a.example.org/p2") === (((2L, 1L), 2L, 2L)))
   }
 
+  test("rule resolution: genuine (prefix_len, specificity) tie resolves permissively") {
+    import spark.implicits._
+    // two host-specific rules, SAME host, SAME prefix length, opposite
+    // verdicts — the documented tie rule says allow wins (struct max
+    // on the trailing boolean); plus the ordinary precedence cases so
+    // the tie fix can't silently regress them
+    val rules = Seq(
+      ("a.example.org", "/pX", false), // ties with the next on (4, true)
+      ("a.example.org", "/pX", true),
+      ("*", "/pX", false),             // shorter precedence arm: loses to host-specific
+      ("b.example.org", "/q", false)).toDF("r_host", "prefix", "allow")
+    val recs = Seq(
+      (0L, 0L, "a.example.org", "/pX1"), // tie case → allow
+      (0L, 1L, "b.example.org", "/q9"),  // plain deny
+      (0L, 2L, "c.example.org", "/zz"))  // no match → null m
+      .toDF("file_id", "rec_idx", "host", "path")
+    val got = WebCuration.resolveRules(recs, rules)
+      .select(col("rec_idx"), col("m.plen"), col("m.allow"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(0L) === ((Some(3), Some(true))),
+      "exact tie on (prefix_len, host-specificity) must resolve to allow")
+    assert(got(1L) === ((Some(2), Some(false))))
+    assert(got(2L) === ((None, None)),
+      "a record matching no rule returns the null struct for the caller's default")
+  }
+
   test("wet fixture framing: every doc recovered, URL page-keyed") {
     val recs = WebCuration.wetRecords(spark, sf001)
     assert(recs.count() === Tables(spark, sf001, "documents").count())
