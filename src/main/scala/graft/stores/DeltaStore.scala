@@ -28,6 +28,19 @@ import org.apache.spark.sql.functions._
   *    `catalog.refreshTable` first — the append may have landed via a
   *    foreachBatch-cloned session this session's relation cache
   *    cannot see (the DfIngest staleness bug, round 11).
+  *  - Installments are recorded in a one-column WATERMARK SIDECAR
+  *    (`<table>_wm`) as well as on the appended rows (round-13
+  *    advice fix): an installment whose delta is EMPTY appends zero
+  *    key rows, so without the sidecar its batch_id never entered the
+  *    watermark set and the replay guard could not recognize it later
+  *    — the wet family had to hand-roll an empty-host sentinel row,
+  *    and every future family with possibly-empty deltas (an
+  *    all-duplicate batch through a novel-only fold) re-inherited the
+  *    gap. The guard reads the UNION of key-table ids and sidecar
+  *    ids; the key append stays the commit point (sidecar row lands
+  *    after it — a crash between the two leaves a non-empty
+  *    installment recorded by its rows, an empty one unrecorded and
+  *    its replay a convergent zero-row no-op).
   *  - Readers are views over the raw installments: SUM-on-read for
   *    delta-valued stores (disjoint installments make the union value
   *    the sum of per-installment values), a plain projection for
@@ -70,6 +83,31 @@ object DeltaStore {
       .bucketSpec.map(_.numBuckets)
       .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
 
+  /** The store's watermark-sidecar table name. Public (package) so
+    * manifest maintenance can treat a referenced store's sidecar as
+    * part of the store (fsck non-orphan, vacuum co-drop).
+    */
+  private[graft] def wmTable(table: String): String = table + "_wm"
+
+  /** Append one recorded-installment row to the sidecar (creates it
+    * for stores written before the sidecar existed).
+    */
+  private def recordWm(s: SparkSession, table: String, batchId: Long,
+      mode: String): Unit = {
+    import s.implicits._
+    Seq(batchId).toDF("batch_id").write.mode(mode)
+      .format("parquet").saveAsTable(wmTable(table))
+  }
+
+  /** Every installment id the sidecar has recorded (empty for
+    * pre-sidecar stores).
+    */
+  private def wmIds(s: SparkSession, table: String): Array[Long] =
+    if (s.catalog.tableExists(wmTable(table)))
+      s.table(wmTable(table)).select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0))
+    else Array.empty[Long]
+
   private def bucketedWrite(df: DataFrame, table: String, mode: String,
       keyCols: Seq[String], buckets: Int): Unit =
     df.repartition(buckets, keyCols.map(col): _*)
@@ -88,6 +126,7 @@ object DeltaStore {
       else s.conf.get("spark.sql.shuffle.partitions").toInt
     bucketedWrite(delta.withColumn("batch_id", lit(0L)), table,
       "overwrite", keyCols, b)
+    recordWm(s, table, 0L, "overwrite")
   }
 
   /** Fold one installment under the replay contract. `delta` is
@@ -102,13 +141,15 @@ object DeltaStore {
       beforeCommit: () => Unit = () => ()): Boolean = {
     require(batchId > 0L,
       "installment batch ids start at 1 (0 marks the base store build)")
-    uncache(s, table)
+    uncache(s, table, wmTable(table))
     val t = s.table(table)
     require(t.columns.contains("batch_id"),
       s"$table has no batch_id column — rebuild it via the store's " +
         "write entry; the replay guard needs the per-installment watermark")
-    val rec = t.select(col("batch_id")).distinct().collect()
-      .map(_.getLong(0))
+    // union of row-carried ids and sidecar ids: an EMPTY installment
+    // is recorded only by its sidecar row
+    val rec = (t.select(col("batch_id")).distinct().collect()
+      .map(_.getLong(0)) ++ wmIds(s, table)).distinct
     val watermark = if (rec.isEmpty) -1L else rec.max
     if (rec.contains(batchId)) return false // replayed installment
     require(batchId > watermark,
@@ -119,9 +160,13 @@ object DeltaStore {
     beforeCommit()
     bucketedWrite(delta.withColumn("batch_id", lit(batchId)), table,
       "append", keyCols, bucketsOf(s, table))
+    // record the installment even when the delta was EMPTY (zero key
+    // rows) — AFTER the key append so the key append stays the commit
+    // point for non-empty deltas
+    recordWm(s, table, batchId, "append")
     // the append may have run through the batch's (cloned) session —
     // make it visible to this one
-    uncache(s, table)
+    uncache(s, table, wmTable(table))
     true
   }
 
@@ -159,16 +204,26 @@ object DeltaStore {
     val prev = s.conf.get(autoBucketedScan, "true")
     s.conf.set(autoBucketedScan, "false")
     try {
+      // watermark = max recorded id across row-carried ids AND the
+      // sidecar — an empty most-recent installment exists only in the
+      // sidecar, and losing it would re-admit its replay post-roll
+      val sidecarWm =
+        (wmIds(s, table) :+ 0L).max
       val wm =
         if (s.table(table).columns.contains("batch_id"))
           s.table(table)
-            .agg(coalesce(max(col("batch_id")), lit(0L)).as("batch_id"))
-        else s.range(1).select(lit(0L).as("batch_id"))
+            .agg(greatest(coalesce(max(col("batch_id")), lit(0L)),
+              lit(sidecarWm)).as("batch_id"))
+        else s.range(1).select(lit(sidecarWm).as("batch_id"))
       view.crossJoin(broadcast(wm))
         .write.mode("overwrite")
         .bucketBy(spec.numBuckets, keyCols.head, keyCols.tail: _*)
         .sortBy(keyCols.head, keyCols.tail: _*)
         .format("parquet").saveAsTable(newTable)
+      // the rolled store's sidecar: one row, the carried watermark
+      // (all pre-roll ids collapse to ≤ wm — the guard's loud-fail
+      // branch keeps refusing them, conservative as before)
+      recordWm(s, newTable, wm.head().getLong(0), "overwrite")
       extra(wm)
     } finally s.conf.set(autoBucketedScan, prev)
   }

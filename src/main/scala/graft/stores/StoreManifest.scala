@@ -304,7 +304,12 @@ object StoreManifest {
       .filter(r => doomedV.contains(r.getLong(0))
         && !keepTables.contains(r.getString(1)))
       .map(_.getString(1)).distinct.toSeq
-    dropTables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    dropTables.foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // a delta store's watermark sidecar lives and dies with its
+      // table (sidecars are never shared across versions)
+      s.sql(s"DROP TABLE IF EXISTS ${DeltaStore.wmTable(t)}")
+    }
     append(s, manifest,
       doomedV.toSeq.sorted.map(v => (family, v, "*", "", "vacuumed", "")))
     dropTables
@@ -369,7 +374,11 @@ object StoreManifest {
       .filterNot(_.isTemporary)
       .map(_.name)
       .filter(n => n.toLowerCase.startsWith(prefix)
-        && !referenced.contains(n.toLowerCase))
+        && !referenced.contains(n.toLowerCase)
+        // a referenced delta store's watermark sidecar is part of the
+        // store, not debris (round-13 DeltaStore sidecar)
+        && !(n.toLowerCase.endsWith("_wm") &&
+          referenced.contains(n.toLowerCase.stripSuffix("_wm"))))
       .sorted
       .foreach(n => findings += (("", -1L, "", n, "orphan-table")))
     findings.result()

@@ -245,21 +245,18 @@ object CrawlIngest {
     * between the two retries into convergence — the fp refold is
     * refused (no-op) and the host fold proceeds, and both serving
     * reads filter `batch_id < inst`, so a half-folded batch never
-    * sees its own rows. The host delta always carries an empty-host
-    * sentinel row (n_admitted = 0): a saturated batch admits NOTHING,
-    * and without the sentinel its empty append would leave no
-    * watermark — the replay guard would re-admit the batch forever.
-    * The sentinel never joins a real host (parse_url hosts are
-    * non-empty) and sums to zero.
+    * sees its own rows. A SATURATED batch admits nothing — its host
+    * delta is EMPTY — and is still replay-refused afterwards: the
+    * DeltaStore watermark sidecar records every admitted installment
+    * regardless of its row count (round-13 core fix; this fold used
+    * to hand-roll an empty-host sentinel row for exactly that batch).
     */
   private[graft] def foldWet(s: SparkSession, verdicts: DataFrame,
       fpTable: String, hostTable: String, inst: Long): Boolean = {
     foldFps(s, verdicts.select(col("fp")).distinct(), fpTable, inst)
     DeltaStore.refresh(s,
       verdicts.filter(col("admitted"))
-        .groupBy(col("host")).agg(count(lit(1)).as("n_admitted"))
-        .unionByName(s.range(1)
-          .select(lit("").as("host"), lit(0L).as("n_admitted"))),
+        .groupBy(col("host")).agg(count(lit(1)).as("n_admitted")),
       hostTable, Seq("host"), inst)
   }
 
@@ -305,7 +302,7 @@ object CrawlIngest {
   /** SUM-semantics compaction of the host-counts store: the admitted
     * counts collapse via [[DeltaStore.readSum]] (shuffle-free on the
     * host buckets), the replay watermark rides the roll — the gram
-    * store's contract. The zero-count sentinel rows collapse into one.
+    * store's contract.
     */
   def compactHostStore(s: SparkSession, table: String,
       newTable: String): Unit =

@@ -139,8 +139,8 @@ class CrawlIngestSpec extends SparkSpec {
         wet("https://a.example.org/p1", doc(1)),
         wet("https://a.example.org/p3", doc(4)))))))
       q.processAllAvailable()
-      // batch 3: host a saturated — admits NOTHING (the watermark
-      // sentinel is what keeps this batch replay-refused)
+      // batch 3: host a saturated — admits NOTHING (the DeltaStore
+      // watermark sidecar is what keeps this empty batch replay-refused)
       src.addData(Seq((2L, packWet(Seq(
         wet("https://a.example.org/p4", doc(5)),
         wet("https://a.example.org/p5", doc(6)))))))
@@ -161,14 +161,14 @@ class CrawlIngestSpec extends SparkSpec {
     assert(!landed((2L, 0L))._3 && !landed((2L, 1L))._3,
       "saturated host admits nothing")
 
-    // admitted counts: a = 3 (saturated), b = 1; sentinel sums away
+    // admitted counts: a = 3 (saturated), b = 1
     val counts = graft.stores.DeltaStore
       .readSum(spark, "ciw_hosts", Seq("host"), Seq("n_admitted"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("a.example.org") === 3L && counts("b.example.org") === 1L)
 
     // the zero-admission batch 3 still landed its watermark: replaying
-    // installment 3 must be REFUSED (the sentinel-row fix)
+    // installment 3 must be REFUSED (the empty-delta sidecar record)
     assert(!graft.stores.DeltaStore.refresh(spark,
       Seq(("zz", 1L)).toDF("host", "n_admitted"),
       "ciw_hosts", Seq("host"), 3L),

@@ -110,6 +110,40 @@ class DeltaStoreSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS dsk CASCADE")
   }
 
+  test("empty delta: installment recorded, replay refused, watermark survives compaction") {
+    val wh = Files.createTempDirectory("graft_wh_ds5").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dse LOCATION '$wh'")
+    val t = "dse.toy"; val t2 = "dse.toy_c"
+    try {
+      import spark.implicits._
+      val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+      DeltaStore.write(spark, toy(4), t, Seq("k"), buckets = 2)
+      // installment 1 appends ZERO rows — before the watermark
+      // sidecar its batch_id never entered the recorded set and the
+      // generic contract ("a recorded id is a genuine replay →
+      // refused") silently did not hold (round-13 advice fix; the wet
+      // family's hand-rolled sentinel is retired by this)
+      assert(DeltaStore.refresh(spark, empty, t, Seq("k"), 1L),
+        "an empty delta is still an admitted installment")
+      assert(spark.table(t).count() === 4, "no key rows appended")
+      assert(!DeltaStore.refresh(spark, toy(2, 100), t, Seq("k"), 1L),
+        "replaying the empty installment must be refused — its rows " +
+          "(here: different, crash-replay divergence) must never fold")
+      // monotone novel ids continue above the empty installment
+      assert(DeltaStore.refresh(spark, toy(2, 100), t, Seq("k"), 2L))
+      intercept[IllegalArgumentException] {
+        DeltaStore.refresh(spark, toy(1), t, Seq("k"), 0L)
+      }
+      // an empty FINAL installment's watermark survives compaction
+      assert(DeltaStore.refresh(spark, empty, t, Seq("k"), 7L))
+      DeltaStore.compact(spark, t, t2,
+        DeltaStore.readSum(spark, t, Seq("k"), Seq("v")), Seq("k"))
+      assert(!DeltaStore.refresh(spark, toy(1, 300), t2, Seq("k"), 7L),
+        "the sidecar-only watermark must ride the roll-forward")
+      assert(DeltaStore.refresh(spark, toy(1, 300), t2, Seq("k"), 8L))
+    } finally spark.sql("DROP DATABASE IF EXISTS dse CASCADE")
+  }
+
   test("multi-column keys bucket and compact on the full key (keyframe shape)") {
     val wh = Files.createTempDirectory("graft_wh_ds4").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS dsm LOCATION '$wh'")
