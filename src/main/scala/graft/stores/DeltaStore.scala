@@ -90,13 +90,26 @@ object DeltaStore {
   private[graft] def wmTable(table: String): String = table + "_wm"
 
   /** Append one recorded-installment row to the sidecar (creates it
-    * for stores written before the sidecar existed).
+    * for stores written before the sidecar existed). Self-healing
+    * against the stale-DIRECTORY hazard: a killed earlier run (or an
+    * in-memory catalog that died with its JVM) can leave the
+    * sidecar's warehouse directory behind without a catalog entry,
+    * and the implicit CREATE would then fail with
+    * LOCATION_ALREADY_EXISTS — the sidecar is derived state scoped to
+    * this library's naming, so sweeping the orphaned dir is safe.
     */
   private def recordWm(s: SparkSession, table: String, batchId: Long,
       mode: String): Unit = {
     import s.implicits._
+    val t = wmTable(table)
+    if (!s.catalog.tableExists(t)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          s.sessionState.sqlParser.parseTableIdentifier(t)))
+      loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+    }
     Seq(batchId).toDF("batch_id").write.mode(mode)
-      .format("parquet").saveAsTable(wmTable(table))
+      .format("parquet").saveAsTable(t)
   }
 
   /** Every installment id the sidecar has recorded (empty for

@@ -88,27 +88,52 @@ object StoreManifest {
     * columns — the next append fails with a schema mismatch and,
     * worse, [[publish]]'s positional reads would address the wrong
     * fields. A manifest that differs ONLY by the missing `writer`
-    * column is migrated in place (roll-forward: historical events get
+    * column is migrated (roll-forward: historical events get
     * writer = '' — no live writer can conflict with them, so the
     * publish-time conflict check treats them as pre-nonce history);
     * any other divergence loud-fails with a rebuild instruction
     * rather than a positional-read surprise.
+    *
+    * The migration is CRASH-SAFE via a backup table (round-13 advice
+    * fix — `mode("overwrite")` drops the target before writing, so an
+    * unprotected in-place rewrite could lose the entire store-version
+    * event log, the one table the repo's own roll-forward rule exists
+    * to protect): the 6-column log is snapshotted to
+    * `<manifest>__migrating` FIRST, then the manifest is rewritten,
+    * then the backup is dropped. Every crash window converges on the
+    * next init: backup present → the backup is the authoritative
+    * pre-migration log (the manifest is either still old, half
+    * rewritten, or already migrated with no events possibly appended
+    * — every append path runs through init first), so init re-derives
+    * the manifest from it and only then drops it.
     */
   def init(s: SparkSession, manifest: String): Unit = {
+    val backup = manifest + "__migrating"
+    def migrateFrom(src: String): Unit = {
+      val base = s.table(src)
+      val migrated =
+        (if (base.columns.contains("writer")) base
+         else base.withColumn("writer", lit("")))
+          .select(schemaCols.map(col): _*)
+          .collect() // metadata-sized: O(versions × roles) rows
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(migrated: _*)), schema)
+        .write.mode("overwrite").format("parquet").saveAsTable(manifest)
+    }
+    if (s.catalog.tableExists(backup)) {
+      migrateFrom(backup) // crashed migration: restore + migrate
+      s.sql(s"DROP TABLE $backup")
+    }
     s.sql(s"CREATE TABLE IF NOT EXISTS $manifest ($schemaDdl) USING parquet")
     val cols = s.table(manifest).columns.toSeq
     if (cols != schemaCols) {
       if (cols == schemaCols.filterNot(_ == "writer")) {
-        val migrated = s.table(manifest)
-          .withColumn("writer", lit(""))
-          .select(schemaCols.map(col): _*)
-          .collect() // metadata-sized: O(versions × roles) rows
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
-        s.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](
-              java.util.Arrays.asList(migrated: _*)), schema)
-          .write.mode("overwrite").option("overwriteSchema", "true")
-          .format("parquet").saveAsTable(manifest)
+        s.table(manifest).write.mode("overwrite").format("parquet")
+          .saveAsTable(backup) // the commit point of the migration
+        migrateFrom(backup)
+        s.sql(s"DROP TABLE $backup")
       } else throw new IllegalStateException(
         s"manifest $manifest has schema $cols, expected $schemaCols — " +
           "not a known migration; rebuild the manifest")

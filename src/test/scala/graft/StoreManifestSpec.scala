@@ -409,6 +409,33 @@ class StoreManifestSpec extends SparkSpec {
       StoreManifest.publish(spark, old, "fam", p)
       assert(StoreManifest.currentRequired(spark, old, "fam")._1 === 2L)
 
+      // ---- crash windows of the roll-forward migration (round 13) ----
+      // window A: crash AFTER the backup snapshot, BEFORE the rewrite
+      // — manifest still 6-col, backup present; init re-migrates
+      val crashA = "smmig.crasha"
+      Seq(("fam", 1L, "a", "smmig.crasha_t", "published", ts))
+        .toDF("family", "version", "role", "table_name", "event", "ts")
+        .write.format("parquet").saveAsTable(crashA)
+      spark.table(crashA).write.format("parquet")
+        .saveAsTable(crashA + "__migrating")
+      StoreManifest.init(spark, crashA)
+      assert(spark.table(crashA).columns.toSeq.contains("writer"))
+      assert(spark.table(crashA).count() === 1L)
+      assert(!spark.catalog.tableExists(crashA + "__migrating"),
+        "a completed migration must drop its backup")
+      // window B: crash MID-REWRITE — the manifest table is GONE
+      // (mode(overwrite) drops before writing), only the backup
+      // survives; before the fix this lost the entire event log
+      val crashB = "smmig.crashb"
+      Seq(("fam", 3L, "a", "smmig.crashb_t", "published", ts))
+        .toDF("family", "version", "role", "table_name", "event", "ts")
+        .write.format("parquet").saveAsTable(crashB + "__migrating")
+      StoreManifest.init(spark, crashB)
+      assert(spark.table(crashB).count() === 1L,
+        "init must restore the event log from the migration backup")
+      assert(spark.table(crashB).head().getLong(1) === 3L)
+      assert(!spark.catalog.tableExists(crashB + "__migrating"))
+
       // anything OTHER than the known 6-column shape loud-fails
       val alien = "smmig.alienmf"
       Seq(("x", 1L)).toDF("family", "version")
