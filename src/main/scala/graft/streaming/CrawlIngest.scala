@@ -128,7 +128,7 @@ object CrawlIngest {
     * routes the batch side to the store's fp buckets; the store side
     * never re-shuffles.
     */
-  private def foldFps(s: SparkSession, fps: DataFrame, table: String,
+  private[graft] def foldFps(s: SparkSession, fps: DataFrame, table: String,
       batchId: Long): Boolean =
     DeltaStore.refresh(s,
       fps.join(s.table(table).filter(col("batch_id") < batchId)

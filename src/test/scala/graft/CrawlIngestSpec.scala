@@ -175,6 +175,80 @@ class CrawlIngestSpec extends SparkSpec {
       "a saturated batch must still record its replay watermark")
   }
 
+  test("foldWet crash between the two store folds: retry converges bit-for-bit") {
+    import spark.implicits._
+    def wet(url: String, body: String): String = url + "\r\n\r\n" + body
+    def packWet(members: Seq[String]): Array[Byte] =
+      members.toArray.flatMap(m =>
+        Multimodal.gzipBytes(m.getBytes("UTF-8")))
+    Seq("cic_fps", "cic_hosts").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
+      Seq(t, t + "_wm").foreach { n =>
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), n)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    }
+    CrawlIngest.writeFpStoreEmpty(spark, "cic_fps", 4)
+    CrawlIngest.writeHostStore(spark, "cic_hosts", 4)
+    val B = 3
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9))).toSet
+
+    // wave 1: two hosts, one within-batch dup — folds cleanly
+    val w1 = Seq((0L, packWet(Seq(
+      wet("https://a.example.org/p1", doc(1)),
+      wet("https://a.example.org/p2", doc(1)),
+      wet("https://b.example.org/p1", doc(3))))))
+      .toDF("file_id", "payload")
+    val v1 = CrawlIngest
+      .wetVerdicts(spark, w1, "cic_fps", "cic_hosts", B, 1L)
+      .localCheckpoint()
+    assert(CrawlIngest.foldWet(spark, v1, "cic_fps", "cic_hosts", 1L))
+
+    // wave 2: a re-crawl of wave 1's body + novel bodies past budget
+    val w2 = Seq((1L, packWet(Seq(
+      wet("https://a.example.org/p3", doc(1)),
+      wet("https://a.example.org/p4", doc(4)),
+      wet("https://a.example.org/p5", doc(5))))))
+      .toDF("file_id", "payload")
+    val before = snap(CrawlIngest
+      .wetVerdicts(spark, w2, "cic_fps", "cic_hosts", B, 2L))
+    // CRASH SIMULATION: the fp fold (first half) lands, the host fold
+    // (the commit point) never runs
+    assert(CrawlIngest.foldFps(spark,
+      CrawlIngest.wetVerdicts(spark, w2, "cic_fps", "cic_hosts", B, 2L)
+        .select(col("fp")).distinct(), "cic_fps", 2L))
+    // RETRY: verdicts recompute bit-equal — both serving reads filter
+    // batch_id < inst, so the half-folded fp rows are invisible
+    val retry = CrawlIngest
+      .wetVerdicts(spark, w2, "cic_fps", "cic_hosts", B, 2L)
+      .localCheckpoint()
+    assert(snap(retry) === before,
+      "a replayed batch must re-score against the same pre-fold snapshot")
+    // the full foldWet retries into convergence: the fp refold is a
+    // refused no-op, the host fold proceeds and commits the batch
+    assert(CrawlIngest.foldWet(spark, retry, "cic_fps", "cic_hosts", 2L),
+      "the retry's commit point (host fold) must be admitted")
+    // no double count in either store
+    val fps = spark.table("cic_fps").select(col("fp")).collect()
+      .map(_.getString(0))
+    assert(fps.length === fps.distinct.length,
+      "the refused fp refold must not duplicate fingerprints")
+    val counts = graft.stores.DeltaStore
+      .readSum(spark, "cic_hosts", Seq("host"), Seq("n_admitted"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a.example.org") === 3L,
+      "wave1 admitted 2 on host a, the retried wave2 exactly 1 more " +
+        "(budget 3) — a double host fold would read 4+")
+    assert(counts("b.example.org") === 1L)
+    // a second full replay of the batch is refused outright
+    assert(!CrawlIngest.foldWet(spark, retry, "cic_fps", "cic_hosts", 2L))
+  }
+
   test("manifest-resolved WET ingest; compactWet rolls both roles atomically") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
