@@ -166,9 +166,11 @@ object Dedup {
   }
 
   /** DuckDB mirror of [[minhashPairs]] as a CTE chain ending in
-    * `pairs(da, db)`.
+    * `pairs(da, db)` (package-visible: the WET near-dup oracle
+    * (WebCuration q206) re-derives the same banding over crawl
+    * bodies).
     */
-  private val minhashPairsSql =
+  private[graft] val minhashPairsSql =
     s"""$shinglesSql,
        |hh AS (SELECT doc_id,
        |         ('0x' || substr(md5(s), 1, 15))::BIGINT
@@ -497,8 +499,20 @@ object Dedup {
     */
   def assignToClusters(s: SparkSession, newDocs: DataFrame,
       bandStore: DataFrame, compStore: DataFrame,
-      withinBatch: Boolean = false): DataFrame = {
-    val newBands = bandSignatures(newDocs).localCheckpoint(true)
+      withinBatch: Boolean = false): DataFrame =
+    assignFromBands(s, bandSignatures(newDocs).localCheckpoint(true),
+      newDocs.select(col("doc_id")), bandStore, compStore, withinBatch)
+
+  /** [[assignToClusters]] over PRE-COMPUTED band signatures — the
+    * entry for callers that already hold the batch's
+    * [[bandSignatures]] frame (the WET crawl seam pins it once and
+    * reuses it for the band-store fold; recomputing would double the
+    * batch's shingle/minhash pass). `newBands` must be a materialized
+    * (pinned) frame; `newIds` the batch's (doc_id) set.
+    */
+  private[graft] def assignFromBands(s: SparkSession, newBands: DataFrame,
+      newIds: DataFrame, bandStore: DataFrame, compStore: DataFrame,
+      withinBatch: Boolean): DataFrame = {
     val matches = newBands
       .select(col("doc_id").as("new_id"), col("band"), col("h1"), col("h2"))
       .join(bandStore, Seq("band", "h1", "h2"))
@@ -511,7 +525,7 @@ object Dedup {
         coalesce(col("old_comp"), col("old_id")).as("cand"))
       .groupBy(col("new_id")).agg(min(col("cand")).as("comp"))
       .withColumnRenamed("new_id", "doc_id")
-    val direct = newDocs.select(col("doc_id"))
+    val direct = newIds
       .join(storeCand, Seq("doc_id"), "left")
     if (!withinBatch)
       direct.select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))

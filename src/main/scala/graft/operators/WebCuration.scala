@@ -615,6 +615,156 @@ object WebCuration {
              |  al.allowed AND coalesce(rk.rn <= 10, false) AS admitted
              |FROM wv
              |JOIN al USING (ck)
-             |LEFT JOIN rk ON wv.ck = rk.ck""".stripMargin))
+             |LEFT JOIN rk ON wv.ck = rk.ck""".stripMargin)),
+
+    // ---- q206: NEAR-duplicate detection at the crawl seam -----------------
+    // The round-13 capstone: wet_ingest's exact-md5 dup flag misses a
+    // re-crawled page with a tweaked footer — the single most common
+    // real-world failure of exact-only web dedup. Three crawl waves
+    // run through wetVerdicts/foldWet in NEAR mode: each batch's
+    // records are LSH-banded (Dedup's q36 scheme over the WET body),
+    // assigned to clusters against maintained PRE-fold band +
+    // component stores (Dedup.assignFromBands, withinBatch — the
+    // q151 semantics incrementalized at the seam), and flagged
+    // near_dup_of_store when their cluster contains stored content;
+    // both stores fold per wave under the DeltaStore replay contract.
+    // The oracle replays the sequential induction exactly: per wave, a
+    // recursive-CTE closure of the wave's internal LSH pairs, the min
+    // stored-label over band matches into earlier waves, and the
+    // batch-component merge rule — labels as assigned at each record's
+    // OWN wave (assignment never relabels the store; that is
+    // refreshStores' job). Scale shape: band store bucketed on the
+    // full (band, h1, h2) collision key, component store on doc_id —
+    // batch-sized sides route to the buckets, nothing corpus-sized
+    // ever re-shuffles; no pair joins, no corpus windows.
+    QueryDef(
+      "q206_wet_neardup",
+      (s, d) => {
+        import graft.streaming.CrawlIngest
+        val (fpT, hostT) = ("q206_fp", "q206_hosts")
+        val (bandT, compT) = ("q206_bands", "q206_comps")
+        Seq(fpT, hostT, bandT, compT).foreach { t =>
+          Seq(t, t + "_wm").foreach { n =>
+            s.sql(s"DROP TABLE IF EXISTS $n")
+            val p = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), n)
+            p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+          }
+        }
+        CrawlIngest.writeFpStoreEmpty(s, fpT, 8)
+        CrawlIngest.writeHostStore(s, hostT, 8)
+        CrawlIngest.writeNearStoresEmpty(s, bandT, compT, 8)
+        val near = Some((bandT, compT))
+        val files = wetFiles(s, d).localCheckpoint()
+        val waves = (1 to 3).map { wv =>
+          val wave = files.filter(
+            pmod(col("file_id"), lit(3L)) === (wv - 1).toLong)
+          val v = CrawlIngest
+            .wetVerdicts(s, wave, fpT, hostT, 1000000, wv.toLong, None,
+              near)
+            .localCheckpoint()
+          require(CrawlIngest.foldWet(s, v, fpT, hostT, wv.toLong, near),
+            s"wave $wv must fold")
+          v
+        }
+        waves.reduce(_ unionByName _)
+          .select(col("file_id"), col("rec_idx"), col("host"),
+            col("dup_of_store"), col("near_comp"),
+            col("near_dup_of_store"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.minhashPairsSql},
+             |wd AS (SELECT doc_id,
+             |         doc_id % 97 AS file_id,
+             |         CAST(row_number() OVER (PARTITION BY doc_id % 97
+             |           ORDER BY doc_id) - 1 AS BIGINT) AS rec_idx,
+             |         (doc_id % 97) % 3 AS wave,
+             |         (doc_id % 97) * 1000000
+             |           + (row_number() OVER (PARTITION BY doc_id % 97
+             |              ORDER BY doc_id) - 1) AS ck,
+             |         source || '.example.org' AS host,
+             |         md5(text) AS body_md5
+             |       FROM documents),
+             |fw AS (SELECT body_md5, min(wave) AS first_wave
+             |       FROM wd GROUP BY 1),
+             |cp AS (SELECT a.ck AS ca, a.wave AS wa, b.ck AS cb,
+             |         b.wave AS wb
+             |       FROM pairs p JOIN wd a ON p.da = a.doc_id
+             |                    JOIN wd b ON p.db = b.doc_id),
+             |bw AS (SELECT w.ck, w.wave, b.band, b.h1, b.h2
+             |       FROM bands b JOIN wd w USING (doc_id)),
+             |sym0 AS (SELECT ca AS a, cb AS b FROM cp
+             |         WHERE wa = 0 AND wb = 0
+             |         UNION ALL SELECT cb, ca FROM cp
+             |         WHERE wa = 0 AND wb = 0),
+             |reach0(a, b) AS (SELECT DISTINCT a, a FROM sym0
+             |  UNION SELECT r.a, s.b FROM reach0 r JOIN sym0 s
+             |    ON r.b = s.a),
+             |bk0 AS (SELECT a AS ck, min(b) AS bkey FROM reach0
+             |        GROUP BY 1),
+             |mem0 AS (SELECT wd.ck, coalesce(bk0.bkey, wd.ck) AS bkey
+             |         FROM wd LEFT JOIN bk0 USING (ck)
+             |         WHERE wd.wave = 0),
+             |lab0 AS (SELECT m.ck, a.fin AS comp, false AS nd
+             |         FROM mem0 m JOIN (SELECT bkey, min(ck) AS fin
+             |           FROM mem0 GROUP BY 1) a USING (bkey)),
+             |m1 AS (SELECT x.ck AS nck, min(l.comp) AS scomp
+             |       FROM bw x JOIN bw y ON x.band = y.band
+             |         AND x.h1 = y.h1 AND x.h2 = y.h2
+             |         AND x.wave = 1 AND y.wave = 0
+             |       JOIN lab0 l ON l.ck = y.ck
+             |       GROUP BY 1),
+             |sym1 AS (SELECT ca AS a, cb AS b FROM cp
+             |         WHERE wa = 1 AND wb = 1
+             |         UNION ALL SELECT cb, ca FROM cp
+             |         WHERE wa = 1 AND wb = 1),
+             |reach1(a, b) AS (SELECT DISTINCT a, a FROM sym1
+             |  UNION SELECT r.a, s.b FROM reach1 r JOIN sym1 s
+             |    ON r.b = s.a),
+             |bk1 AS (SELECT a AS ck, min(b) AS bkey FROM reach1
+             |        GROUP BY 1),
+             |mem1 AS (SELECT wd.ck, coalesce(bk1.bkey, wd.ck) AS bkey,
+             |           m1.scomp
+             |         FROM wd LEFT JOIN bk1 USING (ck)
+             |         LEFT JOIN m1 ON m1.nck = wd.ck
+             |         WHERE wd.wave = 1),
+             |agg1 AS (SELECT bkey, coalesce(min(scomp), min(ck)) AS fin,
+             |           count(scomp) > 0 AS nd
+             |         FROM mem1 GROUP BY 1),
+             |lab1 AS (SELECT mem1.ck, agg1.fin AS comp, agg1.nd
+             |         FROM mem1 JOIN agg1 USING (bkey)),
+             |l01 AS (SELECT ck, comp FROM lab0
+             |        UNION ALL SELECT ck, comp FROM lab1),
+             |m2 AS (SELECT x.ck AS nck, min(l.comp) AS scomp
+             |       FROM bw x JOIN bw y ON x.band = y.band
+             |         AND x.h1 = y.h1 AND x.h2 = y.h2
+             |         AND x.wave = 2 AND y.wave < 2
+             |       JOIN l01 l ON l.ck = y.ck
+             |       GROUP BY 1),
+             |sym2 AS (SELECT ca AS a, cb AS b FROM cp
+             |         WHERE wa = 2 AND wb = 2
+             |         UNION ALL SELECT cb, ca FROM cp
+             |         WHERE wa = 2 AND wb = 2),
+             |reach2(a, b) AS (SELECT DISTINCT a, a FROM sym2
+             |  UNION SELECT r.a, s.b FROM reach2 r JOIN sym2 s
+             |    ON r.b = s.a),
+             |bk2 AS (SELECT a AS ck, min(b) AS bkey FROM reach2
+             |        GROUP BY 1),
+             |mem2 AS (SELECT wd.ck, coalesce(bk2.bkey, wd.ck) AS bkey,
+             |           m2.scomp
+             |         FROM wd LEFT JOIN bk2 USING (ck)
+             |         LEFT JOIN m2 ON m2.nck = wd.ck
+             |         WHERE wd.wave = 2),
+             |agg2 AS (SELECT bkey, coalesce(min(scomp), min(ck)) AS fin,
+             |           count(scomp) > 0 AS nd
+             |         FROM mem2 GROUP BY 1),
+             |lab2 AS (SELECT mem2.ck, agg2.fin AS comp, agg2.nd
+             |         FROM mem2 JOIN agg2 USING (bkey)),
+             |u AS (SELECT * FROM lab0 UNION ALL SELECT * FROM lab1
+             |      UNION ALL SELECT * FROM lab2)
+             |SELECT wd.file_id, wd.rec_idx, wd.host,
+             |  wd.wave > fw.first_wave AS dup_of_store,
+             |  u.comp AS near_comp, u.nd AS near_dup_of_store
+             |FROM wd JOIN u USING (ck) JOIN fw USING (body_md5)"""
+        .stripMargin))
   )
 }

@@ -163,6 +163,52 @@ object CrawlIngest {
       "dup_of_store BOOLEAN, dup_in_batch BOOLEAN, admitted BOOLEAN, " +
       "batch_id BIGINT")
 
+  /** [[wetSchema]] plus the near-dup columns (`near` mode): the
+    * record's near-dup cluster id, the store-match flag, and the
+    * batch's LSH band signatures (landed so [[foldWet]] can append
+    * the band store without re-decoding the batch).
+    */
+  val wetNearSchema: StructType = StructType.fromDDL(
+    "file_id BIGINT, rec_idx BIGINT, url STRING, host STRING, " +
+      "fp STRING, quality DOUBLE, allowed BOOLEAN, " +
+      "dup_of_store BOOLEAN, dup_in_batch BOOLEAN, admitted BOOLEAN, " +
+      "near_comp BIGINT, near_dup_of_store BOOLEAN, " +
+      "bands ARRAY<STRUCT<band: INT, h1: BIGINT, h2: BIGINT>>, " +
+      "batch_id BIGINT")
+
+  /** The near-dup record key: (file_id, rec_idx) linearized into the
+    * one BIGINT id the LSH band/component machinery keys on. The
+    * encoding bound is ENFORCED row-locally (never silently wrong):
+    * a crawl frame outside it loud-fails the batch.
+    */
+  private def nearCk: org.apache.spark.sql.Column =
+    when(col("rec_idx").between(0L, 999999L) &&
+        col("file_id").between(0L, 9000000000000L),
+      col("file_id") * 1000000L + col("rec_idx"))
+      .otherwise(raise_error(concat(
+        lit("near-dup ck encoding bound violated: (file_id, rec_idx) = ("),
+        col("file_id").cast("string"), lit(", "),
+        col("rec_idx").cast("string"), lit(")"))))
+
+  /** Empty LSH band + component stores for the near-dup seam (family
+    * pair maintained by [[foldWet]]'s near mode): the band store is
+    * bucketed on the FULL (band, h1, h2) collision key and the
+    * component store on doc_id — the batch side of every serving join
+    * routes to the store's buckets, the store side never re-shuffles
+    * (the [[graft.operators.Dedup.writeBandStore]] layout, here under
+    * the DeltaStore replay contract).
+    */
+  def writeNearStoresEmpty(s: SparkSession, bandTable: String,
+      compTable: String, buckets: Int = -1): Unit = {
+    DeltaStore.write(s,
+      s.range(0).select(col("id").cast("int").as("band"),
+        col("id").as("h1"), col("id").as("h2"), col("id").as("doc_id")),
+      bandTable, Seq("band", "h1", "h2"), buckets)
+    DeltaStore.write(s,
+      s.range(0).select(col("id").as("doc_id"), col("id").as("comp")),
+      compTable, Seq("doc_id"), buckets)
+  }
+
   /** Empty host-counts store (host, n_admitted, batch_id) — the
     * bootstrap; every crawl wave folds through [[foldWet]].
     */
@@ -185,16 +231,66 @@ object CrawlIngest {
     */
   private[graft] def wetVerdicts(s: SparkSession, files: DataFrame,
       fpTable: String, hostTable: String, budget: Int, inst: Long,
-      rules: Option[DataFrame] = None): DataFrame = {
-    // slim (no body); pinned — canon agg, its join-back, and the
-    // admission ranks would each re-run the batch's decode otherwise
-    val recs = graft.operators.WebCuration.parseWet(
+      rules: Option[DataFrame] = None,
+      near: Option[(String, String)] = None): DataFrame = {
+    val parsed0 = graft.operators.WebCuration.parseWet(
       Multimodal.frameCrawl(s, Multimodal.spreadClips(
         files.toDF("file_id", "payload"))))
       .withColumn("fp", md5(col("body")))
-      .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
-        col("path"), col("fp"), col("quality"))
-      .localCheckpoint(true)
+    // NEAR MODE (round 13): the batch additionally runs incremental
+    // LSH near-dup assignment ([[graft.operators.Dedup]]'s
+    // band/component machinery) against maintained PRE-fold band +
+    // component stores — a re-crawled page with a tweaked footer
+    // sails through the exact md5 flag but not through this one.
+    // Bodies are pinned once per micro-batch so the slim verdict
+    // chain and the shingle/minhash banding share one decode; the
+    // per-record band signatures ride the verdict rows out (array
+    // column) so the store fold never re-decodes.
+    val (recs, nearCols) = near match {
+      case None =>
+        // slim (no body); pinned — canon agg, its join-back, and the
+        // admission ranks would each re-run the batch's decode
+        (parsed0
+          .select(col("file_id"), col("rec_idx"), col("url"),
+            col("host"), col("path"), col("fp"), col("quality"))
+          .localCheckpoint(true), None)
+      case Some((bandT, compT)) =>
+        val full = parsed0.withColumn("ck", nearCk).localCheckpoint(true)
+        val newBands = graft.operators.Dedup.bandSignatures(
+          full.select(col("ck").as("doc_id"), col("body").as("text")))
+          .localCheckpoint(true)
+        val assigned = graft.operators.Dedup.assignFromBands(s, newBands,
+          full.select(col("ck").as("doc_id")),
+          s.table(bandT).filter(col("batch_id") < inst)
+            .select(col("doc_id"), col("band"), col("h1"), col("h2")),
+          s.table(compT).filter(col("batch_id") < inst)
+            .select(col("doc_id"), col("comp")),
+          withinBatch = true)
+        // matched-the-store ⇔ the assigned cluster id is a STORED
+        // record's id (delivery keys are unique, so batch ids and
+        // stored ids are disjoint — see the startWet scaladoc)
+        val own = full.select(col("ck").as("comp")).distinct()
+          .withColumn("own", lit(true))
+        val bandsArr = newBands
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(
+            col("band"), col("h1"), col("h2")))).as("bands"))
+        val nv = assigned.join(own, Seq("comp"), "left")
+          .join(bandsArr, Seq("doc_id"), "left")
+          .select(col("doc_id").as("ck"),
+            col("comp").as("near_comp"),
+            (!coalesce(col("own"), lit(false))).as("near_dup_of_store"),
+            coalesce(col("bands"), expr(
+              "cast(array() as array<struct<band: int, h1: bigint, " +
+                "h2: bigint>>)")).as("bands"))
+          .join(full.select(col("file_id"), col("rec_idx"), col("ck")),
+            "ck")
+          .select(col("file_id"), col("rec_idx"), col("near_comp"),
+            col("near_dup_of_store"), col("bands"))
+        (full.select(col("file_id"), col("rec_idx"), col("url"),
+          col("host"), col("path"), col("fp"), col("quality")),
+          Some(nv))
+    }
     // robots-style path rules at the seam (q204's longest-prefix
     // resolution): a disallowed record lands allowed=false for audit,
     // is never admitted, and CONSUMES NO BUDGET; a record matching no
@@ -228,7 +324,7 @@ object CrawlIngest {
       flagged.filter(col("allowed"))
         .select(col("file_id"), col("rec_idx"), col("host")),
       budget, Seq(col("file_id"), col("rec_idx")))
-    flagged
+    val verdicts = flagged
       .join(ranks, Seq("file_id", "rec_idx", "host"), "left")
       .join(sofar, Seq("host"), "left")
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
@@ -236,6 +332,10 @@ object CrawlIngest {
         col("dup_in_batch"),
         (col("allowed") && coalesce(col("rk"), lit(budget + 1))
           + coalesce(col("n_sofar"), lit(0L)) <= budget).as("admitted"))
+    nearCols match {
+      case None => verdicts
+      case Some(nv) => verdicts.join(nv, Seq("file_id", "rec_idx"))
+    }
   }
 
   /** Fold one WET batch's verdicts into BOTH stores under the replay
@@ -252,7 +352,25 @@ object CrawlIngest {
     * to hand-roll an empty-host sentinel row for exactly that batch).
     */
   private[graft] def foldWet(s: SparkSession, verdicts: DataFrame,
-      fpTable: String, hostTable: String, inst: Long): Boolean = {
+      fpTable: String, hostTable: String, inst: Long,
+      near: Option[(String, String)] = None): Boolean = {
+    // near mode: the band + component deltas fold FIRST (both derive
+    // from the landed verdict rows — the band signatures rode out as
+    // an array column, so no re-decode). Same retry argument as
+    // fp-vs-host: any prefix of the four folds landing before a crash
+    // is refused on retry, every serving read filters batch_id <
+    // inst, and the HOST fold stays the commit point.
+    near.foreach { case (bandT, compT) =>
+      val ck = (col("file_id") * 1000000L + col("rec_idx")).as("doc_id")
+      DeltaStore.refresh(s,
+        verdicts.select(ck, explode(col("bands")).as("b"))
+          .select(col("b.band").as("band"), col("b.h1").as("h1"),
+            col("b.h2").as("h2"), col("doc_id")),
+        bandT, Seq("band", "h1", "h2"), inst)
+      DeltaStore.refresh(s,
+        verdicts.select(ck, col("near_comp").as("comp")),
+        compT, Seq("doc_id"), inst)
+    }
     foldFps(s, verdicts.select(col("fp")).distinct(), fpTable, inst)
     DeltaStore.refresh(s,
       verdicts.filter(col("admitted"))
@@ -262,12 +380,22 @@ object CrawlIngest {
 
   /** WET crawl ingest: frame, flag, admit against the budget, land,
     * fold both stores — the URL-aware production shape of
-    * [[startWithFold]].
+    * [[startWithFold]]. With `near` set (a (bandTable, compTable)
+    * pair from [[writeNearStoresEmpty]]), every record additionally
+    * lands its incremental LSH near-dup cluster and a
+    * `near_dup_of_store` flag beside the exact `dup_of_store` — the
+    * single most common real-world gap of exact-only web dedup (a
+    * re-crawled page with a tweaked footer/timestamp) closed at the
+    * seam; both stores fold per batch under the same replay contract.
+    * CONTRACT in near mode: (file_id, rec_idx) is the crawl's
+    * delivery key and must be globally unique across batches (a
+    * re-delivered file_id would alias cluster ids).
     */
   def startWet(files: DataFrame, fpTable: String, hostTable: String,
       budget: Int, outDir: String, checkpoint: String,
       epochBase: Long = 0L,
-      rules: Option[DataFrame] = None): StreamingQuery = {
+      rules: Option[DataFrame] = None,
+      near: Option[(String, String)] = None): StreamingQuery = {
     val s = files.sparkSession
     AtomicLanding.sweepStale(s, outDir)
     files.writeStream
@@ -276,9 +404,9 @@ object CrawlIngest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val inst = epochBase + id + 1L
         val v = wetVerdicts(s, batch, fpTable, hostTable, budget, inst,
-          rules).localCheckpoint()
+          rules, near).localCheckpoint()
         AtomicLanding.publish(v, outDir, id)
-        foldWet(s, v, fpTable, hostTable, inst)
+        foldWet(s, v, fpTable, hostTable, inst, near)
         ()
       }
       .start()
@@ -288,6 +416,11 @@ object CrawlIngest {
   def readWet(s: SparkSession, outDir: String): DataFrame =
     s.read.schema(wetSchema).parquet(outDir)
       .select(wetSchema.fieldNames.map(col): _*)
+
+  /** Read a near-mode landing ([[startWet]] with `near` set). */
+  def readWetNear(s: SparkSession, outDir: String): DataFrame =
+    s.read.schema(wetNearSchema).parquet(outDir)
+      .select(wetNearSchema.fieldNames.map(col): _*)
 
   /** Empty fingerprint store — the crawl-native bootstrap (the store
     * grows from ingest; [[writeFpStore]] seeds from a pre-crawled

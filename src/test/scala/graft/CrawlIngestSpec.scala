@@ -175,6 +175,82 @@ class CrawlIngestSpec extends SparkSpec {
       "a saturated batch must still record its replay watermark")
   }
 
+  test("near mode: a cross-batch NEAR-duplicate is caught that exact md5 misses") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def wet(url: String, body: String): String = url + "\r\n\r\n" + body
+    def packWet(members: Seq[String]): Array[Byte] =
+      members.toArray.flatMap(m =>
+        Multimodal.gzipBytes(m.getBytes("UTF-8")))
+    Seq("cin_fps", "cin_hosts", "cin_bands", "cin_comps").foreach { t =>
+      Seq(t, t + "_wm").foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), n)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    }
+    CrawlIngest.writeFpStoreEmpty(spark, "cin_fps", 4)
+    CrawlIngest.writeHostStore(spark, "cin_hosts", 4)
+    CrawlIngest.writeNearStoresEmpty(spark, "cin_bands", "cin_comps", 4)
+
+    // docA re-crawled with a tweaked trailing token: different md5,
+    // near-identical shingles — the case exact-only dedup misses
+    val docA = doc(1)
+    val docATweaked = docA.dropRight(2) + "z9"
+    val src = MemoryStream[(Long, Array[Byte])]
+    val outDir = Files.createTempDirectory("cin_out").toString
+    val q = CrawlIngest.startWet(
+      src.toDF().toDF("file_id", "payload"), "cin_fps", "cin_hosts",
+      budget = 100, outDir,
+      Files.createTempDirectory("cin_ckpt").toString,
+      near = Some(("cin_bands", "cin_comps")))
+    try {
+      src.addData(Seq((0L, packWet(Seq(
+        wet("https://a.example.org/p1", docA),
+        wet("https://b.example.org/p1", doc(3)))))))
+      q.processAllAvailable()
+      src.addData(Seq((1L, packWet(Seq(
+        wet("https://a.example.org/p2", docATweaked), // near, not exact
+        wet("https://c.example.org/p1", docA),        // exact re-crawl
+        wet("https://d.example.org/p1", doc(50)))))))  // novel
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = CrawlIngest.readWetNear(spark, outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(7), r.getLong(10), r.getBoolean(11)))).toMap
+    assert(landed.size === 5)
+    // batch 1: everything novel on both axes
+    assert(landed((0L, 0L)) === ((false, 0L, false)))
+    assert(landed((0L, 1L)) === ((false, 1L, false)))
+    // batch 2: the tweaked re-crawl — NOT an exact dup, IS a near dup,
+    // clustered with the stored original (ck 0 = file 0 rec 0)
+    assert(landed((1L, 0L)) === ((false, 0L, true)),
+      "a tweaked re-crawl must be flagged near_dup_of_store with the " +
+        "stored original's cluster, even though its md5 is novel")
+    // the exact re-crawl is both an exact AND a near dup (identical
+    // bands), same cluster
+    assert(landed((1L, 1L)) === ((true, 0L, true)))
+    // the novel record is neither
+    assert(landed((1L, 2L)) === ((false, 1000002L, false)))
+
+    // the stores folded per batch: band + comp stores carry both
+    // installments, replay refused
+    assert(!CrawlIngest.foldWet(spark,
+      CrawlIngest.readWetNear(spark, outDir)
+        .filter(col("batch_id") === 1L)
+        .drop("batch_id"),
+      "cin_fps", "cin_hosts", 2L, Some(("cin_bands", "cin_comps"))),
+      "replaying installment 2 must be refused across all four stores")
+    val comps = spark.table("cin_comps").select(col("doc_id"), col("comp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1000000L) === 0L && comps(1000001L) === 0L,
+      "the component store records the cross-batch cluster")
+  }
+
   test("foldWet crash between the two store folds: retry converges bit-for-bit") {
     import spark.implicits._
     def wet(url: String, body: String): String = url + "\r\n\r\n" + body
