@@ -77,6 +77,67 @@ object TrainPrep {
       |           AS chunk_fp
       |       FROM cr WHERE st = 1 OR st <= n - 7)""".stripMargin
 
+  /** q190's fused hashing-trick classifier as a reusable projection
+    * (round 13: the crawl seam scores WET records through it): hash
+    * every unigram+bigram of `textCol` into 1024 signed buckets, dot
+    * with the stand-in milli-weight vector, all inside ONE
+    * `aggregate()` over the scan — ZERO exchanges, integer-exact.
+    * Appends `n_feat` and `clf_score` (milli-units; keep ⇔
+    * clf_score·20 > n_feat, the τ = 0.05 threshold). The model is
+    * IDENTICAL to the q193 broadcast-weight-table serving path —
+    * q190/q193 share one oracle and q207 requires the equality at the
+    * seam — so swapping the weight formula for a trained vector means
+    * serving via q193's shape with the same gate.
+    */
+  private[graft] def withClfScore(df: DataFrame,
+      textCol: String): DataFrame = {
+    graft.functions.Md5Long.register(df.sparkSession)
+    df.withColumn("__t", split(col(textCol), " "))
+      .withColumn("__bi", when(size(col("__t")) >= 2, expr(
+        "transform(sequence(1, size(__t) - 1)," +
+          " i -> concat_ws(' ', slice(__t, i, 2)))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+      .withColumn("n_feat",
+        (size(col("__t")) + size(col("__bi"))).cast("long"))
+      .withColumn("clf_score", expr(
+        """aggregate(concat(__t, __bi), 0L, (acc, w) ->
+          |  acc + (case when pmod(md5long(concat('s#', w)), 2) = 0
+          |              then 1L else -1L end)
+          |      * ((pmod(md5long(w), 1024) * 2654435761L) % 2001
+          |         - 1000))""".stripMargin))
+      .drop("__t", "__bi")
+  }
+
+  /** The q193 broadcast-weight-table serving path over an arbitrary
+    * keyed text frame — the shape a TRAINED model ships in (weights
+    * as a 1024-row table, broadcast-joined to the exploded feature
+    * stream, one doc-keyed exchange). Returns (keyCols..., n_feat,
+    * clf_score). q207 pins it equal to [[withClfScore]] at the seam.
+    */
+  private[graft] def clfScoreBroadcast(df: DataFrame, textCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val s = df.sparkSession
+    graft.functions.Md5Long.register(s)
+    val weights = s.range(0, 1024).toDF("j")
+      .select(col("j"),
+        ((col("j") * 2654435761L) % 2001 - 1000).as("w_milli"))
+    df.select(keyCols.map(col) :+ split(col(textCol), " ").as("t"): _*)
+      .withColumn("bi", when(size(col("t")) >= 2, expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> concat_ws(' ', slice(t, i, 2)))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+      .select(keyCols.map(col) :+
+        explode(concat(col("t"), col("bi"))).as("term"): _*)
+      .select(keyCols.map(col) :+
+        pmod(expr("md5long(term)"), lit(1024)).as("j") :+
+        when(pmod(expr("md5long(concat('s#', term))"), lit(2)) === 0, 1L)
+          .otherwise(-1L).as("sign"): _*)
+      .join(broadcast(weights), "j")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_feat"),
+        sum(col("sign") * col("w_milli")).as("clf_score"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q45: benchmark decontamination (8-gram collision scan) --------
     // Train/test decontamination: flag training documents sharing any
@@ -1193,24 +1254,12 @@ object TrainPrep {
     // spelled as the integer cross-multiply score·20 > n_feat.
     QueryDef(
       "q190_hash_classifier",
-      (s, d) => {
-        graft.functions.Md5Long.register(s)
-        Tables(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .withColumn("bi", when(size(col("t")) >= 2, expr(
-            "transform(sequence(1, size(t) - 1)," +
-              " i -> concat_ws(' ', slice(t, i, 2)))"))
-            .otherwise(expr("cast(array() as array<string>)")))
-          .select(col("doc_id"),
-            (size(col("t")) + size(col("bi"))).cast("long").as("n_feat"),
-            expr(
-              """aggregate(concat(t, bi), 0L, (acc, w) ->
-                |  acc + (case when pmod(md5long(concat('s#', w)), 2) = 0
-                |              then 1L else -1L end)
-                |      * ((pmod(md5long(w), 1024) * 2654435761L) % 2001
-                |         - 1000))""".stripMargin).as("score_milli"))
-          .withColumn("keep", col("score_milli") * 20 > col("n_feat"))
-      },
+      (s, d) => withClfScore(
+        Tables(s, d, "documents").select(col("doc_id"), col("text")),
+        "text")
+        .select(col("doc_id"), col("n_feat"),
+          col("clf_score").as("score_milli"))
+        .withColumn("keep", col("score_milli") * 20 > col("n_feat")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
              |              FROM documents),
              |fe AS (SELECT doc_id, u.term AS term
@@ -1245,29 +1294,12 @@ object TrainPrep {
     // arithmetic and broadcast lookup — compute the same model.
     QueryDef(
       "q193_classifier_broadcast",
-      (s, d) => {
-        graft.functions.Md5Long.register(s)
-        val weights = s.range(0, 1024).toDF("j")
-          .select(col("j"),
-            ((col("j") * 2654435761L) % 2001 - 1000).as("w_milli"))
-        Tables(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .withColumn("bi", when(size(col("t")) >= 2, expr(
-            "transform(sequence(1, size(t) - 1)," +
-              " i -> concat_ws(' ', slice(t, i, 2)))"))
-            .otherwise(expr("cast(array() as array<string>)")))
-          .select(col("doc_id"),
-            explode(concat(col("t"), col("bi"))).as("term"))
-          .select(col("doc_id"),
-            pmod(expr("md5long(term)"), lit(1024)).as("j"),
-            when(pmod(expr("md5long(concat('s#', term))"), lit(2)) === 0, 1L)
-              .otherwise(-1L).as("sign"))
-          .join(broadcast(weights), "j")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_feat"),
-            sum(col("sign") * col("w_milli")).as("score_milli"))
-          .withColumn("keep", col("score_milli") * 20 > col("n_feat"))
-      },
+      (s, d) => clfScoreBroadcast(
+        Tables(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", Seq("doc_id"))
+        .select(col("doc_id"), col("n_feat"),
+          col("clf_score").as("score_milli"))
+        .withColumn("keep", col("score_milli") * 20 > col("n_feat")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
              |              FROM documents),
              |fe AS (SELECT doc_id, u.term AS term

@@ -765,6 +765,84 @@ object WebCuration {
              |  wd.wave > fw.first_wave AS dup_of_store,
              |  u.comp AS near_comp, u.nd AS near_dup_of_store
              |FROM wd JOIN u USING (ck) JOIN fw USING (body_md5)"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- q207: quality-classifier inference at the crawl seam -------------
+    // Production web curation (the CCNet/fastText recipe) filters on a
+    // TRAINED model, not just arithmetic heuristics — wetVerdicts now
+    // scores every WET body through q190's fused hashing-trick
+    // classifier (zero exchanges; the aggregate() rides the decode
+    // scan, so wet_ingest's files/s is untouched) and lands
+    // clf_score/clf_keep beside the q32 quality floor. The engine side
+    // ALSO serves the same records through the q193 broadcast-
+    // weight-table path and requires bit-equality — the seam's fused
+    // arithmetic IS the broadcast-served model (their shared oracle is
+    // the q190/q193 precedent), so swapping in trained weights means
+    // serving q193's shape under this same gate. Output: both quality
+    // signals plus the combined keep the downstream chain would apply.
+    QueryDef(
+      "q207_wet_classifier",
+      (s, d) => {
+        import graft.streaming.CrawlIngest
+        val (fpT, hostT) = ("q207_fp", "q207_hosts")
+        Seq(fpT, hostT).foreach { t =>
+          Seq(t, t + "_wm").foreach { n =>
+            s.sql(s"DROP TABLE IF EXISTS $n")
+            val p = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), n)
+            p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+          }
+        }
+        CrawlIngest.writeFpStoreEmpty(s, fpT, 8)
+        CrawlIngest.writeHostStore(s, hostT, 8)
+        val v = CrawlIngest
+          .wetVerdicts(s, wetFiles(s, d), fpT, hostT, 1000000, 1L)
+          .select(col("file_id"), col("rec_idx"), col("host"),
+            col("quality"), col("clf_score"), col("clf_keep"))
+          .localCheckpoint(true)
+        // the broadcast-weight-table serving path must agree with the
+        // seam's fused column, record for record
+        val served = TrainPrep.clfScoreBroadcast(
+          wetRecords(s, d), "body", Seq("file_id", "rec_idx"))
+          .select(col("file_id"), col("rec_idx"),
+            col("clf_score").as("served_score"))
+        val diverged = v.join(served, Seq("file_id", "rec_idx"))
+          .filter(col("clf_score") =!= col("served_score")).count()
+        require(diverged == 0L,
+          s"fused seam scores must equal the broadcast-table serving " +
+            s"path ($diverged rows diverged)")
+        v.withColumn("keep", col("clf_keep") && col("quality") >= 0.3)
+      },
+      Some(s"""WITH $WetSql,
+             |d AS (SELECT doc_id, doc_id % 97 AS file_id,
+             |        CAST(row_number() OVER (PARTITION BY doc_id % 97
+             |          ORDER BY doc_id) - 1 AS BIGINT) AS rec_idx,
+             |        text
+             |      FROM documents),
+             |toks AS (SELECT file_id, rec_idx,
+             |           string_split(text, ' ') AS t FROM d),
+             |fe AS (SELECT file_id, rec_idx, u.term AS term
+             |       FROM toks, UNNEST(t) AS u(term)
+             |       UNION ALL
+             |       SELECT file_id, rec_idx, t[g.i] || ' ' || t[g.i + 1]
+             |       FROM toks,
+             |         UNNEST(generate_series(1,
+             |           CAST(len(t) - 1 AS INTEGER))) AS g(i)
+             |       WHERE len(t) >= 2),
+             |sc AS (SELECT file_id, rec_idx,
+             |         CASE WHEN ('0x' || substr(md5('s#' || term), 1, 15))
+             |                   ::BIGINT % 2 = 0
+             |              THEN 1 ELSE -1 END
+             |         * ((('0x' || substr(md5(term), 1, 15))::BIGINT
+             |             % 1024) * 2654435761 % 2001 - 1000) AS c
+             |       FROM fe),
+             |agg AS (SELECT file_id, rec_idx,
+             |          CAST(count(*) AS BIGINT) AS n_feat,
+             |          CAST(sum(c) AS BIGINT) AS clf_score
+             |        FROM sc GROUP BY 1, 2)
+             |SELECT w.file_id, w.rec_idx, w.host, w.quality,
+             |  a.clf_score, a.clf_score * 20 > a.n_feat AS clf_keep,
+             |  a.clf_score * 20 > a.n_feat AND w.quality >= 0.3 AS keep
+             |FROM w JOIN agg a USING (file_id, rec_idx)""".stripMargin))
   )
 }

@@ -161,7 +161,7 @@ object CrawlIngest {
     "file_id BIGINT, rec_idx BIGINT, url STRING, host STRING, " +
       "fp STRING, quality DOUBLE, allowed BOOLEAN, " +
       "dup_of_store BOOLEAN, dup_in_batch BOOLEAN, admitted BOOLEAN, " +
-      "batch_id BIGINT")
+      "clf_score BIGINT, clf_keep BOOLEAN, batch_id BIGINT")
 
   /** [[wetSchema]] plus the near-dup columns (`near` mode): the
     * record's near-dup cluster id, the store-match flag, and the
@@ -172,6 +172,7 @@ object CrawlIngest {
     "file_id BIGINT, rec_idx BIGINT, url STRING, host STRING, " +
       "fp STRING, quality DOUBLE, allowed BOOLEAN, " +
       "dup_of_store BOOLEAN, dup_in_batch BOOLEAN, admitted BOOLEAN, " +
+      "clf_score BIGINT, clf_keep BOOLEAN, " +
       "near_comp BIGINT, near_dup_of_store BOOLEAN, " +
       "bands ARRAY<STRUCT<band: INT, h1: BIGINT, h2: BIGINT>>, " +
       "batch_id BIGINT")
@@ -233,9 +234,16 @@ object CrawlIngest {
       fpTable: String, hostTable: String, budget: Int, inst: Long,
       rules: Option[DataFrame] = None,
       near: Option[(String, String)] = None): DataFrame = {
-    val parsed0 = graft.operators.WebCuration.parseWet(
-      Multimodal.frameCrawl(s, Multimodal.spreadClips(
-        files.toDF("file_id", "payload"))))
+    // quality-classifier inference at the seam (round 13): the q190
+    // fused hashing-trick model scores every body inside ONE
+    // aggregate() riding the decode scan — zero exchanges, so the
+    // ingest's files/s is untouched; the score lands in milli-units
+    // beside the q32 quality floor (clf_keep ⇔ score·20 > n_feat)
+    val parsed0 = graft.operators.TrainPrep.withClfScore(
+      graft.operators.WebCuration.parseWet(
+        Multimodal.frameCrawl(s, Multimodal.spreadClips(
+          files.toDF("file_id", "payload")))), "body")
+      .withColumn("clf_keep", col("clf_score") * 20 > col("n_feat"))
       .withColumn("fp", md5(col("body")))
     // NEAR MODE (round 13): the batch additionally runs incremental
     // LSH near-dup assignment ([[graft.operators.Dedup]]'s
@@ -252,7 +260,8 @@ object CrawlIngest {
         // admission ranks would each re-run the batch's decode
         (parsed0
           .select(col("file_id"), col("rec_idx"), col("url"),
-            col("host"), col("path"), col("fp"), col("quality"))
+            col("host"), col("path"), col("fp"), col("quality"),
+            col("clf_score"), col("clf_keep"))
           .localCheckpoint(true), None)
       case Some((bandT, compT)) =>
         val full = parsed0.withColumn("ck", nearCk).localCheckpoint(true)
@@ -288,7 +297,8 @@ object CrawlIngest {
           .select(col("file_id"), col("rec_idx"), col("near_comp"),
             col("near_dup_of_store"), col("bands"))
         (full.select(col("file_id"), col("rec_idx"), col("url"),
-          col("host"), col("path"), col("fp"), col("quality")),
+          col("host"), col("path"), col("fp"), col("quality"),
+          col("clf_score"), col("clf_keep")),
           Some(nv))
     }
     // robots-style path rules at the seam (q204's longest-prefix
@@ -314,7 +324,8 @@ object CrawlIngest {
         .select(col("fp")).withColumn("seen", lit(true)),
         Seq("fp"), "left")
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
-        col("fp"), col("quality"), col("allowed"),
+        col("fp"), col("quality"), col("clf_score"), col("clf_keep"),
+        col("allowed"),
         coalesce(col("seen"), lit(false)).as("dup_of_store"),
         (col("canon.file_id") =!= col("file_id") ||
           col("canon.rec_idx") =!= col("rec_idx")).as("dup_in_batch"))
@@ -331,7 +342,8 @@ object CrawlIngest {
         col("fp"), col("quality"), col("allowed"), col("dup_of_store"),
         col("dup_in_batch"),
         (col("allowed") && coalesce(col("rk"), lit(budget + 1))
-          + coalesce(col("n_sofar"), lit(0L)) <= budget).as("admitted"))
+          + coalesce(col("n_sofar"), lit(0L)) <= budget).as("admitted"),
+        col("clf_score"), col("clf_keep"))
     nearCols match {
       case None => verdicts
       case Some(nv) => verdicts.join(nv, Seq("file_id", "rec_idx"))

@@ -221,7 +221,7 @@ class CrawlIngestSpec extends SparkSpec {
 
     val landed = CrawlIngest.readWetNear(spark, outDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getBoolean(7), r.getLong(10), r.getBoolean(11)))).toMap
+        ((r.getBoolean(7), r.getLong(12), r.getBoolean(13)))).toMap
     assert(landed.size === 5)
     // batch 1: everything novel on both axes
     assert(landed((0L, 0L)) === ((false, 0L, false)))
