@@ -45,12 +45,44 @@ object StreamBench {
     else Files.createTempDirectory("ckpt_base").toFile
 
   final case class Result(name: String, eventsPerSec: Double, events: Long,
-      secs: Double, outRows: Long) {
-    def json: String =
+      secs: Double, outRows: Long, batchMs: Seq[Long] = Nil) {
+    def json: String = {
+      // per-batch trigger durations of the MEASURED window (round-13
+      // verdict item): a low run is diagnosable from the artifact as
+      // uniformly slow (ambient load — the whole decile profile
+      // shifts) vs stall-spiked (interference — p50 normal, max
+      // blows out) without same-HEAD rerun essays
+      val d = batchMs.sorted
+      val deciles =
+        if (d.isEmpty) "[]"
+        else (0 to 10).map(k =>
+          d(math.min(d.size - 1, k * d.size / 10))).mkString("[", ",", "]")
+      val mean = if (d.isEmpty) -1L else d.sum / d.size
       s""""$name":{"events_per_sec":${math.rint(eventsPerSec)},""" +
         s""""events":$events,"secs":${math.rint(secs * 1000) / 1000},""" +
-        s""""out_rows":$outRows}"""
+        s""""out_rows":$outRows,"batches":{"n":${d.size},""" +
+        s""""mean_ms":$mean,"deciles_ms":$deciles}}"""
+    }
   }
+
+  /** The query's last batch id — recorded after warmup so
+    * [[batchDurations]] can exclude warmup batches from the profile.
+    */
+  private def lastBatchId(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+
+  /** Trigger-execution durations of every batch after `afterBatch`,
+    * from the query's retained progress ring (sized via
+    * spark.sql.streaming.numRecentProgressUpdates in main).
+    */
+  private def batchDurations(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      afterBatch: Long): Seq[Long] =
+    q.recentProgress.toSeq
+      .filter(_.batchId > afterBatch)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue))
 
   /** Shared single-stream feed-and-measure loop (trending, curation,
     * clustering, ann_ingest): an UNTIMED warmup of min(1000, n/2)
@@ -64,10 +96,11 @@ object StreamBench {
     */
   private def feedAndMeasure[T](ms: MemoryStream[T],
       q: org.apache.spark.sql.streaming.StreamingQuery,
-      gen: Long => T, n: Long, batch: Long): (Long, Double) = {
+      gen: Long => T, n: Long, batch: Long): (Long, Double, Seq[Long]) = {
     val warm = math.max(1L, math.min(1000L, n / 2))
     ms.addData((0L until warm).map(gen))
     q.processAllAvailable()
+    val warmB = lastBatchId(q)
     val t0 = System.nanoTime()
     var i = warm
     while (i < n) {
@@ -82,7 +115,7 @@ object StreamBench {
       q.processAllAvailable()
       i = end
     }
-    (n - warm, (System.nanoTime() - t0) / 1e9)
+    (n - warm, (System.nanoTime() - t0) / 1e9, batchDurations(q, warmB))
   }
 
   def benchAlert(spark: SparkSession, base: java.io.File, n: Long,
@@ -116,6 +149,7 @@ object StreamBench {
     hr.addData((0L until warm).map(hrJson))
     bp.addData((0L until warm).map(bpJson))
     q.processAllAvailable()
+    val warmB = lastBatchId(q)
 
     val t0 = System.nanoTime()
     var i = warm
@@ -148,8 +182,9 @@ object StreamBench {
     val secs = (System.nanoTime() - t0) / 1e9
     val processed = (n / 2 - warm) * 2
     val nAlerts = spark.table("sb").count()
+    val bms = batchDurations(q, warmB)
     q.stop()
-    Result("alert", processed / secs, processed, secs, nAlerts)
+    Result("alert", processed / secs, processed, secs, nAlerts, bms)
   }
 
   def benchTrending(spark: SparkSession, base: java.io.File, n: Long,
@@ -177,9 +212,9 @@ object StreamBench {
       slide = "30 seconds", checkpointDir = ckptDir(base, "tt"),
       sink = b => ranked.addAndGet(b.count()))
 
-    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
+    val (events, secs, bms) = feedAndMeasure(docs, q, doc, n, batch)
     q.stop()
-    Result("trending", events / secs, events, secs, ranked.get())
+    Result("trending", events / secs, events, secs, ranked.get(), bms)
   }
 
   def benchCuration(spark: SparkSession, base: java.io.File, n: Long,
@@ -210,11 +245,11 @@ object StreamBench {
       budgetPerBatch = batch.toInt, curatedDir = curatedDir,
       checkpoint = ckptDir(base, "cur"), onShed = shed.addAndGet(_: Long))
 
-    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
+    val (events, secs, bms) = feedAndMeasure(docs, q, doc, n, batch)
     q.stop()
     val landed = spark.read.schema(CurationPipeline.curatedSchema)
       .parquet(curatedDir).count()
-    Result("curation", events / secs, events, secs, landed)
+    Result("curation", events / secs, events, secs, landed, bms)
   }
 
   def benchClustering(spark: SparkSession, base: java.io.File, n: Long,
@@ -243,12 +278,12 @@ object StreamBench {
       docs.toDF().toDF("doc_id", "text"),
       spark.table("sbci.bands_b"), spark.table("sbci.comps_b"),
       outDir, ckptDir(base, "ci"))
-    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
+    val (events, secs, bms) = feedAndMeasure(docs, q, doc, n, batch)
     q.stop()
     val assigned = graft.streaming.ClusterIngest
       .readAssigned(spark, outDir).count()
     spark.sql("DROP DATABASE IF EXISTS sbci CASCADE")
-    Result("clustering", events / secs, events, secs, assigned)
+    Result("clustering", events / secs, events, secs, assigned, bms)
   }
 
   /** Streaming ANN ingest: vectors assign to their IVF cell against
@@ -276,11 +311,11 @@ object StreamBench {
     val q = graft.streaming.AnnIngest.start(
       vecs.toDF().toDF("vec_id", "embedding"),
       spark.table("sbann.cents"), outDir, ckptDir(base, "ann"))
-    val (events, secs) = feedAndMeasure(vecs, q, vec, n, batch)
+    val (events, secs, bms) = feedAndMeasure(vecs, q, vec, n, batch)
     q.stop()
     val landed = graft.streaming.AnnIngest.readCells(spark, outDir).count()
     spark.sql("DROP DATABASE IF EXISTS sbann CASCADE")
-    Result("ann_ingest", events / secs, events, secs, landed)
+    Result("ann_ingest", events / secs, events, secs, landed, bms)
   }
 
   /** Streaming span-coverage ingest: each micro-batch scores its
@@ -311,12 +346,12 @@ object StreamBench {
     val q = graft.streaming.SpanIngest.start(
       docs.toDF().toDF("doc_id", "text"),
       spark.table("sbsi.grams_b"), outDir, ckptDir(base, "si"))
-    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
+    val (events, secs, bms) = feedAndMeasure(docs, q, doc, n, batch)
     q.stop()
     val scored = graft.streaming.SpanIngest
       .readCoverage(spark, outDir).count()
     spark.sql("DROP DATABASE IF EXISTS sbsi CASCADE")
-    Result("span_ingest", events / secs, events, secs, scored)
+    Result("span_ingest", events / secs, events, secs, scored, bms)
   }
 
   /** Streaming BM25 serving: the 8th pipeline — each micro-batch
@@ -348,11 +383,11 @@ object StreamBench {
     val q = graft.streaming.DfIngest.start(
       docs.toDF().toDF("doc_id", "text"),
       "sbdf.terms_b", "sbdf.terms_b_stats", outDir, ckptDir(base, "df"))
-    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
+    val (events, secs, bms) = feedAndMeasure(docs, q, doc, n, batch)
     q.stop()
     val scored = graft.streaming.DfIngest.readScores(spark, outDir).count()
     spark.sql("DROP DATABASE IF EXISTS sbdf CASCADE")
-    Result("df_ingest", events / secs, events, secs, scored)
+    Result("df_ingest", events / secs, events, secs, scored, bms)
   }
 
   /** Streaming boilerplate STRIP: the 7th pipeline — each micro-batch
@@ -385,12 +420,12 @@ object StreamBench {
     val q = graft.streaming.SpanIngest.startWithStrip(
       docs.toDF().toDF("doc_id", "text"),
       spark.table("sbss.grams_b"), outDir, ckptDir(base, "ss"))
-    val (events, secs) = feedAndMeasure(docs, q, doc, n, batch)
+    val (events, secs, bms) = feedAndMeasure(docs, q, doc, n, batch)
     q.stop()
     val stripped = graft.streaming.SpanIngest
       .readStripped(spark, outDir).count()
     spark.sql("DROP DATABASE IF EXISTS sbss CASCADE")
-    Result("span_strip", events / secs, events, secs, stripped)
+    Result("span_strip", events / secs, events, secs, stripped, bms)
   }
 
   /** Streaming crawl ingest (the 10th pipeline): each event is ONE
@@ -427,11 +462,11 @@ object StreamBench {
     val q = graft.streaming.CrawlIngest.startWithFold(
       files.toDF().toDF("file_id", "payload"), "sbci.fps_b",
       outDir, ckptDir(base, "ci"))
-    val (events, secs) = feedAndMeasure(files, q, file, n, batch)
+    val (events, secs, bms) = feedAndMeasure(files, q, file, n, batch)
     q.stop()
     val landed = graft.streaming.CrawlIngest.readStats(spark, outDir).count()
     spark.sql("DROP DATABASE IF EXISTS sbci CASCADE")
-    Result("crawl_ingest", events / secs, events, secs, landed)
+    Result("crawl_ingest", events / secs, events, secs, landed, bms)
   }
 
   /** WET crawl ingest (round 12): [[benchCrawlIngest]]'s file shape
@@ -470,11 +505,11 @@ object StreamBench {
     val q = graft.streaming.CrawlIngest.startWet(
       files.toDF().toDF("file_id", "payload"), "sbwi.fps_b",
       "sbwi.hosts_b", budget = 500, outDir, ckptDir(base, "wi"))
-    val (events, secs) = feedAndMeasure(files, q, file, n, batch)
+    val (events, secs, bms) = feedAndMeasure(files, q, file, n, batch)
     q.stop()
     val landed = graft.streaming.CrawlIngest.readWet(spark, outDir).count()
     spark.sql("DROP DATABASE IF EXISTS sbwi CASCADE")
-    Result("wet_ingest", events / secs, events, secs, landed)
+    Result("wet_ingest", events / secs, events, secs, landed, bms)
   }
 
   /** Streaming video curation: decode-at-ingest (the dominant cost —
@@ -506,11 +541,11 @@ object StreamBench {
     val outDir = Files.createTempDirectory(base.toPath, "sb_mi_out").toString
     val q = graft.streaming.MediaIngest.start(
       clips.toDF().toDF("doc_id", "clip"), ref, outDir, ckptDir(base, tag))
-    val (events, secs) = feedAndMeasure(clips, q, clip, n, batch)
+    val (events, secs, bms) = feedAndMeasure(clips, q, clip, n, batch)
     q.stop()
     val landed = graft.streaming.MediaIngest.readStats(spark, outDir).count()
     ref.unpersist()
-    Result(name, events / secs, events, secs, landed)
+    Result(name, events / secs, events, secs, landed, bms)
   }
 
   def main(args: Array[String]): Unit = {
@@ -523,6 +558,9 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // retain enough progress entries for the per-batch profile —
+      // the default ring (100) would drop the early measured batches
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("SPARK_GRAFT_ROCKSDB"))
