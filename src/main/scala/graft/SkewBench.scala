@@ -182,7 +182,16 @@ object SkewBench {
     // = 52 urls over 50k records ≈ 960 fetches per url) — max/min
     // per-key aggs must collapse map-side (partial agg), and the
     // join-backs ride the same 52-key exchange without tipping
-    "q203_web_pipeline")
+    "q203_web_pipeline",
+    // round-13: incremental near-dup assignment at the crawl seam
+    // under the 1000-doc near-identical cluster — the hot block's
+    // band rows accumulate in the STORE across waves, so the
+    // candidate join (batch bands × stored bands on (band,h1,h2))
+    // grows |batch∩bucket|·|store∩bucket| inside one bucket; the
+    // min-label aggregate collapses candidates map-side right after
+    // the join, and the timing pins that the seam absorbs the hot
+    // block instead of tipping a task
+    "q206_wet_neardup")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()
