@@ -567,34 +567,38 @@ object StreamBench {
       graft.streaming.AlertSinks.useRocksDBStateStore(spark)
     val base = ckptBase()
 
-    val alert = benchAlert(spark, base, n, batch)
-    val trending = benchTrending(spark, base, n / 5L, batch / 5L)
-    val curation = benchCuration(spark, base, n / 5L, batch / 5L)
-    val clustering = benchClustering(spark, base, n / 20L, batch / 20L)
-    val annIngest = benchAnnIngest(spark, base, n / 20L, batch / 20L)
-    val spanIngest = benchSpanIngest(spark, base, n / 20L, batch / 20L)
-    val spanStrip = benchSpanStrip(spark, base, n / 20L, batch / 20L)
-    val dfIngest = benchDfIngest(spark, base, n / 20L, batch / 20L)
-    // decode-bound: each event is a ~1 KB container parse + hash chain
-    val mediaIngest = benchMediaIngest(spark, base, n / 100L, batch / 100L)
-    // linear-scaling point (round-12 verdict item): 2× the corpus at
-    // the same batch size — decode-bound throughput should hold flat
-    // if the per-batch decode really spreads across the cores
-    val mediaIngest2x = benchMediaIngest(spark, base, n / 50L,
-      batch / 100L, tag = "mi2x", name = "media_ingest_2x")
-    // framing-bound: each event is an 8-member gzip file
-    val crawlIngest = benchCrawlIngest(spark, base, n / 100L, batch / 100L)
-    // URL-aware framing + host-budget admission over the same shape
-    val wetIngest = benchWetIngest(spark, base, n / 100L, batch / 100L)
+    // optional comma-separated pipeline subset for fast iteration/A-B
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY").map(_.split(",").toSet)
+    def want(p: String) = only.forall(_.contains(p))
+    val all = Seq[(String, () => Result)](
+      ("alert", () => benchAlert(spark, base, n, batch)),
+      ("trending", () => benchTrending(spark, base, n / 5L, batch / 5L)),
+      ("curation", () => benchCuration(spark, base, n / 5L, batch / 5L)),
+      ("clustering", () => benchClustering(spark, base, n / 20L, batch / 20L)),
+      ("ann_ingest", () => benchAnnIngest(spark, base, n / 20L, batch / 20L)),
+      ("span_ingest", () => benchSpanIngest(spark, base, n / 20L, batch / 20L)),
+      ("span_strip", () => benchSpanStrip(spark, base, n / 20L, batch / 20L)),
+      ("df_ingest", () => benchDfIngest(spark, base, n / 20L, batch / 20L)),
+      // decode-bound: each event is a ~1 KB container parse + hash chain
+      ("media_ingest", () => benchMediaIngest(spark, base, n / 100L, batch / 100L)),
+      // linear-scaling point (round-12 verdict item): 2× the corpus at
+      // the same batch size — decode-bound throughput should hold flat
+      // if the per-batch decode really spreads across the cores
+      ("media_ingest_2x", () => benchMediaIngest(spark, base, n / 50L,
+        batch / 100L, tag = "mi2x", name = "media_ingest_2x")),
+      // framing-bound: each event is an 8-member gzip file
+      ("crawl_ingest", () => benchCrawlIngest(spark, base, n / 100L, batch / 100L)),
+      // URL-aware framing + host-budget admission over the same shape
+      ("wet_ingest", () => benchWetIngest(spark, base, n / 100L, batch / 100L)))
+    val results = all.filter(t => want(t._1)).map(_._2())
+    val alert = results.headOption.getOrElse(
+      throw new IllegalArgumentException("empty pipeline subset"))
 
     val json =
       s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
         s""""unit":"events/sec","events":${alert.events},"secs":${alert.secs},""" +
-        s""""alerts":${alert.outRows},"pipelines":{${alert.json},""" +
-        s"""${trending.json},${curation.json},${clustering.json},""" +
-        s"""${annIngest.json},${spanIngest.json},${spanStrip.json},""" +
-        s"""${dfIngest.json},${mediaIngest.json},${mediaIngest2x.json},""" +
-        s"""${crawlIngest.json},${wetIngest.json}}""" +
+        s""""alerts":${alert.outRows},"pipelines":{""" +
+        results.map(_.json).mkString(",") + "}" +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")
