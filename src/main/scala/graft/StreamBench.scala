@@ -478,11 +478,12 @@ object StreamBench {
     * refused cheaply).
     */
   def benchWetIngest(spark: SparkSession, base: java.io.File, n: Long,
-      batch: Long): Result = {
+      batch: Long, near: Boolean = false): Result = {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
-    val wh = Files.createTempDirectory(base.toPath, "wh_sb_wi").toString
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS sbwi LOCATION '$wh'")
+    val db = if (near) "sbwn" else "sbwi"
+    val wh = Files.createTempDirectory(base.toPath, s"wh_sb_$db").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
     val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("text")).collect().map(_.getString(0))
     def gz(t: String): Array[Byte] =
@@ -498,18 +499,34 @@ object StreamBench {
         gz(s"https://h${(i * 8 + k) % 50}.example.org/p${i * 8 + k}" +
           "\r\n\r\n" + body)
       })
-    graft.streaming.CrawlIngest.writeFpStoreEmpty(spark, "sbwi.fps_b")
-    graft.streaming.CrawlIngest.writeHostStore(spark, "sbwi.hosts_b")
+    graft.streaming.CrawlIngest.writeFpStoreEmpty(spark, s"$db.fps_b")
+    graft.streaming.CrawlIngest.writeHostStore(spark, s"$db.hosts_b")
+    // near mode (round 13): the SAME feed additionally runs per-batch
+    // LSH banding + incremental cluster assignment against maintained
+    // band/component stores and folds all four — the measured delta
+    // vs wet_ingest is the seam's total near-dup cost (the feed's 1:1
+    // re-crawl/novel mix keeps the band stores growing and every
+    // batch matching stored content)
+    val nearOpt = if (near) {
+      graft.streaming.CrawlIngest.writeNearStoresEmpty(spark,
+        s"$db.bands_b", s"$db.comps_b")
+      Some((s"$db.bands_b", s"$db.comps_b"))
+    } else None
     val files = MemoryStream[(Long, Array[Byte])]
-    val outDir = Files.createTempDirectory(base.toPath, "sb_wi_out").toString
+    val outDir = Files.createTempDirectory(base.toPath, s"sb_${db}_out")
+      .toString
     val q = graft.streaming.CrawlIngest.startWet(
-      files.toDF().toDF("file_id", "payload"), "sbwi.fps_b",
-      "sbwi.hosts_b", budget = 500, outDir, ckptDir(base, "wi"))
+      files.toDF().toDF("file_id", "payload"), s"$db.fps_b",
+      s"$db.hosts_b", budget = 500, outDir, ckptDir(base, db),
+      near = nearOpt)
     val (events, secs, bms) = feedAndMeasure(files, q, file, n, batch)
     q.stop()
-    val landed = graft.streaming.CrawlIngest.readWet(spark, outDir).count()
-    spark.sql("DROP DATABASE IF EXISTS sbwi CASCADE")
-    Result("wet_ingest", events / secs, events, secs, landed, bms)
+    val landed =
+      (if (near) graft.streaming.CrawlIngest.readWetNear(spark, outDir)
+       else graft.streaming.CrawlIngest.readWet(spark, outDir)).count()
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    Result(if (near) "wet_ingest_near" else "wet_ingest",
+      events / secs, events, secs, landed, bms)
   }
 
   /** Streaming video curation: decode-at-ingest (the dominant cost —
@@ -589,7 +606,10 @@ object StreamBench {
       // framing-bound: each event is an 8-member gzip file
       ("crawl_ingest", () => benchCrawlIngest(spark, base, n / 100L, batch / 100L)),
       // URL-aware framing + host-budget admission over the same shape
-      ("wet_ingest", () => benchWetIngest(spark, base, n / 100L, batch / 100L)))
+      ("wet_ingest", () => benchWetIngest(spark, base, n / 100L, batch / 100L)),
+      // + LSH near-dup assignment and the four-store fold (round 13)
+      ("wet_ingest_near", () => benchWetIngest(spark, base, n / 100L,
+        batch / 100L, near = true)))
     val results = all.filter(t => want(t._1)).map(_._2())
     val alert = results.headOption.getOrElse(
       throw new IllegalArgumentException("empty pipeline subset"))

@@ -121,6 +121,21 @@ object DeltaStore {
         .collect().map(_.getLong(0))
     else Array.empty[Long]
 
+  /** All recorded installment ids: key-table rows ∪ sidecar, read in
+    * ONE Spark job (the guard runs per micro-batch on every ingest
+    * pipeline — two driver-blocking jobs per fold was measurable
+    * latency; both scans are column-pruned BIGINT reads).
+    */
+  private def recordedIds(s: SparkSession, t: DataFrame,
+      table: String): Array[Long] = {
+    val key = t.select(col("batch_id"))
+    val both =
+      if (s.catalog.tableExists(wmTable(table)))
+        key.union(s.table(wmTable(table)).select(col("batch_id")))
+      else key
+    both.distinct().collect().map(_.getLong(0))
+  }
+
   private def bucketedWrite(df: DataFrame, table: String, mode: String,
       keyCols: Seq[String], buckets: Int): Unit =
     df.repartition(buckets, keyCols.map(col): _*)
@@ -161,8 +176,7 @@ object DeltaStore {
         "write entry; the replay guard needs the per-installment watermark")
     // union of row-carried ids and sidecar ids: an EMPTY installment
     // is recorded only by its sidecar row
-    val rec = (t.select(col("batch_id")).distinct().collect()
-      .map(_.getLong(0)) ++ wmIds(s, table)).distinct
+    val rec = recordedIds(s, t, table)
     val watermark = if (rec.isEmpty) -1L else rec.max
     if (rec.contains(batchId)) return false // replayed installment
     require(batchId > watermark,

@@ -653,6 +653,61 @@ object StoreManifest {
     p
   }
 
+  /** Publish the NEAR-mode WET quartet (family `wetnear`, round 13):
+    * fp + host stores plus the LSH band + component stores the
+    * incremental near-dup assignment probes and folds — FOUR roles of
+    * one family, versioned/compacted/vacuumed together (a reader must
+    * never pair a compacted band table with a pre-compaction
+    * component table: assignment resolves band matches THROUGH the
+    * component labels). All bootstrap empty.
+    */
+  def publishWetNear(s: SparkSession, manifest: String,
+      buckets: Int = -1): Prepared = {
+    val p = prepare(s, manifest, "wetnear",
+      Seq("fps", "hosts", "bands", "comps"))
+    graft.streaming.CrawlIngest.writeFpStoreEmpty(s, p.tables("fps"),
+      buckets)
+    graft.streaming.CrawlIngest.writeHostStore(s, p.tables("hosts"),
+      buckets)
+    graft.streaming.CrawlIngest.writeNearStoresEmpty(s,
+      p.tables("bands"), p.tables("comps"), buckets)
+    publish(s, manifest, "wetnear", p)
+    p
+  }
+
+  /** One WET crawl batch through the live quartet in near mode —
+    * verdicts (exact + near flags) against the pre-fold snapshots,
+    * then the replay-guarded four-store fold.
+    */
+  def refreshWetNear(s: SparkSession, manifest: String, files: DataFrame,
+      budget: Int, batchId: Long): Boolean = {
+    val (_, cur) = currentRequired(s, manifest, "wetnear")
+    val near = Some((cur("bands"), cur("comps")))
+    val v = graft.streaming.CrawlIngest
+      .wetVerdicts(s, files, cur("fps"), cur("hosts"), budget, batchId,
+        None, near)
+      .localCheckpoint()
+    graft.streaming.CrawlIngest.foldWet(s, v, cur("fps"), cur("hosts"),
+      batchId, near)
+  }
+
+  /** Roll all FOUR near-seam stores under one new version — one
+    * atomic reader cutover.
+    */
+  def compactWetNear(s: SparkSession, manifest: String): Prepared = {
+    val (_, cur) = currentRequired(s, manifest, "wetnear")
+    val p = prepare(s, manifest, "wetnear",
+      Seq("fps", "hosts", "bands", "comps"))
+    graft.streaming.CrawlIngest.compactFpStore(s, cur("fps"),
+      p.tables("fps"))
+    graft.streaming.CrawlIngest.compactHostStore(s, cur("hosts"),
+      p.tables("hosts"))
+    graft.streaming.CrawlIngest.compactNearStores(s, cur("bands"),
+      p.tables("bands"), cur("comps"), p.tables("comps"))
+    publish(s, manifest, "wetnear", p)
+    p
+  }
+
   /** Build + publish the document-frequency store (family `df`,
     * q183): the term-bucketed df table plus the metadata-sized totals
     * table as a FIRST-CLASS role — both versioned and vacuumed

@@ -455,6 +455,41 @@ object CrawlIngest {
       DeltaStore.readSum(s, table, Seq("host"), Seq("n_admitted")),
       Seq("host"))
 
+  /** Set-semantics compaction of the near-dup store pair: band rows
+    * and component labels are unique by construction (each record
+    * folds exactly once under the replay guard), so both views are
+    * plain projections; the DeltaStore core carries each replay
+    * watermark forward.
+    */
+  def compactNearStores(s: SparkSession, bandTable: String,
+      newBandTable: String, compTable: String,
+      newCompTable: String): Unit = {
+    DeltaStore.compact(s, bandTable, newBandTable,
+      s.table(bandTable).select(col("band"), col("h1"), col("h2"),
+        col("doc_id")),
+      Seq("band", "h1", "h2"))
+    DeltaStore.compact(s, compTable, newCompTable,
+      s.table(compTable).select(col("doc_id"), col("comp")),
+      Seq("doc_id"))
+  }
+
+  /** [[startWet]] in NEAR mode with all FOUR stores resolved through
+    * the version manifest (family `wetnear`, roles `fps` + `hosts` +
+    * `bands` + `comps` — one family, so a compaction flips readers to
+    * all four new tables atomically; a reader can never mix a
+    * compacted band table with a pre-compaction component table).
+    */
+  def startWetNearFromManifest(files: DataFrame, manifest: String,
+      budget: Int, outDir: String, checkpoint: String,
+      epochBase: Long = 0L,
+      rules: Option[DataFrame] = None): StreamingQuery = {
+    val (_, cur) = graft.stores.StoreManifest.currentRequired(
+      files.sparkSession, manifest, "wetnear")
+    startWet(files, cur("fps"), cur("hosts"), budget, outDir,
+      checkpoint, epochBase, rules,
+      near = Some((cur("bands"), cur("comps"))))
+  }
+
   /** [[startWet]] with BOTH stores resolved through the version
     * manifest (family `wet`, roles `fps` + `hosts` — one family, so a
     * compaction flips readers to both new tables atomically).

@@ -385,6 +385,66 @@ class CrawlIngestSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS wim CASCADE")
   }
 
+  test("manifest-resolved NEAR ingest; compactWetNear rolls all four roles atomically") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def wet(url: String, body: String): String = url + "\r\n\r\n" + body
+    def packWet(members: Seq[String]): Array[Byte] =
+      members.toArray.flatMap(m =>
+        Multimodal.gzipBytes(m.getBytes("UTF-8")))
+    val wh = Files.createTempDirectory("graft_wh_wnm").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS wnm LOCATION '$wh'")
+    val mf = "wnm.manifest"
+    try {
+      graft.stores.StoreManifest.publishWetNear(spark, mf, buckets = 4)
+      val src = MemoryStream[(Long, Array[Byte])]
+      val outDir = Files.createTempDirectory("wnm_out").toString
+      val q = CrawlIngest.startWetNearFromManifest(
+        src.toDF().toDF("file_id", "payload"), mf, budget = 100, outDir,
+        Files.createTempDirectory("wnm_ckpt").toString)
+      try {
+        src.addData(Seq((0L, packWet(Seq(
+          wet("https://a.example.org/p1", doc(1)))))))
+        q.processAllAvailable()
+        // batch 2: near re-crawl (tweaked tail) through the MANIFEST path
+        src.addData(Seq((1L, packWet(Seq(
+          wet("https://a.example.org/p2", doc(1).dropRight(2) + "z9"))))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val landed = CrawlIngest.readWetNear(spark, outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getBoolean(7), r.getLong(12), r.getBoolean(13)))).toMap
+      assert(landed((1L, 0L)) === ((false, 0L, true)),
+        "manifest-resolved near serving must catch the tweaked re-crawl")
+
+      // compaction: all FOUR roles flip under one version; sets and
+      // labels preserved; pre-roll installment ids stay refused
+      val before = graft.stores.StoreManifest.currentRequired(
+        spark, mf, "wetnear")._2
+      val compsBefore = spark.table(before("comps"))
+        .select(col("doc_id"), col("comp")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.stores.StoreManifest.compactWetNear(spark, mf)
+      val cur2 = graft.stores.StoreManifest.currentRequired(
+        spark, mf, "wetnear")._2
+      Seq("fps", "hosts", "bands", "comps").foreach(r =>
+        assert(cur2(r) != before(r), s"role $r must roll"))
+      val compsAfter = spark.table(cur2("comps"))
+        .select(col("doc_id"), col("comp")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(compsAfter === compsBefore,
+        "compaction must preserve the component labels")
+      assert(compsAfter === Map(0L -> 0L, 1000000L -> 0L),
+        "both records clustered with the batch-1 original")
+      assert(!graft.stores.DeltaStore.refresh(spark,
+        Seq((0, 1L, 2L, 3L)).toDF("band", "h1", "h2", "doc_id"),
+        cur2("bands"), Seq("band", "h1", "h2"), 2L),
+        "a pre-compaction installment id must stay refused after the roll")
+    } finally spark.sql("DROP DATABASE IF EXISTS wnm CASCADE")
+  }
+
   test("manifest-resolved ingest; compaction preserves the set and the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

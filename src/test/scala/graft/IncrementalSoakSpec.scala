@@ -38,7 +38,7 @@ class IncrementalSoakSpec extends SparkSpec {
   private def partitions(labels: Iterable[(Long, Long)]): Set[Set[Long]] =
     labels.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
 
-  test("3 cycles across dedup + gram + ivf + fp + wet stores, invariants green each cycle") {
+  test("3 cycles across dedup + gram + ivf + fp + wet + wetnear stores, invariants green each cycle") {
     val wh = Files.createTempDirectory("graft_wh_soak").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS soak LOCATION '$wh'")
     var mf = "soak.manifest"
@@ -65,6 +65,11 @@ class IncrementalSoakSpec extends SparkSpec {
       // round-12 second wave: the wet family (fp + host-budget roles,
       // one version) soaks as the 5th — bootstrap empty, budget 2
       StoreManifest.publishWet(spark, mf, buckets = 8)
+      // round-13: the wetnear QUARTET (fp + hosts + LSH bands + comps)
+      // soaks as the 6th family — near-dup assignment at the seam
+      // under continuous version flips
+      StoreManifest.publishWetNear(spark, mf, buckets = 8)
+      var nearRecords = 0L
       val wetBudget = 2
       def gzWet(df: DataFrame, fileId: Long) = {
         val rows = df.select(col("doc_id"), col("text")).collect()
@@ -114,6 +119,13 @@ class IncrementalSoakSpec extends SparkSpec {
           wetBudget, c.toLong), s"cycle $c wet installment must fold")
         assert(!StoreManifest.refreshWet(spark, mf, gzWet(fpBatch, c.toLong),
           wetBudget, c.toLong), s"cycle $c wet replay must be refused")
+        assert(StoreManifest.refreshWetNear(spark, mf,
+          gzWet(fpBatch, c.toLong), wetBudget, c.toLong),
+          s"cycle $c wetnear installment must fold")
+        assert(!StoreManifest.refreshWetNear(spark, mf,
+          gzWet(fpBatch, c.toLong), wetBudget, c.toLong),
+          s"cycle $c wetnear replay must be refused across all four stores")
+        nearRecords += fpBatch.count()
         fpBatch.select(col("doc_id"), md5(col("text")).as("m")).collect()
           .sortBy(_.getLong(0)).foreach { r =>
             val h = s"s${r.getLong(0) % 5}.example.org"
@@ -139,6 +151,7 @@ class IncrementalSoakSpec extends SparkSpec {
           StoreManifest.compactGrams(spark, mf)
           StoreManifest.compactFps(spark, mf)
           StoreManifest.compactWet(spark, mf)
+          StoreManifest.compactWetNear(spark, mf)
           // round-12 verdict item: manifest maintenance IN the loop —
           // roll the event log forward and fsck it mid-soak, so the
           // bounded-log claim holds in the deployed shape (cycle 3
@@ -153,7 +166,7 @@ class IncrementalSoakSpec extends SparkSpec {
             "compaction must actually shrink the event log")
           mf = mf2
         }
-        Seq("dedup", "gram", "ivf", "fp", "wet")
+        Seq("dedup", "gram", "ivf", "fp", "wet", "wetnear")
           .foreach(f => StoreManifest.vacuum(spark, mf, f))
 
         // ---- invariant 1: dedup closure equality ----
@@ -210,6 +223,25 @@ class IncrementalSoakSpec extends SparkSpec {
         assert(wfps.length === wfps.distinct.length &&
           wfps.toSet === wetMd5s,
           s"cycle $c: wet fp role must equal the crawled md5 set, once each")
+
+        // ---- invariant 6: near component store sanity ----
+        // exactly ONE label per record ever crawled through the seam,
+        // and every label is min-convention (≤ its own key, pointing
+        // at a real record) — the exact sequential semantics is
+        // oracle-pinned by q206; the soak pins the store's set-ness
+        // and label well-formedness under version flips
+        val ncur = StoreManifest.currentRequired(spark, mf, "wetnear")._2
+        val labels = spark.table(ncur("comps"))
+          .select(col("doc_id"), col("comp")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+        assert(labels.length === nearRecords.toInt,
+          s"cycle $c: one near label per crawled record " +
+            s"(${labels.length} vs $nearRecords)")
+        assert(labels.map(_._1).distinct.length === labels.length,
+          s"cycle $c: the comp store must stay a set")
+        val keys = labels.map(_._1).toSet
+        assert(labels.forall { case (k, v) => v <= k && keys.contains(v) },
+          s"cycle $c: labels must be min-convention over real records")
       }
 
       // ---- final: warm-start retrain conserves every vector ----
@@ -236,6 +268,7 @@ class IncrementalSoakSpec extends SparkSpec {
       assert(versions("ivf") === 5L, s"ivf: v1 +3 folds +retrain: $versions")
       assert(versions("fp") === 2L, s"fp: v1 +compact: $versions")
       assert(versions("wet") === 2L, s"wet: v1 +compact: $versions")
+      assert(versions("wetnear") === 2L, s"wetnear: v1 +compact: $versions")
     } finally spark.sql("DROP DATABASE IF EXISTS soak CASCADE")
   }
 }
