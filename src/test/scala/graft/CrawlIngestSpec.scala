@@ -251,6 +251,80 @@ class CrawlIngestSpec extends SparkSpec {
       "the component store records the cross-batch cluster")
   }
 
+  test("near serving: band + comp store sides arrive co-partitioned, no store-side exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    Seq("cip_bands", "cip_comps").foreach { t =>
+      Seq(t, t + "_wm").foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), n)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    }
+    CrawlIngest.writeNearStoresEmpty(spark, "cip_bands", "cip_comps", 4)
+    // one folded installment so the store scans are non-empty
+    val seed = Seq((100L, doc(1)), (101L, doc(2))).toDF("doc_id", "text")
+    val seedBands = graft.operators.Dedup.bandSignatures(seed)
+      .localCheckpoint(true)
+    assert(graft.stores.DeltaStore.refresh(spark,
+      seedBands.select(col("band"), col("h1"), col("h2"), col("doc_id")),
+      "cip_bands", Seq("band", "h1", "h2"), 1L))
+    assert(graft.stores.DeltaStore.refresh(spark,
+      seed.select(col("doc_id"), col("doc_id").as("comp")),
+      "cip_comps", Seq("doc_id"), 1L))
+
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val batch = Seq((200L, doc(1)), (201L, doc(50))).toDF("doc_id", "text")
+      val assigned = graft.operators.Dedup.assignFromBands(spark,
+        graft.operators.Dedup.bandSignatures(batch).localCheckpoint(true),
+        batch.select(col("doc_id")),
+        spark.table("cip_bands").filter(col("batch_id") < 2L)
+          .select(col("doc_id"), col("band"), col("h1"), col("h2")),
+        spark.table("cip_comps").filter(col("batch_id") < 2L)
+          .select(col("doc_id"), col("comp")),
+        withinBatch = false)
+      val plan = assigned.queryExecution.executedPlan
+      // for each DeltaStore-backed scan (band store: h1 in schema;
+      // comp store: comp in schema), the SMJ side holding it must
+      // carry NO exchange — the bucketed layout (the join key IS the
+      // bucket key) satisfies the join's distribution from disk, so
+      // at 100 TB only the batch side ever shuffles
+      val joins = plan.collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, s"expected sort-merge joins:\n$plan")
+      // the INNERMOST join side holding each store scan (outer joins'
+      // batch-side subtrees legitimately contain the store scan plus
+      // the batch's own distinct/agg exchanges — those are not the
+      // store's): the side that scans the store, contains no further
+      // join, and therefore must be the bare scan+filter+sort with
+      // NO exchange
+      def innermostStoreSide(c: String) = joins
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(s => s.collect { case sc: FileSourceScanExec
+            if sc.output.exists(_.name == c) => sc }.nonEmpty)
+        .filter(s => s.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      Seq("h1", "comp").foreach { c =>
+        val sides = innermostStoreSide(c)
+        assert(sides.nonEmpty, s"expected a bare store-side scan with '$c':\n$plan")
+        sides.foreach(s => assert(
+          s.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"the '$c' store side must arrive co-partitioned from disk:\n$plan"))
+      }
+      val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(200L -> 100L, 201L -> 201L),
+        "the re-crawl clusters with the stored doc; the novel one self-labels")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("foldWet crash between the two store folds: retry converges bit-for-bit") {
     import spark.implicits._
     def wet(url: String, body: String): String = url + "\r\n\r\n" + body
