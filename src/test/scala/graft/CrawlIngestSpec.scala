@@ -251,6 +251,41 @@ class CrawlIngestSpec extends SparkSpec {
       "the component store records the cross-batch cluster")
   }
 
+  test("near mode: a crawl frame outside the ck encoding bound loud-fails") {
+    import spark.implicits._
+    Seq("cib_fps", "cib_hosts", "cib_bands", "cib_comps").foreach { t =>
+      Seq(t, t + "_wm").foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), n)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    }
+    CrawlIngest.writeFpStoreEmpty(spark, "cib_fps", 4)
+    CrawlIngest.writeHostStore(spark, "cib_hosts", 4)
+    CrawlIngest.writeNearStoresEmpty(spark, "cib_bands", "cib_comps", 4)
+    // file_id past the linearization bound: the near path must FAIL
+    // the batch loudly (a silently-aliased cluster key would corrupt
+    // the store), never truncate
+    val files = Seq((9000000000001L, Multimodal.gzipBytes(
+      ("https://a.example.org/p1\r\n\r\n" + doc(1)).getBytes("UTF-8"))))
+      .toDF("file_id", "payload")
+    val e = intercept[Exception] {
+      CrawlIngest.wetVerdicts(spark, files, "cib_fps", "cib_hosts",
+        10, 1L, None, Some(("cib_bands", "cib_comps"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("encoding bound violated")),
+      s"expected the ck bound error, got: $e")
+    // the SAME frame through plain (non-near) mode is fine — the
+    // bound is a near-mode contract only
+    val plain = CrawlIngest.wetVerdicts(spark, files, "cib_fps",
+      "cib_hosts", 10, 1L).collect()
+    assert(plain.length === 1 && plain.head.getBoolean(9))
+  }
+
   test("near serving: band + comp store sides arrive co-partitioned, no store-side exchange") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec
