@@ -251,6 +251,63 @@ class CrawlIngestSpec extends SparkSpec {
       "the component store records the cross-batch cluster")
   }
 
+  test("near mode composes with robots rules: disallowed content still banded, never admitted") {
+    import spark.implicits._
+    def wet(url: String, body: String): String = url + "\r\n\r\n" + body
+    Seq("cir_fps", "cir_hosts", "cir_bands", "cir_comps").foreach { t =>
+      Seq(t, t + "_wm").foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), n)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    }
+    CrawlIngest.writeFpStoreEmpty(spark, "cir_fps", 4)
+    CrawlIngest.writeHostStore(spark, "cir_hosts", 4)
+    CrawlIngest.writeNearStoresEmpty(spark, "cir_bands", "cir_comps", 4)
+    val near = Some(("cir_bands", "cir_comps"))
+    val rules = Some(Seq(("a.example.org", "/deny", false))
+      .toDF("r_host", "prefix", "allow"))
+    def packWet(members: Seq[String]): Array[Byte] =
+      members.toArray.flatMap(m =>
+        Multimodal.gzipBytes(m.getBytes("UTF-8")))
+    // wave 1: the DISALLOWED record carries the body a later wave
+    // re-crawls — its bands must still fold (a known page is a known
+    // page) while it consumes no budget
+    val w1 = Seq((0L, packWet(Seq(
+      wet("https://a.example.org/deny1", doc(1)),
+      wet("https://a.example.org/p1", doc(2))))))
+      .toDF("file_id", "payload")
+    val v1 = CrawlIngest.wetVerdicts(spark, w1, "cir_fps", "cir_hosts",
+      2, 1L, rules, near).localCheckpoint()
+    assert(CrawlIngest.foldWet(spark, v1, "cir_fps", "cir_hosts", 1L, near))
+    val m1 = v1.collect().map(r => r.getLong(1) ->
+      ((r.getBoolean(6), r.getBoolean(9), r.getLong(12),
+        r.getBoolean(13)))).toMap
+    assert(m1(0L) === ((false, false, 0L, false)),
+      "disallowed: allowed=false, not admitted, still self-banded")
+    assert(m1(1L) === ((true, true, 1L, false)))
+
+    // wave 2: a near re-crawl of the DISALLOWED body on an allowed
+    // path — flagged near-dup of the stored (disallowed) record
+    val w2 = Seq((1L, packWet(Seq(
+      wet("https://b.example.org/p1", doc(1).dropRight(2) + "z9")))))
+      .toDF("file_id", "payload")
+    val v2 = CrawlIngest.wetVerdicts(spark, w2, "cir_fps", "cir_hosts",
+      2, 2L, rules, near).localCheckpoint()
+    val m2 = v2.collect().map(r => r.getLong(1) ->
+      ((r.getBoolean(6), r.getBoolean(9), r.getLong(12),
+        r.getBoolean(13)))).toMap
+    assert(m2(0L) === ((true, true, 0L, true)),
+      "a near re-crawl of disallowed content is still a known near-dup")
+    // budget audit: the disallowed record consumed nothing
+    assert(CrawlIngest.foldWet(spark, v2, "cir_fps", "cir_hosts", 2L, near))
+    val counts = graft.stores.DeltaStore
+      .readSum(spark, "cir_hosts", Seq("host"), Seq("n_admitted"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a.example.org" -> 1L, "b.example.org" -> 1L))
+  }
+
   test("near mode: a crawl frame outside the ck encoding bound loud-fails") {
     import spark.implicits._
     Seq("cib_fps", "cib_hosts", "cib_bands", "cib_comps").foreach { t =>
