@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * Emits one JSON line (and SCALEBENCH_OUT.json) with t1/t10/exponent
   * per query and result-row counts at both scales (rows must scale
   * with the corpus or the run degenerated).
+  *
+  * Round 14: a THIRD scale point (default 100×, [[ThirdPointTargets]]
+  * only — two points fit one line by construction) and the exponent
+  * becomes the least-squares log-log slope over the available points,
+  * so a super-linear term hiding behind a constant at 10× bends the
+  * fit visibly at 100×.
   */
 object ScaleBench {
 
@@ -82,8 +88,8 @@ object ScaleBench {
     "q191_multimodal_curation")
 
   private def runAll(spark: SparkSession, dir: String,
-      repeat: Int): Map[String, (Double, Long)] =
-    Targets.flatMap(n => Seq.fill(repeat)(n)).map { name =>
+      repeat: Int, targets: Seq[String]): Map[String, (Double, Long)] =
+    targets.flatMap(n => Seq.fill(repeat)(n)).map { name =>
       System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(500)
       val t0 = System.nanoTime()
       val n = Bench.force(SparkEntry.queries(name)(spark, dir))
@@ -91,6 +97,28 @@ object ScaleBench {
     }.groupBy(_._1).map { case (n, rs) =>
       n -> ((rs.map(_._2).min, rs.map(_._3).max))
     }
+
+  /** The third-point subset (round-13 verdict item 6): two points fit
+    * one line by construction — a 100× point on the top-5 heaviest
+    * distinguishes e ≈ 0.5 from a super-linear term hidden by
+    * constants at 10×. Kept to five: the 100× corpus (500k docs /
+    * 200k vecs) costs minutes per query.
+    */
+  val ThirdPointTargets: Seq[String] = Seq(
+    "q206_wet_neardup", "q197_bpe_tokenize", "q95_winnow_pairs",
+    "q202_host_budget", "q183_bm25_store")
+
+  /** Least-squares slope of ln t over ln scale — with two points this
+    * degenerates to the old ln(tN/t1)/ln(N); with three it is the
+    * fitted growth exponent.
+    */
+  private def fitExponent(pts: Seq[(Double, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+    val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val varx = xs.map(x => (x - mx) * (x - mx)).sum
+    cov / varx
+  }
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = Bench.hostLoad()
@@ -114,31 +142,51 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // subset selection happens BEFORE execution (round-13 advice fix:
+    // filtering only the report defeated the fast-iteration purpose)
     val subset = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     val sel = Targets.filter(n => subset.forall(_.contains(n)))
+    // third point: 100× on the top-5 by default; 0 disables
+    val factor2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR2", "100").toInt
+    val sel2 = sys.env.get("SPARK_GRAFT_SCALE_TOP")
+      .map(_.split(",").toSeq).getOrElse(ThirdPointTargets)
+      .filter(sel.contains)
 
     writeUniform(spark, s"$base-1x", docs1, vecs1)
     writeUniform(spark, s"$base-${factor}x", docs1 * factor, vecs1 * factor)
-    val t1 = runAll(spark, s"$base-1x", repeat)
-      .filter { case (k, _) => sel.contains(k) }
-    val tN = runAll(spark, s"$base-${factor}x", repeat)
-      .filter { case (k, _) => sel.contains(k) }
+    val t1 = runAll(spark, s"$base-1x", repeat, sel)
+    val tN = runAll(spark, s"$base-${factor}x", repeat, sel)
+    val tM: Map[String, (Double, Long)] =
+      if (factor2 > 0 && sel2.nonEmpty) {
+        writeUniform(spark, s"$base-${factor2}x",
+          docs1 * factor2, vecs1 * factor2)
+        runAll(spark, s"$base-${factor2}x", repeat, sel2)
+      } else Map.empty
 
-    def jmap(f: String => String): String =
-      sel.filter(t1.contains).map(k => "\"" + k + "\":" + f(k))
-        .mkString("{", ",", "}")
+    def jmap(ks: Seq[String], f: String => String): String =
+      ks.map(k => "\"" + k + "\":" + f(k)).mkString("{", ",", "}")
+    val done = sel.filter(k => t1.contains(k) && tN.contains(k))
+    val done2 = sel2.filter(tM.contains)
+    def r3(x: Double): String = (math.rint(x * 1000) / 1000).toString
     val json =
       s"""{"metric":"scale_total_${factor}x","value":${
-        sel.filter(tN.contains).map(tN(_)._1).sum},"unit":"sec",""" +
-        s""""factor":$factor,"docs1":$docs1,"vecs1":$vecs1,""" +
-        s""""t1":${jmap(k => (math.rint(t1(k)._1 * 1000) / 1000).toString)},""" +
-        s""""t${factor}":${jmap(k => (math.rint(tN(k)._1 * 1000) / 1000).toString)},""" +
-        s""""exponent":${jmap { k =>
-          val e = math.log(tN(k)._1 / t1(k)._1) / math.log(factor.toDouble)
-          (math.rint(e * 1000) / 1000).toString
-        }},""" +
-        s""""rows1":${jmap(k => t1(k)._2.toString)},""" +
-        s""""rows${factor}":${jmap(k => tN(k)._2.toString)}""" +
+        done.map(tN(_)._1).sum},"unit":"sec",""" +
+        s""""factor":$factor,"factor2":$factor2,"docs1":$docs1,"vecs1":$vecs1,""" +
+        s""""t1":${jmap(done, k => r3(t1(k)._1))},""" +
+        s""""t${factor}":${jmap(done, k => r3(tN(k)._1))},""" +
+        (if (done2.nonEmpty)
+          s""""t${factor2}":${jmap(done2, k => r3(tM(k)._1))},"""
+         else "") +
+        s""""exponent":${jmap(done, { k =>
+          val pts = Seq((1.0, t1(k)._1), (factor.toDouble, tN(k)._1)) ++
+            tM.get(k).map(v => (factor2.toDouble, v._1))
+          r3(fitExponent(pts))
+        })},""" +
+        s""""rows1":${jmap(done, k => t1(k)._2.toString)},""" +
+        s""""rows${factor}":${jmap(done, k => tN(k)._2.toString)}""" +
+        (if (done2.nonEmpty)
+          s""","rows${factor2}":${jmap(done2, k => tM(k)._2.toString)}"""
+         else "") +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     System.err.println(json)

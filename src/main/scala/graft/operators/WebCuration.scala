@@ -773,13 +773,15 @@ object WebCuration {
     // scores every WET body through q190's fused hashing-trick
     // classifier (zero exchanges; the aggregate() rides the decode
     // scan, so wet_ingest's files/s is untouched) and lands
-    // clf_score/clf_keep beside the q32 quality floor. The engine side
-    // ALSO serves the same records through the q193 broadcast-
-    // weight-table path and requires bit-equality — the seam's fused
-    // arithmetic IS the broadcast-served model (their shared oracle is
-    // the q190/q193 precedent), so swapping in trained weights means
-    // serving q193's shape under this same gate. Output: both quality
-    // signals plus the combined keep the downstream chain would apply.
+    // clf_score/clf_keep beside the q32 quality floor. The fused seam
+    // arithmetic IS the q193 broadcast-weight-table serving model —
+    // record-for-record equality of the two paths is pinned in
+    // WebCurationSpec (round-13 verdict item 4: the dual-path count
+    // used to run INSIDE this query, doubling its cost at any scale as
+    // a permanent driver-blocking gate; the query now serves one
+    // pass, the gate is a spec like every other invariant). Output:
+    // both quality signals plus the combined keep the downstream
+    // chain would apply.
     QueryDef(
       "q207_wet_classifier",
       (s, d) => {
@@ -795,23 +797,11 @@ object WebCuration {
         }
         CrawlIngest.writeFpStoreEmpty(s, fpT, 8)
         CrawlIngest.writeHostStore(s, hostT, 8)
-        val v = CrawlIngest
+        CrawlIngest
           .wetVerdicts(s, wetFiles(s, d), fpT, hostT, 1000000, 1L)
           .select(col("file_id"), col("rec_idx"), col("host"),
-            col("quality"), col("clf_score"), col("clf_keep"))
-          .localCheckpoint(true)
-        // the broadcast-weight-table serving path must agree with the
-        // seam's fused column, record for record
-        val served = TrainPrep.clfScoreBroadcast(
-          wetRecords(s, d), "body", Seq("file_id", "rec_idx"))
-          .select(col("file_id"), col("rec_idx"),
-            col("clf_score").as("served_score"))
-        val diverged = v.join(served, Seq("file_id", "rec_idx"))
-          .filter(col("clf_score") =!= col("served_score")).count()
-        require(diverged == 0L,
-          s"fused seam scores must equal the broadcast-table serving " +
-            s"path ($diverged rows diverged)")
-        v.withColumn("keep", col("clf_keep") && col("quality") >= 0.3)
+            col("quality"), col("clf_score"), col("clf_keep"),
+            (col("clf_keep") && col("quality") >= 0.3).as("keep"))
       },
       Some(s"""WITH $WetSql,
              |d AS (SELECT doc_id, doc_id % 97 AS file_id,

@@ -105,25 +105,58 @@ object StoreManifest {
     * pre-migration log (the manifest is either still old, half
     * rewritten, or already migrated with no events possibly appended
     * — every append path runs through init first), so init re-derives
-    * the manifest from it and only then drops it.
+    * the manifest from it and only then drops it. The backup may also
+    * survive as a catalog-LESS directory (an in-memory catalog that
+    * died with its JVM): a committed one (`_SUCCESS` present) restores
+    * exactly like the in-catalog case, a partial one is swept — either
+    * way the next migration's backup write finds a clean location.
     */
   def init(s: SparkSession, manifest: String): Unit = {
     val backup = manifest + "__migrating"
-    def migrateFrom(src: String): Unit = {
-      val base = s.table(src)
+    def defaultPath(t: String): org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          s.sessionState.sqlParser.parseTableIdentifier(t)))
+    def migrateFrom(base: org.apache.spark.sql.DataFrame): Unit = {
       val migrated =
         (if (base.columns.contains("writer")) base
          else base.withColumn("writer", lit("")))
           .select(schemaCols.map(col): _*)
           .collect() // metadata-sized: O(versions × roles) rows
       val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      // the rows are on the driver — a stale manifest DIRECTORY (its
+      // catalog entry died with an in-memory catalog) would fail the
+      // CREATE under saveAsTable, and the backup is authoritative
+      // over it in every crash window anyway
+      if (!s.catalog.tableExists(manifest)) {
+        val p = defaultPath(manifest)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
       s.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](
             java.util.Arrays.asList(migrated: _*)), schema)
         .write.mode("overwrite").format("parquet").saveAsTable(manifest)
     }
+    // stale-DIRECTORY self-heal (round-13 advice; the recordWm
+    // pattern): a killed run whose in-memory catalog died with its
+    // JVM can leave the backup's warehouse directory behind with no
+    // catalog entry — the next migration's saveAsTable(backup) would
+    // then fail with LOCATION_ALREADY_EXISTS. A COMMITTED backup
+    // (saveAsTable finished — the `_SUCCESS` marker is its commit
+    // record) is the authoritative pre-migration log exactly like the
+    // in-catalog branch below, so restore from the files; a partial
+    // write (no marker) means the manifest was never touched — sweep.
+    if (!s.catalog.tableExists(backup)) {
+      val p = defaultPath(backup)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          migrateFrom(s.read.parquet(p.toString))
+        fs.delete(p, true)
+      }
+    }
     if (s.catalog.tableExists(backup)) {
-      migrateFrom(backup) // crashed migration: restore + migrate
+      migrateFrom(s.table(backup)) // crashed migration: restore + migrate
       s.sql(s"DROP TABLE $backup")
     }
     s.sql(s"CREATE TABLE IF NOT EXISTS $manifest ($schemaDdl) USING parquet")
@@ -132,7 +165,7 @@ object StoreManifest {
       if (cols == schemaCols.filterNot(_ == "writer")) {
         s.table(manifest).write.mode("overwrite").format("parquet")
           .saveAsTable(backup) // the commit point of the migration
-        migrateFrom(backup)
+        migrateFrom(s.table(backup))
         s.sql(s"DROP TABLE $backup")
       } else throw new IllegalStateException(
         s"manifest $manifest has schema $cols, expected $schemaCols — " +

@@ -444,6 +444,52 @@ class StoreManifestSpec extends SparkSpec {
         StoreManifest.init(spark, alien)
       }
       assert(e.getMessage.contains("rebuild the manifest"))
+
+      // ---- stale backup DIRECTORY, no catalog entry (round-13 advice) ----
+      // a killed run whose in-memory catalog died with its JVM leaves
+      // the backup's warehouse directory behind; before the fix the
+      // next migration's saveAsTable(backup) failed with
+      // LOCATION_ALREADY_EXISTS. Window C: COMMITTED stale backup
+      // (_SUCCESS present) — authoritative, init restores from it.
+      val crashC = "smmig.crashc"
+      val cPath = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser
+            .parseTableIdentifier(crashC + "__migrating")))
+      val fs = cPath.getFileSystem(spark.sessionState.newHadoopConf())
+      // the directory exists WITHOUT a catalog entry — written straight
+      // to the default table path, the exact state a dead in-memory
+      // catalog leaves behind (a committed write carries _SUCCESS)
+      Seq(("fam", 7L, "a", "smmig.crashc_t", "published", ts))
+        .toDF("family", "version", "role", "table_name", "event", "ts")
+        .write.format("parquet").save(cPath.toString)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(cPath, "_SUCCESS")))
+      assert(!spark.catalog.tableExists(crashC + "__migrating"))
+      StoreManifest.init(spark, crashC)
+      assert(spark.table(crashC).count() === 1L,
+        "a committed catalog-less backup dir is the authoritative log")
+      assert(spark.table(crashC).head().getLong(1) === 7L)
+      assert(!fs.exists(cPath), "the stale directory must be swept")
+      // window D: PARTIAL stale backup (no _SUCCESS — the write
+      // itself died, the manifest was never touched) — swept, and the
+      // next migration's backup write finds a clean location
+      val crashD = "smmig.crashd"
+      Seq(("fam", 1L, "a", "smmig.crashd_t", "published", ts))
+        .toDF("family", "version", "role", "table_name", "event", "ts")
+        .write.format("parquet").saveAsTable(crashD) // 6-col: migration due
+      val dPath = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser
+            .parseTableIdentifier(crashD + "__migrating")))
+      fs.mkdirs(dPath)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dPath, "part-00000.parquet"))
+      out.write(Array[Byte](1, 2, 3)); out.close() // torn write, no marker
+      StoreManifest.init(spark, crashD)
+      assert(spark.table(crashD).columns.toSeq.contains("writer"),
+        "the due migration must proceed over the swept partial dir")
+      assert(spark.table(crashD).count() === 1L)
+      assert(!spark.catalog.tableExists(crashD + "__migrating"))
     } finally spark.sql("DROP DATABASE IF EXISTS smmig CASCADE")
   }
 }

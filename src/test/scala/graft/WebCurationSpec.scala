@@ -119,6 +119,32 @@ class WebCurationSpec extends SparkSpec {
       "a record matching no rule returns the null struct for the caller's default")
   }
 
+  test("clf dual-path gate: fused seam scores equal the broadcast-table serving path") {
+    // moved OUT of q207's query path (round-13 verdict item 4: the
+    // dual-path count was a permanent driver-blocking gate that ran
+    // the classifier twice over the corpus inside a declared query) —
+    // the invariant is unchanged: the zero-exchange aggregate() riding
+    // the decode scan computes the SAME integer score as the q193
+    // broadcast-weight-table shape a trained model ships in, record
+    // for record, so trained weights drop into either path
+    import graft.operators.{TrainPrep, WebCuration}
+    val recs = WebCuration.wetRecords(spark, sf001)
+    val fused = TrainPrep.withClfScore(recs, "body")
+      .select(col("file_id"), col("rec_idx"),
+        col("n_feat"), col("clf_score"))
+    val served = TrainPrep.clfScoreBroadcast(recs, "body",
+      Seq("file_id", "rec_idx"))
+      .select(col("file_id"), col("rec_idx"),
+        col("n_feat").as("s_feat"), col("clf_score").as("s_score"))
+    val joined = fused.join(served, Seq("file_id", "rec_idx"), "full")
+    assert(joined.filter(col("clf_score").isNull ||
+      col("s_score").isNull).count() === 0L,
+      "both paths must score exactly the same record set")
+    assert(joined.filter(col("clf_score") =!= col("s_score") ||
+      col("n_feat") =!= col("s_feat")).count() === 0L,
+      "fused seam scores must equal the broadcast-table serving path")
+  }
+
   test("wet fixture framing: every doc recovered, URL page-keyed") {
     val recs = WebCuration.wetRecords(spark, sf001)
     assert(recs.count() === Tables(spark, sf001, "documents").count())
