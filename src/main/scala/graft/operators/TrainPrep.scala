@@ -89,38 +89,75 @@ object TrainPrep {
     * seam — so swapping the weight formula for a trained vector means
     * serving via q193's shape with the same gate.
     */
-  private[graft] def withClfScore(df: DataFrame,
-      textCol: String): DataFrame = {
+  private[graft] def withClfScore(df: DataFrame, textCol: String,
+      weights: Option[Array[Long]] = None): DataFrame = {
     graft.functions.Md5Long.register(df.sparkSession)
-    df.withColumn("__t", split(col(textCol), " "))
+    val base = df.withColumn("__t", split(col(textCol), " "))
       .withColumn("__bi", when(size(col("__t")) >= 2, expr(
         "transform(sequence(1, size(__t) - 1)," +
           " i -> concat_ws(' ', slice(__t, i, 2)))"))
         .otherwise(expr("cast(array() as array<string>)")))
       .withColumn("n_feat",
         (size(col("__t")) + size(col("__bi"))).cast("long"))
-      .withColumn("clf_score", expr(
-        """aggregate(concat(__t, __bi), 0L, (acc, w) ->
-          |  acc + (case when pmod(md5long(concat('s#', w)), 2) = 0
-          |              then 1L else -1L end)
-          |      * ((pmod(md5long(w), 1024) * 2654435761L) % 2001
-          |         - 1000))""".stripMargin))
-      .drop("__t", "__bi")
+    val scored = weights match {
+      case None =>
+        base.withColumn("clf_score", expr(
+          """aggregate(concat(__t, __bi), 0L, (acc, w) ->
+            |  acc + (case when pmod(md5long(concat('s#', w)), 2) = 0
+            |              then 1L else -1L end)
+            |      * ((pmod(md5long(w), 1024) * 2654435761L) % 2001
+            |         - 1000))""".stripMargin))
+      case Some(w) =>
+        // TRAINED path (round 14): the full 1024-bucket vector rides
+        // in as ONE array literal, so the scorer keeps the fused
+        // zero-exchange shape — element_at replaces the stand-in
+        // arithmetic, nothing explodes, nothing shuffles
+        require(w.length == ClfBuckets,
+          s"clf weight vector must be dense over $ClfBuckets buckets")
+        base.withColumn("__wv", typedLit(w.toSeq))
+          .withColumn("clf_score", expr(
+            """aggregate(concat(__t, __bi), 0L, (acc, tm) ->
+              |  acc + (case when pmod(md5long(concat('s#', tm)), 2) = 0
+              |              then 1L else -1L end)
+              |      * element_at(__wv,
+              |          cast(pmod(md5long(tm), 1024) as int) + 1))"""
+              .stripMargin))
+          .drop("__wv")
+    }
+    scored.drop("__t", "__bi")
   }
+
+  /** The hashing-trick bucket space — fixed, so a weight vector is
+    * always a dense 1024-slot array and every serving path (fused
+    * literal, broadcast table, seam) agrees on addressing.
+    */
+  private[graft] val ClfBuckets = 1024
 
   /** The q193 broadcast-weight-table serving path over an arbitrary
     * keyed text frame — the shape a TRAINED model ships in (weights
     * as a 1024-row table, broadcast-joined to the exploded feature
     * stream, one doc-keyed exchange). Returns (keyCols..., n_feat,
     * clf_score). q207 pins it equal to [[withClfScore]] at the seam.
+    * `trained` swaps the stand-in arithmetic for a real (j, w) weight
+    * frame (sparse ok — missing buckets serve 0).
     */
   private[graft] def clfScoreBroadcast(df: DataFrame, textCol: String,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], trained: Option[DataFrame] = None): DataFrame = {
     val s = df.sparkSession
     graft.functions.Md5Long.register(s)
-    val weights = s.range(0, 1024).toDF("j")
-      .select(col("j"),
-        ((col("j") * 2654435761L) % 2001 - 1000).as("w_milli"))
+    // trained (j, w) frames may be sparse — densify over the bucket
+    // space so a missing bucket serves 0 exactly like the fused
+    // element_at path
+    val weights = trained match {
+      case Some(w) =>
+        s.range(0, ClfBuckets).toDF("j")
+          .join(w.select(col("j"), col("w").as("w_milli")), Seq("j"), "left")
+          .select(col("j"), coalesce(col("w_milli"), lit(0L)).as("w_milli"))
+      case None =>
+        s.range(0, ClfBuckets).toDF("j")
+          .select(col("j"),
+            ((col("j") * 2654435761L) % 2001 - 1000).as("w_milli"))
+    }
     df.select(keyCols.map(col) :+ split(col(textCol), " ").as("t"): _*)
       .withColumn("bi", when(size(col("t")) >= 2, expr(
         "transform(sequence(1, size(t) - 1)," +
@@ -137,6 +174,142 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_feat"),
         sum(col("sign") * col("w_milli")).as("clf_score"))
   }
+
+  // ---- in-engine classifier TRAINING (round 14) -----------------------
+  //
+  // The round-13 surface served a stand-in weight vector; this is the
+  // training side: a BATCH PERCEPTRON over the same signed
+  // hashing-trick features, chosen deliberately over logistic
+  // regression because every update is INTEGER arithmetic — weights,
+  // margins, and deltas are exact BIGINTs in any summation order, so
+  // the DuckDB oracle replays training bit-for-bit (float gradient
+  // sums would diverge in the last ulp across engines). Each step is
+  // three DataFrame aggs: margins (features ⋈ broadcast weights,
+  // grouped per doc), the misclassified set (y·margin ≤ 0 — with w⁰=0
+  // step 1 updates on every doc), and the summed update Σ y·x over it.
+  //
+  // Scale shape: labeled classifier corpora are SAMPLE-sized by
+  // construction (fastText/CCNet train on 10⁵–10⁶ docs, not the
+  // 100 TB corpus — the corpus is what gets SCORED, and scoring is
+  // the zero-exchange fused path). Training still never collects doc
+  // data: features stay distributed, only the 1024-row weight vector
+  // moves (broadcast out, folded back per step). The weight store is
+  // a SUM-semantics DeltaStore family — perceptron updates are
+  // additive, so installment t IS step t's delta and readSum is the
+  // current model; continued training on new labeled data appends
+  // installments under the same replay guard as every other store.
+
+  /** Signed hashed features of a keyed text frame: one row per
+    * (key..., bucket j) with the summed term signs `c` — the exact
+    * arithmetic of [[withClfScore]] factored per bucket so training
+    * and serving can never drift.
+    */
+  private[graft] def clfFeatures(df: DataFrame, textCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    graft.functions.Md5Long.register(df.sparkSession)
+    df.select(keyCols.map(col) :+ split(col(textCol), " ").as("t"): _*)
+      .withColumn("bi", when(size(col("t")) >= 2, expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> concat_ws(' ', slice(t, i, 2)))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+      .select(keyCols.map(col) :+
+        explode(concat(col("t"), col("bi"))).as("term"): _*)
+      .select(keyCols.map(col) :+
+        pmod(expr("md5long(term)"), lit(ClfBuckets.toLong)).as("j") :+
+        when(pmod(expr("md5long(concat('s#', term))"), lit(2)) === 0, 1L)
+          .otherwise(-1L).as("sign"): _*)
+      .groupBy((keyCols :+ "j").map(col): _*)
+      .agg(sum(col("sign")).as("c"))
+  }
+
+  /** One batch-perceptron step against the weight frame `w` (sparse
+    * (j, w) — missing buckets are 0): margins per doc under the
+    * broadcast weights, the misclassified set (y·margin ≤ 0), and the
+    * summed integer update Σ y·c per bucket. The only exchanges are
+    * doc-keyed and bucket-keyed partial aggs over the SAMPLE-sized
+    * labeled frame.
+    */
+  private[graft] def perceptronDelta(feats: DataFrame, labels: DataFrame,
+      w: DataFrame): DataFrame = {
+    val margins = feats
+      .join(broadcast(w.select(col("j"), col("w"))), Seq("j"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("margin"))
+    val upd = labels.join(margins, Seq("doc_id"))
+      .filter(col("y") * col("margin") <= 0)
+      .select(col("doc_id"), col("y"))
+    feats.join(upd, "doc_id")
+      .groupBy(col("j")).agg(sum(col("y") * col("c")).as("w"))
+  }
+
+  /** Pure training loop: `steps` batch-perceptron steps from w⁰ = 0
+    * over a pinned feature frame. Returns the sparse (j, w) weight
+    * frame; per-step state is the 1024-row vector only (pinned each
+    * step — lineage stays flat, the frame is metadata-sized).
+    */
+  private[graft] def trainPerceptron(s: SparkSession, feats: DataFrame,
+      labels: DataFrame, steps: Int): DataFrame = {
+    var w: DataFrame = s.range(0).select(col("id").as("j"), col("id").as("w"))
+    for (_ <- 1 to steps) {
+      val delta = perceptronDelta(feats, labels, w)
+      w = w.union(delta).groupBy(col("j")).agg(sum(col("w")).as("w"))
+        .localCheckpoint(true)
+    }
+    w
+  }
+
+  /** Empty weight store — family `clf`, SUM semantics on (j, w),
+    * bucketed on j. Installment t is training step t's delta; readSum
+    * is the current model; replay-guarded like every family.
+    */
+  def writeClfStoreEmpty(s: SparkSession, table: String,
+      buckets: Int = -1): Unit =
+    graft.stores.DeltaStore.write(s,
+      s.range(0).select(col("id").as("j"), col("id").as("w")),
+      table, Seq("j"), buckets)
+
+  /** One training step AGAINST the store: read the current model
+    * (readSum over prior installments), compute the perceptron delta
+    * over the labeled frame, fold it as installment `step`. A crash-
+    * replayed step is refused by the guard — training never
+    * double-applies an update.
+    */
+  def trainClfStep(s: SparkSession, feats: DataFrame, labels: DataFrame,
+      table: String, step: Long): Boolean = {
+    graft.stores.DeltaStore.uncache(s, table)
+    val w = graft.stores.DeltaStore.readSum(s, table, Seq("j"), Seq("w"))
+    graft.stores.DeltaStore.refresh(s,
+      perceptronDelta(feats, labels, w), table, Seq("j"), step)
+  }
+
+  /** The current model as a sparse (j, w) frame. */
+  def readClfWeights(s: SparkSession, table: String): DataFrame =
+    graft.stores.DeltaStore.readSum(s, table, Seq("j"), Seq("w"))
+
+  /** The current model as the dense 1024-slot vector the fused seam
+    * scorer bakes in ([[withClfScore]] with weights). The collect is
+    * O(1024) — model-sized, the same driver-read class as the
+    * manifest and guard reads, declared.
+    */
+  def readClfVector(s: SparkSession, table: String): Array[Long] = {
+    val arr = Array.fill(ClfBuckets)(0L)
+    readClfWeights(s, table).collect().foreach { r =>
+      arr(r.getLong(0).toInt) = r.getLong(1)
+    }
+    arr
+  }
+
+  /** Quality-floor labels over a (doc_id, text) frame: y = +1 iff the
+    * q32 quality score clears 0.3 — the deterministic stand-in for a
+    * hand-labeled good/bad corpus, replayable in the oracle.
+    */
+  private[graft] def clfLabels(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nd", size(array_distinct(col("toks"))))
+      .select(col("doc_id"),
+        when(round(least(lit(1.0), col("n") / 100.0)
+          * (col("nd") / col("n")), 4) >= 0.3, 1L).otherwise(-1L).as("y"))
 
   val defs: Seq[QueryDef] = Seq(
     // ---- q45: benchmark decontamination (8-gram collision scan) --------
@@ -1320,7 +1493,164 @@ object TrainPrep {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
              |  CAST(sum(c) AS BIGINT) AS score_milli,
              |  sum(c) * 20 > count(*) AS keep
-             |FROM sc GROUP BY doc_id""".stripMargin))
+             |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    // ---- q208: classifier TRAINING in-engine (round 14) ----------------
+    // The round-13 gate proved the serving seam; this trains the
+    // weights it serves: 3 batch-perceptron steps over the signed
+    // hashing-trick features, labels from the q32 quality floor (the
+    // deterministic stand-in for a hand-labeled corpus), every step
+    // folded into the `clf` DeltaStore family as a SUM-semantics
+    // installment (perceptron updates are additive — readSum IS the
+    // model, continued training appends installments, a crash-
+    // replayed step is guard-refused). Integer-exact by construction:
+    // the oracle replays all three steps in unrolled CTEs and the
+    // hashes must match bit-for-bit — impossible with float gradients,
+    // the reason this is a perceptron and not logistic regression.
+    // Output: the dense 1024-bucket weight vector after step 3.
+    QueryDef(
+      "q208_clf_train",
+      (s, d) => {
+        val tbl = "q208_clf"
+        Seq(tbl, tbl + "_wm").foreach { n =>
+          s.sql(s"DROP TABLE IF EXISTS $n")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), n)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        }
+        writeClfStoreEmpty(s, tbl, 8)
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        // features and labels pinned ONCE — each of the three steps
+        // re-reads them (the q122 lesson: without the pin every step
+        // re-tokenizes the corpus)
+        val feats = clfFeatures(docs, "text", Seq("doc_id"))
+          .localCheckpoint(true)
+        val labels = clfLabels(docs).localCheckpoint(true)
+        (1L to 3L).foreach(t => trainClfStep(s, feats, labels, tbl, t))
+        s.range(0, ClfBuckets).toDF("j")
+          .join(readClfWeights(s, tbl), Seq("j"), "left")
+          .select(col("j"), coalesce(col("w"), lit(0L)).as("w"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |fe AS (SELECT doc_id, u.term AS term
+             |       FROM toks, UNNEST(t) AS u(term)
+             |       UNION ALL
+             |       SELECT doc_id, t[g.i] || ' ' || t[g.i + 1]
+             |       FROM toks,
+             |         UNNEST(generate_series(1, CAST(len(t) - 1 AS INTEGER)))
+             |           AS g(i)
+             |       WHERE len(t) >= 2),
+             |f AS (SELECT doc_id,
+             |        ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS j,
+             |        CAST(sum(CASE WHEN ('0x' || substr(md5('s#' || term),
+             |                 1, 15))::BIGINT % 2 = 0
+             |                 THEN 1 ELSE -1 END) AS BIGINT) AS c
+             |      FROM fe GROUP BY 1, 2),
+             |lab AS (SELECT doc_id,
+             |          CASE WHEN round(least(1.0, len(t) / 100.0)
+             |                 * (len(list_distinct(t)) / len(t)), 4) >= 0.3
+             |               THEN 1 ELSE -1 END AS y
+             |        FROM toks),
+             |d1 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w
+             |       FROM f JOIN lab USING (doc_id) GROUP BY j),
+             |m2 AS (SELECT f.doc_id,
+             |         CAST(sum(f.c * coalesce(d1.w, 0)) AS BIGINT) AS margin
+             |       FROM f LEFT JOIN d1 USING (j) GROUP BY 1),
+             |u2 AS (SELECT lab.doc_id, y FROM lab JOIN m2 USING (doc_id)
+             |       WHERE y * margin <= 0),
+             |d2 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w
+             |       FROM f JOIN u2 USING (doc_id) GROUP BY j),
+             |w2 AS (SELECT j, CAST(sum(w) AS BIGINT) AS w FROM
+             |       (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+             |       GROUP BY j),
+             |m3 AS (SELECT f.doc_id,
+             |         CAST(sum(f.c * coalesce(w2.w, 0)) AS BIGINT) AS margin
+             |       FROM f LEFT JOIN w2 USING (j) GROUP BY 1),
+             |u3 AS (SELECT lab.doc_id, y FROM lab JOIN m3 USING (doc_id)
+             |       WHERE y * margin <= 0),
+             |d3 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w
+             |       FROM f JOIN u3 USING (doc_id) GROUP BY j),
+             |w3 AS (SELECT j, CAST(sum(w) AS BIGINT) AS w FROM
+             |       (SELECT * FROM w2 UNION ALL SELECT * FROM d3)
+             |       GROUP BY j)
+             |SELECT g.j, coalesce(w3.w, 0) AS w
+             |FROM range(0, 1024) AS g(j) LEFT JOIN w3 USING (j)"""
+        .stripMargin)),
+
+    // ---- q209: the trained model SERVED through the fused seam path ----
+    // Closes the train→serve loop: the q208 weights (retrained here so
+    // the oracle is self-contained) ride into [[withClfScore]] as the
+    // dense array literal — the corpus-scoring side keeps the
+    // zero-exchange fused shape even for a real model; keep flips to
+    // the perceptron's natural margin > 0. The 1024-row weight collect
+    // is the declared model-sized driver read.
+    QueryDef(
+      "q209_clf_trained_serve",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val feats = clfFeatures(docs, "text", Seq("doc_id"))
+          .localCheckpoint(true)
+        val w = trainPerceptron(s, feats, clfLabels(docs), 3)
+        val arr = Array.fill(ClfBuckets)(0L)
+        w.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+        withClfScore(docs, "text", Some(arr))
+          .select(col("doc_id"), col("n_feat"), col("clf_score"),
+            (col("clf_score") > 0).as("keep"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |fe AS (SELECT doc_id, u.term AS term
+             |       FROM toks, UNNEST(t) AS u(term)
+             |       UNION ALL
+             |       SELECT doc_id, t[g.i] || ' ' || t[g.i + 1]
+             |       FROM toks,
+             |         UNNEST(generate_series(1, CAST(len(t) - 1 AS INTEGER)))
+             |           AS g(i)
+             |       WHERE len(t) >= 2),
+             |f AS (SELECT doc_id,
+             |        ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS j,
+             |        CAST(sum(CASE WHEN ('0x' || substr(md5('s#' || term),
+             |                 1, 15))::BIGINT % 2 = 0
+             |                 THEN 1 ELSE -1 END) AS BIGINT) AS c
+             |      FROM fe GROUP BY 1, 2),
+             |lab AS (SELECT doc_id,
+             |          CASE WHEN round(least(1.0, len(t) / 100.0)
+             |                 * (len(list_distinct(t)) / len(t)), 4) >= 0.3
+             |               THEN 1 ELSE -1 END AS y
+             |        FROM toks),
+             |d1 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w
+             |       FROM f JOIN lab USING (doc_id) GROUP BY j),
+             |m2 AS (SELECT f.doc_id,
+             |         CAST(sum(f.c * coalesce(d1.w, 0)) AS BIGINT) AS margin
+             |       FROM f LEFT JOIN d1 USING (j) GROUP BY 1),
+             |u2 AS (SELECT lab.doc_id, y FROM lab JOIN m2 USING (doc_id)
+             |       WHERE y * margin <= 0),
+             |d2 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w
+             |       FROM f JOIN u2 USING (doc_id) GROUP BY j),
+             |w2 AS (SELECT j, CAST(sum(w) AS BIGINT) AS w FROM
+             |       (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+             |       GROUP BY j),
+             |m3 AS (SELECT f.doc_id,
+             |         CAST(sum(f.c * coalesce(w2.w, 0)) AS BIGINT) AS margin
+             |       FROM f LEFT JOIN w2 USING (j) GROUP BY 1),
+             |u3 AS (SELECT lab.doc_id, y FROM lab JOIN m3 USING (doc_id)
+             |       WHERE y * margin <= 0),
+             |d3 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w
+             |       FROM f JOIN u3 USING (doc_id) GROUP BY j),
+             |w3 AS (SELECT j, CAST(sum(w) AS BIGINT) AS w FROM
+             |       (SELECT * FROM w2 UNION ALL SELECT * FROM d3)
+             |       GROUP BY j),
+             |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat
+             |       FROM fe GROUP BY 1),
+             |sc AS (SELECT f.doc_id,
+             |         CAST(sum(f.c * coalesce(w3.w, 0)) AS BIGINT)
+             |           AS clf_score
+             |       FROM f LEFT JOIN w3 USING (j) GROUP BY 1)
+             |SELECT doc_id, n_feat, clf_score, clf_score > 0 AS keep
+             |FROM nf JOIN sc USING (doc_id)""".stripMargin))
   )
 
   /** q136's per-document assignment — (doc_id, n, split) with every

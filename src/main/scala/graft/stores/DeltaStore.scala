@@ -57,6 +57,22 @@ import org.apache.spark.sql.functions._
   * delta-sized bucketed writes — nothing corpus-sized moves; the
   * driver-side id collect is O(installments), the same class as the
   * manifest reads.
+  *
+  * SMALL-FILES TRADE (declared): every [[refresh]] appends one file
+  * set per bucket to the key table AND one 1-row parquet file to the
+  * sidecar, so between compactions both accrue O(installments) files
+  * — the cost of per-batch atomic appends without a transactional
+  * table format. The guard reads stay one job regardless (the union
+  * scan lists, it does not open, each file) but file-listing latency
+  * and NameNode/object-store metadata pressure grow linearly, so
+  * COMPACTION CADENCE is part of the contract: roll the store
+  * ([[compact]]) roughly every few hundred installments — at a
+  * typical micro-batch cadence that is hours, not minutes — or
+  * whenever guard-read latency becomes visible in batch durations.
+  * One compaction restores one file per bucket plus a 1-row sidecar
+  * (StoreCompactionSpec pins the post-roll file counts); at 100 TB
+  * this slots behind a transactional format whose manifest replaces
+  * the file listing entirely.
   */
 object DeltaStore {
 

@@ -724,6 +724,52 @@ object StoreManifest {
       batchId, near)
   }
 
+  /** RELABEL maintenance for the near seam (round-13 verdict item 7):
+    * streaming assignment never rewrites stored component labels —
+    * each record keeps the label assigned at its own wave, so a merge
+    * discovered later leaves earlier members under the stale label
+    * (documented; q206's oracle pins labels-at-own-wave). This
+    * recomputes the component store as the transitive closure of the
+    * FULL stored band-collision graph — the q152 refresh ==
+    * full-recompute precedent, labels = min doc id per component —
+    * and flips ONLY the comps role under a new wetnear version,
+    * REUSING fps/hosts/bands (nothing about them changes; the flip
+    * stays atomic for readers). Pairs come straight from the stored
+    * (band, h1, h2) buckets via the salted generator — skew-hardened,
+    * never doc×doc; the replay watermark rides the roll so a
+    * pre-relabel installment stays guard-refused.
+    *
+    * Label semantics AFTER relabel are canonical (min id per
+    * component) — a superset-merge of the as-at-own-wave labels:
+    * serving joins keep working (assignment resolves through
+    * coalesce(comp, id) and min-aggregates candidates, both
+    * label-monotone).
+    */
+  def relabelWetNear(s: SparkSession, manifest: String): Prepared = {
+    val (_, cur) = currentRequired(s, manifest, "wetnear")
+    val p = prepare(s, manifest, "wetnear",
+      Seq("fps", "hosts", "bands", "comps"),
+      reuse = Map("fps" -> cur("fps"), "hosts" -> cur("hosts"),
+        "bands" -> cur("bands")))
+    val pairs = graft.operators.Similarity.saltedPairs(
+      s.table(cur("bands"))
+        .select(col("band"), col("h1"), col("h2"),
+          struct(col("doc_id").as("id")).as("m")),
+      Seq("band", "h1", "h2"), 4)
+      .select(col("pa.id").as("da"), col("pb.id").as("db"))
+      .distinct()
+    val labels = graft.operators.Dedup.propagate(pairs)._1
+    val ids = s.table(cur("comps")).select(col("doc_id")).distinct()
+    val full = ids
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("comp"))
+    DeltaStore.compact(s, cur("comps"), p.tables("comps"), full,
+      Seq("doc_id"))
+    publish(s, manifest, "wetnear", p)
+    p
+  }
+
   /** Roll all FOUR near-seam stores under one new version — one
     * atomic reader cutover.
     */

@@ -233,17 +233,24 @@ object CrawlIngest {
   private[graft] def wetVerdicts(s: SparkSession, files: DataFrame,
       fpTable: String, hostTable: String, budget: Int, inst: Long,
       rules: Option[DataFrame] = None,
-      near: Option[(String, String)] = None): DataFrame = {
+      near: Option[(String, String)] = None,
+      clfWeights: Option[Array[Long]] = None): DataFrame = {
     // quality-classifier inference at the seam (round 13): the q190
     // fused hashing-trick model scores every body inside ONE
     // aggregate() riding the decode scan — zero exchanges, so the
-    // ingest's files/s is untouched; the score lands in milli-units
-    // beside the q32 quality floor (clf_keep ⇔ score·20 > n_feat)
+    // ingest's files/s is untouched. With `clfWeights` (round 14: the
+    // q208-trained vector, resolved once from the clf store) the SAME
+    // fused shape serves the trained model via an array literal and
+    // clf_keep flips to the perceptron's natural margin > 0; without
+    // it the stand-in milli-weights apply (clf_keep ⇔ score·20 >
+    // n_feat, the τ = 0.05 threshold).
     val parsed0 = graft.operators.TrainPrep.withClfScore(
       graft.operators.WebCuration.parseWet(
         Multimodal.frameCrawl(s, Multimodal.spreadClips(
-          files.toDF("file_id", "payload")))), "body")
-      .withColumn("clf_keep", col("clf_score") * 20 > col("n_feat"))
+          files.toDF("file_id", "payload")))), "body", clfWeights)
+      .withColumn("clf_keep",
+        if (clfWeights.isDefined) col("clf_score") > 0
+        else col("clf_score") * 20 > col("n_feat"))
       .withColumn("fp", md5(col("body")))
     // NEAR MODE (round 13): the batch additionally runs incremental
     // LSH near-dup assignment ([[graft.operators.Dedup]]'s
@@ -402,21 +409,32 @@ object CrawlIngest {
     * CONTRACT in near mode: (file_id, rec_idx) is the crawl's
     * delivery key and must be globally unique across batches (a
     * re-delivered file_id would alias cluster ids).
+    *
+    * With `clfTable` (round 14) the seam scores through the TRAINED
+    * q208 weight store instead of the stand-in arithmetic: the model
+    * is resolved ONCE at stream start (a 1024-row readSum — the
+    * stream serves a frozen model; retraining ships via a new store
+    * version and a stream restart, the same discipline as every
+    * other store flip) and rides every batch as the fused array
+    * literal — per-batch cost is unchanged.
     */
   def startWet(files: DataFrame, fpTable: String, hostTable: String,
       budget: Int, outDir: String, checkpoint: String,
       epochBase: Long = 0L,
       rules: Option[DataFrame] = None,
-      near: Option[(String, String)] = None): StreamingQuery = {
+      near: Option[(String, String)] = None,
+      clfTable: Option[String] = None): StreamingQuery = {
     val s = files.sparkSession
     AtomicLanding.sweepStale(s, outDir)
+    val clfWeights = clfTable.map(t =>
+      graft.operators.TrainPrep.readClfVector(s, t))
     files.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val inst = epochBase + id + 1L
         val v = wetVerdicts(s, batch, fpTable, hostTable, budget, inst,
-          rules, near).localCheckpoint()
+          rules, near, clfWeights).localCheckpoint()
         AtomicLanding.publish(v, outDir, id)
         foldWet(s, v, fpTable, hostTable, inst, near)
         ()
@@ -497,11 +515,12 @@ object CrawlIngest {
   def startWetFromManifest(files: DataFrame, manifest: String,
       budget: Int, outDir: String, checkpoint: String,
       epochBase: Long = 0L,
-      rules: Option[DataFrame] = None): StreamingQuery = {
+      rules: Option[DataFrame] = None,
+      clfTable: Option[String] = None): StreamingQuery = {
     val (_, cur) = graft.stores.StoreManifest.currentRequired(
       files.sparkSession, manifest, "wet")
     startWet(files, cur("fps"), cur("hosts"), budget, outDir,
-      checkpoint, epochBase, rules)
+      checkpoint, epochBase, rules, clfTable = clfTable)
   }
 
   /** [[startWithFold]] with the fingerprint store resolved through

@@ -651,4 +651,70 @@ class CrawlIngestSpec extends SparkSpec {
         "a pre-compaction installment id must stay refused after the roll")
     } finally spark.sql("DROP DATABASE IF EXISTS cim CASCADE")
   }
+
+  test("startWet serves a TRAINED clf store: seam scores equal the trained model, keep is margin > 0") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TrainPrep
+
+    Seq("cit_fps", "cit_hosts", "cit_clf").foreach { t =>
+      Seq(t, t + "_wm").foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), n)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    }
+    CrawlIngest.writeFpStoreEmpty(spark, "cit_fps", 4)
+    CrawlIngest.writeHostStore(spark, "cit_hosts", 4)
+    // train 2 perceptron steps on a tiny labeled corpus (labels = the
+    // q32 quality floor, same as q208) into the clf store
+    TrainPrep.writeClfStoreEmpty(spark, "cit_clf", 4)
+    val corpus = (1L to 8L).map(i => (i, doc(i)))
+      .toDF("doc_id", "text")
+    val feats = TrainPrep.clfFeatures(corpus, "text", Seq("doc_id"))
+      .localCheckpoint(true)
+    val labels = TrainPrep.clfLabels(corpus)
+    (1L to 2L).foreach(t =>
+      assert(TrainPrep.trainClfStep(spark, feats, labels, "cit_clf", t)))
+    val vec = TrainPrep.readClfVector(spark, "cit_clf")
+    assert(vec.exists(_ != 0L), "training must produce nonzero weights")
+
+    def wet(url: String, body: String): String = url + "\r\n\r\n" + body
+    def packWet(members: Seq[String]): Array[Byte] =
+      members.toArray.flatMap(m =>
+        Multimodal.gzipBytes(m.getBytes("UTF-8")))
+    val src = MemoryStream[(Long, Array[Byte])]
+    val outDir = Files.createTempDirectory("cit_out").toString
+    val q = CrawlIngest.startWet(
+      src.toDF().toDF("file_id", "payload"), "cit_fps", "cit_hosts",
+      budget = 10, outDir,
+      Files.createTempDirectory("cit_ckpt").toString,
+      clfTable = Some("cit_clf"))
+    try {
+      src.addData(Seq((0L, packWet(Seq(
+        wet("https://a.example.org/p1", doc(3)),
+        wet("https://a.example.org/p2", doc(100)))))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = CrawlIngest.readWet(spark, outDir)
+      .select(col("rec_idx"), col("clf_score"), col("clf_keep"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    // the reference: the same bodies scored in batch under the same
+    // trained vector through the same fused path
+    val want = TrainPrep.withClfScore(
+      Seq((0L, doc(3)), (1L, doc(100))).toDF("rec_idx", "text"),
+      "text", Some(vec))
+      .select(col("rec_idx"), col("clf_score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(landed.size === 2)
+    landed.foreach { case (ri, (score, keep)) =>
+      assert(score === want(ri),
+        s"seam score for rec $ri must equal the trained model's")
+      assert(keep === (score > 0),
+        "trained-path keep is the perceptron margin > 0")
+    }
+  }
 }

@@ -177,6 +177,43 @@ class StoreCompactionSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS rpstore CASCADE")
   }
 
+  test("installment file accrual is O(n) on key table AND wm sidecar; one compaction restores both") {
+    // the declared small-files trade (round-13 verdict item 5): every
+    // refresh appends per-bucket files to the key table and ONE 1-row
+    // file to the watermark sidecar — this pins the accrual really is
+    // linear and that a single roll collapses the key table to one
+    // file per bucket and the sidecar to one file
+    val wh = Files.createTempDirectory("graft_wh_sf").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS sfstore LOCATION '$wh'")
+    try {
+      import spark.implicits._
+      import graft.stores.DeltaStore
+      val t = "sfstore.kv"
+      DeltaStore.write(spark,
+        Seq((1L, 10L)).toDF("k", "n"), t, Seq("k"), 2)
+      val n = 6
+      (1 to n).foreach { i =>
+        assert(DeltaStore.refresh(spark,
+          Seq((i.toLong % 3, 1L)).toDF("k", "n"), t, Seq("k"), i.toLong))
+      }
+      val keyFiles = parquetFiles(t)
+      val wmFiles = parquetFiles(t + "_wm")
+      assert(wmFiles === n + 1,
+        s"the sidecar accrues one file per installment (got $wmFiles)")
+      assert(keyFiles >= n,
+        s"the key table accrues per-installment file sets (got $keyFiles)")
+      DeltaStore.compact(spark, t, t + "_c",
+        DeltaStore.readSum(spark, t, Seq("k"), Seq("n")), Seq("k"))
+      assert(parquetFiles(t + "_c") <= 2,
+        "post-roll: one file per non-empty bucket")
+      assert(parquetFiles(t + "_c_wm") === 1,
+        "post-roll: the carried watermark is ONE sidecar file")
+      // and the carried watermark still guards: last pre-roll id refused
+      assert(!DeltaStore.refresh(spark,
+        Seq((9L, 9L)).toDF("k", "n"), t + "_c", Seq("k"), n.toLong))
+    } finally spark.sql("DROP DATABASE IF EXISTS sfstore CASCADE")
+  }
+
   test("compaction refuses unbucketed tables and in-place rewrites (however spelled)") {
     val wh = Files.createTempDirectory("graft_wh_cpu").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS cpflat LOCATION '$wh'")

@@ -492,4 +492,92 @@ class StoreManifestSpec extends SparkSpec {
       assert(!spark.catalog.tableExists(crashD + "__migrating"))
     } finally spark.sql("DROP DATABASE IF EXISTS smmig CASCADE")
   }
+
+  test("relabelWetNear: post-relabel comps equal a from-scratch closure of the stored band graph") {
+    val wh = Files.createTempDirectory("graft_wh_rwn").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS rwn LOCATION '$wh'")
+    try {
+      import spark.implicits._
+      val mf = "rwn.mf"
+      StoreManifest.publishWetNear(spark, mf, buckets = 4)
+      def gzWet(docs: Seq[(Long, String)], fileId: Long) =
+        Seq((fileId, docs.toArray.flatMap { case (i, t) =>
+          graft.operators.Multimodal.gzipBytes(
+            (s"https://s${i % 3}.example.org/p$i\r\n\r\n" + t)
+              .getBytes("UTF-8"))
+        })).toDF("file_id", "payload")
+      def txt(i: Long): String =
+        (0 until 30).map(w => s"v${(i * 37 + w * 11) % 500} u$w")
+          .mkString(" ")
+      // two real waves through the seam (near-dups in wave 2)
+      assert(StoreManifest.refreshWetNear(spark, mf,
+        gzWet(Seq((1L, txt(1)), (2L, txt(2)), (3L, txt(3))), 1L), 10, 1L))
+      assert(StoreManifest.refreshWetNear(spark, mf,
+        gzWet(Seq((4L, txt(1).dropRight(2) + "z9"), (5L, txt(3) + " q")),
+          2L), 10, 2L))
+      // a crafted cluster MERGE — the state streaming assignment
+      // cannot relabel: docs 10 and 20 stored in separate clusters,
+      // doc 30 later collides with BOTH bands; assignment labels 30
+      // into min(10, 20) = 10 and leaves 20's stored label stale
+      val cur = StoreManifest.currentRequired(spark, mf, "wetnear")._2
+      import graft.stores.DeltaStore
+      assert(DeltaStore.refresh(spark,
+        Seq((0, 101L, 101L, 10L), (1, 202L, 202L, 20L))
+          .toDF("band", "h1", "h2", "doc_id"),
+        cur("bands"), Seq("band", "h1", "h2"), 3L))
+      assert(DeltaStore.refresh(spark,
+        Seq((10L, 10L), (20L, 20L)).toDF("doc_id", "comp"),
+        cur("comps"), Seq("doc_id"), 3L))
+      assert(DeltaStore.refresh(spark,
+        Seq((0, 101L, 101L, 30L), (1, 202L, 202L, 30L))
+          .toDF("band", "h1", "h2", "doc_id"),
+        cur("bands"), Seq("band", "h1", "h2"), 4L))
+      assert(DeltaStore.refresh(spark,
+        Seq((30L, 10L)).toDF("doc_id", "comp"),
+        cur("comps"), Seq("doc_id"), 4L))
+      val stale = spark.table(cur("comps"))
+        .filter(col("doc_id") === 20L).head().getLong(1)
+      assert(stale === 20L, "pre-relabel: 20's label is the stale one")
+
+      StoreManifest.relabelWetNear(spark, mf)
+      val cur2 = StoreManifest.currentRequired(spark, mf, "wetnear")._2
+      assert(cur2("bands") === cur("bands"),
+        "the band role is append-in-place — reused, not copied")
+      assert(cur2("comps") !== cur("comps"),
+        "the comps role rolls forward to a new table")
+
+      // from-scratch reference: sequential union-find over the FULL
+      // stored band graph, labels = min doc id per component
+      val bandRows = spark.table(cur2("bands"))
+        .select(col("band"), col("h1"), col("h2"), col("doc_id"))
+        .collect().map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)),
+          r.getLong(3)))
+      val ids = spark.table(cur("comps")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).distinct
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      bandRows.groupBy(_._1).values.foreach { g =>
+        val ms = g.map(_._2); ms.tail.foreach(union(ms.head, _))
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = spark.table(cur2("comps"))
+        .select(col("doc_id"), col("comp")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        "relabel must equal a from-scratch closure of the band graph")
+      assert(got(20L) === 10L, "the stale merge is healed")
+      // the replay watermark rode the roll: the last pre-relabel
+      // installment stays refused on the new table
+      assert(!DeltaStore.refresh(spark,
+        Seq((99L, 99L)).toDF("doc_id", "comp"),
+        cur2("comps"), Seq("doc_id"), 4L),
+        "a pre-relabel installment id must stay refused after the roll")
+    } finally spark.sql("DROP DATABASE IF EXISTS rwn CASCADE")
+  }
 }

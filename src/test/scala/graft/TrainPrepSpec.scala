@@ -149,4 +149,52 @@ class TrainPrepSpec extends SparkSpec {
       .select(countDistinct(col("user_id"))).head().getLong(0)
     assert(df.filter(col("delta_us").isNull).count() == users)
   }
+
+  test("clf training: store path equals pure perceptron; replayed step refused; serving paths agree") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    val tbl = "tps_clf"
+    Seq(tbl, tbl + "_wm").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), n)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).limit(60).localCheckpoint(true)
+    val feats = TrainPrep.clfFeatures(docs, "text", Seq("doc_id"))
+      .localCheckpoint(true)
+    val labels = TrainPrep.clfLabels(docs).localCheckpoint(true)
+    // the pure driver loop and the DeltaStore-installment path are the
+    // same induction — their step-3 models must be identical
+    TrainPrep.writeClfStoreEmpty(spark, tbl, 4)
+    (1L to 3L).foreach(t =>
+      assert(TrainPrep.trainClfStep(spark, feats, labels, tbl, t)))
+    val pure = TrainPrep.trainPerceptron(spark, feats, labels, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val store = TrainPrep.readClfWeights(spark, tbl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(store.filter(_._2 != 0L) === pure.filter(_._2 != 0L),
+      "store-folded training must equal the pure perceptron loop")
+    // a crash-replayed training step must be refused — the guard
+    // keeps an update from double-applying
+    assert(!TrainPrep.trainClfStep(spark, feats, labels, tbl, 2L),
+      "a replayed training step must be guard-refused")
+    assert(TrainPrep.readClfWeights(spark, tbl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._2 != 0L) === pure.filter(_._2 != 0L))
+    // the trained model serves identically through the fused literal
+    // path and the broadcast-table path (the q190/q193 equality,
+    // now under REAL weights)
+    val vec = TrainPrep.readClfVector(spark, tbl)
+    val fused = TrainPrep.withClfScore(docs, "text", Some(vec))
+      .select(col("doc_id"), col("clf_score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcast = TrainPrep.clfScoreBroadcast(docs, "text", Seq("doc_id"),
+      trained = Some(TrainPrep.readClfWeights(spark, tbl)))
+      .select(col("doc_id"), col("clf_score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === bcast,
+      "trained weights must serve identically through both paths")
+  }
 }
