@@ -442,7 +442,7 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("new_id"), coalesce(col("root"), col("doc_id")).as("root"))
       .distinct()
-    val bcomp = propagate(pairsFromBands(newBands))._1
+    val bcomp = batchGraphLabels(newBands)
       .select(col("id").as("doc_id"), col("label").as("bkey"))
     val mem = newDocs.select(col("doc_id"))
       .join(bcomp, Seq("doc_id"), "left")
@@ -530,7 +530,7 @@ object Dedup {
     if (!withinBatch)
       direct.select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
     else {
-      val bcomp = propagate(pairsFromBands(newBands))._1
+      val bcomp = batchGraphLabels(newBands)
         .select(col("id").as("doc_id"), col("label").as("bkey"))
       val members = direct
         .join(bcomp, Seq("doc_id"), "left")
@@ -688,6 +688,81 @@ object Dedup {
     * the adversarial-graph spec pins). Returns the converged
     * (id, label) frame and the number of rounds taken.
     */
+  /** Connected components of ONE micro-batch's band-collision graph —
+    * the within-batch piece of incremental assignment. The
+    * corpus-scale path (salted pair explosion + iterative
+    * [[propagate]]) is the wrong tool at batch size: its cost is
+    * driver-round SCHEDULING, not data (profiled at the WET seam:
+    * 4.4 s of a 5.6 s assignment on a 4k-record batch, ~2.9× the
+    * whole exact-mode verdict chain), because every propagate round
+    * is 3 eager jobs no matter how tiny the graph. A batch graph is
+    * batch-local by definition, so under [[BatchUfMaxRows]] band rows
+    * (conf `spark.graft.batchuf.max`) the components come from a
+    * SINGLE-TASK union-find over the doc–bucket edges instead — one
+    * job, no pair explosion (an all-duplicates batch generates C(n,2)
+    * pairs but only 4n doc–bucket edges), labels identical to
+    * propagate's (min doc id per component; connectivity is the same
+    * "shares a (band,h1,h2) bucket" relation the pair generator
+    * walks). The task holds O(batch band rows) — the same
+    * batch-must-fit contract the landing pin already imposes; above
+    * the bound the distributed path takes over unchanged. This is
+    * mapPartitions-as-designed: genuinely partition-local imperative
+    * logic, not a bypass of a relational plan.
+    */
+  private[graft] val BatchUfMaxRows = 2000000L
+
+  private[graft] def batchGraphLabels(newBands: DataFrame): DataFrame = {
+    val s = newBands.sparkSession
+    val limit = s.conf.getOption("spark.graft.batchuf.max")
+      .map(_.toLong).getOrElse(BatchUfMaxRows)
+    // newBands is pinned by contract — the count is a cache scan
+    if (newBands.count() <= limit) batchComponents(newBands)
+    else propagate(pairsFromBands(newBands))._1
+  }
+
+  /** The single-task union-find of [[batchGraphLabels]]: rows in the
+    * same (band, h1, h2) bucket union (each against the bucket's
+    * first doc — same connectivity, linear edges), larger root under
+    * smaller so the root IS the component's min id. Emits (id, label)
+    * for every banded doc; non-colliding docs self-label (a superset
+    * of propagate's pair-node output — both call sites left-join and
+    * coalesce to self, so the extra rows are identities).
+    */
+  private[graft] def batchComponents(newBands: DataFrame): DataFrame = {
+    val s = newBands.sparkSession
+    import s.implicits._
+    newBands
+      .select(col("band"), col("h1"), col("h2"), col("doc_id"))
+      .as[(Int, Long, Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val first =
+          scala.collection.mutable.HashMap.empty[(Int, Long, Long), Long]
+        it.foreach { case (b, x, y, d) =>
+          if (!parent.contains(d)) parent(d) = d
+          first.get((b, x, y)) match {
+            case None => first((b, x, y)) = d
+            case Some(f) =>
+              val (ra, rb) = (find(f), find(d))
+              if (ra != rb) {
+                if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              }
+          }
+        }
+        val ids = parent.keys.toArray
+        ids.iterator.map(d => (d, find(d)))
+      }
+      .toDF("id", "label")
+  }
+
   private[graft] def propagate(edges: DataFrame): (DataFrame, Int) = {
     val adj = edges.select(col("da").as("src"), col("db").as("dst"))
       .union(edges.select(col("db").as("src"), col("da").as("dst")))

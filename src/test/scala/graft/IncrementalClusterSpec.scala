@@ -308,4 +308,67 @@ class IncrementalClusterSpec extends SparkSpec {
       }
     }
   }
+
+  test("batch union-find equals distributed propagate on random band graphs (incl. chains)") {
+    // the round-14 within-batch fast path: a single-task union-find
+    // over doc-bucket edges must label EXACTLY like the salted-pairs
+    // + propagate machinery it replaces below the size bound — same
+    // connectivity relation (shares a (band,h1,h2) bucket), same
+    // min-id labels; chained merges (A~B via bucket1, B~C via
+    // bucket2, arriving in adversarial order) exercise path
+    // compression and the larger-root-under-smaller rule
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val nDocs = 60 + rnd.nextInt(60)
+      val rows = (0 until nDocs).flatMap { d =>
+        // small bucket-value space forces collisions and chains; the
+        // sig array must mirror the band rows (sig(2b), sig(2b+1)) =
+        // (h1_b, h2_b) — pairsFromBands' first-colliding-band dedup
+        // reads it
+        val hs = (0 until 4).map(b => rnd.nextInt(6 + seed).toLong)
+        val sig = (0 until 4).flatMap(b => Seq(hs(b), hs(b) + 1000L * b))
+        (0 until 4).map { b =>
+          (b, hs(b), hs(b) + 1000L * b, d.toLong, sig)
+        }
+      }
+      // shuffle row order: UF must be order-independent
+      val shuffled = rnd.shuffle(rows)
+      val bands = shuffled.toDF("band", "h1", "h2", "doc_id", "sig")
+        .localCheckpoint(true)
+      val uf = Dedup.batchComponents(bands)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = Dedup.propagate(Dedup.pairsFromBands(bands))._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // propagate emits only pair-participating nodes; the UF emits
+      // every banded doc (extras are identities)
+      ref.foreach { case (id, lab) =>
+        assert(uf(id) === lab,
+          s"seed $seed: doc $id labeled ${uf(id)}, propagate says $lab")
+      }
+      uf.filterNot { case (id, _) => ref.contains(id) }.foreach {
+        case (id, lab) => assert(lab === id,
+          s"seed $seed: non-colliding doc $id must self-label")
+      }
+    }
+    // the size bound: above it, batchGraphLabels falls back to the
+    // distributed path (pin via conf, restore after)
+    val prev = spark.conf.getOption("spark.graft.batchuf.max")
+    try {
+      spark.conf.set("spark.graft.batchuf.max", "2")
+      val tiny = Seq((0, 1L, 1L, 5L, Seq.fill(8)(0L)),
+        (0, 1L, 1L, 9L, Seq.fill(8)(0L)),
+        (1, 2L, 2L, 9L, Seq.fill(8)(0L)))
+        .toDF("band", "h1", "h2", "doc_id", "sig").localCheckpoint(true)
+      val viaFallback = Dedup.batchGraphLabels(tiny)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaFallback(9L) === 5L,
+        "above the bound the distributed path labels identically")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.batchuf.max", v)
+        case None => spark.conf.unset("spark.graft.batchuf.max")
+      }
+    }
+  }
 }
