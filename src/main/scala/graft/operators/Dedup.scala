@@ -485,9 +485,10 @@ object Dedup {
     * duplicates are NOT clustered against each other (each batch doc
     * matches only the STORE) — they meet at the next store refresh,
     * the standard trade of incremental LSH. With `withinBatch = true`
-    * the batch's own pair graph is closed too (a batch-sized
-    * propagation — cheap relative to the store joins for any sane
-    * ingest cadence) and each batch component takes the MINIMUM store
+    * the batch's own pair graph is closed too (via
+    * [[batchGraphLabels]] — a single-task union-find below the size
+    * bound, the distributed propagation above it) and each batch
+    * component takes the MINIMUM store
     * cluster its members matched, or its minimum member id when none
     * did. One deliberate remnant: when one batch component bridges
     * TWO store clusters, both batch docs take the smaller cluster's
