@@ -148,6 +148,12 @@ object ScaleBench {
     val sel = Targets.filter(n => subset.forall(_.contains(n)))
     // third point: 100× on the top-5 by default; 0 disables
     val factor2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR2", "100").toInt
+    // factor2 == factor would emit duplicate t<N>/rows<N> JSON keys
+    // (ambiguous for strict parsers) and rewrite the same corpus dir
+    // twice; < factor would invert the "tail decade" the slopes read
+    require(factor2 == 0 || factor2 > factor,
+      s"SPARK_GRAFT_SCALE_FACTOR2 ($factor2) must be 0 (disabled) or " +
+        s"> SPARK_GRAFT_SCALE_FACTOR ($factor)")
     val sel2 = sys.env.get("SPARK_GRAFT_SCALE_TOP")
       .map(_.split(",").toSeq).getOrElse(ThirdPointTargets)
       .filter(sel.contains)

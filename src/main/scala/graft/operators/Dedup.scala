@@ -683,12 +683,6 @@ object Dedup {
     propagate(edges)._1.select(col("id").as("doc_id"), col("label").as("comp"))
   }
 
-  /** The pointer-doubling min-label propagation over an undirected
-    * (da, db) edge frame, exposed for fixture testing (a planted
-    * 50-deep chain must converge in ≤ ⌈log₂ 50⌉ + seed rounds, which
-    * the adversarial-graph spec pins). Returns the converged
-    * (id, label) frame and the number of rounds taken.
-    */
   /** Connected components of ONE micro-batch's band-collision graph —
     * the within-batch piece of incremental assignment. The
     * corpus-scale path (salted pair explosion + iterative
@@ -764,6 +758,12 @@ object Dedup {
       .toDF("id", "label")
   }
 
+  /** The pointer-doubling min-label propagation over an undirected
+    * (da, db) edge frame, exposed for fixture testing (a planted
+    * 50-deep chain must converge in ≤ ⌈log₂ 50⌉ + seed rounds, which
+    * the adversarial-graph spec pins). Returns the converged
+    * (id, label) frame and the number of rounds taken.
+    */
   private[graft] def propagate(edges: DataFrame): (DataFrame, Int) = {
     val adj = edges.select(col("da").as("src"), col("db").as("dst"))
       .union(edges.select(col("db").as("src"), col("da").as("dst")))

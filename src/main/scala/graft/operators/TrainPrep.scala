@@ -294,7 +294,14 @@ object TrainPrep {
   def readClfVector(s: SparkSession, table: String): Array[Long] = {
     val arr = Array.fill(ClfBuckets)(0L)
     readClfWeights(s, table).collect().foreach { r =>
-      arr(r.getLong(0).toInt) = r.getLong(1)
+      val j = r.getLong(0)
+      // a foreign or corrupt table surfaces as a contract error
+      // naming the table, not a raw ArrayIndexOutOfBoundsException at
+      // stream start (and a negative j must not slip through the cast)
+      require(j >= 0 && j < ClfBuckets,
+        s"$table is not a clf weight table: bucket id $j outside " +
+          s"[0, $ClfBuckets)")
+      arr(j.toInt) = r.getLong(1)
     }
     arr
   }

@@ -108,8 +108,11 @@ object StoreManifest {
     * the manifest from it and only then drops it. The backup may also
     * survive as a catalog-LESS directory (an in-memory catalog that
     * died with its JVM): a committed one (`_SUCCESS` present) restores
-    * exactly like the in-catalog case, a partial one is swept — either
-    * way the next migration's backup write finds a clean location.
+    * exactly like the in-catalog case; a torn or empty one (footers
+    * unreadable, or no part-files) is swept; readable part-files with
+    * NO marker fail loudly rather than guess (see the self-heal
+    * comment in the body — markerless committers make that state
+    * ambiguous and both guesses can lose data).
     */
   def init(s: SparkSession, manifest: String): Unit = {
     val backup = manifest + "__migrating"
@@ -144,15 +147,49 @@ object StoreManifest {
     // then fail with LOCATION_ALREADY_EXISTS. A COMMITTED backup
     // (saveAsTable finished — the `_SUCCESS` marker is its commit
     // record) is the authoritative pre-migration log exactly like the
-    // in-catalog branch below, so restore from the files; a partial
-    // write (no marker) means the manifest was never touched — sweep.
+    // in-catalog branch below, so restore from the files. No marker
+    // is AMBIGUOUS when part-files are present (round-14 advice):
+    // on deployments with success markers disabled
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — the
+    // common object-store posture) a fully committed backup carries
+    // no marker either, and sweeping it in the crash window where the
+    // manifest rewrite had begun would destroy the one authoritative
+    // copy of the version history. Restoring is no safer — a crash
+    // BETWEEN part-file writes leaves readable-but-incomplete files,
+    // and restoring those over an untouched manifest loses the
+    // un-snapshot rows. Neither direction can be proven from the
+    // files alone, so: part-files whose footers parse → REFUSE and
+    // fail loudly with both resolutions (data is never silently
+    // dropped); footers unreadable (a torn write — a committed job
+    // never leaves corrupt files) or no part-files at all (died in
+    // `_temporary`; the manifest was never touched) → sweep. Markered
+    // deployments never reach the ambiguous branch; markerless ones
+    // trade one operator decision per crashed migration for the
+    // guarantee.
     if (!s.catalog.tableExists(backup)) {
       val p = defaultPath(backup)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(p)) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
           migrateFrom(s.read.parquet(p.toString))
-        fs.delete(p, true)
+          fs.delete(p, true)
+        } else {
+          val hasParts = fs.listStatus(p)
+            .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          val readable = hasParts && (try {
+            s.read.parquet(p.toString).schema; true
+          } catch { case _: Exception => false })
+          if (readable) throw new IllegalStateException(
+            s"stale migration backup at $p has readable part-files but " +
+              "no _SUCCESS marker — cannot tell a committed markerless " +
+              "backup (authoritative: restore it by writing a _SUCCESS " +
+              "file into the directory and re-running init) from a " +
+              "partial snapshot (the manifest is intact: delete the " +
+              "directory). Refusing to sweep; with " +
+              "mapreduce.fileoutputcommitter.marksuccessfuljobs=true " +
+              "(the manifest contract) this state cannot arise")
+          fs.delete(p, true)
+        }
       }
     }
     if (s.catalog.tableExists(backup)) {

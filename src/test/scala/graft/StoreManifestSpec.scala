@@ -490,6 +490,35 @@ class StoreManifestSpec extends SparkSpec {
         "the due migration must proceed over the swept partial dir")
       assert(spark.table(crashD).count() === 1L)
       assert(!spark.catalog.tableExists(crashD + "__migrating"))
+      // window E (round-14 advice): READABLE part-files, NO marker —
+      // the state a markerless committer
+      // (marksuccessfuljobs=false) leaves for a COMMITTED backup, and
+      // a mid-snapshot crash leaves for a partial one. Ambiguous from
+      // files alone and both guesses can lose the version history, so
+      // init must refuse loudly and delete NOTHING.
+      val crashE = "smmig.crashe"
+      val ePath = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser
+            .parseTableIdentifier(crashE + "__migrating")))
+      Seq(("fam", 9L, "a", "smmig.crashe_t", "published", ts))
+        .toDF("family", "version", "role", "table_name", "event", "ts")
+        .write.format("parquet").save(ePath.toString)
+      fs.delete(new org.apache.hadoop.fs.Path(ePath, "_SUCCESS"), false)
+      val eErr = intercept[IllegalStateException] {
+        StoreManifest.init(spark, crashE)
+      }
+      assert(eErr.getMessage.contains("no _SUCCESS marker"))
+      assert(fs.exists(ePath), "refusal must not sweep the directory")
+      assert(fs.listStatus(ePath).exists(_.getPath.getName.startsWith("part-")),
+        "refusal must leave the part-files untouched")
+      // the operator resolution named in the error works: marking the
+      // directory committed lets init restore it as the authoritative log
+      fs.create(new org.apache.hadoop.fs.Path(ePath, "_SUCCESS")).close()
+      StoreManifest.init(spark, crashE)
+      assert(spark.table(crashE).count() === 1L)
+      assert(spark.table(crashE).head().getLong(1) === 9L)
+      assert(!fs.exists(ePath), "restored backup dir is then swept")
     } finally spark.sql("DROP DATABASE IF EXISTS smmig CASCADE")
   }
 

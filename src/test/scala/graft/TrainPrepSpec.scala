@@ -197,4 +197,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(fused === bcast,
       "trained weights must serve identically through both paths")
   }
+
+  test("readClfVector refuses a foreign table with out-of-range bucket ids") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    // a non-clf (j, w) shaped table — j outside [0, ClfBuckets) must
+    // surface as a contract error naming the table, not a raw
+    // ArrayIndexOutOfBoundsException at stream start (round-14 advice);
+    // a negative id must not slip through the Int cast either
+    Seq(("tps_alien_hi", 999999L), ("tps_alien_neg", -3L)).foreach {
+      case (tbl, bad) =>
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl}_wm")
+        graft.stores.DeltaStore.write(spark,
+          Seq((bad, 1L)).toDF("j", "w"), tbl, Seq("j"), 4)
+        val e = intercept[IllegalArgumentException] {
+          TrainPrep.readClfVector(spark, tbl)
+        }
+        assert(e.getMessage.contains(tbl) &&
+          e.getMessage.contains(bad.toString))
+    }
+  }
 }
