@@ -59,6 +59,47 @@ object Bench {
       s""","uptime_sec":${end._4}"""
   }
 
+  /** Pinned constant-work calibration probes (round-14 verdict item
+    * 2): run before AND after every capture and recorded in the
+    * artifact, so cross-round deltas normalize against the measured
+    * host instead of a class-pattern essay. Two probes because the
+    * r14 ambient drift split by CLASS — compute-bound queries
+    * inflated ~1.25× while driver/scheduling-latency-bound lifecycle
+    * queries inflated ~1.50× — and one number cannot normalize both:
+    *
+    *  - `cpu`: 2³² codegen'd hash rows over 64 FIXED partitions
+    *    (independent of the cpus env — the work is pinned; wall time
+    *    tracks effective core availability on the shared host).
+    *    Median of 3.
+    *  - `sched`: 100 minimal two-stage jobs; wall time tracks per-job
+    *    scheduling latency, the lifecycle class' sensitivity. One
+    *    pass — it is already a 100-sample aggregate.
+    *
+    * Comparing rounds: divide a query's time by the SAME round's
+    * probe for its class (cpu for data-path queries, sched for
+    * store-lifecycle ones) before calling a move a regression.
+    */
+  def calibrate(spark: SparkSession): (Double, Double) = {
+    val cpuTimes = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 32, 1, 64)
+        .selectExpr("xxhash64(xxhash64(xxhash64(id))) AS h")
+        .selectExpr("bit_xor(h)").head()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val t0 = System.nanoTime()
+    (1 to 100).foreach(_ => spark.range(64).count())
+    val sched = (System.nanoTime() - t0) / 1e9
+    (cpuTimes(1), sched)
+  }
+
+  /** The calibration fields appended to a bench JSON line. */
+  def calibJson(before: (Double, Double), after: (Double, Double)): String =
+    f""","calib":{"cpu_sec_before":${before._1}%.3f""" +
+      f""","sched_sec_before":${before._2}%.3f""" +
+      f""","cpu_sec_after":${after._1}%.3f""" +
+      f""","sched_sec_after":${after._2}%.3f}"""
+
   def main(args: Array[String]): Unit = {
     val loadAtStart = hostLoad()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,6 +135,7 @@ object Bench {
       .foreach(n => SparkEntry.queries.get(n).foreach { f =>
         try force(f(spark, sfDir)) catch { case _: Throwable => () }
       })
+    val calibBefore = calibrate(spark)
 
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_BENCH_ONLY=q35_ngram_jaccard,q36_minhash_lsh
@@ -150,13 +192,14 @@ object Bench {
         val okTimes = rs.collect { case (_, t, true) => t }
         if (okTimes.isEmpty) None else Some(n -> okTimes.min)
       }
+    val calibAfter = calibrate(spark)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     def jsonLine(fmt: Double => String, key: String => String): String = {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"${loadJson(loadAtStart)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"${calibJson(calibBefore, calibAfter)}${loadJson(loadAtStart)}}"""
     }
     val json = jsonLine(_.toString, identity)
     println(json)

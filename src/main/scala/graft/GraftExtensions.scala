@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BlockMeans, CosineSimilarity, Md5Long}
+import graft.functions.{BlockMeans, CosineSimilarity, Md5Long, WinnowFps}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5long"),
       new ExpressionInfo(classOf[Md5Long].getName, "md5long"),
       (exprs: Seq[Expression]) => Md5Long(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => WinnowFps(exprs(0))))
     e.injectFunction((
       FunctionIdentifier("block_means64"),
       new ExpressionInfo(classOf[BlockMeans].getName, "block_means64"),

@@ -160,6 +160,7 @@ object ScaleBench {
 
     writeUniform(spark, s"$base-1x", docs1, vecs1)
     writeUniform(spark, s"$base-${factor}x", docs1 * factor, vecs1 * factor)
+    val calibBefore = Bench.calibrate(spark)
     val t1 = runAll(spark, s"$base-1x", repeat, sel)
     val tN = runAll(spark, s"$base-${factor}x", repeat, sel)
     val tM: Map[String, (Double, Long)] =
@@ -193,6 +194,7 @@ object ScaleBench {
         (if (done2.nonEmpty)
           s""","rows${factor2}":${jmap(done2, k => tM(k)._2.toString)}"""
          else "") +
+        s"""${Bench.calibJson(calibBefore, Bench.calibrate(spark))}""" +
         s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     System.err.println(json)

@@ -215,6 +215,7 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
 
     writeCorpus(spark, dir, nDocs, nVecs)
+    val calibBefore = Bench.calibrate(spark)
 
     // Same timing discipline as [[Bench]]: drain the ContextCleaner
     // between queries, min-of-N, Bench.force as the action (hash
@@ -238,8 +239,10 @@ object SkewBench {
     val rows = byName.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = byName.map(_._2).sum
+    val calibAfter = Bench.calibrate(spark)
     val json = s"""{"metric":"skew_total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"rows":$rows,"docs":$nDocs,"vecs":$nVecs""" +
+      s"""${Bench.calibJson(calibBefore, calibAfter)}""" +
       s"""${Bench.loadJson(loadAtStart)}}"""
     println(json)
     System.err.println(json)

@@ -582,6 +582,7 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("SPARK_GRAFT_ROCKSDB"))
       graft.streaming.AlertSinks.useRocksDBStateStore(spark)
+    val calibBefore = Bench.calibrate(spark)
     val base = ckptBase()
 
     // optional comma-separated pipeline subset for fast iteration/A-B
@@ -616,17 +617,19 @@ object StreamBench {
     // a subset run that excludes it must not silently relabel another
     // pipeline's numbers as the headline (round-13 advice fix); such
     // a run is tagged a subset and carries no headline fields
+    val calibAfter = Bench.calibrate(spark)
+    val calib = Bench.calibJson(calibBefore, calibAfter)
     val json = results.find(_.name == "alert") match {
       case Some(alert) =>
         s"""{"metric":"stream_throughput","value":${alert.eventsPerSec},""" +
           s""""unit":"events/sec","events":${alert.events},"secs":${alert.secs},""" +
           s""""alerts":${alert.outRows},"pipelines":{""" +
           results.map(_.json).mkString(",") + "}" +
-          s"""${Bench.loadJson(loadAtStart)}}"""
+          s"""$calib${Bench.loadJson(loadAtStart)}}"""
       case None =>
         s"""{"metric":"stream_throughput_subset","subset":true,""" +
           s""""pipelines":{""" + results.map(_.json).mkString(",") + "}" +
-          s"""${Bench.loadJson(loadAtStart)}}"""
+          s"""$calib${Bench.loadJson(loadAtStart)}}"""
     }
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH_OUT.json")

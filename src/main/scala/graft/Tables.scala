@@ -43,6 +43,7 @@ object Tables {
     // engine runs, extension-registered or not: every query loads its
     // tables through this chokepoint, and registration is idempotent.
     graft.functions.Md5Long.register(spark)
+    graft.functions.WinnowFps.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

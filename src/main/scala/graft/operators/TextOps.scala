@@ -117,23 +117,20 @@ object TextOps {
     // 4-hash window, keep each window's minimum — the classic
     // position-robust fingerprint set for plagiarism/overlap detection
     // (a shared substring of ≥ 11 chars guarantees a shared
-    // fingerprint). Entirely row-local array math in the projection —
-    // no explode, no shuffle; the output digests the per-doc
-    // fingerprint SET to exact scalar aggregates. ~300 hashes per doc
-    // make this the heaviest per-row projection in the text family,
-    // hence the parallelized loader.
+    // fingerprint). One native expression per row
+    // ([[graft.functions.WinnowFps]]): a Karp–Rabin double-rolling
+    // hash at two multiply-adds per character — the round-15 rewrite
+    // of the md5-per-position HOF chain the third scale point
+    // measured as the suite's dominant 100× cost. The oracle replays
+    // the identical polynomial (all intermediates < 2⁶², plain
+    // BIGINT) via the DIRECT per-position fold — algebraically the
+    // rolling recurrence's value, so the hashes agree bit-for-bit.
     QueryDef(
       "q39_winnow_fp",
       (s, d) =>
         Tables.parallel(s, d, "documents")
           .filter(length(col("text")) >= 11) // k + w - 1
-          .select(col("doc_id"), expr(
-            "transform(sequence(1, length(text) - 7), i -> " +
-              "md5long(substring(text, i, 8)))")
-            .as("khs"))
-          .select(col("doc_id"), array_distinct(expr(
-            "transform(sequence(1, size(khs) - 3), j -> array_min(slice(khs, j, 4)))"))
-            .as("fps"))
+          .select(col("doc_id"), expr("winnow_fps(text)").as("fps"))
           .select(
             col("doc_id"),
             coalesce(size(col("fps")), lit(0)).as("n_fps"),
@@ -142,7 +139,12 @@ object TextOps {
             expr("aggregate(fps, 0L, (acc, x) -> acc + pmod(x, 2147483647))")
               .as("fp_modsum")),
       Some("""WITH h AS (SELECT doc_id, u.i AS i,
-             |            ('0x' || substr(md5(substr(text, u.i, 8)), 1, 15))::BIGINT AS kh
+             |            list_reduce(list_transform(generate_series(0, 7),
+             |                j -> unicode(substr(text, u.i + j, 1))::BIGINT),
+             |              (acc, x) -> (acc * 257 + x) % 2147483647) * 2147483648
+             |            + list_reduce(list_transform(generate_series(0, 7),
+             |                j -> unicode(substr(text, u.i + j, 1))::BIGINT),
+             |              (acc, x) -> (acc * 263 + x) % 2147483647) AS kh
              |          FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
              |          WHERE length(text) >= 11),
              |w AS (SELECT doc_id, i,
@@ -809,43 +811,44 @@ object TextOps {
     QueryDef(
       "q95_winnow_pairs",
       (s, d) => {
-        // materialized ONCE: the winnow projection hashes every char
-        // position (~8 md5s per fingerprint that survives), and both
-        // consumers below — the per-doc totals and the inverted
-        // index — would re-run it under Spark's plan duplication.
-        // The fingerprint stream is 1/w the corpus' k-gram density,
-        // so pinning it and paying two cheap exchanges (doc_id
-        // partial-aggregates to ≤1 row per task; fp is the index
-        // build) beats rehashing the corpus — at any scale.
+        // materialized ONCE: the winnow projection walks every char
+        // position (one native rolling-hash pass per doc — see q39's
+        // round-15 note), and both consumers below — the per-doc
+        // totals and the inverted index — would re-run it under
+        // Spark's plan duplication. The fingerprint stream is 1/w the
+        // corpus' k-gram density, so pinning it and paying two cheap
+        // exchanges (doc_id partial-aggregates to ≤1 row per task;
+        // fp is the index build) beats rehashing the corpus — at any
+        // scale.
         val fps = Tables.parallel(s, d, "documents")
           .filter(length(col("text")) >= 11)
-          .select(col("doc_id"), expr(
-            "transform(sequence(1, length(text) - 7), i -> " +
-              "md5long(substring(text, i, 8)))")
-            .as("khs"))
-          .select(col("doc_id"), explode(array_distinct(expr(
-            "transform(sequence(1, size(khs) - 3), j -> array_min(slice(khs, j, 4)))")))
-            .as("fp"))
+          // winnow_fps is already distinct per doc by contract
+          .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
           .localCheckpoint(true)
         val cnt = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairs = fps.groupBy(col("fp"))
-          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")).between(2, 64))
-          // 4× the core count, not 1×: each posting row EXPANDS into
-          // C(df,2) pair rows (26M from 445k postings on the skew
-          // corpus), so core-count-sized tasks are pair-stream-sized
-          // — finer tasks keep the generate balanced under per-list
-          // skew and the partial-agg hash tables small (measured:
-          // 6.8 s → 5.4 s on the stage in isolation, 10.7 → ~9 s for
-          // the query). At cluster scale: size this stage's tasks by
-          // expected pair volume, not posting row count.
-          .repartition(4 * s.sparkContext.defaultParallelism)
-          // nested codegen explodes (see saltedPairs): ds is
-          // sorted-distinct, so da < db keeps exactly the i < j pairs
-          .withColumn("da", explode(col("ds")))
-          .withColumn("db", explode(col("ds")))
-          .filter(col("da") < col("db"))
-          .groupBy(col("da"), col("db"))
+        // Pair generation is a SLIM SELF-JOIN on the df-capped keys
+        // (round 15; the oracle's own shape), not collect_set +
+        // double explode: the set shape copied the full ≤ 64-long
+        // posting array into every one of its ~df exploded
+        // intermediate rows, and the object-hash collect_set buffered
+        // the whole index — measured 36–69 s vs 21–24 s for the join
+        // on the 100× corpus (ProfileWinnow, 156M in-band pairs),
+        // identical pair counts. Scale shape: `ok` is the in-band key
+        // set (df partial-aggregates map-side); the fok probe and the
+        // self-join shuffle only in-band (fp, doc_id) pairs — 16
+        // bytes a row, volume bounded by the df cap — and AQE picks
+        // broadcast for the key-set join when it fits (never forced:
+        // at 100 TB the in-band key set outgrows a broadcast and the
+        // planner must be free to shuffle it). Per-key join work is
+        // C(df ≤ 64, 2)-bounded, so no salt is needed.
+        val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 64))
+          .select(col("fp"))
+        val fok = fps.join(ok, "fp")
+        val pairs = fok.as("a")
+          .join(fok.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .agg(count(lit(1)).as("shared"))
         pairs.filter(col("shared") >= 2)
           .join(cnt.withColumnRenamed("doc_id", "da_").withColumnRenamed("n", "na"),
@@ -861,7 +864,12 @@ object TextOps {
             round(col("shared") / least(col("na"), col("nb")), 4).as("sim"))
       },
       Some("""WITH h AS (SELECT doc_id, u.i AS i,
-             |            ('0x' || substr(md5(substr(text, u.i, 8)), 1, 15))::BIGINT AS kh
+             |            list_reduce(list_transform(generate_series(0, 7),
+             |                j -> unicode(substr(text, u.i + j, 1))::BIGINT),
+             |              (acc, x) -> (acc * 257 + x) % 2147483647) * 2147483648
+             |            + list_reduce(list_transform(generate_series(0, 7),
+             |                j -> unicode(substr(text, u.i + j, 1))::BIGINT),
+             |              (acc, x) -> (acc * 263 + x) % 2147483647) AS kh
              |          FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
              |          WHERE length(text) >= 11),
              |w AS (SELECT doc_id, i,
