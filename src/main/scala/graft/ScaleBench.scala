@@ -106,7 +106,12 @@ object ScaleBench {
     */
   val ThirdPointTargets: Seq[String] = Seq(
     "q206_wet_neardup", "q197_bpe_tokenize", "q95_winnow_pairs",
-    "q202_host_budget", "q183_bm25_store")
+    "q202_host_budget", "q183_bm25_store",
+    // round-15 additions (verdict item 7): the two highest 2-point
+    // exponents not yet probed at 100× (0.697, 0.652 in r14) — the
+    // exact profile q95 had before its third point exposed the
+    // constant-hidden linear term
+    "q104_bigram_lm", "q110_minhash_error")
 
   /** Least-squares slope of ln t over ln scale — with two points this
     * degenerates to the old ln(tN/t1)/ln(N); with three it is the

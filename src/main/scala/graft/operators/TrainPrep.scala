@@ -1657,7 +1657,138 @@ object TrainPrep {
              |           AS clf_score
              |       FROM f LEFT JOIN w3 USING (j) GROUP BY 1)
              |SELECT doc_id, n_feat, clf_score, clf_score > 0 AS keep
-             |FROM nf JOIN sc USING (doc_id)""".stripMargin))
+             |FROM nf JOIN sc USING (doc_id)""".stripMargin)),
+
+    // ---- q210: HELD-OUT evaluation of the in-engine classifier ---------
+    // Closes the quality loop q208/q209 left open (round-15 verdict
+    // item 5): nothing before this measured whether the trained model
+    // is any GOOD. Split the labeled corpus CLUSTER-safe (q136's
+    // machinery — a near-dup pair can never straddle train/eval, so
+    // the held-out numbers aren't inflated by leakage), train the
+    // 3-step perceptron on the train split only, score the held-out
+    // docs through the same fused path, and report the confusion
+    // counts as exact integers (accuracy/precision/recall are ratios
+    // of these — the counts are the replayable form). The oracle
+    // replays the whole chain: the recursive-CTE components for the
+    // split, then the q209 training unroll restricted to train-split
+    // docs, then held-out scoring. Scale shape: the labeled corpus is
+    // sample-sized (q208's contract); the split join is doc-keyed
+    // against the memoized component table; evaluation is one
+    // aggregate over the held-out fifth.
+    QueryDef(
+      "q210_clf_eval",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val assign = clusterSafeAssignment(s, d)
+          .select(col("doc_id"), (col("split") === "train").as("is_train"))
+          .localCheckpoint(true)
+        val labels = clfLabels(docs).localCheckpoint(true)
+        val feats = clfFeatures(docs, "text", Seq("doc_id"))
+          .localCheckpoint(true)
+        val trainIds = assign.filter(col("is_train")).select(col("doc_id"))
+        val w = trainPerceptron(s,
+          feats.join(trainIds, "doc_id"),
+          labels.join(trainIds, "doc_id"), 3)
+        // the declared O(1024) model-sized driver read (q209's class)
+        val arr = Array.fill(ClfBuckets)(0L)
+        w.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+        withClfScore(docs, "text", Some(arr))
+          .select(col("doc_id"), (col("clf_score") > 0).as("pred"))
+          .join(assign.filter(not(col("is_train"))).select(col("doc_id")),
+            "doc_id")
+          .join(labels, "doc_id")
+          .agg(
+            count(lit(1)).as("n_eval"),
+            sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("pred") && col("y") === -1L, 1L).otherwise(0L))
+              .as("fp"),
+            sum(when(not(col("pred")) && col("y") === 1L, 1L).otherwise(0L))
+              .as("fn"),
+            sum(when(not(col("pred")) && col("y") === -1L, 1L).otherwise(0L))
+              .as("tn"))
+      },
+      Some(s"""WITH RECURSIVE ${graft.operators.Dedup.minhashPairsCtes},
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |compt AS (SELECT a AS doc_id, min(b) AS comp
+              |          FROM reach GROUP BY a),
+              |spl AS (SELECT d.doc_id,
+              |          ('0x' || substr(md5('graft-split-' ||
+              |             coalesce(c.comp, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+              |            % 100 < 80 AS is_train
+              |        FROM documents d LEFT JOIN compt c USING (doc_id)),
+              |fe AS (SELECT doc_id, u.term AS term
+              |       FROM toks, UNNEST(t) AS u(term)
+              |       UNION ALL
+              |       SELECT doc_id, t[g.i] || ' ' || t[g.i + 1]
+              |       FROM toks,
+              |         UNNEST(generate_series(1, CAST(len(t) - 1 AS INTEGER)))
+              |           AS g(i)
+              |       WHERE len(t) >= 2),
+              |f AS (SELECT doc_id,
+              |        ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS j,
+              |        CAST(sum(CASE WHEN ('0x' || substr(md5('s#' || term),
+              |                 1, 15))::BIGINT % 2 = 0
+              |                 THEN 1 ELSE -1 END) AS BIGINT) AS c
+              |      FROM fe GROUP BY 1, 2),
+              |lab AS (SELECT doc_id,
+              |          CASE WHEN round(least(1.0, len(t) / 100.0)
+              |                 * (len(list_distinct(t)) / len(t)), 4) >= 0.3
+              |               THEN 1 ELSE -1 END AS y
+              |        FROM toks),
+              |ftr AS (SELECT f.* FROM f JOIN spl USING (doc_id)
+              |        WHERE is_train),
+              |labtr AS (SELECT lab.* FROM lab JOIN spl USING (doc_id)
+              |          WHERE is_train),
+              |d1 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w
+              |       FROM ftr JOIN labtr USING (doc_id) GROUP BY j),
+              |m2 AS (SELECT ftr.doc_id,
+              |         CAST(sum(ftr.c * coalesce(d1.w, 0)) AS BIGINT)
+              |           AS margin
+              |       FROM ftr LEFT JOIN d1 USING (j) GROUP BY 1),
+              |u2 AS (SELECT labtr.doc_id, y FROM labtr JOIN m2 USING (doc_id)
+              |       WHERE y * margin <= 0),
+              |d2 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w
+              |       FROM ftr JOIN u2 USING (doc_id) GROUP BY j),
+              |w2 AS (SELECT j, CAST(sum(w) AS BIGINT) AS w FROM
+              |       (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+              |       GROUP BY j),
+              |m3 AS (SELECT ftr.doc_id,
+              |         CAST(sum(ftr.c * coalesce(w2.w, 0)) AS BIGINT)
+              |           AS margin
+              |       FROM ftr LEFT JOIN w2 USING (j) GROUP BY 1),
+              |u3 AS (SELECT labtr.doc_id, y FROM labtr JOIN m3 USING (doc_id)
+              |       WHERE y * margin <= 0),
+              |d3 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w
+              |       FROM ftr JOIN u3 USING (doc_id) GROUP BY j),
+              |w3 AS (SELECT j, CAST(sum(w) AS BIGINT) AS w FROM
+              |       (SELECT * FROM w2 UNION ALL SELECT * FROM d3)
+              |       GROUP BY j),
+              |sc AS (SELECT f.doc_id,
+              |         CAST(sum(f.c * coalesce(w3.w, 0)) AS BIGINT)
+              |           AS clf_score
+              |       FROM f JOIN spl USING (doc_id)
+              |       LEFT JOIN w3 USING (j)
+              |       WHERE NOT is_train GROUP BY 1),
+              |ev AS (SELECT sc.doc_id, clf_score > 0 AS pred, y
+              |       FROM sc JOIN lab USING (doc_id))
+              |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+              |  CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS tp,
+              |  CAST(sum(CASE WHEN pred AND y = -1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS fp,
+              |  CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS fn,
+              |  CAST(sum(CASE WHEN NOT pred AND y = -1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS tn
+              |FROM ev""".stripMargin))
   )
 
   /** q136's per-document assignment — (doc_id, n, split) with every

@@ -198,6 +198,62 @@ class TrainPrepSpec extends SparkSpec {
       "trained weights must serve identically through both paths")
   }
 
+  test("continued training soak: installments 4..6 on fresh batches equal the pure loop over the same schedule") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    val tbl = "tps_clf_soak"
+    Seq(tbl, tbl + "_wm").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), n)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    // six disjoint labeled batches: steps 1-3 on batch 0 (the q208
+    // shape), steps 4-6 each on a FRESH batch — the continued-training
+    // lifecycle (new labeled data arrives, the store accumulates)
+    val all = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).limit(120).localCheckpoint(true)
+    val batches = (0 until 4).map { b =>
+      val docs = all.filter(pmod(col("doc_id"), lit(4)) === b)
+        .localCheckpoint(true)
+      (TrainPrep.clfFeatures(docs, "text", Seq("doc_id"))
+        .localCheckpoint(true),
+        TrainPrep.clfLabels(docs).localCheckpoint(true))
+    }
+    val schedule: Seq[(Long, Int)] =
+      Seq(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 2, 6L -> 3)
+    TrainPrep.writeClfStoreEmpty(spark, tbl, 4)
+    schedule.foreach { case (step, b) =>
+      assert(TrainPrep.trainClfStep(spark,
+        batches(b)._1, batches(b)._2, tbl, step))
+    }
+    // the pure induction over the SAME batch schedule (perceptron
+    // updates are order-dependent — the invariant is store == pure
+    // loop per schedule, not order-independence)
+    var w: org.apache.spark.sql.DataFrame = spark.range(0)
+      .select(col("id").as("j"), col("id").as("w"))
+    schedule.foreach { case (_, b) =>
+      val delta = graft.operators.TrainPrep.perceptronDelta(
+        batches(b)._1, batches(b)._2, w)
+      w = w.union(delta).groupBy(col("j"))
+        .agg(sum(col("w")).as("w")).localCheckpoint(true)
+    }
+    val pure = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._2 != 0L)
+    val store = TrainPrep.readClfWeights(spark, tbl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._2 != 0L)
+    assert(store === pure,
+      "six store installments must equal the pure six-step induction")
+    assert(pure.nonEmpty, "soak must exercise a non-trivial model")
+    // replaying any mid-schedule step is still refused after the soak
+    assert(!TrainPrep.trainClfStep(spark,
+      batches(1)._1, batches(1)._2, tbl, 4L))
+    assert(TrainPrep.readClfWeights(spark, tbl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._2 != 0L) === pure)
+  }
+
   test("readClfVector refuses a foreign table with out-of-range bucket ids") {
     import spark.implicits._
     import graft.operators.TrainPrep
@@ -207,8 +263,12 @@ class TrainPrepSpec extends SparkSpec {
     // a negative id must not slip through the Int cast either
     Seq(("tps_alien_hi", 999999L), ("tps_alien_neg", -3L)).foreach {
       case (tbl, bad) =>
-        spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        spark.sql(s"DROP TABLE IF EXISTS ${tbl}_wm")
+        Seq(tbl, tbl + "_wm").foreach { n =>
+          spark.sql(s"DROP TABLE IF EXISTS $n")
+          val p = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), n)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
         graft.stores.DeltaStore.write(spark,
           Seq((bad, 1L)).toDF("j", "w"), tbl, Seq("j"), 4)
         val e = intercept[IllegalArgumentException] {
