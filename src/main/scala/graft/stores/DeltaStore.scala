@@ -152,6 +152,42 @@ object DeltaStore {
     both.distinct().collect().map(_.getLong(0))
   }
 
+  /** Recorded installment ids for SEVERAL stores in ONE
+    * driver-blocking job (round-15; the near seam's fold family runs
+    * four [[refresh]]es per micro-batch and each guard read was its
+    * own job — ~0.3–0.4 s/batch of pure scheduling at the WET seam).
+    * One tagged union over every key table and sidecar, distinct,
+    * one collect; callers hand each store its slice via `refresh`'s
+    * `recorded` parameter. The reads are the same column-pruned
+    * BIGINT scans the per-store guard does — fusing changes job
+    * count, not bytes. Caches are dropped here so the slices see
+    * exactly what the per-store read would.
+    */
+  private[graft] def recordedIdsMulti(s: SparkSession,
+      tables: Seq[String]): Map[String, Array[Long]] = {
+    tables.foreach(t => uncache(s, t, wmTable(t)))
+    val frames = tables.flatMap { t =>
+      Seq(s.table(t).select(lit(t).as("t"), col("batch_id"))) ++
+        (if (s.catalog.tableExists(wmTable(t)))
+           Seq(s.table(wmTable(t)).select(lit(t).as("t"), col("batch_id")))
+         else Nil)
+    }
+    // partition-local dedupe + driver merge instead of distinct():
+    // a DataFrame distinct().collect() is TWO jobs under AQE (one per
+    // materialized stage), which would hand back half the fusion —
+    // the RDD collect is always one. Driver volume is bounded by
+    // (stores × installments) per partition, the same metadata scale
+    // as the per-store guard.
+    import s.implicits._
+    val found: Set[(String, Long)] = frames.reduce(_ union _)
+      .select(col("t"), col("batch_id")).as[(String, Long)]
+      .mapPartitions(it => it.toSet.iterator)
+      .collect().toSet
+    val byTable = found.groupBy(_._1)
+    tables.map(t => t ->
+      byTable.getOrElse(t, Set.empty[(String, Long)]).map(_._2).toArray).toMap
+  }
+
   private def bucketedWrite(df: DataFrame, table: String, mode: String,
       keyCols: Seq[String], buckets: Int): Unit =
     df.repartition(buckets, keyCols.map(col): _*)
@@ -182,7 +218,8 @@ object DeltaStore {
     */
   def refresh(s: SparkSession, delta: => DataFrame, table: String,
       keyCols: Seq[String], batchId: Long,
-      beforeCommit: () => Unit = () => ()): Boolean = {
+      beforeCommit: () => Unit = () => (),
+      recorded: Option[Array[Long]] = None): Boolean = {
     require(batchId > 0L,
       "installment batch ids start at 1 (0 marks the base store build)")
     uncache(s, table, wmTable(table))
@@ -191,8 +228,11 @@ object DeltaStore {
       s"$table has no batch_id column — rebuild it via the store's " +
         "write entry; the replay guard needs the per-installment watermark")
     // union of row-carried ids and sidecar ids: an EMPTY installment
-    // is recorded only by its sidecar row
-    val rec = recordedIds(s, t, table)
+    // is recorded only by its sidecar row. `recorded` is a caller-
+    // supplied pre-read ([[recordedIdsMulti]] — one guard job for a
+    // fold family); it must have been taken under this fold's batch
+    // id regime, i.e. between the family's previous fold and this one
+    val rec = recorded.getOrElse(recordedIds(s, t, table))
     val watermark = if (rec.isEmpty) -1L else rec.max
     if (rec.contains(batchId)) return false // replayed installment
     require(batchId > watermark,

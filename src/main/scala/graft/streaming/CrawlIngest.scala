@@ -129,11 +129,11 @@ object CrawlIngest {
     * never re-shuffles.
     */
   private[graft] def foldFps(s: SparkSession, fps: DataFrame, table: String,
-      batchId: Long): Boolean =
+      batchId: Long, recorded: Option[Array[Long]] = None): Boolean =
     DeltaStore.refresh(s,
       fps.join(s.table(table).filter(col("batch_id") < batchId)
         .select(col("fp")), Seq("fp"), "left_anti"),
-      table, Seq("fp"), batchId)
+      table, Seq("fp"), batchId, recorded = recorded)
 
   /** Batch-side fold of a crawl-file frame's fingerprints — the
     * out-of-band maintenance entry (the soak spec's path; the
@@ -373,6 +373,18 @@ object CrawlIngest {
   private[graft] def foldWet(s: SparkSession, verdicts: DataFrame,
       fpTable: String, hostTable: String, inst: Long,
       near: Option[(String, String)] = None): Boolean = {
+    // ONE guard job for the whole fold family (round 15; was one per
+    // fold — ~0.3–0.4 s/batch of pure job scheduling at the near
+    // seam): the family flips together, so its recorded-installment
+    // sets read together. Safe because nothing between this read and
+    // the folds below appends to any of the four tables — each
+    // refresh still re-checks ITS slice under the same watermark
+    // invariants, so a crash-retried batch is refused per store
+    // exactly as before (a prefix of the family landed → those
+    // slices contain `inst` → those folds no-op).
+    val guards = DeltaStore.recordedIdsMulti(s,
+      near.map { case (b, c) => Seq(b, c) }.getOrElse(Nil) ++
+        Seq(fpTable, hostTable))
     // near mode: the band + component deltas fold FIRST (both derive
     // from the landed verdict rows — the band signatures rode out as
     // an array column, so no re-decode). Same retry argument as
@@ -385,16 +397,17 @@ object CrawlIngest {
         verdicts.select(ck, explode(col("bands")).as("b"))
           .select(col("b.band").as("band"), col("b.h1").as("h1"),
             col("b.h2").as("h2"), col("doc_id")),
-        bandT, Seq("band", "h1", "h2"), inst)
+        bandT, Seq("band", "h1", "h2"), inst, recorded = Some(guards(bandT)))
       DeltaStore.refresh(s,
         verdicts.select(ck, col("near_comp").as("comp")),
-        compT, Seq("doc_id"), inst)
+        compT, Seq("doc_id"), inst, recorded = Some(guards(compT)))
     }
-    foldFps(s, verdicts.select(col("fp")).distinct(), fpTable, inst)
+    foldFps(s, verdicts.select(col("fp")).distinct(), fpTable, inst,
+      recorded = Some(guards(fpTable)))
     DeltaStore.refresh(s,
       verdicts.filter(col("admitted"))
         .groupBy(col("host")).agg(count(lit(1)).as("n_admitted")),
-      hostTable, Seq("host"), inst)
+      hostTable, Seq("host"), inst, recorded = Some(guards(hostTable)))
   }
 
   /** WET crawl ingest: frame, flag, admit against the budget, land,

@@ -166,4 +166,46 @@ class DeltaStoreSpec extends SparkSpec {
         "the roll-forward target must bucket on the full key")
     } finally spark.sql("DROP DATABASE IF EXISTS dsm CASCADE")
   }
+
+  test("recordedIdsMulti: a four-store family's guards read in ONE job, slices drive refresh exactly like per-store reads") {
+    val wh = Files.createTempDirectory("graft_wh_dsg").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dsg LOCATION '$wh'")
+    try {
+      // four stores with DIFFERENT installment sets, incl. an
+      // empty-delta installment recorded only by its sidecar (the
+      // saturated-batch case the guard exists for)
+      val ts = (1 to 4).map(i => s"dsg.fam$i")
+      ts.foreach(t => DeltaStore.write(spark, toy(3), t, Seq("k"), 2))
+      assert(DeltaStore.refresh(spark, toy(2, 10), ts(0), Seq("k"), 1L))
+      assert(DeltaStore.refresh(spark, toy(2, 10), ts(0), Seq("k"), 2L))
+      assert(DeltaStore.refresh(spark, toy(2, 10), ts(1), Seq("k"), 1L))
+      assert(DeltaStore.refresh(spark, toy(0), ts(2), Seq("k"), 5L),
+        "empty delta records via the sidecar only")
+      // ts(3): base build only
+      val sc = spark.sparkContext
+      sc.setJobGroup("guard-multi", "fused guard read")
+      val guards = DeltaStore.recordedIdsMulti(spark, ts)
+      sc.clearJobGroup()
+      val jobs = sc.statusTracker.getJobIdsForGroup("guard-multi")
+      assert(jobs.length === 1,
+        s"the family guard read must be ONE job, saw ${jobs.length}")
+      assert(guards(ts(0)).sorted.toSeq === Seq(0L, 1L, 2L))
+      assert(guards(ts(1)).sorted.toSeq === Seq(0L, 1L))
+      assert(guards(ts(2)).sorted.toSeq === Seq(0L, 5L),
+        "the sidecar-only installment must appear in the fused read")
+      assert(guards(ts(3)).sorted.toSeq === Seq(0L))
+      // the slices drive refresh exactly like the per-store read:
+      // replay refused, monotone novel admitted, stale-slice
+      // non-monotone novel still thrown
+      assert(!DeltaStore.refresh(spark, toy(2, 20), ts(0), Seq("k"), 2L,
+        recorded = Some(guards(ts(0)))), "replayed id in slice → refused")
+      assert(DeltaStore.refresh(spark, toy(2, 20), ts(1), Seq("k"), 7L,
+        recorded = Some(guards(ts(1)))), "monotone novel id → folds")
+      val e = intercept[IllegalArgumentException] {
+        DeltaStore.refresh(spark, toy(2, 30), ts(2), Seq("k"), 3L,
+          recorded = Some(guards(ts(2))))
+      }
+      assert(e.getMessage.contains("non-monotone"))
+    } finally spark.sql("DROP DATABASE IF EXISTS dsg CASCADE")
+  }
 }
