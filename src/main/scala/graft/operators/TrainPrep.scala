@@ -318,6 +318,133 @@ object TrainPrep {
         when(round(least(lit(1.0), col("n") / 100.0)
           * (col("nd") / col("n")), 4) >= 0.3, 1L).otherwise(-1L).as("y"))
 
+  // ---- balanced Rocchio head (round 15) --------------------------------
+  //
+  // q210's first held-out measurement did exactly what an eval exists
+  // to do: it exposed the trained perceptron as a majority-class
+  // predictor (94.7% accuracy, 0/6 recall under the ~95/5 label
+  // prior). Two root causes, measured separately (ProfileClfBalance):
+  // (1) REPRESENTATION — the q32 quality label is a function of the
+  // token count n and distinct-token count nd (it is exactly
+  // nd >= max(30, 0.3·n)), which is linear over (n, nd, 1) but
+  // invisible to sign-randomized hashed bag-of-words; (2) DYNAMICS —
+  // batch-perceptron steps with class-balanced weights overshoot and
+  // oscillate between the all-positive and all-negative states
+  // (averaging included), because each synchronized step updates with
+  // the full misclassified mass. The fix is a model whose training is
+  // CLOSED-FORM instead of iterative: a balanced centroid (Rocchio)
+  // direction — one class-weighted update from w⁰ = 0, i.e.
+  // w ∝ mean(pos) − mean(neg) — over features that carry the signal
+  // (three reserved structural buckets), plus a train-optimal
+  // balanced decision threshold. Still integer-exact end to end, so
+  // the DuckDB oracle replays direction, margins, threshold argmin,
+  // and the held-out confusion bit-for-bit. Measured at sf0.01:
+  // recall 0/6 → 6/6 with accuracy 0.85 (vs 0.947 degenerate).
+
+  /** Structural feature map: uni+bigram terms hashed into [0, 1021)
+    * (1021 is prime) plus three RESERVED buckets — 1021 bias (c = 1),
+    * 1022 token count, 1023 distinct-token count. Same signed-count
+    * shape as [[clfFeatures]]; one exploded doc-keyed partial agg, no
+    * driver work.
+    */
+  private[graft] def clfFeaturesStruct(df: DataFrame): DataFrame = {
+    graft.functions.Md5Long.register(df.sparkSession)
+    val terms = df.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("bi", when(size(col("t")) >= 2, expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> concat_ws(' ', slice(t, i, 2)))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+    val hashed = terms
+      .select(col("doc_id"), explode(concat(col("t"), col("bi"))).as("term"))
+      .select(col("doc_id"),
+        pmod(expr("md5long(term)"), lit(1021L)).as("j"),
+        when(pmod(expr("md5long(concat('s#', term))"), lit(2)) === 0, 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy(col("doc_id"), col("j")).agg(sum(col("sign")).as("c"))
+    val struct = terms.select(col("doc_id"),
+      size(col("t")).cast("long").as("n"),
+      size(array_distinct(col("t"))).cast("long").as("nd"))
+      .select(col("doc_id"), explode(map(
+        lit(1021L), lit(1L),
+        lit(1022L), col("n"),
+        lit(1023L), col("nd"))).as(Seq("j", "c")))
+    hashed.unionByName(struct)
+  }
+
+  /** Inverse-prior class weights: a positive doc's update weighs the
+    * NEGATIVE class count and vice versa, so each class contributes
+    * equal total mass (the integer-exact form of inverse-frequency
+    * weighting). `greatest(…, 1)` degrades a one-class corpus to the
+    * unweighted trainer instead of an all-zero model.
+    */
+  private[graft] def balancedClassWeights(labels: DataFrame): DataFrame = {
+    val cnts = labels.agg(
+      greatest(sum(when(col("y") === 1L, 1L).otherwise(0L)), lit(1L))
+        .as("npos"),
+      greatest(sum(when(col("y") === -1L, 1L).otherwise(0L)), lit(1L))
+        .as("nneg"))
+    labels.crossJoin(broadcast(cnts))
+      .select(col("doc_id"), col("y"),
+        when(col("y") === 1L, col("nneg")).otherwise(col("npos")).as("wt"))
+  }
+
+  /** Balanced centroid (Rocchio) direction: ONE class-weighted
+    * perceptron update from w⁰ = 0 (where every doc is misclassified,
+    * so no margin pass is needed) — w_j = Σ y·wt·c_j, proportional to
+    * mean(pos) − mean(neg) per bucket. Closed-form: no iteration, no
+    * oscillation (the q210 root cause #2). One bucket-keyed agg over
+    * the sample-sized labeled frame.
+    */
+  private[graft] def rocchioDirection(feats: DataFrame,
+      labelsW: DataFrame): DataFrame =
+    feats.join(labelsW, "doc_id")
+      .groupBy(col("j")).agg(sum(col("y") * col("wt") * col("c")).as("w"))
+
+  /** Margins of a feature frame under a sparse (j, w) direction —
+    * broadcast weights (≤ 1024 rows), one doc-keyed partial agg;
+    * missing buckets serve 0 exactly like the fused element_at path.
+    */
+  private[graft] def clfMargins(feats: DataFrame, w: DataFrame): DataFrame =
+    feats.join(broadcast(w.select(col("j"), col("w"))), Seq("j"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("margin"))
+
+  /** Train-optimal balanced decision threshold over labeled margins
+    * (doc_id, y, margin): among candidate cuts (the distinct train
+    * margins), pick τ minimizing the class-weighted train error
+    * err(τ) = nn·|pos: margin ≤ τ| + np·|neg: margin > τ|; ties break
+    * to the smallest τ. Returns ONE row (tau, err) — consumed via
+    * crossJoin(broadcast(…)), never collected. The unpartitioned
+    * window is over the SAMPLE-sized labeled margins only (labeled
+    * classifier corpora are 10⁵–10⁶ docs by the q208 contract — the
+    * 100 TB corpus is what gets SCORED, not thresholded), same
+    * declared class as the training aggregates themselves.
+    */
+  private[graft] def balancedThreshold(marginsL: DataFrame): DataFrame = {
+    val cnts = marginsL.agg(
+      greatest(sum(when(col("y") === 1L, 1L).otherwise(0L)), lit(1L))
+        .as("np"),
+      greatest(sum(when(col("y") === -1L, 1L).otherwise(0L)), lit(1L))
+        .as("nn"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("negtot"))
+    // default RANGE frame: each row's cumulative count includes its
+    // margin ties, so the groupBy(margin) max is the exact
+    // |margin' ≤ margin| count either way
+    val wnd = org.apache.spark.sql.expressions.Window.orderBy(col("margin"))
+    marginsL
+      .withColumn("cpos",
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).over(wnd))
+      .withColumn("cneg",
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).over(wnd))
+      .groupBy(col("margin"))
+      .agg(max(col("cpos")).as("cpos"), max(col("cneg")).as("cneg"))
+      .crossJoin(broadcast(cnts))
+      .select(col("margin").as("tau"),
+        (col("nn") * col("cpos")
+          + col("np") * (col("negtot") - col("cneg"))).as("err"))
+      .orderBy(col("err"), col("tau")).limit(1)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q45: benchmark decontamination (8-gram collision scan) --------
     // Train/test decontamination: flag training documents sharing any
@@ -1779,6 +1906,139 @@ object TrainPrep {
               |       WHERE NOT is_train GROUP BY 1),
               |ev AS (SELECT sc.doc_id, clf_score > 0 AS pred, y
               |       FROM sc JOIN lab USING (doc_id))
+              |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+              |  CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS tp,
+              |  CAST(sum(CASE WHEN pred AND y = -1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS fp,
+              |  CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS fn,
+              |  CAST(sum(CASE WHEN NOT pred AND y = -1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS tn
+              |FROM ev""".stripMargin)),
+
+    // ---- q211: balanced Rocchio head — the q210 finding, FIXED ---------
+    // q210 measured the perceptron as a majority-class predictor
+    // (0/6 held-out recall); this trains the model the diagnosis calls
+    // for (see the round-15 block comment above [[clfFeaturesStruct]]):
+    // structural features that carry the label's (n, nd) signal, a
+    // closed-form balanced centroid direction (no oscillating batch
+    // steps), and a train-optimal balanced threshold. Same cluster-safe
+    // split and confusion-count output as q210, so the two rows read
+    // side by side: recall 0/6 → 6/6, accuracy 0.947 (degenerate) →
+    // 0.850 (real). Scale shape: training aggregates and the threshold
+    // window run over the sample-sized labeled frame; the corpus side
+    // is one broadcast-weights margin pass + a broadcast-scalar
+    // threshold compare — nothing all-pairs, nothing collected.
+    QueryDef(
+      "q211_clf_rocchio_eval",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val assign = clusterSafeAssignment(s, d)
+          .select(col("doc_id"), (col("split") === "train").as("is_train"))
+          .localCheckpoint(true)
+        val labels = clfLabels(docs).localCheckpoint(true)
+        val feats = clfFeaturesStruct(docs).localCheckpoint(true)
+        val trainIds = assign.filter(col("is_train")).select(col("doc_id"))
+        val labTr = labels.join(trainIds, "doc_id")
+        val w1 = rocchioDirection(feats.join(trainIds, "doc_id"),
+          balancedClassWeights(labTr)).localCheckpoint(true)
+        val mAll = clfMargins(feats, w1).localCheckpoint(true)
+        val tau = balancedThreshold(labTr.join(mAll, "doc_id"))
+        mAll.crossJoin(broadcast(tau.select(col("tau"))))
+          .select(col("doc_id"), (col("margin") > col("tau")).as("pred"))
+          .join(assign.filter(not(col("is_train"))).select(col("doc_id")),
+            "doc_id")
+          .join(labels, "doc_id")
+          .agg(
+            count(lit(1)).as("n_eval"),
+            sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("pred") && col("y") === -1L, 1L).otherwise(0L))
+              .as("fp"),
+            sum(when(not(col("pred")) && col("y") === 1L, 1L).otherwise(0L))
+              .as("fn"),
+            sum(when(not(col("pred")) && col("y") === -1L, 1L).otherwise(0L))
+              .as("tn"))
+      },
+      Some(s"""WITH RECURSIVE ${graft.operators.Dedup.minhashPairsCtes},
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |compt AS (SELECT a AS doc_id, min(b) AS comp
+              |          FROM reach GROUP BY a),
+              |spl AS (SELECT d.doc_id,
+              |          ('0x' || substr(md5('graft-split-' ||
+              |             coalesce(c.comp, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+              |            % 100 < 80 AS is_train
+              |        FROM documents d LEFT JOIN compt c USING (doc_id)),
+              |fe AS (SELECT doc_id, u.term AS term
+              |       FROM toks, UNNEST(t) AS u(term)
+              |       UNION ALL
+              |       SELECT doc_id, t[g.i] || ' ' || t[g.i + 1]
+              |       FROM toks,
+              |         UNNEST(generate_series(1, CAST(len(t) - 1 AS INTEGER)))
+              |           AS g(i)
+              |       WHERE len(t) >= 2),
+              |f AS (SELECT doc_id,
+              |        ('0x' || substr(md5(term), 1, 15))::BIGINT % 1021 AS j,
+              |        CAST(sum(CASE WHEN ('0x' || substr(md5('s#' || term),
+              |                 1, 15))::BIGINT % 2 = 0
+              |                 THEN 1 ELSE -1 END) AS BIGINT) AS c
+              |      FROM fe GROUP BY 1, 2
+              |      UNION ALL
+              |      SELECT doc_id, CAST(1021 AS BIGINT),
+              |        CAST(1 AS BIGINT) FROM toks
+              |      UNION ALL
+              |      SELECT doc_id, CAST(1022 AS BIGINT),
+              |        CAST(len(t) AS BIGINT) FROM toks
+              |      UNION ALL
+              |      SELECT doc_id, CAST(1023 AS BIGINT),
+              |        CAST(len(list_distinct(t)) AS BIGINT) FROM toks),
+              |lab AS (SELECT doc_id,
+              |          CASE WHEN round(least(1.0, len(t) / 100.0)
+              |                 * (len(list_distinct(t)) / len(t)), 4) >= 0.3
+              |               THEN 1 ELSE -1 END AS y
+              |        FROM toks),
+              |labtr AS (SELECT lab.* FROM lab JOIN spl USING (doc_id)
+              |          WHERE is_train),
+              |cw AS (SELECT
+              |         greatest(1, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+              |           AS np,
+              |         greatest(1, sum(CASE WHEN y = -1 THEN 1 ELSE 0 END))
+              |           AS nn,
+              |         sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS negtot
+              |       FROM labtr),
+              |w1 AS (SELECT j,
+              |         CAST(sum(y * (CASE WHEN y = 1 THEN nn ELSE np END)
+              |           * c) AS BIGINT) AS w
+              |       FROM f JOIN labtr USING (doc_id) CROSS JOIN cw
+              |       GROUP BY j),
+              |m AS (SELECT f.doc_id,
+              |        CAST(sum(f.c * coalesce(w1.w, 0)) AS BIGINT) AS margin
+              |      FROM f LEFT JOIN w1 USING (j) GROUP BY 1),
+              |mtr AS (SELECT m.doc_id, margin, y
+              |        FROM m JOIN labtr USING (doc_id)),
+              |cum AS (SELECT margin,
+              |          sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+              |            OVER (ORDER BY margin) AS cpos,
+              |          sum(CASE WHEN y = -1 THEN 1 ELSE 0 END)
+              |            OVER (ORDER BY margin) AS cneg
+              |        FROM mtr),
+              |cand AS (SELECT margin, max(cpos) AS cpos, max(cneg) AS cneg
+              |         FROM cum GROUP BY margin),
+              |tau AS (SELECT margin AS tau FROM cand CROSS JOIN cw
+              |        ORDER BY nn * cpos + np * (negtot - cneg), margin
+              |        LIMIT 1),
+              |ev AS (SELECT m.doc_id, m.margin > tau AS pred, y
+              |       FROM m JOIN spl USING (doc_id) CROSS JOIN tau
+              |       JOIN lab USING (doc_id)
+              |       WHERE NOT is_train)
               |SELECT CAST(count(*) AS BIGINT) AS n_eval,
               |  CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END)
               |    AS BIGINT) AS tp,

@@ -278,4 +278,72 @@ class TrainPrepSpec extends SparkSpec {
           e.getMessage.contains(bad.toString))
     }
   }
+
+  test("balanced class weights are opposite-class counts; one-class corpus degrades to 1") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    val two = TrainPrep.balancedClassWeights(
+      Seq((1L, 1L), (2L, -1L), (3L, -1L), (4L, -1L)).toDF("doc_id", "y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(two(1L) == (1L, 3L), "positive doc weighs the negative count")
+    assert(two(2L) == (-1L, 1L) && two(3L) == (-1L, 1L) && two(4L) == (-1L, 1L))
+    val one = TrainPrep.balancedClassWeights(
+      Seq((1L, -1L), (2L, -1L)).toDF("doc_id", "y"))
+      .collect().map(_.getLong(2))
+    assert(one.forall(_ == 1L), "absent class clamps to 1, not 0")
+  }
+
+  test("rocchio direction is the class-weighted update from zero") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    // pos doc 1: {j0: 2, j1: -1}; neg docs 2, 3: {j0: 1}, {j1: 3}
+    val feats = Seq((1L, 0L, 2L), (1L, 1L, -1L), (2L, 0L, 1L), (3L, 1L, 3L))
+      .toDF("doc_id", "j", "c")
+    val labels = Seq((1L, 1L), (2L, -1L), (3L, -1L)).toDF("doc_id", "y")
+    val w = TrainPrep.rocchioDirection(feats,
+      TrainPrep.balancedClassWeights(labels))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // wt(+1) = 2 (two negatives), wt(-1) = 1 (one positive):
+    // w[j0] = 1*2*2 + (-1)*1*1 = 3; w[j1] = 1*2*(-1) + (-1)*1*3 = -5
+    assert(w == Map(0L -> 3L, 1L -> -5L))
+  }
+
+  test("balanced threshold minimizes the weighted train error, ties to the smallest tau") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    // pos margins {10, 20}, neg {1, 2, 30}: np=2, nn=3 —
+    // err(1)=0+2*2=4, err(2)=0+2*1=2, err(10)=3+2=5, err(20)=6+2=8,
+    // err(30)=6+0=6 → tau=2
+    val m1 = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, -1L, 1L),
+      (4L, -1L, 2L), (5L, -1L, 30L)).toDF("doc_id", "y", "margin")
+    val t1 = TrainPrep.balancedThreshold(m1).collect()(0)
+    assert(t1.getLong(0) == 2L && t1.getLong(1) == 2L)
+    // interleaved pos {1, 3}, neg {2, 4}: err(2)=err(4)=4 is the
+    // minimum twice → the smaller cut wins deterministically
+    val m2 = Seq((1L, 1L, 1L), (2L, 1L, 3L), (3L, -1L, 2L),
+      (4L, -1L, 4L)).toDF("doc_id", "y", "margin")
+    assert(TrainPrep.balancedThreshold(m2).collect()(0).getLong(0) == 2L)
+    // margin TIES within a cut count all their rows on both sides
+    val m3 = Seq((1L, 1L, 5L), (2L, -1L, 5L), (3L, -1L, 7L))
+      .toDF("doc_id", "y", "margin")
+    // np=1, nn=2: err(5) = 2*1 + 1*1 = 3; err(7) = 2*1 + 0 = 2 → tau=7
+    assert(TrainPrep.balancedThreshold(m3).collect()(0).getLong(0) == 7L)
+  }
+
+  test("q211 fixes the q210 collapse: full held-out recall, non-degenerate accuracy") {
+    val r210 = run("q210_clf_eval").collect()(0)
+    val r211 = run("q211_clf_rocchio_eval").collect()(0)
+    // q210's perceptron collapses to the majority class on the ~95/5
+    // prior (the finding the eval exists to expose)...
+    assert(r210.getLong(1) == 0L && r210.getLong(2) == 0L,
+      s"q210 predicts all-negative at sf0.001: $r210")
+    // ...the balanced Rocchio head recovers every held-out positive
+    // while staying a real classifier, not the all-positive flip side
+    val (n, tp, fp, fn, tn) = (r211.getLong(0), r211.getLong(1),
+      r211.getLong(2), r211.getLong(3), r211.getLong(4))
+    assert(n == tp + fp + fn + tn)
+    assert(fn == 0L && tp > 0L, s"full held-out recall: $r211")
+    assert(tn > 0L, s"not the all-positive degenerate flip: $r211")
+    assert((tp + tn).toDouble / n >= 0.8, s"non-degenerate accuracy: $r211")
+  }
 }
