@@ -57,8 +57,16 @@ object Dedup {
     * interpreted per element, measured ~5× slower for the same hash
     * count.
     */
-  private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    Tables.parallel(s, d, "documents")
+  private[graft] def hashedShingles(s: SparkSession, d: String): DataFrame =
+    hashedShinglesOf(Tables.parallel(s, d, "documents"))
+
+  /** [[hashedShingles]] over an arbitrary (doc_id, text) frame — the
+    * q212 sampled eval feeds a filtered corpus through the same
+    * shingle arithmetic.
+    */
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.Md5Long.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -66,6 +74,7 @@ object Dedup {
         .as("s"))
       .select(col("doc_id"),
         expr("md5long(s)").as("sid"))
+  }
 
   private val hashedShinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -823,7 +832,13 @@ object Dedup {
   /** q35's capped-inverted-index exact Jaccard pairs (da, db, jac) —
     * shared with the q110 sketch-accuracy eval.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsOf(s, Tables(s, d, "documents"))
+
+  /** [[jaccardPairs]] over an arbitrary (doc_id, text) frame (the
+    * q212 sampled eval) — identical capped-inverted-index arithmetic.
+    */
+  private[graft] def jaccardPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
         // Inverted index as posting lists: the md5 shingle subtree is
         // shuffled ONCE (the sole sid exchange), each sid's sorted
         // member list is built by collect_list, and candidate pairs
@@ -863,7 +878,7 @@ object Dedup {
         // the whole shingle transform below the exchange into the
         // scan filter — a second, serial evaluation per join side
         // (measured 2× the entire query).
-        val cnt = Tables(s, d, "documents")
+        val cnt = docs
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 3)
           .select(col("doc_id"),
@@ -871,7 +886,7 @@ object Dedup {
               "transform(sequence(0, size(t)-3), i -> " +
                 "concat_ws(' ', t[i], t[i+1], t[i+2]))"))), lit(0))
               .cast("long").as("n"))
-        val pairs = hashedShingles(s, d)
+        val pairs = hashedShinglesOf(docs)
           .groupBy(col("sid"))
           .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
           .filter(size(col("ds")).between(2, JaccardDfCap))
@@ -1760,6 +1775,79 @@ object Dedup {
             round(col("matches") / lit(8.0) - col("jac"), 4).as("err"))
       },
       Some(s"""WITH $jaccardPairsSql,
+              |coefq(seed, a, b) AS (VALUES ${(0 to 7).map(k =>
+                s"(${k}, ${graft.functions.MinHashSignature.A(k)}, " +
+                  s"${graft.functions.MinHashSignature.B(k)})").mkString(", ")}),
+              |mhq AS (SELECT doc_id, seed,
+              |          min((a * (sid % ${graft.functions.MinHashSignature.P}) + b)
+              |              % ${graft.functions.MinHashSignature.P}) AS mh
+              |        FROM sh CROSS JOIN coefq GROUP BY 1, 2),
+              |agree AS (SELECT jp.da, jp.db, jp.jac,
+              |            CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+              |                 AS BIGINT) AS matches
+              |          FROM jp
+              |          JOIN mhq x ON x.doc_id = jp.da
+              |          JOIN mhq y ON y.doc_id = jp.db AND y.seed = x.seed
+              |          GROUP BY 1, 2, 3)
+              |SELECT da, db, jac,
+              |  matches / CAST(8 AS DOUBLE) AS est,
+              |  round(matches / CAST(8 AS DOUBLE) - jac, 4) AS err
+              |FROM agree""".stripMargin)),
+
+    // ---- q212: SAMPLED sketch-accuracy eval — q110's 100 TB shape ------
+    // The round-15 third scale point measured q110 as linear with the
+    // corpus (isolated t100 60.2 s, tail slope 1.124;
+    // ProfileMinhashError: the exact-Jaccard candidate stage dominates,
+    // in-cap pair volume 4,168 → 424,185 — linear by the df-cap
+    // design). Linear is the FLOOR for exact-vs-sketch accuracy over
+    // the full corpus (every candidate needs its true Jaccard), but
+    // sketch-accuracy tuning doesn't need the full corpus — it needs a
+    // confidence interval, and an unbiased one comes from a
+    // deterministic doc sample: hash-select half the docs (pmod 2 —
+    // the rate is the caller's knob; the query pins one value so the
+    // oracle replays it) and run the IDENTICAL chain over the sample.
+    // Pair volume drops with the sample rate SQUARED (both endpoints
+    // must survive), so at a production 1% sample the eval costs
+    // ~10⁻⁴ of q110 while estimating the same error distribution —
+    // the same sample-vs-corpus posture as q210/q211's labeled
+    // training frames. Same columns as q110, so the two reports read
+    // side by side.
+    QueryDef(
+      "q212_minhash_error_sampled",
+      (s, d) => {
+        graft.functions.Md5Long.register(s)
+        val docs = Tables(s, d, "documents")
+          .filter(expr(
+            "pmod(md5long(concat('mh-eval-', cast(doc_id as string))), 2)")
+            === 0)
+          .localCheckpoint(true)
+        val P = graft.functions.MinHashSignature.P
+        val sigCols = (0 to 7).map { k =>
+          val (a, b) = (graft.functions.MinHashSignature.A(k),
+            graft.functions.MinHashSignature.B(k))
+          min((lit(a) * (col("sid") % P) + lit(b)) % lit(P)).as(s"mh$k")
+        }
+        val sigs = hashedShinglesOf(docs)
+          .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        val sa = sigs.select(col("doc_id").as("da") +:
+          (0 to 7).map(k => col(s"mh$k").as(s"a$k")): _*)
+        val sb = sigs.select(col("doc_id").as("db") +:
+          (0 to 7).map(k => col(s"mh$k").as(s"b$k")): _*)
+        jaccardPairsOf(s, docs)
+          .join(sa, "da").join(sb, "db")
+          .withColumn("matches",
+            (0 to 7).map(k =>
+              when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+              .reduce(_ + _))
+          .select(col("da"), col("db"), col("jac"),
+            (col("matches") / lit(8.0)).as("est"),
+            round(col("matches") / lit(8.0) - col("jac"), 4).as("err"))
+      },
+      Some(s"""WITH documents AS (
+              |  SELECT * FROM main.documents
+              |  WHERE ('0x' || substr(md5('mh-eval-' || doc_id::VARCHAR),
+              |          1, 15))::BIGINT % 2 = 0),
+              |$jaccardPairsSql,
               |coefq(seed, a, b) AS (VALUES ${(0 to 7).map(k =>
                 s"(${k}, ${graft.functions.MinHashSignature.A(k)}, " +
                   s"${graft.functions.MinHashSignature.B(k)})").mkString(", ")}),
