@@ -80,7 +80,7 @@ object ScaleBench {
     // incremental dedup closure family
     "q142_incremental_assign", "q151_incremental_within",
     "q152_refresh_closure", "q153_pending_bridges", "q156_refresh_churn",
-    "q110_minhash_error",
+    "q110_minhash_error", "q212_minhash_error_sampled",
     // ANN family (embeddings)
     "q43_ivf_ann", "q117_ivfpq_recall", "q130_probe_curve",
     "q155_ivf_incremental_search", "q161_ivf_retrain_churn",
@@ -111,7 +111,10 @@ object ScaleBench {
     // exponents not yet probed at 100× (0.697, 0.652 in r14) — the
     // exact profile q95 had before its third point exposed the
     // constant-hidden linear term
-    "q104_bigram_lm", "q110_minhash_error")
+    "q104_bigram_lm", "q110_minhash_error",
+    // the sampled eval rides along so its cost stays measured next to
+    // the full eval it replaces at scale
+    "q212_minhash_error_sampled")
 
   /** Least-squares slope of ln t over ln scale — with two points this
     * degenerates to the old ln(tN/t1)/ln(N); with three it is the
