@@ -209,15 +209,40 @@ object Bench {
     spark.stop()
     // The driver parses only the LAST 2000 chars of the run's output
     // (BENCH_r03's tail is exactly 2000, cut mid-line → "parsed":
-    // null). At 75 queries even a 3-decimal line with full query
-    // names is ~2.3 KB — still outside the window once sbt's trailing
-    // "[success] Total time" line (~70 chars) is appended. So the
-    // LAST thing emitted is a ~1.1 KB replica keyed by the qNN prefix
-    // only ("q56" for q56_decontaminate_bloom — full names live in
-    // BENCH_OUT.json), printed after spark.stop() so no shutdown
-    // WARNs land behind it, on stdout (flushed first so the streams
-    // can't interleave mid-line) and stderr (unprefixed by sbt).
-    val compact = jsonLine(v => f"$v%.3f", _.takeWhile(_ != '_'))
+    // null). The old replica — a 3-decimal map keyed by the qNN
+    // prefix — fit at 75 queries but outgrew the window at 212
+    // (~3 KB, so BENCH_r15.json came back front-cut, "parsed": null
+    // again). The LAST thing emitted is therefore a paired-array
+    // encoding of the FULL query map that stays ≲1.7 KB at 212
+    // queries: "qid" carries each query's numeric id (169 for
+    // q169_...; full names live in BENCH_OUT.json) and "qcs" the
+    // matching min-of-N time in integer CENTISECONDS, same order.
+    // Lossless to 10 ms — decode as queries[s"q${qid(i)}"] =
+    // qcs(i)/100.0 (tools/compare_bench.py does). Printed after
+    // spark.stop() so no shutdown WARNs land behind it, on stdout
+    // (flushed first so the streams can't interleave mid-line) and
+    // stderr (unprefixed by sbt). If any query name doesn't parse as
+    // qNN, or centiseconds somehow overflow the window, degrade to
+    // deciseconds rather than emit an unparseable line.
+    val ids = results.map { case (n, _) =>
+      scala.util.Try(n.takeWhile(_ != '_').drop(1).toInt).toOption
+    }
+    val compact = if (ids.forall(_.isDefined)) {
+      def arrays(scale: Int): String = {
+        val sorted = ids.flatten.zip(results.map(_._2)).sortBy(_._1)
+        val qid = sorted.map(_._1).mkString("[", ",", "]")
+        val qv = sorted.map(t => math.round(t._2 * scale))
+          .mkString("[", ",", "]")
+        s""""qid":$qid,"q${if (scale == 100) "cs" else "ds"}":$qv"""
+      }
+      def line(scale: Int): String = {
+        val c = calibJson(calibBefore, calibAfter)
+        f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},""" +
+          s"""${arrays(scale)},"errors":$errs,"flaky":$flk,"sf":"$sfDir"$c${loadJson(loadAtStart)}}"""
+      }
+      val cs = line(100)
+      if (cs.length <= 1850) cs else line(10)
+    } else jsonLine(v => f"$v%.2f", _.takeWhile(_ != '_'))
     println(compact)
     System.out.flush()
     System.err.println(compact)

@@ -830,10 +830,15 @@ object Dedup {
 
 
   /** q35's capped-inverted-index exact Jaccard pairs (da, db, jac) —
-    * shared with the q110 sketch-accuracy eval.
+    * shared with the q110 sketch-accuracy eval. The input goes through
+    * [[Tables.parallel]]: the md5-per-kgram shingle stage is the
+    * measured dominant cost, and a low-partition parquet corpus would
+    * otherwise pin it to the file's split count instead of the
+    * executor cores (a regression the q35/q110 path picked up when the
+    * pairs logic was refactored behind [[jaccardPairsOf]]).
     */
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    jaccardPairsOf(s, Tables(s, d, "documents"))
+    jaccardPairsOf(s, Tables.parallel(s, d, "documents"))
 
   /** [[jaccardPairs]] over an arbitrary (doc_id, text) frame (the
     * q212 sampled eval) — identical capped-inverted-index arithmetic.
@@ -1816,7 +1821,10 @@ object Dedup {
       "q212_minhash_error_sampled",
       (s, d) => {
         graft.functions.Md5Long.register(s)
-        val docs = Tables(s, d, "documents")
+        // Tables.parallel, not Tables: the shingle stage downstream is
+        // the dominant cost and must not inherit a low-partition
+        // parquet split count (same fix as jaccardPairs).
+        val docs = Tables.parallel(s, d, "documents")
           .filter(expr(
             "pmod(md5long(concat('mh-eval-', cast(doc_id as string))), 2)")
             === 0)

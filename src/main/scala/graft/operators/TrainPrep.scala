@@ -420,7 +420,15 @@ object TrainPrep {
     * 100 TB corpus is what gets SCORED, not thresholded), same
     * declared class as the training aggregates themselves.
     */
-  private[graft] def balancedThreshold(marginsL: DataFrame): DataFrame = {
+  private[graft] def balancedThreshold(marginsL: DataFrame): DataFrame =
+    thresholdCandidates(marginsL).orderBy(col("err"), col("tau")).limit(1)
+
+  /** Every candidate cut with its class-weighted train error —
+    * (tau, err), one row per distinct train margin. [[balancedThreshold]]
+    * is its argmin; q213's operating curve reads the rows around that
+    * argmin directly.
+    */
+  private[graft] def thresholdCandidates(marginsL: DataFrame): DataFrame = {
     val cnts = marginsL.agg(
       greatest(sum(when(col("y") === 1L, 1L).otherwise(0L)), lit(1L))
         .as("np"),
@@ -442,7 +450,6 @@ object TrainPrep {
       .select(col("margin").as("tau"),
         (col("nn") * col("cpos")
           + col("np") * (col("negtot") - col("cneg"))).as("err"))
-      .orderBy(col("err"), col("tau")).limit(1)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -2048,7 +2055,168 @@ object TrainPrep {
               |    AS BIGINT) AS fn,
               |  CAST(sum(CASE WHEN NOT pred AND y = -1 THEN 1 ELSE 0 END)
               |    AS BIGINT) AS tn
-              |FROM ev""".stripMargin))
+              |FROM ev""".stripMargin)),
+
+    // ---- q213: q211's OPERATING CURVE around the balanced threshold ----
+    // q211 reports one cell — the held-out confusion at the balanced
+    // argmin τ. That cell says the recall collapse is fixed, but not
+    // what the balanced cut TRADES: accuracy at τ is 0.850 vs the
+    // degenerate 0.947, and whether that trade is a cliff or a gentle
+    // curve is exactly what an operator tuning the cut needs to see.
+    // This query reports the held-out confusion at the 9 candidate
+    // cuts centered on τ (the 4 distinct train margins on each side —
+    // candidate cuts ARE train margins, same as balancedThreshold's
+    // argmin domain), each with its class-weighted TRAIN error next to
+    // the HELD-OUT counts, so train-optimal vs held-out-optimal is
+    // visible in one frame. All integer counts; the oracle replays the
+    // same cumulative window, rank arithmetic, and confusion sums
+    // bit-for-bit. Scale shape: identical to q211 up to the margin
+    // frame (training aggregates over the sample-sized labeled frame,
+    // one broadcast-weights margin pass over the corpus); the sweep
+    // side is a ≤9-row broadcast fanout over the held-out margins
+    // (9× a sample-sized aggregate, not 9 corpus passes), and the
+    // monotone confusion structure (tp/fp fall, fn/tn rise with τ) is
+    // pinned by TrainPrepSpec.
+    QueryDef(
+      "q213_clf_threshold_curve",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val assign = clusterSafeAssignment(s, d)
+          .select(col("doc_id"), (col("split") === "train").as("is_train"))
+          .localCheckpoint(true)
+        val labels = clfLabels(docs).localCheckpoint(true)
+        val feats = clfFeaturesStruct(docs).localCheckpoint(true)
+        val trainIds = assign.filter(col("is_train")).select(col("doc_id"))
+        val labTr = labels.join(trainIds, "doc_id")
+        val w1 = rocchioDirection(feats.join(trainIds, "doc_id"),
+          balancedClassWeights(labTr)).localCheckpoint(true)
+        val mAll = clfMargins(feats, w1).localCheckpoint(true)
+        // rank candidates by tau; the balanced argmin's rank anchors a
+        // ±4 window (rank distance, not margin distance — margins are
+        // integer-exact but arbitrarily spaced)
+        val cand = thresholdCandidates(labTr.join(mAll, "doc_id"))
+        val ranked = cand.withColumn("rk",
+          row_number().over(Window.orderBy(col("tau"))))
+          .localCheckpoint(true)
+        val rk0 = ranked.orderBy(col("err"), col("tau")).limit(1)
+          .select(col("rk").as("rk0"))
+        val sweep = ranked.crossJoin(broadcast(rk0))
+          .filter(abs(col("rk") - col("rk0")) <= 4)
+          .select(col("tau"), col("err").as("train_err"))
+        val evalM = mAll
+          .join(assign.filter(not(col("is_train"))).select(col("doc_id")),
+            "doc_id")
+          .join(labels, "doc_id")
+        evalM.crossJoin(broadcast(sweep))
+          .withColumn("pred", col("margin") > col("tau"))
+          .groupBy(col("tau"), col("train_err"))
+          .agg(
+            count(lit(1)).as("n_eval"),
+            sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("pred") && col("y") === -1L, 1L).otherwise(0L))
+              .as("fp"),
+            sum(when(not(col("pred")) && col("y") === 1L, 1L).otherwise(0L))
+              .as("fn"),
+            sum(when(not(col("pred")) && col("y") === -1L, 1L).otherwise(0L))
+              .as("tn"))
+      },
+      Some(s"""WITH RECURSIVE ${graft.operators.Dedup.minhashPairsCtes},
+              |sym AS (SELECT da AS a, db AS b FROM pairs
+              |        UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              |),
+              |compt AS (SELECT a AS doc_id, min(b) AS comp
+              |          FROM reach GROUP BY a),
+              |spl AS (SELECT d.doc_id,
+              |          ('0x' || substr(md5('graft-split-' ||
+              |             coalesce(c.comp, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+              |            % 100 < 80 AS is_train
+              |        FROM documents d LEFT JOIN compt c USING (doc_id)),
+              |fe AS (SELECT doc_id, u.term AS term
+              |       FROM toks, UNNEST(t) AS u(term)
+              |       UNION ALL
+              |       SELECT doc_id, t[g.i] || ' ' || t[g.i + 1]
+              |       FROM toks,
+              |         UNNEST(generate_series(1, CAST(len(t) - 1 AS INTEGER)))
+              |           AS g(i)
+              |       WHERE len(t) >= 2),
+              |f AS (SELECT doc_id,
+              |        ('0x' || substr(md5(term), 1, 15))::BIGINT % 1021 AS j,
+              |        CAST(sum(CASE WHEN ('0x' || substr(md5('s#' || term),
+              |                 1, 15))::BIGINT % 2 = 0
+              |                 THEN 1 ELSE -1 END) AS BIGINT) AS c
+              |      FROM fe GROUP BY 1, 2
+              |      UNION ALL
+              |      SELECT doc_id, CAST(1021 AS BIGINT),
+              |        CAST(1 AS BIGINT) FROM toks
+              |      UNION ALL
+              |      SELECT doc_id, CAST(1022 AS BIGINT),
+              |        CAST(len(t) AS BIGINT) FROM toks
+              |      UNION ALL
+              |      SELECT doc_id, CAST(1023 AS BIGINT),
+              |        CAST(len(list_distinct(t)) AS BIGINT) FROM toks),
+              |lab AS (SELECT doc_id,
+              |          CASE WHEN round(least(1.0, len(t) / 100.0)
+              |                 * (len(list_distinct(t)) / len(t)), 4) >= 0.3
+              |               THEN 1 ELSE -1 END AS y
+              |        FROM toks),
+              |labtr AS (SELECT lab.* FROM lab JOIN spl USING (doc_id)
+              |          WHERE is_train),
+              |cw AS (SELECT
+              |         greatest(1, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+              |           AS np,
+              |         greatest(1, sum(CASE WHEN y = -1 THEN 1 ELSE 0 END))
+              |           AS nn,
+              |         sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS negtot
+              |       FROM labtr),
+              |w1 AS (SELECT j,
+              |         CAST(sum(y * (CASE WHEN y = 1 THEN nn ELSE np END)
+              |           * c) AS BIGINT) AS w
+              |       FROM f JOIN labtr USING (doc_id) CROSS JOIN cw
+              |       GROUP BY j),
+              |m AS (SELECT f.doc_id,
+              |        CAST(sum(f.c * coalesce(w1.w, 0)) AS BIGINT) AS margin
+              |      FROM f LEFT JOIN w1 USING (j) GROUP BY 1),
+              |mtr AS (SELECT m.doc_id, margin, y
+              |        FROM m JOIN labtr USING (doc_id)),
+              |cum AS (SELECT margin,
+              |          sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+              |            OVER (ORDER BY margin) AS cpos,
+              |          sum(CASE WHEN y = -1 THEN 1 ELSE 0 END)
+              |            OVER (ORDER BY margin) AS cneg
+              |        FROM mtr),
+              |cand AS (SELECT margin AS tau,
+              |           CAST(nn * max(cpos)
+              |             + np * (negtot - max(cneg)) AS BIGINT) AS err
+              |         FROM cum CROSS JOIN cw
+              |         GROUP BY margin, nn, np, negtot),
+              |rk AS (SELECT tau, err,
+              |         row_number() OVER (ORDER BY tau) AS rk
+              |       FROM cand),
+              |rk0 AS (SELECT rk AS rk0 FROM rk ORDER BY err, tau LIMIT 1),
+              |sweep AS (SELECT tau, err AS train_err
+              |          FROM rk CROSS JOIN rk0
+              |          WHERE abs(rk - rk0) <= 4),
+              |evm AS (SELECT m.doc_id, margin, y
+              |        FROM m JOIN spl USING (doc_id) JOIN lab USING (doc_id)
+              |        WHERE NOT is_train)
+              |SELECT tau, train_err,
+              |  CAST(count(*) AS BIGINT) AS n_eval,
+              |  CAST(sum(CASE WHEN margin > tau AND y = 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS tp,
+              |  CAST(sum(CASE WHEN margin > tau AND y = -1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS fp,
+              |  CAST(sum(CASE WHEN margin <= tau AND y = 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS fn,
+              |  CAST(sum(CASE WHEN margin <= tau AND y = -1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS tn
+              |FROM evm CROSS JOIN sweep
+              |GROUP BY tau, train_err""".stripMargin))
   )
 
   /** q136's per-document assignment — (doc_id, n, split) with every

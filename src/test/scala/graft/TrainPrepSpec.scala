@@ -346,4 +346,38 @@ class TrainPrepSpec extends SparkSpec {
     assert(tn > 0L, s"not the all-positive degenerate flip: $r211")
     assert((tp + tn).toDouble / n >= 0.8, s"non-degenerate accuracy: $r211")
   }
+
+  test("q213 operating curve: monotone confusion, centered on the q211 argmin") {
+    val rows = run("q213_clf_threshold_curve")
+      .orderBy(col("tau")).collect()
+    assert(rows.length >= 2 && rows.length <= 9,
+      s"±4-rank sweep yields 2..9 rows, got ${rows.length}")
+    // every row partitions the same held-out set
+    val n = rows.head.getLong(2)
+    rows.foreach { r =>
+      assert(r.getLong(2) == n, s"constant n_eval: $r")
+      assert(r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6) == n,
+        s"tp+fp+fn+tn == n_eval: $r")
+    }
+    // raising the cut can only flip predictions positive → negative:
+    // tp/fp non-increasing, fn/tn non-decreasing in tau
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) <= a.getLong(3), s"tp monotone: $a -> $b")
+      assert(b.getLong(4) <= a.getLong(4), s"fp monotone: $a -> $b")
+      assert(b.getLong(5) >= a.getLong(5), s"fn monotone: $a -> $b")
+      assert(b.getLong(6) >= a.getLong(6), s"tn monotone: $a -> $b")
+    }
+    // the sweep is anchored on q211's operating point: the argmin cut
+    // is one of the rows, and its held-out confusion matches q211's
+    val r211 = run("q211_clf_rocchio_eval").collect()(0)
+    val atTau = rows.filter(r =>
+      r.getLong(2) == r211.getLong(0) && r.getLong(3) == r211.getLong(1) &&
+        r.getLong(4) == r211.getLong(2) && r.getLong(5) == r211.getLong(3) &&
+        r.getLong(6) == r211.getLong(4))
+    assert(atTau.nonEmpty, "q211's confusion row appears in the sweep")
+    // and it is the train-optimal one among the candidates shown
+    val minTrainErr = rows.map(_.getLong(1)).min
+    assert(atTau.exists(_.getLong(1) == minTrainErr),
+      "the q211 row carries the minimal train error in the sweep")
+  }
 }

@@ -24,9 +24,10 @@ def extract(path):
         d = json.loads(text.splitlines()[0])
     except json.JSONDecodeError:
         d = json.loads(text)
-    if "queries" not in d:
+    if "queries" not in d and "qid" not in d:
         parsed = d.get("parsed")
-        if isinstance(parsed, dict) and "queries" in parsed:
+        if isinstance(parsed, dict) and ("queries" in parsed
+                                         or "qid" in parsed):
             d = parsed
         else:
             tail = d.get("tail", "")
@@ -60,7 +61,15 @@ def extract(path):
                     rebuilt[key] = json.loads(
                         tail[k + len(key) + 3:close + 1])
             d = rebuilt
-    qs = {k.split("_")[0]: v for k, v in d["queries"].items()}
+    if "queries" in d:
+        qs = {k.split("_")[0]: v for k, v in d["queries"].items()}
+    else:
+        # round-16 compact encoding: paired arrays qid (numeric query
+        # ids) + qcs (centiseconds) or qds (deciseconds) — the full
+        # query map re-shaped so the driver's 2000-char tail window
+        # always holds one complete, parseable line
+        vals, scale = (d["qcs"], 100.0) if "qcs" in d else (d["qds"], 10.0)
+        qs = {f"q{i}": v / scale for i, v in zip(d["qid"], vals)}
     load = d.get("loadavg_start", [None]), d.get("loadavg_end", [None])
     return qs, load
 
