@@ -28,19 +28,21 @@ import org.apache.spark.sql.functions._
   *    `catalog.refreshTable` first — the append may have landed via a
   *    foreachBatch-cloned session this session's relation cache
   *    cannot see (the DfIngest staleness bug, round 11).
-  *  - Installments are recorded in a one-column WATERMARK SIDECAR
-  *    (`<table>_wm`) as well as on the appended rows (round-13
-  *    advice fix): an installment whose delta is EMPTY appends zero
-  *    key rows, so without the sidecar its batch_id never entered the
-  *    watermark set and the replay guard could not recognize it later
-  *    — the wet family had to hand-roll an empty-host sentinel row,
-  *    and every future family with possibly-empty deltas (an
-  *    all-duplicate batch through a novel-only fold) re-inherited the
-  *    gap. The guard reads the UNION of key-table ids and sidecar
-  *    ids; the key append stays the commit point (sidecar row lands
-  *    after it — a crash between the two leaves a non-empty
-  *    installment recorded by its rows, an empty one unrecorded and
-  *    its replay a convergent zero-row no-op).
+  *  - Installments are recorded in a WATERMARK SIDECAR (`<table>_wm`
+  *    — since round 16 a directory of empty marker files named by
+  *    batch id, zero Spark jobs to write or read) as well as on the
+  *    appended rows (round-13 advice fix): an installment whose delta
+  *    is EMPTY appends zero key rows, so without the sidecar its
+  *    batch_id never entered the watermark set and the replay guard
+  *    could not recognize it later — the wet family had to hand-roll
+  *    an empty-host sentinel row, and every future family with
+  *    possibly-empty deltas (an all-duplicate batch through a
+  *    novel-only fold) re-inherited the gap. The guard reads the
+  *    UNION of key-table ids and the sidecar listing; the key append
+  *    stays the commit point (the marker lands after it — a crash
+  *    between the two leaves a non-empty installment recorded by its
+  *    rows, an empty one unrecorded and its replay a convergent
+  *    zero-row no-op).
   *  - Readers are views over the raw installments: SUM-on-read for
   *    delta-valued stores (disjoint installments make the union value
   *    the sum of per-installment values), a plain projection for
@@ -59,20 +61,21 @@ import org.apache.spark.sql.functions._
   * manifest reads.
   *
   * SMALL-FILES TRADE (declared): every [[refresh]] appends one file
-  * set per bucket to the key table AND one 1-row parquet file to the
-  * sidecar, so between compactions both accrue O(installments) files
-  * — the cost of per-batch atomic appends without a transactional
-  * table format. The guard reads stay one job regardless (the union
-  * scan lists, it does not open, each file) but file-listing latency
-  * and NameNode/object-store metadata pressure grow linearly, so
-  * COMPACTION CADENCE is part of the contract: roll the store
-  * ([[compact]]) roughly every few hundred installments — at a
+  * set per bucket to the key table AND one empty marker file to the
+  * sidecar directory, so between compactions both accrue
+  * O(installments) files — the cost of per-batch atomic appends
+  * without a transactional table format. The guard read stays one
+  * job regardless (the key scan lists, it does not open, each file;
+  * the sidecar is a single directory listing) but file-listing
+  * latency and NameNode/object-store metadata pressure grow
+  * linearly, so COMPACTION CADENCE is part of the contract: roll the
+  * store ([[compact]]) roughly every few hundred installments — at a
   * typical micro-batch cadence that is hours, not minutes — or
   * whenever guard-read latency becomes visible in batch durations.
-  * One compaction restores one file per bucket plus a 1-row sidecar
-  * (StoreCompactionSpec pins the post-roll file counts); at 100 TB
-  * this slots behind a transactional format whose manifest replaces
-  * the file listing entirely.
+  * One compaction restores one file per bucket plus a 1-marker
+  * sidecar (StoreCompactionSpec pins the post-roll file counts); at
+  * 100 TB this slots behind a transactional format whose manifest
+  * replaces the file listing entirely.
   */
 object DeltaStore {
 
@@ -99,58 +102,84 @@ object DeltaStore {
       .bucketSpec.map(_.numBuckets)
       .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
 
-  /** The store's watermark-sidecar table name. Public (package) so
-    * manifest maintenance can treat a referenced store's sidecar as
-    * part of the store (fsck non-orphan, vacuum co-drop).
+  /** The store's watermark-sidecar name. Public (package) so manifest
+    * maintenance can treat a referenced store's sidecar as part of
+    * the store (fsck non-orphan, vacuum co-drop). Since round 16 the
+    * sidecar is a MARKER-FILE DIRECTORY at this name's warehouse
+    * path, not a catalog table (see [[recordWm]]); the name is kept
+    * for the vacuum/sweep idioms that address it.
     */
   private[graft] def wmTable(table: String): String = table + "_wm"
 
-  /** Append one recorded-installment row to the sidecar (creates it
-    * for stores written before the sidecar existed). Self-healing
-    * against the stale-DIRECTORY hazard: a killed earlier run (or an
-    * in-memory catalog that died with its JVM) can leave the
-    * sidecar's warehouse directory behind without a catalog entry,
-    * and the implicit CREATE would then fail with
-    * LOCATION_ALREADY_EXISTS — the sidecar is derived state scoped to
-    * this library's naming, so sweeping the orphaned dir is safe.
+  /** The sidecar's physical directory — the same warehouse path the
+    * pre-round-16 sidecar TABLE occupied, so every existing sweep
+    * idiom (delete warehouse/<t>_wm) keeps working unchanged.
+    */
+  private def wmPath(s: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        s.sessionState.sqlParser.parseTableIdentifier(wmTable(table))))
+
+  /** Record one installment id in the sidecar. Round-16 shape: the
+    * sidecar is a directory of EMPTY MARKER FILES named by batch id —
+    * recording an installment is one atomic file create and reading
+    * the recorded set is one directory listing, so the sidecar costs
+    * ZERO Spark jobs on both sides. The pre-round-16 sidecar was a
+    * 1-row parquet table per append: one scheduled job plus a parquet
+    * commit protocol per fold, pure planning latency at the ingest
+    * seams (the wet near seam folds four stores per micro-batch), and
+    * one more scan unioned into every replay-guard read. Crash
+    * semantics are unchanged — the marker lands AFTER the key-table
+    * append (the commit point), file creation is atomic, and a crash
+    * between the two leaves a non-empty installment recorded by its
+    * rows, an empty one unrecorded and its replay a convergent
+    * zero-row no-op.
     */
   private def recordWm(s: SparkSession, table: String, batchId: Long,
       mode: String): Unit = {
-    import s.implicits._
-    val t = wmTable(table)
-    if (!s.catalog.tableExists(t)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.sessionState.catalog.defaultTablePath(
-          s.sessionState.sqlParser.parseTableIdentifier(t)))
-      loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
-    }
-    Seq(batchId).toDF("batch_id").write.mode(mode)
-      .format("parquet").saveAsTable(t)
+    val dir = wmPath(s, table)
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    if (mode == "overwrite") fs.delete(dir, true)
+    // a pre-round-16 parquet sidecar TABLE at this name would shadow
+    // the directory in sweeps — retire its catalog entry (the marker
+    // dir replaces its contents; ids live in filenames now)
+    if (s.catalog.tableExists(wmTable(table)))
+      s.sql(s"DROP TABLE IF EXISTS ${wmTable(table)}")
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, batchId.toString),
+      true).close()
+  }
+
+  /** Drop a store's sidecar with the store (vacuum / sweep): the
+    * marker directory, plus any legacy catalog entry from the
+    * pre-round-16 parquet-table shape.
+    */
+  private[graft] def dropWm(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS ${wmTable(table)}")
+    val dir = wmPath(s, table)
+    dir.getFileSystem(s.sessionState.newHadoopConf()).delete(dir, true)
   }
 
   /** Every installment id the sidecar has recorded (empty for
-    * pre-sidecar stores).
+    * pre-sidecar stores) — one directory listing, zero Spark jobs.
     */
-  private def wmIds(s: SparkSession, table: String): Array[Long] =
-    if (s.catalog.tableExists(wmTable(table)))
-      s.table(wmTable(table)).select(col("batch_id")).distinct()
-        .collect().map(_.getLong(0))
-    else Array.empty[Long]
+  private def wmIds(s: SparkSession, table: String): Array[Long] = {
+    val dir = wmPath(s, table)
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Array.empty[Long]
+    else fs.listStatus(dir).flatMap(st =>
+      scala.util.Try(st.getPath.getName.toLong).toOption)
+  }
 
-  /** All recorded installment ids: key-table rows ∪ sidecar, read in
-    * ONE Spark job (the guard runs per micro-batch on every ingest
-    * pipeline — two driver-blocking jobs per fold was measurable
-    * latency; both scans are column-pruned BIGINT reads).
+  /** All recorded installment ids: key-table rows (ONE column-pruned
+    * Spark job — the guard runs per micro-batch on every ingest
+    * pipeline) ∪ the sidecar's marker listing (no job).
     */
   private def recordedIds(s: SparkSession, t: DataFrame,
-      table: String): Array[Long] = {
-    val key = t.select(col("batch_id"))
-    val both =
-      if (s.catalog.tableExists(wmTable(table)))
-        key.union(s.table(wmTable(table)).select(col("batch_id")))
-      else key
-    both.distinct().collect().map(_.getLong(0))
-  }
+      table: String): Array[Long] =
+    (t.select(col("batch_id")).distinct().collect().map(_.getLong(0))
+      ++ wmIds(s, table)).distinct
 
   /** Recorded installment ids for SEVERAL stores in ONE
     * driver-blocking job (round-15; the near seam's fold family runs
@@ -165,13 +194,13 @@ object DeltaStore {
     */
   private[graft] def recordedIdsMulti(s: SparkSession,
       tables: Seq[String]): Map[String, Array[Long]] = {
-    tables.foreach(t => uncache(s, t, wmTable(t)))
-    val frames = tables.flatMap { t =>
-      Seq(s.table(t).select(lit(t).as("t"), col("batch_id"))) ++
-        (if (s.catalog.tableExists(wmTable(t)))
-           Seq(s.table(wmTable(t)).select(lit(t).as("t"), col("batch_id")))
-         else Nil)
-    }
+    tables.foreach(t => uncache(s, t))
+    // sidecars contribute via their marker listings (no Spark job,
+    // no cache to bust — a directory listing is always fresh); only
+    // the key tables enter the fused scan
+    val sidecar = tables.map(t => t -> wmIds(s, t)).toMap
+    val frames = tables.map(t =>
+      s.table(t).select(lit(t).as("t"), col("batch_id")))
     // partition-local dedupe + driver merge instead of distinct():
     // a DataFrame distinct().collect() is TWO jobs under AQE (one per
     // materialized stage), which would hand back half the fusion —
@@ -185,7 +214,8 @@ object DeltaStore {
       .collect().toSet
     val byTable = found.groupBy(_._1)
     tables.map(t => t ->
-      byTable.getOrElse(t, Set.empty[(String, Long)]).map(_._2).toArray).toMap
+      (byTable.getOrElse(t, Set.empty[(String, Long)]).map(_._2)
+        ++ sidecar(t)).toArray).toMap
   }
 
   private def bucketedWrite(df: DataFrame, table: String, mode: String,
@@ -222,7 +252,7 @@ object DeltaStore {
       recorded: Option[Array[Long]] = None): Boolean = {
     require(batchId > 0L,
       "installment batch ids start at 1 (0 marks the base store build)")
-    uncache(s, table, wmTable(table))
+    uncache(s, table)
     val t = s.table(table)
     require(t.columns.contains("batch_id"),
       s"$table has no batch_id column — rebuild it via the store's " +
@@ -249,7 +279,7 @@ object DeltaStore {
     recordWm(s, table, batchId, "append")
     // the append may have run through the batch's (cloned) session —
     // make it visible to this one
-    uncache(s, table, wmTable(table))
+    uncache(s, table)
     true
   }
 

@@ -403,7 +403,7 @@ object StoreManifest {
       s.sql(s"DROP TABLE IF EXISTS $t")
       // a delta store's watermark sidecar lives and dies with its
       // table (sidecars are never shared across versions)
-      s.sql(s"DROP TABLE IF EXISTS ${DeltaStore.wmTable(t)}")
+      DeltaStore.dropWm(s, t)
     }
     append(s, manifest,
       doomedV.toSeq.sorted.map(v => (family, v, "*", "", "vacuumed", "")))

@@ -106,14 +106,20 @@ object CrawlIngest {
         // pre-fold snapshot: installments strictly below this one
         val store = s.table(fpTable).filter(col("batch_id") < inst)
           .select(col("fp")).withColumn("seen", lit(true))
-        AtomicLanding.publish(
-          scored.join(store, Seq("fp"), "left")
-            .select(col("file_id"), col("rec_idx"), col("n_bytes"),
-              col("fp"), col("quality"),
-              coalesce(col("seen"), lit(false)).as("dup_of_store"),
-              col("dup_in_batch")),
-          outDir, id)
-        foldFps(s, scored.select(col("fp")).distinct(), fpTable, inst)
+        // flags pinned: the fold below derives its novel-fp delta
+        // from dup_of_store (same pre-fold snapshot — the anti-join
+        // would re-scan the corpus-sized store for the same answer),
+        // and without the pin the store probe would re-run for it
+        val flagged = scored.join(store, Seq("fp"), "left")
+          .select(col("file_id"), col("rec_idx"), col("n_bytes"),
+            col("fp"), col("quality"),
+            coalesce(col("seen"), lit(false)).as("dup_of_store"),
+            col("dup_in_batch"))
+          .localCheckpoint()
+        AtomicLanding.publish(flagged, outDir, id)
+        DeltaStore.refresh(s,
+          flagged.filter(!col("dup_of_store")).select(col("fp")).distinct(),
+          fpTable, Seq("fp"), inst)
         () // a refused fold (false) is the crash-replay no-op
       }
       .start()
@@ -402,8 +408,18 @@ object CrawlIngest {
         verdicts.select(ck, col("near_comp").as("comp")),
         compT, Seq("doc_id"), inst, recorded = Some(guards(compT)))
     }
-    foldFps(s, verdicts.select(col("fp")).distinct(), fpTable, inst,
-      recorded = Some(guards(fpTable)))
+    // The fp delta comes from the verdict rows, NOT from re-anti-
+    // joining the store (round 16): dup_of_store was computed against
+    // the identical pre-fold snapshot (batch_id < inst), so
+    // "records whose fp the store didn't hold, distinct" IS the
+    // novel-fp set — [[foldFps]]'s anti-join would re-scan the
+    // corpus-sized fp store a second time per wave for the same
+    // answer. Crash replay is unchanged: a replayed batch recomputes
+    // the same flags against the same snapshot, and the refresh is
+    // watermark-refused anyway.
+    DeltaStore.refresh(s,
+      verdicts.filter(!col("dup_of_store")).select(col("fp")).distinct(),
+      fpTable, Seq("fp"), inst, recorded = Some(guards(fpTable)))
     DeltaStore.refresh(s,
       verdicts.filter(col("admitted"))
         .groupBy(col("host")).agg(count(lit(1)).as("n_admitted")),

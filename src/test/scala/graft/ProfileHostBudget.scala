@@ -74,6 +74,56 @@ object ProfileHostBudget {
         .select(col("file_id"), col("rec_idx"), col("host"),
           col("dup_of_store"), col("dup_in_batch"), col("admitted")))
     }
+
+    // ---- in-verdict breakdown (round 16) --------------------------------
+    // The wave-verdict term decomposed: wave 1's chain replayed in
+    // three separately-checkpointed pieces so the decode / flag /
+    // admission costs read apart (the aggregate "verdict" stage above
+    // is the real fused plan; these pieces re-run pieces of it).
+    import graft.operators.{Multimodal => MM, WebCuration => WC, TrainPrep => TP}
+    val wave1 = files.filter(pmod(col("file_id"), lit(3L)) === 0L)
+    val parsed = time("bd decode+clf+fp") {
+      val p = TP.withClfScore(
+        WC.parseWet(MM.frameCrawl(spark, MM.spreadClips(
+          wave1.toDF("file_id", "payload")))), "body", None)
+        .withColumn("clf_keep", col("clf_score") * 20 > col("n_feat"))
+        .withColumn("fp", md5(col("body")))
+        .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
+          col("path"), col("fp"), col("quality"), col("clf_score"),
+          col("clf_keep"))
+        .localCheckpoint()
+      p.count(); p
+    }
+    val flagged = time("bd canon+store-probe") {
+      val canon = parsed.groupBy(col("fp"))
+        .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"))
+      val f = parsed.withColumn("allowed", lit(true)).join(canon, "fp")
+        .join(spark.table(fpT).filter(col("batch_id") < 4L)
+          .select(col("fp")).withColumn("seen", lit(true)),
+          Seq("fp"), "left")
+        .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
+          col("fp"), col("quality"), col("clf_score"), col("clf_keep"),
+          col("allowed"),
+          coalesce(col("seen"), lit(false)).as("dup_of_store"),
+          (col("canon.file_id") =!= col("file_id") ||
+            col("canon.rec_idx") =!= col("rec_idx")).as("dup_in_batch"))
+        .localCheckpoint()
+      f.count(); f
+    }
+    time("bd admission") {
+      val sofar = spark.table(hostT).filter(col("batch_id") < 4L)
+        .groupBy(col("host")).agg(sum(col("n_admitted")).as("n_sofar"))
+      val ranks = WC.hostRanks(
+        flagged.filter(col("allowed"))
+          .select(col("file_id"), col("rec_idx"), col("host")),
+        B, Seq(col("file_id"), col("rec_idx")))
+      Bench.force(flagged
+        .join(ranks, Seq("file_id", "rec_idx", "host"), "left")
+        .join(sofar, Seq("host"), "left")
+        .select(col("file_id"), col("rec_idx"), col("host"),
+          (col("allowed") && coalesce(col("rk"), lit(B + 1))
+            + coalesce(col("n_sofar"), lit(0L)) <= B).as("admitted")))
+    }
     spark.stop()
   }
 }

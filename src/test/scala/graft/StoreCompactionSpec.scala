@@ -31,6 +31,20 @@ class StoreCompactionSpec extends SparkSpec {
       .count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Marker files in a store's watermark-sidecar DIRECTORY (the
+    * round-16 sidecar shape — not a catalog table, so no metadata
+    * lookup; the path is the warehouse slot `<table>_wm`).
+    */
+  private def wmMarkers(table: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(table + "_wm")))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir)
+      .count(st => scala.util.Try(st.getPath.getName.toLong).isSuccess)
+  }
+
   test("compaction collapses replayed appends to one file per bucket with no shuffle") {
     val wh = Files.createTempDirectory("graft_wh_cp").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS cpstore LOCATION '$wh'")
@@ -197,17 +211,17 @@ class StoreCompactionSpec extends SparkSpec {
           Seq((i.toLong % 3, 1L)).toDF("k", "n"), t, Seq("k"), i.toLong))
       }
       val keyFiles = parquetFiles(t)
-      val wmFiles = parquetFiles(t + "_wm")
+      val wmFiles = wmMarkers(t)
       assert(wmFiles === n + 1,
-        s"the sidecar accrues one file per installment (got $wmFiles)")
+        s"the sidecar accrues one marker per installment (got $wmFiles)")
       assert(keyFiles >= n,
         s"the key table accrues per-installment file sets (got $keyFiles)")
       DeltaStore.compact(spark, t, t + "_c",
         DeltaStore.readSum(spark, t, Seq("k"), Seq("n")), Seq("k"))
       assert(parquetFiles(t + "_c") <= 2,
         "post-roll: one file per non-empty bucket")
-      assert(parquetFiles(t + "_c_wm") === 1,
-        "post-roll: the carried watermark is ONE sidecar file")
+      assert(wmMarkers(t + "_c") === 1,
+        "post-roll: the carried watermark is ONE sidecar marker")
       // and the carried watermark still guards: last pre-roll id refused
       assert(!DeltaStore.refresh(spark,
         Seq((9L, 9L)).toDF("k", "n"), t + "_c", Seq("k"), n.toLong))
