@@ -81,6 +81,7 @@ object ScaleBench {
     "q142_incremental_assign", "q151_incremental_within",
     "q152_refresh_closure", "q153_pending_bridges", "q156_refresh_churn",
     "q110_minhash_error", "q212_minhash_error_sampled",
+    "q214_minhash_error_rate10",
     // ANN family (embeddings)
     "q43_ivf_ann", "q117_ivfpq_recall", "q130_probe_curve",
     "q155_ivf_incremental_search", "q161_ivf_retrain_churn",
@@ -112,9 +113,11 @@ object ScaleBench {
     // exact profile q95 had before its third point exposed the
     // constant-hidden linear term
     "q104_bigram_lm", "q110_minhash_error",
-    // the sampled eval rides along so its cost stays measured next to
-    // the full eval it replaces at scale
-    "q212_minhash_error_sampled")
+    // the sampled evals ride along so their cost stays measured next
+    // to the full eval they replace at scale — 50% (q212) and the
+    // round-16 production-rate 10% point (q214), which turns the
+    // rate² cost claim into three measured points
+    "q212_minhash_error_sampled", "q214_minhash_error_rate10")
 
   /** Least-squares slope of ln t over ln scale — with two points this
     * degenerates to the old ln(tN/t1)/ln(N); with three it is the

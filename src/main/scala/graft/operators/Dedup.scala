@@ -840,6 +840,74 @@ object Dedup {
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsOf(s, Tables.parallel(s, d, "documents"))
 
+  /** The sampled sketch-accuracy eval (q212/q214) parameterized by the
+    * sample modulus: keep the docs whose salted hash ≡ 0 (mod `mod`) —
+    * a deterministic 1/mod doc sample — and run q110's exact-vs-sketch
+    * chain over the sample. Pair volume drops with the rate SQUARED
+    * (both endpoints must survive), which is what makes the full-
+    * corpus eval's measured-linear cost affordable at 100 TB. One
+    * QueryDef per declared rate so each oracle replays its own pinned
+    * modulus.
+    */
+  private def minhashErrorSampledDef(name: String, mod: Int): QueryDef =
+    QueryDef(
+      name,
+      (s, d) => {
+        graft.functions.Md5Long.register(s)
+        // Tables.parallel, not Tables: the shingle stage downstream is
+        // the dominant cost and must not inherit a low-partition
+        // parquet split count (same fix as jaccardPairs).
+        val docs = Tables.parallel(s, d, "documents")
+          .filter(expr(
+            s"pmod(md5long(concat('mh-eval-', cast(doc_id as string))), $mod)")
+            === 0)
+          .localCheckpoint(true)
+        val P = graft.functions.MinHashSignature.P
+        val sigCols = (0 to 7).map { k =>
+          val (a, b) = (graft.functions.MinHashSignature.A(k),
+            graft.functions.MinHashSignature.B(k))
+          min((lit(a) * (col("sid") % P) + lit(b)) % lit(P)).as(s"mh$k")
+        }
+        val sigs = hashedShinglesOf(docs)
+          .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        val sa = sigs.select(col("doc_id").as("da") +:
+          (0 to 7).map(k => col(s"mh$k").as(s"a$k")): _*)
+        val sb = sigs.select(col("doc_id").as("db") +:
+          (0 to 7).map(k => col(s"mh$k").as(s"b$k")): _*)
+        jaccardPairsOf(s, docs)
+          .join(sa, "da").join(sb, "db")
+          .withColumn("matches",
+            (0 to 7).map(k =>
+              when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+              .reduce(_ + _))
+          .select(col("da"), col("db"), col("jac"),
+            (col("matches") / lit(8.0)).as("est"),
+            round(col("matches") / lit(8.0) - col("jac"), 4).as("err"))
+      },
+      Some(s"""WITH documents AS (
+              |  SELECT * FROM main.documents
+              |  WHERE ('0x' || substr(md5('mh-eval-' || doc_id::VARCHAR),
+              |          1, 15))::BIGINT % $mod = 0),
+              |$jaccardPairsSql,
+              |coefq(seed, a, b) AS (VALUES ${(0 to 7).map(k =>
+                s"(${k}, ${graft.functions.MinHashSignature.A(k)}, " +
+                  s"${graft.functions.MinHashSignature.B(k)})").mkString(", ")}),
+              |mhq AS (SELECT doc_id, seed,
+              |          min((a * (sid % ${graft.functions.MinHashSignature.P}) + b)
+              |              % ${graft.functions.MinHashSignature.P}) AS mh
+              |        FROM sh CROSS JOIN coefq GROUP BY 1, 2),
+              |agree AS (SELECT jp.da, jp.db, jp.jac,
+              |            CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+              |                 AS BIGINT) AS matches
+              |          FROM jp
+              |          JOIN mhq x ON x.doc_id = jp.da
+              |          JOIN mhq y ON y.doc_id = jp.db AND y.seed = x.seed
+              |          GROUP BY 1, 2, 3)
+              |SELECT da, db, jac,
+              |  matches / CAST(8 AS DOUBLE) AS est,
+              |  round(matches / CAST(8 AS DOUBLE) - jac, 4) AS err
+              |FROM agree""".stripMargin))
+
   /** [[jaccardPairs]] over an arbitrary (doc_id, text) frame (the
     * q212 sampled eval) — identical capped-inverted-index arithmetic.
     */
@@ -1817,63 +1885,17 @@ object Dedup {
     // the same sample-vs-corpus posture as q210/q211's labeled
     // training frames. Same columns as q110, so the two reports read
     // side by side.
-    QueryDef(
-      "q212_minhash_error_sampled",
-      (s, d) => {
-        graft.functions.Md5Long.register(s)
-        // Tables.parallel, not Tables: the shingle stage downstream is
-        // the dominant cost and must not inherit a low-partition
-        // parquet split count (same fix as jaccardPairs).
-        val docs = Tables.parallel(s, d, "documents")
-          .filter(expr(
-            "pmod(md5long(concat('mh-eval-', cast(doc_id as string))), 2)")
-            === 0)
-          .localCheckpoint(true)
-        val P = graft.functions.MinHashSignature.P
-        val sigCols = (0 to 7).map { k =>
-          val (a, b) = (graft.functions.MinHashSignature.A(k),
-            graft.functions.MinHashSignature.B(k))
-          min((lit(a) * (col("sid") % P) + lit(b)) % lit(P)).as(s"mh$k")
-        }
-        val sigs = hashedShinglesOf(docs)
-          .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-        val sa = sigs.select(col("doc_id").as("da") +:
-          (0 to 7).map(k => col(s"mh$k").as(s"a$k")): _*)
-        val sb = sigs.select(col("doc_id").as("db") +:
-          (0 to 7).map(k => col(s"mh$k").as(s"b$k")): _*)
-        jaccardPairsOf(s, docs)
-          .join(sa, "da").join(sb, "db")
-          .withColumn("matches",
-            (0 to 7).map(k =>
-              when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
-              .reduce(_ + _))
-          .select(col("da"), col("db"), col("jac"),
-            (col("matches") / lit(8.0)).as("est"),
-            round(col("matches") / lit(8.0) - col("jac"), 4).as("err"))
-      },
-      Some(s"""WITH documents AS (
-              |  SELECT * FROM main.documents
-              |  WHERE ('0x' || substr(md5('mh-eval-' || doc_id::VARCHAR),
-              |          1, 15))::BIGINT % 2 = 0),
-              |$jaccardPairsSql,
-              |coefq(seed, a, b) AS (VALUES ${(0 to 7).map(k =>
-                s"(${k}, ${graft.functions.MinHashSignature.A(k)}, " +
-                  s"${graft.functions.MinHashSignature.B(k)})").mkString(", ")}),
-              |mhq AS (SELECT doc_id, seed,
-              |          min((a * (sid % ${graft.functions.MinHashSignature.P}) + b)
-              |              % ${graft.functions.MinHashSignature.P}) AS mh
-              |        FROM sh CROSS JOIN coefq GROUP BY 1, 2),
-              |agree AS (SELECT jp.da, jp.db, jp.jac,
-              |            CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
-              |                 AS BIGINT) AS matches
-              |          FROM jp
-              |          JOIN mhq x ON x.doc_id = jp.da
-              |          JOIN mhq y ON y.doc_id = jp.db AND y.seed = x.seed
-              |          GROUP BY 1, 2, 3)
-              |SELECT da, db, jac,
-              |  matches / CAST(8 AS DOUBLE) AS est,
-              |  round(matches / CAST(8 AS DOUBLE) - jac, 4) AS err
-              |FROM agree""".stripMargin)),
+    minhashErrorSampledDef("q212_minhash_error_sampled", 2),
+
+    // ---- q214: the sampled eval at a PRODUCTION rate (round 16) --------
+    // q212 pinned the 50% rate; the rate² pair-volume claim ("a 1%
+    // sample costs ~10⁻⁴ of the full eval") was extrapolation until a
+    // low-rate point existed. Same chain, mod 10 — a 10% deterministic
+    // doc sample; ScaleBench measures it beside q110/q212 at 100× so
+    // the rate² curve has three measured points (100%, 50%, 10%), and
+    // Round9OpsSpec pins the q110-restriction equality at this rate
+    // exactly as it does at 50%.
+    minhashErrorSampledDef("q214_minhash_error_rate10", 10),
 
     // ---- q114: train/val/test near-dup leakage audit --------------------
     // The audit that must run AFTER splitting: q112 assigns splits by

@@ -174,12 +174,14 @@ object DeltaStore {
 
   /** All recorded installment ids: key-table rows (ONE column-pruned
     * Spark job — the guard runs per micro-batch on every ingest
-    * pipeline) ∪ the sidecar's marker listing (no job).
+    * pipeline; delegated to [[recordedIdsMulti]], whose
+    * partition-local dedupe keeps it one job where a
+    * `distinct().collect()` is two under AQE) ∪ the sidecar's marker
+    * listing (no job).
     */
-  private def recordedIds(s: SparkSession, t: DataFrame,
+  private def recordedIds(s: SparkSession,
       table: String): Array[Long] =
-    (t.select(col("batch_id")).distinct().collect().map(_.getLong(0))
-      ++ wmIds(s, table)).distinct
+    recordedIdsMulti(s, Seq(table))(table)
 
   /** Recorded installment ids for SEVERAL stores in ONE
     * driver-blocking job (round-15; the near seam's fold family runs
@@ -262,7 +264,7 @@ object DeltaStore {
     // supplied pre-read ([[recordedIdsMulti]] — one guard job for a
     // fold family); it must have been taken under this fold's batch
     // id regime, i.e. between the family's previous fold and this one
-    val rec = recorded.getOrElse(recordedIds(s, t, table))
+    val rec = recorded.getOrElse(recordedIds(s, table))
     val watermark = if (rec.isEmpty) -1L else rec.max
     if (rec.contains(batchId)) return false // replayed installment
     require(batchId > watermark,

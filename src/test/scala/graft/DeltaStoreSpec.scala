@@ -208,4 +208,46 @@ class DeltaStoreSpec extends SparkSpec {
       assert(e.getMessage.contains("non-monotone"))
     } finally spark.sql("DROP DATABASE IF EXISTS dsg CASCADE")
   }
+
+  test("job budget per refresh: sidecar recording costs ZERO jobs (round-16 marker dir)") {
+    val wh = Files.createTempDirectory("graft_wh_dsj").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dsj LOCATION '$wh'")
+    try {
+      val t = "dsj.kv"
+      DeltaStore.write(spark, toy(3), t, Seq("k"), 2)
+      val sc = spark.sparkContext
+      def jobsOf(group: String)(body: => Unit): Int = {
+        sc.setJobGroup(group, group)
+        body
+        sc.clearJobGroup()
+        sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      // guard pre-read supplied (the fold-family path): the whole
+      // fold is the key-table append — one job; the watermark marker
+      // is a filesystem create, not a job. The pre-marker-dir sidecar
+      // made this 2 (append + 1-row parquet write), every fold, on
+      // every ingest pipeline.
+      val guards = DeltaStore.recordedIdsMulti(spark, Seq(t))
+      // (the append itself is two jobs under AQE — the repartition's
+      // shuffle stage materializes separately from the write)
+      val jFold = jobsOf("fold-only") {
+        assert(DeltaStore.refresh(spark, toy(2, 10), t, Seq("k"), 1L,
+          recorded = Some(guards(t))))
+      }
+      assert(jFold <= 2, s"recorded-supplied refresh is the append alone " +
+        s"(2 jobs under AQE), saw $jFold")
+      // self-guarded refresh: one fused guard read + the append
+      val jFull = jobsOf("fold-guarded") {
+        assert(DeltaStore.refresh(spark, toy(2, 20), t, Seq("k"), 2L))
+      }
+      assert(jFull <= 3, s"self-guarded refresh is guard (1 job) + append, " +
+        s"saw $jFull")
+      // and a replay consumes only the guard read — no append job
+      val jReplay = jobsOf("fold-replay") {
+        assert(!DeltaStore.refresh(spark, toy(2, 30), t, Seq("k"), 2L))
+      }
+      assert(jReplay <= 1, s"a refused replay is the guard read alone, " +
+        s"saw $jReplay")
+    } finally spark.sql("DROP DATABASE IF EXISTS dsj CASCADE")
+  }
 }

@@ -320,7 +320,7 @@ class Round9OpsSpec extends SparkSpec {
       s"top span must appear in at least its n_docs documents ($inText)")
   }
 
-  test("q212 sampled sketch eval == q110 restricted to sampled endpoints") {
+  test("q212/q214 sampled sketch evals == q110 restricted to sampled endpoints") {
     // the 100 TB posture for the sketch-accuracy eval: a deterministic
     // doc sample through the IDENTICAL chain. Below the df cap (max df
     // at test SF is far under 64) the sampled run must equal the full
@@ -328,22 +328,32 @@ class Round9OpsSpec extends SparkSpec {
     // sample — same pairs, same exact jac, same sketch estimate.
     // (With capping the sample could legitimately admit extra pairs —
     // shingles over-cap in the corpus can be in-cap in the sample.)
+    // Pinned at BOTH declared rates: q212's 50% and q214's 10% (the
+    // production-rate point; its sf0.001 pair set may legitimately be
+    // empty — the equality still pins the restriction, and the 50%
+    // rate carries the non-emptiness check).
     import org.apache.spark.sql.functions._
     graft.functions.Md5Long.register(spark)
-    val sampled = Tables(spark, sf001, "documents")
-      .filter(expr(
-        "pmod(md5long(concat('mh-eval-', cast(doc_id as string))), 2)") === 0)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    val full = SparkEntry.queries("q110_minhash_error")(spark, sf001)
+    val fullRows = SparkEntry.queries("q110_minhash_error")(spark, sf001)
       .collect()
-      .filter(r => sampled(r.getLong(0)) && sampled(r.getLong(1)))
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-      .toSet
-    val samp = SparkEntry.queries("q212_minhash_error_sampled")(spark, sf001)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-      .toSet
-    assert(samp == full, s"sampled=${samp.size} restricted-full=${full.size}")
-    assert(samp.nonEmpty, "the sf0.001 sample keeps at least one pair")
+    for ((q, mod) <- Seq(("q212_minhash_error_sampled", 2),
+        ("q214_minhash_error_rate10", 10))) {
+      val sampled = Tables(spark, sf001, "documents")
+        .filter(expr("pmod(md5long(concat('mh-eval-', " +
+          s"cast(doc_id as string))), $mod)") === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val full = fullRows
+        .filter(r => sampled(r.getLong(0)) && sampled(r.getLong(1)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+      val samp = SparkEntry.queries(q)(spark, sf001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+      assert(samp == full,
+        s"$q: sampled=${samp.size} restricted-full=${full.size}")
+      if (mod == 2)
+        assert(samp.nonEmpty, "the sf0.001 50% sample keeps at least one pair")
+    }
   }
 }
