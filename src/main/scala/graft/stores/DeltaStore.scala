@@ -140,16 +140,46 @@ object DeltaStore {
       mode: String): Unit = {
     val dir = wmPath(s, table)
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
-    if (mode == "overwrite") fs.delete(dir, true)
-    // a pre-round-16 parquet sidecar TABLE at this name would shadow
-    // the directory in sweeps — retire its catalog entry (the marker
-    // dir replaces its contents; ids live in filenames now)
-    if (s.catalog.tableExists(wmTable(table)))
-      s.sql(s"DROP TABLE IF EXISTS ${wmTable(table)}")
+    if (mode == "overwrite") {
+      // a roll/base-build resets the watermark set deliberately —
+      // the legacy table's ids (if any) are retired with the set,
+      // not migrated
+      fs.delete(dir, true)
+      if (s.catalog.tableExists(wmTable(table)))
+        s.sql(s"DROP TABLE IF EXISTS ${wmTable(table)}")
+    } else migrateLegacyWm(s, table)
     fs.mkdirs(dir)
     fs.create(new org.apache.hadoop.fs.Path(dir, batchId.toString),
       true).close()
   }
+
+  /** One-time migration of a pre-round-16 sidecar TABLE (a managed
+    * parquet table, one `batch_id` BIGINT row per installment) into
+    * the marker-file directory. The legacy table occupies the SAME
+    * warehouse path the marker directory uses, and DROP TABLE on a
+    * managed table deletes that path — so its ids must be read out
+    * BEFORE the drop and re-created as markers after. Without this,
+    * an EMPTY installment recorded only in the legacy table (empty
+    * deltas leave no key rows) would vanish from the replay guard on
+    * upgrade: its replay would be re-admitted (re-running
+    * beforeCommit side effects) and then trip the non-monotone
+    * `require` loudly instead of refusing with the designed
+    * convergent `false`. Costs one metadata-sized Spark job, once
+    * per upgraded store; fresh and already-migrated stores skip on
+    * the catalog lookup.
+    */
+  private def migrateLegacyWm(s: SparkSession, table: String): Unit =
+    if (s.catalog.tableExists(wmTable(table))) {
+      val ids = s.table(wmTable(table)).select(col("batch_id"))
+        .collect().map(_.getLong(0)).distinct
+      s.sql(s"DROP TABLE IF EXISTS ${wmTable(table)}")
+      val dir = wmPath(s, table)
+      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+      fs.mkdirs(dir)
+      ids.foreach(id =>
+        fs.create(new org.apache.hadoop.fs.Path(dir, id.toString),
+          true).close())
+    }
 
   /** Drop a store's sidecar with the store (vacuum / sweep): the
     * marker directory, plus any legacy catalog entry from the
@@ -162,9 +192,12 @@ object DeltaStore {
   }
 
   /** Every installment id the sidecar has recorded (empty for
-    * pre-sidecar stores) — one directory listing, zero Spark jobs.
+    * pre-sidecar stores) — one directory listing, zero Spark jobs
+    * (except the one-time [[migrateLegacyWm]] job on first read of a
+    * store upgraded from the pre-round-16 table shape).
     */
   private def wmIds(s: SparkSession, table: String): Array[Long] = {
+    migrateLegacyWm(s, table)
     val dir = wmPath(s, table)
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(dir)) Array.empty[Long]

@@ -209,6 +209,68 @@ class DeltaStoreSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS dsg CASCADE")
   }
 
+  test("legacy sidecar TABLE migrates to markers; empty-installment replay refuses convergently on an upgraded store") {
+    val wh = Files.createTempDirectory("graft_wh_dsv").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dsv LOCATION '$wh'")
+    import spark.implicits._
+    def sidecarPath(tbl: String) = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(tbl + "_wm")))
+    def markers(tbl: String): Set[Long] = {
+      val p = sidecarPath(tbl)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Set.empty[Long]
+      else fs.listStatus(p).flatMap(st =>
+        scala.util.Try(st.getPath.getName.toLong).toOption).toSet
+    }
+    // rewind a store's sidecar to the pre-round-16 shape: the marker
+    // directory replaced by a managed parquet TABLE (one batch_id row
+    // per installment) at the SAME warehouse path — the legacy
+    // writer's exact fixture
+    def rewindToLegacy(tbl: String, ids: Seq[Long]): Unit = {
+      val p = sidecarPath(tbl)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      ids.toDF("batch_id").write.format("parquet")
+        .saveAsTable(tbl + "_wm")
+    }
+    try {
+      val t = "dsv.toy"
+      DeltaStore.write(spark, toy(4), t, Seq("k"), 2)
+      assert(DeltaStore.refresh(spark,
+        Seq.empty[(Long, Long)].toDF("k", "v"), t, Seq("k"), 1L),
+        "empty installment recorded (sidecar-only id)")
+      rewindToLegacy(t, Seq(0L, 1L))
+      // the upgrade hazard: id 1 exists ONLY in the legacy table (no
+      // key rows). The guard's first read must migrate it, so the
+      // replay refuses with the designed convergent `false` — before
+      // the shim it was re-admitted and then threw non-monotone
+      assert(!DeltaStore.refresh(spark, toy(2, 100), t, Seq("k"), 1L),
+        "empty-installment replay on an upgraded store must refuse " +
+          "convergently, not throw")
+      assert(!spark.catalog.tableExists(t + "_wm"),
+        "migration retires the legacy catalog entry")
+      assert(markers(t) === Set(0L, 1L),
+        "every legacy id must survive as a marker file")
+      assert(DeltaStore.refresh(spark, toy(2, 100), t, Seq("k"), 2L))
+      assert(markers(t) === Set(0L, 1L, 2L))
+      // recordWm's own migrate branch: with the guard pre-read
+      // supplied the fold never calls wmIds — the marker write is the
+      // first legacy touch and must migrate before dropping the table
+      val t2 = "dsv.toy2"
+      DeltaStore.write(spark, toy(3), t2, Seq("k"), 2)
+      rewindToLegacy(t2, Seq(0L))
+      assert(DeltaStore.refresh(spark, toy(2, 50), t2, Seq("k"), 1L,
+        recorded = Some(Array(0L))))
+      assert(!spark.catalog.tableExists(t2 + "_wm"))
+      assert(markers(t2) === Set(0L, 1L))
+      // a roll (overwrite) deliberately retires legacy ids with the set
+      rewindToLegacy(t2, Seq(0L, 1L))
+      DeltaStore.write(spark, toy(3), t2, Seq("k"), 2)
+      assert(markers(t2) === Set(0L),
+        "a base rebuild resets the watermark set, legacy included")
+    } finally spark.sql("DROP DATABASE IF EXISTS dsv CASCADE")
+  }
+
   test("job budget per refresh: sidecar recording costs ZERO jobs (round-16 marker dir)") {
     val wh = Files.createTempDirectory("graft_wh_dsj").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS dsj LOCATION '$wh'")
