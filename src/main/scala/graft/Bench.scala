@@ -227,7 +227,12 @@ object Bench {
     val ids = results.map { case (n, _) =>
       scala.util.Try(n.takeWhile(_ != '_').drop(1).toInt).toOption
     }
-    val compact = if (ids.forall(_.isDefined)) {
+    // duplicate numeric ids would silently collide in the decoded
+    // map (two queries sharing a qNN prefix) — that's a naming bug,
+    // but the tail must not paper over it: degrade to the full-name
+    // line, which may overflow the window but never mis-keys
+    val idsUnique = ids.flatten.distinct.length == ids.flatten.length
+    val compact = if (ids.forall(_.isDefined) && idsUnique) {
       def arrays(scale: Int): String = {
         val sorted = ids.flatten.zip(results.map(_._2)).sortBy(_._1)
         val qid = sorted.map(_._1).mkString("[", ",", "]")
@@ -235,14 +240,26 @@ object Bench {
           .mkString("[", ",", "]")
         s""""qid":$qid,"q${if (scale == 100) "cs" else "ds"}":$qv"""
       }
-      def line(scale: Int): String = {
+      def line(scale: Int, errJson: String, flkJson: String): String = {
         val c = calibJson(calibBefore, calibAfter)
         f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},""" +
-          s"""${arrays(scale)},"errors":$errs,"flaky":$flk,"sf":"$sfDir"$c${loadJson(loadAtStart)}}"""
+          s"""${arrays(scale)},"errors":$errJson,"flaky":$flkJson,"sf":"$sfDir"$c${loadJson(loadAtStart)}}"""
       }
-      val cs = line(100)
-      if (cs.length <= 1850) cs else line(10)
-    } else jsonLine(v => f"$v%.2f", _.takeWhile(_ != '_'))
+      // degradation ladder (advice r16: the deciseconds fallback had
+      // no guard of its own — a bad run's long errors/flaky arrays
+      // could overflow the window at EVERY precision): centiseconds →
+      // deciseconds → deciseconds with errors/flaky as COUNTS (the
+      // names are in BENCH_OUT.json; the tail only needs to show
+      // something went wrong). The last rung is the smallest line
+      // that still carries the full query map.
+      val rungs = Iterator(
+        line(100, errs, flk),
+        line(10, errs, flk),
+        line(10, s"${errors.size}", s"${flaky.size}"))
+      rungs.find(_.length <= 1850).getOrElse(
+        line(10, s"${errors.size}", s"${flaky.size}"))
+    } else jsonLine(v => f"$v%.2f",
+      if (idsUnique) _.takeWhile(_ != '_') else identity)
     println(compact)
     System.out.flush()
     System.err.println(compact)

@@ -47,7 +47,38 @@ def extract(path):
                 import re
                 qs = {m.group(1): float(m.group(2)) for m in
                       re.finditer(r'"(q\d+[a-z_]*)":([0-9][0-9.]*)', tail)}
-                j = len(tail)
+                if not qs:
+                    # round-16+ paired-array encoding, front-cut. The
+                    # value array (qcs/qds) FOLLOWS qid in the line, so
+                    # a front cut leaves it complete while qid keeps
+                    # only a suffix — align by zipping from the tail:
+                    # surviving qid[k..] pairs with qcs[n-k..].
+                    m = re.search(r'"q(cs|ds)":\[([0-9,]*)\]', tail)
+                    if m:
+                        scale = 100.0 if m.group(1) == "cs" else 10.0
+                        vals = [int(x) for x in m.group(2).split(",") if x]
+                        idseg = tail[:m.start()]
+                        close = idseg.rfind("]")
+                        opn = idseg.rfind("[", 0, close)
+                        clean = opn >= 0 and idseg[:opn].endswith('"qid":')
+                        seg = idseg[opn + 1:close] if opn >= 0 \
+                            else idseg[:close]
+                        ids = [int(x) for x in seg.split(",")
+                               if x.strip().isdigit()]
+                        if not clean and ids:
+                            # the first surviving id may itself be a
+                            # number cut mid-digits — drop it
+                            ids = ids[1:]
+                        ids = ids[-len(vals):]
+                        qs = {f"q{i}": v / scale
+                              for i, v in zip(ids, vals[-len(ids):])}
+                if not qs:
+                    sys.exit(f"ERROR: {path} tail is truncated and "
+                             "salvage recovered ZERO per-query entries "
+                             "— refusing a silent empty comparison")
+                # a front cut never removes the TRAILING load fields —
+                # let the recovery below scan the whole surviving tail
+                j = 0
                 print(f"NOTE: {path} tail is front-truncated — "
                       f"salvaged {len(qs)} per-query entries (partial)")
             rebuilt = {"queries": qs}
