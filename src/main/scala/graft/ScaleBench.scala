@@ -89,15 +89,37 @@ object ScaleBench {
     "q191_multimodal_curation")
 
   private def runAll(spark: SparkSession, dir: String,
-      repeat: Int, targets: Seq[String]): Map[String, (Double, Long)] =
-    targets.flatMap(n => Seq.fill(repeat)(n)).map { name =>
+      repeat: Int, targets: Seq[String]): Map[String, (Double, Long)] = {
+    // Small-target protocol (round 17, codifying the r16 finding): a
+    // single in-suite timing of a sub-2 s query mostly measures the
+    // GC/cache state the PREVIOUS target left behind, not the query —
+    // q214 read exponent 0.41 in-suite vs 0.064 isolated in the r16
+    // capture. Any target whose first timing lands under the
+    // threshold is re-measured to min-of-N at that scale point, so
+    // exponent tables are comparable by construction instead of by
+    // after-the-fact isolated re-runs. Tune with
+    // SPARK_GRAFT_SCALE_SMALL_SEC / SPARK_GRAFT_SCALE_SMALL_N;
+    // SMALL_N=1 disables.
+    val smallSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL_SEC",
+      "2.0").toDouble
+    val smallN = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL_N", "3").toInt
+    def one(name: String): (Double, Long) = {
       System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(500)
       val t0 = System.nanoTime()
       val n = Bench.force(SparkEntry.queries(name)(spark, dir))
-      (name, (System.nanoTime() - t0) / 1e9, n)
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    targets.flatMap(n => Seq.fill(repeat)(n)).map { name =>
+      val first = one(name)
+      val all =
+        if (first._1 < smallSec && smallN > 1)
+          first +: Seq.fill(smallN - 1)(one(name))
+        else Seq(first)
+      (name, all.map(_._1).min, all.map(_._2).max)
     }.groupBy(_._1).map { case (n, rs) =>
       n -> ((rs.map(_._2).min, rs.map(_._3).max))
     }
+  }
 
   /** The third-point subset (round-13 verdict item 6): two points fit
     * one line by construction — a 100× point on the top-5 heaviest

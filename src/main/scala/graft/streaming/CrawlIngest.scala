@@ -241,22 +241,26 @@ object CrawlIngest {
       rules: Option[DataFrame] = None,
       near: Option[(String, String)] = None,
       clfWeights: Option[Array[Long]] = None): DataFrame = {
-    // quality-classifier inference at the seam (round 13): the q190
-    // fused hashing-trick model scores every body inside ONE
-    // aggregate() riding the decode scan — zero exchanges, so the
-    // ingest's files/s is untouched. With `clfWeights` (round 14: the
-    // q208-trained vector, resolved once from the clf store) the SAME
-    // fused shape serves the trained model via an array literal and
-    // clf_keep flips to the perceptron's natural margin > 0; without
-    // it the stand-in milli-weights apply (clf_keep ⇔ score·20 >
-    // n_feat, the τ = 0.05 threshold).
-    val parsed0 = graft.operators.TrainPrep.withClfScore(
-      graft.operators.WebCuration.parseWet(
-        Multimodal.frameCrawl(s, Multimodal.spreadClips(
-          files.toDF("file_id", "payload")))), "body", clfWeights)
-      .withColumn("clf_keep",
-        if (clfWeights.isDefined) col("clf_score") > 0
-        else col("clf_score") * 20 > col("n_feat"))
+    // Decode order (round 17, the r16 verdict's decode-order
+    // experiment): the per-record stage costs at 100× measured gunzip+
+    // framing 0.55 s / +header 0.00 / +md5 fp 0.08 / +quality
+    // tokenize 0.16 / +clf score 5.31 (ProfileHostBudget) — the
+    // classifier is ~85% of the decode term, and the admission window
+    // rejects 99.96% of records at the production shape (admit rate
+    // 190/500k at B=10). None of the admission inputs need it: host/
+    // path are a header split, the dup flags need only md5(body), and
+    // quality is a cheap tokenize. So the q190 fused hashing-trick
+    // scorer (round 13; with `clfWeights` — round 14 — the q208-
+    // trained vector serves through the same fused shape) moved BELOW
+    // the admission filter: only ADMITTED records are scored, and a
+    // never-scored record lands NULL clf_score/clf_keep — the
+    // classifier is a corpus-keep decision downstream of admission,
+    // so scoring a rejected record was pure waste at corpus scale.
+    // All-admitted configs (q206/q207's effectively-unbounded budget)
+    // produce bit-identical columns to the old inline order.
+    val parsed0 = graft.operators.WebCuration.parseWet(
+      Multimodal.frameCrawl(s, Multimodal.spreadClips(
+        files.toDF("file_id", "payload"))))
       .withColumn("fp", md5(col("body")))
     // NEAR MODE (round 13): the batch additionally runs incremental
     // LSH near-dup assignment ([[graft.operators.Dedup]]'s
@@ -267,15 +271,19 @@ object CrawlIngest {
     // chain and the shingle/minhash banding share one decode; the
     // per-record band signatures ride the verdict rows out (array
     // column) so the store fold never re-decodes.
-    val (recs, nearCols) = near match {
+    val (pinned, recs, nearCols) = near match {
       case None =>
-        // slim (no body); pinned — canon agg, its join-back, and the
-        // admission ranks would each re-run the batch's decode
-        (parsed0
+        // pinned WITH the body (the deferred scorer reads it back for
+        // admitted rows — without the column the join-back would
+        // re-run the batch's gunzip); every other consumer (canon
+        // agg, its join-back, the admission ranks) projects the slim
+        // columns off the same pin, so the decode still runs once
+        val full = parsed0
           .select(col("file_id"), col("rec_idx"), col("url"),
             col("host"), col("path"), col("fp"), col("quality"),
-            col("clf_score"), col("clf_keep"))
-          .localCheckpoint(true), None)
+            col("body"))
+          .localCheckpoint(true)
+        (full, full.drop("body"), None)
       case Some((bandT, compT)) =>
         val full = parsed0.withColumn("ck", nearCk).localCheckpoint(true)
         val newBands = graft.operators.Dedup.bandSignatures(
@@ -309,9 +317,9 @@ object CrawlIngest {
             "ck")
           .select(col("file_id"), col("rec_idx"), col("near_comp"),
             col("near_dup_of_store"), col("bands"))
-        (full.select(col("file_id"), col("rec_idx"), col("url"),
-          col("host"), col("path"), col("fp"), col("quality"),
-          col("clf_score"), col("clf_keep")),
+        (full,
+          full.select(col("file_id"), col("rec_idx"), col("url"),
+            col("host"), col("path"), col("fp"), col("quality")),
           Some(nv))
     }
     // robots-style path rules at the seam (q204's longest-prefix
@@ -337,8 +345,7 @@ object CrawlIngest {
         .select(col("fp")).withColumn("seen", lit(true)),
         Seq("fp"), "left")
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
-        col("fp"), col("quality"), col("clf_score"), col("clf_keep"),
-        col("allowed"),
+        col("fp"), col("quality"), col("allowed"),
         coalesce(col("seen"), lit(false)).as("dup_of_store"),
         (col("canon.file_id") =!= col("file_id") ||
           col("canon.rec_idx") =!= col("rec_idx")).as("dup_in_batch"))
@@ -348,14 +355,37 @@ object CrawlIngest {
       flagged.filter(col("allowed"))
         .select(col("file_id"), col("rec_idx"), col("host")),
       budget, Seq(col("file_id"), col("rec_idx")))
-    val verdicts = flagged
+    // pinned: the frame below feeds BOTH the admitted-keys filter the
+    // scorer joins on and the final left join — unpinned, the whole
+    // flag/rank/budget subtree would run twice
+    val verdicts0 = flagged
       .join(ranks, Seq("file_id", "rec_idx", "host"), "left")
       .join(sofar, Seq("host"), "left")
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
         col("fp"), col("quality"), col("allowed"), col("dup_of_store"),
         col("dup_in_batch"),
         (col("allowed") && coalesce(col("rk"), lit(budget + 1))
-          + coalesce(col("n_sofar"), lit(0L)) <= budget).as("admitted"),
+          + coalesce(col("n_sofar"), lit(0L)) <= budget).as("admitted"))
+      .localCheckpoint(true)
+    // the deferred scorer: admitted rows only (see the decode-order
+    // note above) — at the production admit rate this is the stage
+    // that turns the seam's clf term from corpus-sized to
+    // admitted-sized
+    val scored = graft.operators.TrainPrep.withClfScore(
+      pinned.join(verdicts0.filter(col("admitted"))
+        .select(col("file_id"), col("rec_idx")),
+        Seq("file_id", "rec_idx")),
+      "body", clfWeights)
+      .withColumn("clf_keep",
+        if (clfWeights.isDefined) col("clf_score") > 0
+        else col("clf_score") * 20 > col("n_feat"))
+      .select(col("file_id"), col("rec_idx"), col("clf_score"),
+        col("clf_keep"))
+    val verdicts = verdicts0
+      .join(scored, Seq("file_id", "rec_idx"), "left")
+      .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
+        col("fp"), col("quality"), col("allowed"), col("dup_of_store"),
+        col("dup_in_batch"), col("admitted"),
         col("clf_score"), col("clf_keep"))
     nearCols match {
       case None => verdicts

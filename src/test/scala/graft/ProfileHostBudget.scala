@@ -124,6 +124,55 @@ object ProfileHostBudget {
           (col("allowed") && coalesce(col("rk"), lit(B + 1))
             + coalesce(col("n_sofar"), lit(0L)) <= B).as("admitted")))
     }
+
+    // ---- admit rate + decode-stage decomposition (round 17) -------------
+    // The round-16 verdict named decode (gunzip+parse+clf for EVERY
+    // record) as q202's linear term and asked two questions: what
+    // fraction of records does the admission window reject, and which
+    // decode sub-stage carries the cost — the gunzip/framing floor
+    // (irreducible: every record must be read once), or the
+    // tokenize-based scoring (quality + clf) that admission doesn't
+    // need and rejected records never use?
+    val total = waves.map(_.count()).sum
+    val admitted = waves.map(_.filter(col("admitted")).count()).sum
+    println(f"admit rate${" "}%-18s $admitted / $total = " +
+      f"${admitted.toDouble / total}%.5f")
+    // each stage re-derives from `files` so timings compare
+    // incrementally: sN − sN−1 is that sub-stage's own cost
+    def framed = MM.frameCrawl(spark,
+      MM.spreadClips(wave1.toDF("file_id", "payload")))
+    time("st0 gunzip+frame") {
+      Bench.force(framed.select(col("file_id"), col("rec_idx"),
+        length(col("raw")).as("n")))
+    }
+    def hdr = framed
+      .withColumn("m", col("raw").cast("string"))
+      .withColumn("url", substring_index(col("m"), "\r\n\r\n", 1))
+      .withColumn("body",
+        col("m").substr(length(col("url")) + 5, length(col("m"))))
+      .select(col("file_id"), col("rec_idx"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"), col("body"))
+    time("st1 +header/url") {
+      Bench.force(hdr.select(col("file_id"), col("rec_idx"),
+        col("host"), col("path")))
+    }
+    time("st2 +fp md5(body)") {
+      Bench.force(hdr.select(col("file_id"), col("rec_idx"),
+        col("host"), col("path"), md5(col("body")).as("fp")))
+    }
+    time("st3 +quality tokenize") {
+      Bench.force(WC.parseWet(framed)
+        .select(col("file_id"), col("rec_idx"), col("host"),
+          col("path"), md5(col("body")).as("fp"), col("quality")))
+    }
+    time("st4 +clf score") {
+      Bench.force(TP.withClfScore(WC.parseWet(framed), "body", None)
+        .withColumn("clf_keep", col("clf_score") * 20 > col("n_feat"))
+        .select(col("file_id"), col("rec_idx"), col("host"),
+          col("path"), md5(col("body")).as("fp"), col("quality"),
+          col("clf_score"), col("clf_keep")))
+    }
     spark.stop()
   }
 }
