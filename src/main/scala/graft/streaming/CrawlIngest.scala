@@ -355,10 +355,32 @@ object CrawlIngest {
       flagged.filter(col("allowed"))
         .select(col("file_id"), col("rec_idx"), col("host")),
       budget, Seq(col("file_id"), col("rec_idx")))
-    // pinned: the frame below feeds BOTH the admitted-keys filter the
-    // scorer joins on and the final left join — unpinned, the whole
-    // flag/rank/budget subtree would run twice
-    val verdicts0 = flagged
+    // The deferred scorer's key set comes from the RANKS subtree, not
+    // from the assembled verdict frame: `ranks` holds exactly the
+    // allowed records with rank ≤ budget, so "rk + admitted-so-far ≤
+    // budget over ranks rows" IS the admitted set (a record absent
+    // from ranks coalesces to budget+1 below and is never admitted).
+    // Deriving the keys this way keeps the whole batch ONE
+    // materialization — the expensive shared stage (canon agg +
+    // fp-store probe) appears once in the verdict chain and not in
+    // the scorer's, so no internal checkpoint job is needed; the seam
+    // pipelines' per-batch job budget stays at the r16 count.
+    val admittedKeys = ranks
+      .join(sofar, Seq("host"), "left")
+      .filter(col("rk") + coalesce(col("n_sofar"), lit(0L)) <= budget)
+      .select(col("file_id"), col("rec_idx"))
+    // the deferred scorer: admitted rows only (see the decode-order
+    // note above) — at the production admit rate this turns the
+    // seam's clf term from corpus-sized to admitted-sized
+    val scored = graft.operators.TrainPrep.withClfScore(
+      pinned.join(admittedKeys, Seq("file_id", "rec_idx")),
+      "body", clfWeights)
+      .withColumn("clf_keep",
+        if (clfWeights.isDefined) col("clf_score") > 0
+        else col("clf_score") * 20 > col("n_feat"))
+      .select(col("file_id"), col("rec_idx"), col("clf_score"),
+        col("clf_keep"))
+    val verdicts = flagged
       .join(ranks, Seq("file_id", "rec_idx", "host"), "left")
       .join(sofar, Seq("host"), "left")
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
@@ -366,22 +388,6 @@ object CrawlIngest {
         col("dup_in_batch"),
         (col("allowed") && coalesce(col("rk"), lit(budget + 1))
           + coalesce(col("n_sofar"), lit(0L)) <= budget).as("admitted"))
-      .localCheckpoint(true)
-    // the deferred scorer: admitted rows only (see the decode-order
-    // note above) — at the production admit rate this is the stage
-    // that turns the seam's clf term from corpus-sized to
-    // admitted-sized
-    val scored = graft.operators.TrainPrep.withClfScore(
-      pinned.join(verdicts0.filter(col("admitted"))
-        .select(col("file_id"), col("rec_idx")),
-        Seq("file_id", "rec_idx")),
-      "body", clfWeights)
-      .withColumn("clf_keep",
-        if (clfWeights.isDefined) col("clf_score") > 0
-        else col("clf_score") * 20 > col("n_feat"))
-      .select(col("file_id"), col("rec_idx"), col("clf_score"),
-        col("clf_keep"))
-    val verdicts = verdicts0
       .join(scored, Seq("file_id", "rec_idx"), "left")
       .select(col("file_id"), col("rec_idx"), col("url"), col("host"),
         col("fp"), col("quality"), col("allowed"), col("dup_of_store"),
