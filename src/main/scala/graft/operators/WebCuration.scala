@@ -426,16 +426,17 @@ object WebCuration {
         }
         CrawlIngest.writeFpStoreEmpty(s, fpT, 8)
         CrawlIngest.writeHostStore(s, hostT, 8)
-        val files = wetFiles(s, d).localCheckpoint()
+        val files = graft.Jobs.adaptiveRead(wetFiles(s, d).localCheckpoint())
         val waves = (1 to 3).map { wv =>
           val wave = files.filter(
             pmod(col("file_id"), lit(3L)) === (wv - 1).toLong)
           val v = CrawlIngest
             .wetVerdicts(s, wave, fpT, hostT, B, wv.toLong)
             .localCheckpoint()
-          require(CrawlIngest.foldWet(s, v, fpT, hostT, wv.toLong),
+          val vr = graft.Jobs.adaptiveRead(v)
+          require(CrawlIngest.foldWet(s, vr, fpT, hostT, wv.toLong),
             s"wave $wv must fold")
-          v
+          vr
         }
         require(!CrawlIngest.foldWet(s, waves.last, fpT, hostT, 3L),
           "replayed wave must be refused")
@@ -578,16 +579,17 @@ object WebCuration {
           ("src3.example.org", "/p1", false),
           ("src3.example.org", "/p12", true))
           .toDF("r_host", "prefix", "allow")
-        val files = wetFiles(s, d).localCheckpoint()
+        val files = graft.Jobs.adaptiveRead(wetFiles(s, d).localCheckpoint())
         val waves = (1 to 3).map { wv =>
           val wave = files.filter(
             pmod(col("file_id"), lit(3L)) === (wv - 1).toLong)
           val v = CrawlIngest
             .wetVerdicts(s, wave, fpT, hostT, B, wv.toLong, Some(rules))
             .localCheckpoint()
-          require(CrawlIngest.foldWet(s, v, fpT, hostT, wv.toLong),
+          val vr = graft.Jobs.adaptiveRead(v)
+          require(CrawlIngest.foldWet(s, vr, fpT, hostT, wv.toLong),
             s"wave $wv must fold")
-          v
+          vr
         }
         waves.reduce(_ unionByName _)
           .select(col("file_id"), col("rec_idx"), col("host"),
@@ -655,7 +657,7 @@ object WebCuration {
         CrawlIngest.writeHostStore(s, hostT, 8)
         CrawlIngest.writeNearStoresEmpty(s, bandT, compT, 8)
         val near = Some((bandT, compT))
-        val files = wetFiles(s, d).localCheckpoint()
+        val files = graft.Jobs.adaptiveRead(wetFiles(s, d).localCheckpoint())
         val waves = (1 to 3).map { wv =>
           val wave = files.filter(
             pmod(col("file_id"), lit(3L)) === (wv - 1).toLong)
@@ -663,9 +665,10 @@ object WebCuration {
             .wetVerdicts(s, wave, fpT, hostT, 1000000, wv.toLong, None,
               near)
             .localCheckpoint()
-          require(CrawlIngest.foldWet(s, v, fpT, hostT, wv.toLong, near),
+          val vr = graft.Jobs.adaptiveRead(v)
+          require(CrawlIngest.foldWet(s, vr, fpT, hostT, wv.toLong, near),
             s"wave $wv must fold")
-          v
+          vr
         }
         waves.reduce(_ unionByName _)
           .select(col("file_id"), col("rec_idx"), col("host"),

@@ -243,10 +243,13 @@ object DeltaStore {
     // (stores × installments) per partition, the same metadata scale
     // as the per-store guard.
     import s.implicits._
-    val found: Set[(String, Long)] = frames.reduce(_ union _)
-      .select(col("t"), col("batch_id")).as[(String, Long)]
-      .mapPartitions(it => it.toSet.iterator)
-      .collect().toSet
+    val found: Set[(String, Long)] = graft.Jobs.labeled(s,
+      s"store: guard read ${tables.mkString(",")}") {
+      frames.reduce(_ union _)
+        .select(col("t"), col("batch_id")).as[(String, Long)]
+        .mapPartitions(it => it.toSet.iterator)
+        .collect().toSet
+    }
     val byTable = found.groupBy(_._1)
     tables.map(t => t ->
       (byTable.getOrElse(t, Set.empty[(String, Long)]).map(_._2)
@@ -255,11 +258,13 @@ object DeltaStore {
 
   private def bucketedWrite(df: DataFrame, table: String, mode: String,
       keyCols: Seq[String], buckets: Int): Unit =
-    df.repartition(buckets, keyCols.map(col): _*)
-      .write.mode(mode)
-      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
-      .sortBy(keyCols.head, keyCols.tail: _*)
-      .format("parquet").saveAsTable(table)
+    graft.Jobs.labeled(df.sparkSession, s"store: $mode $table") {
+      df.repartition(buckets, keyCols.map(col): _*)
+        .write.mode(mode)
+        .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+        .sortBy(keyCols.head, keyCols.tail: _*)
+        .format("parquet").saveAsTable(table)
+    }
 
   /** Base store build: `delta` (already derived — one corpus pass,
     * ever) written as installment 0.

@@ -78,9 +78,10 @@ object CrawlIngest {
         round(least(lit(1.0), col("n") / 100.0)
           * (col("nd") / col("n")), 4).as("quality"))
       .localCheckpoint(true)
-    val groups = recs.groupBy(col("fp"))
+    val recsR = graft.Jobs.adaptiveRead(recs)
+    val groups = recsR.groupBy(col("fp"))
       .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"))
-    recs.join(groups, "fp")
+    recsR.join(groups, "fp")
       .select(col("file_id"), col("rec_idx"), col("n_bytes"), col("fp"),
         col("quality"),
         (col("canon.file_id") =!= col("file_id") ||
@@ -110,12 +111,13 @@ object CrawlIngest {
         // from dup_of_store (same pre-fold snapshot — the anti-join
         // would re-scan the corpus-sized store for the same answer),
         // and without the pin the store probe would re-run for it
-        val flagged = scored.join(store, Seq("fp"), "left")
-          .select(col("file_id"), col("rec_idx"), col("n_bytes"),
-            col("fp"), col("quality"),
-            coalesce(col("seen"), lit(false)).as("dup_of_store"),
-            col("dup_in_batch"))
-          .localCheckpoint()
+        val flagged = graft.Jobs.adaptiveRead(
+          scored.join(store, Seq("fp"), "left")
+            .select(col("file_id"), col("rec_idx"), col("n_bytes"),
+              col("fp"), col("quality"),
+              coalesce(col("seen"), lit(false)).as("dup_of_store"),
+              col("dup_in_batch"))
+            .localCheckpoint())
         AtomicLanding.publish(flagged, outDir, id)
         DeltaStore.refresh(s,
           flagged.filter(!col("dup_of_store")).select(col("fp")).distinct(),
@@ -278,19 +280,31 @@ object CrawlIngest {
         // re-run the batch's gunzip); every other consumer (canon
         // agg, its join-back, the admission ranks) projects the slim
         // columns off the same pin, so the decode still runs once
-        val full = parsed0
-          .select(col("file_id"), col("rec_idx"), col("url"),
-            col("host"), col("path"), col("fp"), col("quality"),
-            col("body"))
-          .localCheckpoint(true)
-        (full, full.drop("body"), None)
+        val full = graft.Jobs.labeled(s, "wet: decode pin") {
+          parsed0
+            .select(col("file_id"), col("rec_idx"), col("url"),
+              col("host"), col("path"), col("fp"), col("quality"),
+              col("body"))
+            .localCheckpoint(true)
+        }
+        // slim consumers (flags, ranks, key joins) read the pin at
+        // size-derived parallelism — a micro-batch-sized pin collapses
+        // to a few tasks, a production-sized one keeps all of them
+        // (guide §2: partitioning from input size, not a constant)
+        (full, graft.Jobs.adaptiveRead(full).drop("body"), None)
       case Some((bandT, compT)) =>
-        val full = parsed0.withColumn("ck", nearCk).localCheckpoint(true)
-        val newBands = graft.operators.Dedup.bandSignatures(
-          full.select(col("ck").as("doc_id"), col("body").as("text")))
-          .localCheckpoint(true)
-        val assigned = graft.operators.Dedup.assignFromBands(s, newBands,
-          full.select(col("ck").as("doc_id")),
+        val full = graft.Jobs.labeled(s, "wet: decode pin") {
+          parsed0.withColumn("ck", nearCk).localCheckpoint(true)
+        }
+        val newBands = graft.Jobs.labeled(s, "wet: band signatures") {
+          graft.operators.Dedup.bandSignatures(
+            full.select(col("ck").as("doc_id"), col("body").as("text")))
+            .localCheckpoint(true)
+        }
+        val bandsRead = graft.Jobs.adaptiveRead(newBands)
+        val fullSlim = graft.Jobs.adaptiveRead(full)
+        val assigned = graft.operators.Dedup.assignFromBands(s, bandsRead,
+          fullSlim.select(col("ck").as("doc_id")),
           s.table(bandT).filter(col("batch_id") < inst)
             .select(col("doc_id"), col("band"), col("h1"), col("h2")),
           s.table(compT).filter(col("batch_id") < inst)
@@ -299,9 +313,9 @@ object CrawlIngest {
         // matched-the-store ⇔ the assigned cluster id is a STORED
         // record's id (delivery keys are unique, so batch ids and
         // stored ids are disjoint — see the startWet scaladoc)
-        val own = full.select(col("ck").as("comp")).distinct()
+        val own = fullSlim.select(col("ck").as("comp")).distinct()
           .withColumn("own", lit(true))
-        val bandsArr = newBands
+        val bandsArr = bandsRead
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(struct(
             col("band"), col("h1"), col("h2")))).as("bands"))
@@ -313,13 +327,14 @@ object CrawlIngest {
             coalesce(col("bands"), expr(
               "cast(array() as array<struct<band: int, h1: bigint, " +
                 "h2: bigint>>)")).as("bands"))
-          .join(full.select(col("file_id"), col("rec_idx"), col("ck")),
+          .join(fullSlim.select(col("file_id"), col("rec_idx"), col("ck")),
             "ck")
           .select(col("file_id"), col("rec_idx"), col("near_comp"),
             col("near_dup_of_store"), col("bands"))
         (full,
-          full.select(col("file_id"), col("rec_idx"), col("url"),
-            col("host"), col("path"), col("fp"), col("quality")),
+          graft.Jobs.adaptiveRead(full)
+            .select(col("file_id"), col("rec_idx"), col("url"),
+              col("host"), col("path"), col("fp"), col("quality")),
           Some(nv))
     }
     // robots-style path rules at the seam (q204's longest-prefix
@@ -498,8 +513,9 @@ object CrawlIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val inst = epochBase + id + 1L
-        val v = wetVerdicts(s, batch, fpTable, hostTable, budget, inst,
-          rules, near, clfWeights).localCheckpoint()
+        val v = graft.Jobs.adaptiveRead(
+          wetVerdicts(s, batch, fpTable, hostTable, budget, inst,
+            rules, near, clfWeights).localCheckpoint())
         AtomicLanding.publish(v, outDir, id)
         foldWet(s, v, fpTable, hostTable, inst, near)
         ()
