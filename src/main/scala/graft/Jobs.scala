@@ -37,6 +37,16 @@ object Jobs {
     * frames collapse. Falls back to the frame unchanged whenever the
     * size cannot be read (not checkpointed / already computed away).
     */
+  /** Eager local checkpoint + [[adaptiveRead]]: pin a frame once and
+    * hand every consumer the size-derived read. Use where downstream
+    * per-row work is LIGHT (joins, flags, column aggs); a pin feeding
+    * heavy per-row compute (decode, shingling) should keep its full
+    * partition count — bytes underestimate that work.
+    */
+  def pinned(df: org.apache.spark.sql.DataFrame,
+      bytesPerPart: Long = 32L << 20): org.apache.spark.sql.DataFrame =
+    adaptiveRead(df.localCheckpoint(true), bytesPerPart)
+
   def adaptiveRead(df: org.apache.spark.sql.DataFrame,
       bytesPerPart: Long = 32L << 20): org.apache.spark.sql.DataFrame = {
     val s = df.sparkSession

@@ -329,7 +329,7 @@ object Dedup {
         .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(t))
         .bucketSpec.map(_.numBuckets)
         .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
-    val newBands = bandSignatures(newDocs).localCheckpoint(true)
+    val newBands = bandSignatures(newDocs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
     // the delta labels materialize (propagate checkpoints its rounds)
     // BEFORE any store write below mutates what the joins read
     val (batchLabels, storeNodes) = refreshDelta(newBands,
@@ -443,7 +443,7 @@ object Dedup {
     */
   def pendingBridges(s: SparkSession, newDocs: DataFrame,
       bandStore: DataFrame, compStore: DataFrame): DataFrame = {
-    val newBands = bandSignatures(newDocs).localCheckpoint(true)
+    val newBands = bandSignatures(newDocs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
     val roots = newBands
       .select(col("doc_id").as("new_id"), col("band"), col("h1"), col("h2"))
       .join(bandStore, Seq("band", "h1", "h2"))
@@ -510,7 +510,7 @@ object Dedup {
   def assignToClusters(s: SparkSession, newDocs: DataFrame,
       bandStore: DataFrame, compStore: DataFrame,
       withinBatch: Boolean = false): DataFrame =
-    assignFromBands(s, bandSignatures(newDocs).localCheckpoint(true),
+    assignFromBands(s, bandSignatures(newDocs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_)),
       newDocs.select(col("doc_id")), bandStore, compStore, withinBatch)
 
   /** [[assignToClusters]] over PRE-COMPUTED band signatures — the
@@ -609,7 +609,7 @@ object Dedup {
         coalesce(col("old_comp"), col("old_id")).as("db"))
       .distinct()
     val edges = pairsFromBands(newBands).union(rootEdges)
-      .localCheckpoint(true)
+      .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
     val labels = propagate(edges)._1 // (id, label), delta-graph nodes only
     val batchLabels = newIds
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -688,7 +688,7 @@ object Dedup {
     // materialize the pair graph ONCE before the symmetric union
     // (both union arms would otherwise re-run the whole minhash
     // pipeline)
-    val edges = minhashPairs(s, d).localCheckpoint(true)
+    val edges = minhashPairs(s, d).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
     propagate(edges)._1.select(col("id").as("doc_id"), col("label").as("comp"))
   }
 
@@ -776,7 +776,7 @@ object Dedup {
   private[graft] def propagate(edges: DataFrame): (DataFrame, Int) = {
     val adj = edges.select(col("da").as("src"), col("db").as("dst"))
       .union(edges.select(col("db").as("src"), col("da").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
     // seed one propagation step ahead: min(self, direct neighbors)
     // falls out of the same aggregation that enumerates the nodes
     // (replaces a distinct() AND saves a full round)
@@ -784,7 +784,7 @@ object Dedup {
       .agg(min(col("dst")).as("nbr"))
       .select(col("src").as("id"),
         least(col("src"), col("nbr")).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 40) {
@@ -800,7 +800,7 @@ object Dedup {
           col("label").as("old")))
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
       // Jump: L'(id) = L(L(id)). Labels are node ids and every node
       // has a row (the self-arm keeps it), so the inner self-join is
       // total; the min-label invariant L(x) ≤ x makes the parent's
@@ -810,7 +810,7 @@ object Dedup {
         .select(col("c.id").as("id"),
           least(col("c.label"), col("p.label")).as("label"),
           col("c.old").as("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
       converged = next.filter(col("label") < col("old")).isEmpty
       labels = next.select(col("id"), col("label"))
       rounds += 1
@@ -1404,6 +1404,10 @@ object Dedup {
           .agg(expr("transform(sort_array(collect_list(struct(df, sid))), x -> x.sid)")
             .as("ts"))
           .withColumn("n", size(col("ts")))
+          // NOT adaptiveRead (round 17): consumers explode + intersect
+          // the ts arrays — per-row work here is array-heavy, so the
+          // byte-derived partition count underestimates it (measured
+          // +0.2 s coalesced at sf0.1)
           .localCheckpoint(true)
         val pre = lists
           .select(col("doc_id"), col("n"),
@@ -2246,8 +2250,8 @@ object Dedup {
           .select(col("doc_id"), col("text"))
         // the band projection feeds both the store closure and the
         // assignment join — pin it once
-        val storeBands = bandSignatures(store).localCheckpoint(true)
-        val edges = pairsFromBands(storeBands).localCheckpoint(true)
+        val storeBands = bandSignatures(store).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val edges = pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val comp = propagate(edges)._1
           .select(col("id").as("doc_id"), col("label").as("comp"))
         assignToClusters(s, batch,
@@ -2290,8 +2294,8 @@ object Dedup {
         val store = docs.filter(col("doc_id") % 7 =!= 3)
         val batch = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
-        val storeBands = bandSignatures(store).localCheckpoint(true)
-        val edges = pairsFromBands(storeBands).localCheckpoint(true)
+        val storeBands = bandSignatures(store).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val edges = pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val comp = propagate(edges)._1
           .select(col("id").as("doc_id"), col("label").as("comp"))
         assignToClusters(s, batch,
@@ -2467,7 +2471,7 @@ object Dedup {
           .select(col("doc_id"), col("sid")).distinct()
           .groupBy(col("sid")).agg(count(lit(1)).as("df"))
           .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val caps = s.createDataFrame(Seq(Tuple1(8L), Tuple1(16L),
           Tuple1(32L), Tuple1(64L))).toDF("cap")
         val tot = spectrum.agg(
@@ -2513,10 +2517,10 @@ object Dedup {
         val store = docs.filter(col("doc_id") % 7 =!= 3)
         val batch = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
-        val storeBands = bandSignatures(store).localCheckpoint(true)
-        val comp = propagate(pairsFromBands(storeBands).localCheckpoint(true))._1
+        val storeBands = bandSignatures(store).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val comp = propagate(pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_)))._1
           .select(col("id").as("doc_id"), col("label").as("comp"))
-        val newBands = bandSignatures(batch).localCheckpoint(true)
+        val newBands = bandSignatures(batch).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val (batchLabels, storeNodes) = refreshDelta(newBands,
           batch.select(col("doc_id")),
           storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),
@@ -2562,13 +2566,13 @@ object Dedup {
         val store = docs.filter(col("doc_id") % 7 =!= 3)
         val batch = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
-        val storeBands = bandSignatures(store).localCheckpoint(true)
+        val storeBands = bandSignatures(store).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val src = docs.select(col("doc_id"), col("source"))
         val sameSrcPairs = pairsFromBands(storeBands)
           .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
           .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
           .filter(col("sa") === col("sb"))
-          .select(col("da"), col("db")).localCheckpoint(true)
+          .select(col("da"), col("db")).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val comp = propagate(sameSrcPairs)._1
           .select(col("id").as("doc_id"), col("label").as("comp"))
         pendingBridges(s, batch,
@@ -2641,10 +2645,10 @@ object Dedup {
         val store = docs.filter(col("doc_id") % 7 =!= 3)
         val batch = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
-        val storeBands = bandSignatures(store).localCheckpoint(true)
-        val comp = propagate(pairsFromBands(storeBands).localCheckpoint(true))._1
+        val storeBands = bandSignatures(store).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val comp = propagate(pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_)))._1
           .select(col("id").as("doc_id"), col("label").as("comp"))
-        val newBands = bandSignatures(batch).localCheckpoint(true)
+        val newBands = bandSignatures(batch).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val (batchLabels, storeNodes) = refreshDelta(newBands,
           batch.select(col("doc_id")),
           storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),

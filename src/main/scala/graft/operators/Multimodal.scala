@@ -953,7 +953,7 @@ object Multimodal {
               * (col("nd") / col("n")), 4).as("quality"))
           // slim; pinned so the fp group-agg and its join-back share
           // ONE decompress+frame pass (the q122 exchange-reuse lesson)
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val groups = scored.groupBy(col("fp"))
           .agg(min(struct(col("file_id"), col("rec_idx"))).as("canon"),
             count(lit(1)).as("n_copies"))
@@ -1855,7 +1855,7 @@ object Multimodal {
       : org.apache.spark.sql.DataFrame =
     scoreShotsAgainstKeyframes(
       clipShots(s, spreadClips(batch.toDF("doc_id", "clip")))
-        .localCheckpoint(),
+        .localCheckpoint().transform(graft.Jobs.adaptiveRead(_)),
       refKeyframes)
 
   /** [[scoreAgainstKeyframes]] over an already-computed (and

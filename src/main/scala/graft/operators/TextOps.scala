@@ -824,7 +824,7 @@ object TextOps {
           .filter(length(col("text")) >= 11)
           // winnow_fps is already distinct per doc by contract
           .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val cnt = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         // Pair generation is a SLIM SELF-JOIN on the df-capped keys
         // (round 15; the oracle's own shape), not collect_set +
@@ -1191,7 +1191,7 @@ object TextOps {
         // so the checkpoint is index-scale, not data-scale.
         val counts = bi.groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("c12"))
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val left = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
         val right = counts.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
         val tot = counts.agg(sum(col("c12")).as("n_tot"))
@@ -1464,7 +1464,7 @@ object TextOps {
           .withColumn("m", coalesce(sum(col("c")).over(above), lit(0L)))
           .withColumn("s", coalesce(sum(col("n") * col("c")).over(above),
             lit(0L)))
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val total = aug.agg(sum(col("n") * col("c")).as("tot"),
           sum(col("c")).as("vocab"))
         val ks = s.createDataFrame(Seq(Tuple1(100L), Tuple1(500L),

@@ -253,7 +253,7 @@ object TrainPrep {
     for (_ <- 1 to steps) {
       val delta = perceptronDelta(feats, labels, w)
       w = w.union(delta).groupBy(col("j")).agg(sum(col("w")).as("w"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
     }
     w
   }
@@ -587,7 +587,7 @@ object TrainPrep {
             |FROM (SELECT split(text, ' ') AS t FROM documents
             |      WHERE source = 'src0' AND size(split(text, ' ')) >= 8)
             |LATERAL VIEW explode(sequence(1, size(t) - 7)) AS i""".stripMargin)
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
           .createOrReplaceTempView("bench_gids")
         s.sql(
           """WITH toks AS (SELECT doc_id, source, split(text, ' ') AS t
@@ -1308,7 +1308,7 @@ object TrainPrep {
       (s, d) => {
         val g = grams(Tables.parallel(s, d, "documents"))
           .select(col("gid"), col("source")).distinct()
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val totals = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val inter = g.join(g.select(col("gid"), col("source").as("sb")), "gid")
           .filter(col("source") < col("sb"))
@@ -1666,8 +1666,8 @@ object TrainPrep {
         // re-reads them (the q122 lesson: without the pin every step
         // re-tokenizes the corpus)
         val feats = clfFeatures(docs, "text", Seq("doc_id"))
-          .localCheckpoint(true)
-        val labels = clfLabels(docs).localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val labels = clfLabels(docs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         (1L to 3L).foreach(t => trainClfStep(s, feats, labels, tbl, t))
         s.range(0, ClfBuckets).toDF("j")
           .join(readClfWeights(s, tbl), Seq("j"), "left")
@@ -1733,7 +1733,7 @@ object TrainPrep {
         val docs = Tables(s, d, "documents")
           .select(col("doc_id"), col("text"))
         val feats = clfFeatures(docs, "text", Seq("doc_id"))
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val w = trainPerceptron(s, feats, clfLabels(docs), 3)
         val arr = Array.fill(ClfBuckets)(0L)
         w.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
@@ -1816,10 +1816,10 @@ object TrainPrep {
           .select(col("doc_id"), col("text"))
         val assign = clusterSafeAssignment(s, d)
           .select(col("doc_id"), (col("split") === "train").as("is_train"))
-          .localCheckpoint(true)
-        val labels = clfLabels(docs).localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val labels = clfLabels(docs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val feats = clfFeatures(docs, "text", Seq("doc_id"))
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val trainIds = assign.filter(col("is_train")).select(col("doc_id"))
         val w = trainPerceptron(s,
           feats.join(trainIds, "doc_id"),
@@ -1944,14 +1944,14 @@ object TrainPrep {
           .select(col("doc_id"), col("text"))
         val assign = clusterSafeAssignment(s, d)
           .select(col("doc_id"), (col("split") === "train").as("is_train"))
-          .localCheckpoint(true)
-        val labels = clfLabels(docs).localCheckpoint(true)
-        val feats = clfFeaturesStruct(docs).localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val labels = clfLabels(docs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val feats = clfFeaturesStruct(docs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val trainIds = assign.filter(col("is_train")).select(col("doc_id"))
         val labTr = labels.join(trainIds, "doc_id")
         val w1 = rocchioDirection(feats.join(trainIds, "doc_id"),
-          balancedClassWeights(labTr)).localCheckpoint(true)
-        val mAll = clfMargins(feats, w1).localCheckpoint(true)
+          balancedClassWeights(labTr)).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val mAll = clfMargins(feats, w1).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val tau = balancedThreshold(labTr.join(mAll, "doc_id"))
         mAll.crossJoin(broadcast(tau.select(col("tau"))))
           .select(col("doc_id"), (col("margin") > col("tau")).as("pred"))
@@ -2084,21 +2084,21 @@ object TrainPrep {
           .select(col("doc_id"), col("text"))
         val assign = clusterSafeAssignment(s, d)
           .select(col("doc_id"), (col("split") === "train").as("is_train"))
-          .localCheckpoint(true)
-        val labels = clfLabels(docs).localCheckpoint(true)
-        val feats = clfFeaturesStruct(docs).localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val labels = clfLabels(docs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val feats = clfFeaturesStruct(docs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val trainIds = assign.filter(col("is_train")).select(col("doc_id"))
         val labTr = labels.join(trainIds, "doc_id")
         val w1 = rocchioDirection(feats.join(trainIds, "doc_id"),
-          balancedClassWeights(labTr)).localCheckpoint(true)
-        val mAll = clfMargins(feats, w1).localCheckpoint(true)
+          balancedClassWeights(labTr)).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+        val mAll = clfMargins(feats, w1).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         // rank candidates by tau; the balanced argmin's rank anchors a
         // ±4 window (rank distance, not margin distance — margins are
         // integer-exact but arbitrarily spaced)
         val cand = thresholdCandidates(labTr.join(mAll, "doc_id"))
         val ranked = cand.withColumn("rk",
           row_number().over(Window.orderBy(col("tau"))))
-          .localCheckpoint(true)
+          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val rk0 = ranked.orderBy(col("err"), col("tau")).limit(1)
           .select(col("rk").as("rk0"))
         val sweep = ranked.crossJoin(broadcast(rk0))

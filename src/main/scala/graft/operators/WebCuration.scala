@@ -73,7 +73,10 @@ object WebCuration {
   private def pinSlim(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get(WebPinConf, "checkpoint") == "persist")
       df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    else df.localCheckpoint(true)
+    // consumers read the pin at size-derived parallelism (guide §2 —
+    // the slim frame's map stages otherwise schedule one near-empty
+    // task per decode partition at micro-batch scale)
+    else graft.Jobs.adaptiveRead(df.localCheckpoint(true))
 
   /** The WET fixture: the corpus packed into ~97 crawl files — one
     * multi-member gzip payload per file, one document per member in

@@ -704,7 +704,7 @@ object StoreManifest {
     val (_, cur) = currentRequired(s, manifest, "wet")
     val v = graft.streaming.CrawlIngest
       .wetVerdicts(s, files, cur("fps"), cur("hosts"), budget, batchId)
-      .localCheckpoint()
+      .localCheckpoint().transform(graft.Jobs.adaptiveRead(_))
     graft.streaming.CrawlIngest.foldWet(s, v, cur("fps"), cur("hosts"),
       batchId)
   }
@@ -756,7 +756,7 @@ object StoreManifest {
     val v = graft.streaming.CrawlIngest
       .wetVerdicts(s, files, cur("fps"), cur("hosts"), budget, batchId,
         None, near)
-      .localCheckpoint()
+      .localCheckpoint().transform(graft.Jobs.adaptiveRead(_))
     graft.streaming.CrawlIngest.foldWet(s, v, cur("fps"), cur("hosts"),
       batchId, near)
   }

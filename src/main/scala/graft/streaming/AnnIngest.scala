@@ -88,7 +88,7 @@ object AnnIngest {
         val assigned = Similarity.assignCells(withV, centStore)
           .join(withV, "vec_id")
           .select(col("vec_id"), col("cell"), col("v"))
-          .localCheckpoint()
+          .localCheckpoint().transform(graft.Jobs.adaptiveRead(_))
         AtomicLanding.publish(assigned, cellDir, id, Seq("cell"))
         val codes = Similarity.pqEncodePacked(assigned, codebook)
           .join(assigned.select(col("vec_id"), col("cell")), "vec_id")

@@ -386,9 +386,15 @@ object CrawlIngest {
       .select(col("file_id"), col("rec_idx"))
     // the deferred scorer: admitted rows only (see the decode-order
     // note above) — at the production admit rate this turns the
-    // seam's clf term from corpus-sized to admitted-sized
+    // seam's clf term from corpus-sized to admitted-sized.
+    // BROADCAST the key set (guide §8): the build side is 16-byte key
+    // rows bounded by the micro-batch's record count, while the probe
+    // side carries the decoded BODIES — a planner-chosen sort-merge
+    // here would shuffle every admitted body to attach a yes/no
+    // decision, the exact heavy-payload-moves-twice shape the
+    // decode-order change exists to avoid.
     val scored = graft.operators.TrainPrep.withClfScore(
-      pinned.join(admittedKeys, Seq("file_id", "rec_idx")),
+      pinned.join(broadcast(admittedKeys), Seq("file_id", "rec_idx")),
       "body", clfWeights)
       .withColumn("clf_keep",
         if (clfWeights.isDefined) col("clf_score") > 0

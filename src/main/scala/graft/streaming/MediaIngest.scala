@@ -110,7 +110,7 @@ object MediaIngest {
         // materialized shots frame (decode dominates this pipeline)
         val shots = Multimodal.clipShots(s,
           Multimodal.spreadClips(batch.toDF("doc_id", "clip")))
-          .localCheckpoint()
+          .localCheckpoint().transform(graft.Jobs.adaptiveRead(_))
         AtomicLanding.publish(
           Multimodal.scoreShotsAgainstKeyframes(shots, preFold),
           outDir, id)
