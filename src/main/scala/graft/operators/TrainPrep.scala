@@ -249,9 +249,16 @@ object TrainPrep {
     */
   private[graft] def trainPerceptron(s: SparkSession, feats: DataFrame,
       labels: DataFrame, steps: Int): DataFrame = {
+    // pin the training frames ONCE (round 17): each step's delta plan
+    // references `feats` twice (margins + summed update) and `labels`
+    // once, so an unpinned caller expression — q209/q210 pass
+    // feats ⋈ trainIds — re-executed that join 2×steps times inside
+    // the loop; the pin is sample-sized by the training contract
+    val f = graft.Jobs.pinned(feats)
+    val l = graft.Jobs.pinned(labels)
     var w: DataFrame = s.range(0).select(col("id").as("j"), col("id").as("w"))
     for (_ <- 1 to steps) {
-      val delta = perceptronDelta(feats, labels, w)
+      val delta = perceptronDelta(f, l, w)
       w = w.union(delta).groupBy(col("j")).agg(sum(col("w")).as("w"))
         .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
     }

@@ -313,7 +313,10 @@ object CrawlIngest {
         // matched-the-store ⇔ the assigned cluster id is a STORED
         // record's id (delivery keys are unique, so batch ids and
         // stored ids are disjoint — see the startWet scaladoc)
-        val own = fullSlim.select(col("ck").as("comp")).distinct()
+        // no distinct: (file_id, rec_idx) — and so ck — is unique by
+        // the near-mode delivery contract (startWet scaladoc), so the
+        // exchange it cost bought nothing (one fewer AQE stage/wave)
+        val own = fullSlim.select(col("ck").as("comp"))
           .withColumn("own", lit(true))
         val bandsArr = bandsRead
           .groupBy(col("doc_id"))
@@ -448,35 +451,41 @@ object CrawlIngest {
     val guards = DeltaStore.recordedIdsMulti(s,
       near.map { case (b, c) => Seq(b, c) }.getOrElse(Nil) ++
         Seq(fpTable, hostTable))
-    // near mode: the band + component deltas fold FIRST (both derive
-    // from the landed verdict rows — the band signatures rode out as
-    // an array column, so no re-decode). Same retry argument as
-    // fp-vs-host: any prefix of the four folds landing before a crash
-    // is refused on retry, every serving read filters batch_id <
-    // inst, and the HOST fold stays the commit point.
+    // The band + component + fp deltas all derive from the LANDED
+    // verdict rows (the band signatures rode out as an array column,
+    // so no re-decode; the fp delta reads dup_of_store instead of
+    // re-anti-joining the corpus-sized store — round 16) and are
+    // MUTUALLY INDEPENDENT, so they fold CONCURRENTLY (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially — each fold's catalyst planning and its append's
+    // tail back-fill the others' idle cores). Crash semantics weaken
+    // only from "any prefix of the folds landed" to "any SUBSET of
+    // the non-commit folds landed", which the retry already handles:
+    // each refresh re-checks ITS slice under its own guard (landed →
+    // refused no-op, missing → folded), every serving read filters
+    // batch_id < inst, and the HOST fold — the commit point — still
+    // runs strictly LAST, alone.
+    val folds = Seq.newBuilder[() => Boolean]
     near.foreach { case (bandT, compT) =>
       val ck = (col("file_id") * 1000000L + col("rec_idx")).as("doc_id")
-      DeltaStore.refresh(s,
+      folds += (() => DeltaStore.refresh(s,
         verdicts.select(ck, explode(col("bands")).as("b"))
           .select(col("b.band").as("band"), col("b.h1").as("h1"),
             col("b.h2").as("h2"), col("doc_id")),
-        bandT, Seq("band", "h1", "h2"), inst, recorded = Some(guards(bandT)))
-      DeltaStore.refresh(s,
+        bandT, Seq("band", "h1", "h2"), inst,
+        recorded = Some(guards(bandT))))
+      folds += (() => DeltaStore.refresh(s,
         verdicts.select(ck, col("near_comp").as("comp")),
-        compT, Seq("doc_id"), inst, recorded = Some(guards(compT)))
+        compT, Seq("doc_id"), inst, recorded = Some(guards(compT))))
     }
-    // The fp delta comes from the verdict rows, NOT from re-anti-
-    // joining the store (round 16): dup_of_store was computed against
-    // the identical pre-fold snapshot (batch_id < inst), so
-    // "records whose fp the store didn't hold, distinct" IS the
-    // novel-fp set — [[foldFps]]'s anti-join would re-scan the
-    // corpus-sized fp store a second time per wave for the same
-    // answer. Crash replay is unchanged: a replayed batch recomputes
-    // the same flags against the same snapshot, and the refresh is
-    // watermark-refused anyway.
-    DeltaStore.refresh(s,
+    folds += (() => DeltaStore.refresh(s,
       verdicts.filter(!col("dup_of_store")).select(col("fp")).distinct(),
-      fpTable, Seq("fp"), inst, recorded = Some(guards(fpTable)))
+      fpTable, Seq("fp"), inst, recorded = Some(guards(fpTable))))
+    val ec = scala.concurrent.ExecutionContext.global
+    folds.result()
+      .map(f => scala.concurrent.Future(f())(ec))
+      .foreach(fu => scala.concurrent.Await.result(fu,
+        scala.concurrent.duration.Duration.Inf))
     DeltaStore.refresh(s,
       verdicts.filter(col("admitted"))
         .groupBy(col("host")).agg(count(lit(1)).as("n_admitted")),
