@@ -610,7 +610,7 @@ object Dedup {
       .distinct()
     val edges = pairsFromBands(newBands).union(rootEdges)
       .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
-    val labels = propagate(edges)._1 // (id, label), delta-graph nodes only
+    val labels = labelEdges(edges) // (id, label), delta-graph nodes only
     val batchLabels = newIds
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -689,7 +689,7 @@ object Dedup {
     // (both union arms would otherwise re-run the whole minhash
     // pipeline)
     val edges = minhashPairs(s, d).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
-    propagate(edges)._1.select(col("id").as("doc_id"), col("label").as("comp"))
+    labelEdges(edges).select(col("id").as("doc_id"), col("label").as("comp"))
   }
 
   /** Connected components of ONE micro-batch's band-collision graph —
@@ -759,6 +759,63 @@ object Dedup {
               if (ra != rb) {
                 if (ra < rb) parent(rb) = ra else parent(ra) = rb
               }
+          }
+        }
+        val ids = parent.keys.toArray
+        ids.iterator.map(d => (d, find(d)))
+      }
+      .toDF("id", "label")
+  }
+
+  /** Connected-component labels of a PINNED (da, db) edge frame with
+    * the same size-bounded strategy choice as [[batchGraphLabels]]
+    * (round 17): under [[BatchUfMaxRows]] edge rows (the count is a
+    * cache scan — callers pass localCheckpointed frames by contract)
+    * the labels come from [[edgeComponents]]' single-task union-find
+    * — ONE job instead of [[propagate]]'s 3 eager jobs per round,
+    * which profiling pinned as pure driver-round scheduling at
+    * micro-batch scale (the incremental family runs a propagate per
+    * wave over a batch-local delta graph). Above the bound the
+    * iterative path takes over unchanged, so corpus-scale closures
+    * (100 TB) keep the distributed algorithm. Labels are identical
+    * by construction: both produce min-node-id per component over
+    * exactly the edge-endpoint node set.
+    */
+  private[graft] def labelEdges(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    val limit = s.conf.getOption("spark.graft.batchuf.max")
+      .map(_.toLong).getOrElse(BatchUfMaxRows)
+    if (edges.count() <= limit) edgeComponents(edges)
+    else propagate(edges)._1
+  }
+
+  /** The single-task union-find of [[labelEdges]] — [[batchComponents]]'
+    * imperative core over an explicit edge list (union-by-smaller-root,
+    * so the root IS the component's min id; path compression keeps it
+    * near-linear). Emits (id, label) for every edge endpoint — the
+    * exact node set [[propagate]] labels (its self-arm keeps every
+    * endpoint).
+    */
+  private[graft] def edgeComponents(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.select(col("da"), col("db")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
           }
         }
         val ids = parent.keys.toArray
@@ -2252,7 +2309,7 @@ object Dedup {
         // assignment join — pin it once
         val storeBands = bandSignatures(store).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val edges = pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
-        val comp = propagate(edges)._1
+        val comp = labelEdges(edges)
           .select(col("id").as("doc_id"), col("label").as("comp"))
         assignToClusters(s, batch,
           storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),
@@ -2296,7 +2353,7 @@ object Dedup {
           .select(col("doc_id"), col("text"))
         val storeBands = bandSignatures(store).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val edges = pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
-        val comp = propagate(edges)._1
+        val comp = labelEdges(edges)
           .select(col("id").as("doc_id"), col("label").as("comp"))
         assignToClusters(s, batch,
           storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),
@@ -2518,7 +2575,7 @@ object Dedup {
         val batch = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
         val storeBands = bandSignatures(store).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
-        val comp = propagate(pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_)))._1
+        val comp = labelEdges(pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_)))
           .select(col("id").as("doc_id"), col("label").as("comp"))
         val newBands = bandSignatures(batch).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val (batchLabels, storeNodes) = refreshDelta(newBands,
@@ -2573,7 +2630,7 @@ object Dedup {
           .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
           .filter(col("sa") === col("sb"))
           .select(col("da"), col("db")).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
-        val comp = propagate(sameSrcPairs)._1
+        val comp = labelEdges(sameSrcPairs)
           .select(col("id").as("doc_id"), col("label").as("comp"))
         pendingBridges(s, batch,
           storeBands.select(col("doc_id"), col("band"), col("h1"), col("h2")),
@@ -2646,7 +2703,7 @@ object Dedup {
         val batch = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
         val storeBands = bandSignatures(store).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
-        val comp = propagate(pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_)))._1
+        val comp = labelEdges(pairsFromBands(storeBands).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_)))
           .select(col("id").as("doc_id"), col("label").as("comp"))
         val newBands = bandSignatures(batch).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val (batchLabels, storeNodes) = refreshDelta(newBands,

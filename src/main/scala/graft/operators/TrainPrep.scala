@@ -1576,7 +1576,7 @@ object TrainPrep {
     QueryDef(
       "q190_hash_classifier",
       (s, d) => withClfScore(
-        Tables(s, d, "documents").select(col("doc_id"), col("text")),
+        Tables.parallel(s, d, "documents").select(col("doc_id"), col("text")),
         "text")
         .select(col("doc_id"), col("n_feat"),
           col("clf_score").as("score_milli"))
@@ -1616,7 +1616,7 @@ object TrainPrep {
     QueryDef(
       "q193_classifier_broadcast",
       (s, d) => clfScoreBroadcast(
-        Tables(s, d, "documents").select(col("doc_id"), col("text")),
+        Tables.parallel(s, d, "documents").select(col("doc_id"), col("text")),
         "text", Seq("doc_id"))
         .select(col("doc_id"), col("n_feat"),
           col("clf_score").as("score_milli"))
@@ -1667,7 +1667,7 @@ object TrainPrep {
           p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
         }
         writeClfStoreEmpty(s, tbl, 8)
-        val docs = Tables(s, d, "documents")
+        val docs = Tables.parallel(s, d, "documents")
           .select(col("doc_id"), col("text"))
         // features and labels pinned ONCE — each of the three steps
         // re-reads them (the q122 lesson: without the pin every step
@@ -1737,11 +1737,13 @@ object TrainPrep {
     QueryDef(
       "q209_clf_trained_serve",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
+        val docs = Tables.parallel(s, d, "documents")
           .select(col("doc_id"), col("text"))
-        val feats = clfFeatures(docs, "text", Seq("doc_id"))
-          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
-        val w = trainPerceptron(s, feats, clfLabels(docs), 3)
+        // no caller pin: trainPerceptron pins its inputs (round 17) —
+        // a caller checkpoint here materialized the corpus-sized
+        // feature frame TWICE (measured +0.95 s at sf0.1)
+        val w = trainPerceptron(s, clfFeatures(docs, "text", Seq("doc_id")),
+          clfLabels(docs), 3)
         val arr = Array.fill(ClfBuckets)(0L)
         w.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
         withClfScore(docs, "text", Some(arr))
@@ -1819,17 +1821,18 @@ object TrainPrep {
     QueryDef(
       "q210_clf_eval",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
+        val docs = Tables.parallel(s, d, "documents")
           .select(col("doc_id"), col("text"))
         val assign = clusterSafeAssignment(s, d)
           .select(col("doc_id"), (col("split") === "train").as("is_train"))
           .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val labels = clfLabels(docs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
-        val feats = clfFeatures(docs, "text", Seq("doc_id"))
-          .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val trainIds = assign.filter(col("is_train")).select(col("doc_id"))
+        // feats unpinned: its only consumer is the training join, and
+        // trainPerceptron pins that (round 17) — a caller pin here
+        // materialized the corpus-sized feature frame twice
         val w = trainPerceptron(s,
-          feats.join(trainIds, "doc_id"),
+          clfFeatures(docs, "text", Seq("doc_id")).join(trainIds, "doc_id"),
           labels.join(trainIds, "doc_id"), 3)
         // the declared O(1024) model-sized driver read (q209's class)
         val arr = Array.fill(ClfBuckets)(0L)
@@ -1947,7 +1950,7 @@ object TrainPrep {
     QueryDef(
       "q211_clf_rocchio_eval",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
+        val docs = Tables.parallel(s, d, "documents")
           .select(col("doc_id"), col("text"))
         val assign = clusterSafeAssignment(s, d)
           .select(col("doc_id"), (col("split") === "train").as("is_train"))
@@ -2087,7 +2090,7 @@ object TrainPrep {
     QueryDef(
       "q213_clf_threshold_curve",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
+        val docs = Tables.parallel(s, d, "documents")
           .select(col("doc_id"), col("text"))
         val assign = clusterSafeAssignment(s, d)
           .select(col("doc_id"), (col("split") === "train").as("is_train"))

@@ -795,7 +795,11 @@ object StoreManifest {
       Seq("band", "h1", "h2"), 4)
       .select(col("pa.id").as("da"), col("pb.id").as("db"))
       .distinct()
-    val labels = graft.operators.Dedup.propagate(pairs)._1
+      // pinned: labelEdges' bounded strategy choice reads the count
+      // off the cache, and propagate's adj union referenced the
+      // unpinned pair generation twice anyway
+      .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
+    val labels = graft.operators.Dedup.labelEdges(pairs)
     val ids = s.table(cur("comps")).select(col("doc_id")).distinct()
     val full = ids
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
