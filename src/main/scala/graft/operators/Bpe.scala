@@ -427,10 +427,16 @@ object Bpe {
       .select(explode(array(col("lsym"), col("rsym"))).as("sym"), col("b"))
       .groupBy(col("sym")).agg(min(col("b")).as("mb"))
     withB
-      .join(symBest.select(col("sym").as("lsym"), col("mb").as("lmb")),
-        Seq("lsym"))
-      .join(symBest.select(col("sym").as("rsym"), col("mb").as("rmb")),
-        Seq("rsym"))
+      // broadcast both accept joins (round 17): symBest is SYMBOL-
+      // sized (≤ vocabulary symbols) by construction, but the planner
+      // sees only a post-aggregation estimate — a shuffled join here
+      // costs two exchanges + their AQE stage-jobs per pass, and the
+      // batched learner's wall time is pass-count × fixed cost, not
+      // data (guide §3.1: hint when you KNOW a side is small)
+      .join(broadcast(symBest.select(col("sym").as("lsym"),
+        col("mb").as("lmb"))), Seq("lsym"))
+      .join(broadcast(symBest.select(col("sym").as("rsym"),
+        col("mb").as("rmb"))), Seq("rsym"))
       .filter(col("b") === col("lmb") && col("b") === col("rmb"))
       .orderBy(col("b")).limit(m)
       .agg(array_sort(collect_list(col("b"))).as("ms"))
