@@ -150,11 +150,11 @@ object TrainPrep {
     // element_at path
     val weights = trained match {
       case Some(w) =>
-        s.range(0, ClfBuckets).toDF("j")
+        s.range(0, ClfBuckets, 1, 1).toDF("j")
           .join(w.select(col("j"), col("w").as("w_milli")), Seq("j"), "left")
           .select(col("j"), coalesce(col("w_milli"), lit(0L)).as("w_milli"))
       case None =>
-        s.range(0, ClfBuckets).toDF("j")
+        s.range(0, ClfBuckets, 1, 1).toDF("j")
           .select(col("j"),
             ((col("j") * 2654435761L) % 2001 - 1000).as("w_milli"))
     }
@@ -256,7 +256,7 @@ object TrainPrep {
     // the loop; the pin is sample-sized by the training contract
     val f = graft.Jobs.pinned(feats)
     val l = graft.Jobs.pinned(labels)
-    var w: DataFrame = s.range(0).select(col("id").as("j"), col("id").as("w"))
+    var w: DataFrame = s.range(0, 0, 1, 1).select(col("id").as("j"), col("id").as("w"))
     for (_ <- 1 to steps) {
       val delta = perceptronDelta(f, l, w)
       w = w.union(delta).groupBy(col("j")).agg(sum(col("w")).as("w"))
@@ -272,7 +272,7 @@ object TrainPrep {
   def writeClfStoreEmpty(s: SparkSession, table: String,
       buckets: Int = -1): Unit =
     graft.stores.DeltaStore.write(s,
-      s.range(0).select(col("id").as("j"), col("id").as("w")),
+      s.range(0, 0, 1, 1).select(col("id").as("j"), col("id").as("w")),
       table, Seq("j"), buckets)
 
   /** One training step AGAINST the store: read the current model
@@ -1676,7 +1676,7 @@ object TrainPrep {
           .localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         val labels = clfLabels(docs).localCheckpoint(true).transform(graft.Jobs.adaptiveRead(_))
         (1L to 3L).foreach(t => trainClfStep(s, feats, labels, tbl, t))
-        s.range(0, ClfBuckets).toDF("j")
+        s.range(0, ClfBuckets, 1, 1).toDF("j")
           .join(readClfWeights(s, tbl), Seq("j"), "left")
           .select(col("j"), coalesce(col("w"), lit(0L)).as("w"))
       },

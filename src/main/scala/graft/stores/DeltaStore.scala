@@ -367,7 +367,7 @@ object DeltaStore {
           s.table(table)
             .agg(greatest(coalesce(max(col("batch_id")), lit(0L)),
               lit(sidecarWm)).as("batch_id"))
-        else s.range(1).select(lit(sidecarWm).as("batch_id"))
+        else s.range(0, 1, 1, 1).select(lit(sidecarWm).as("batch_id"))
       view.crossJoin(broadcast(wm))
         .write.mode("overwrite")
         .bucketBy(spec.numBuckets, keyCols.head, keyCols.tail: _*)

@@ -1041,12 +1041,12 @@ object StoreManifest {
           }
         init(s, mf)
         val p1 = prepare(s, mf, "demo", Seq("band", "comp"))
-        Seq("band", "comp").foreach(r => s.range(1).write.mode("overwrite")
+        Seq("band", "comp").foreach(r => s.range(0, 1, 1, 1).write.mode("overwrite")
           .format("parquet").saveAsTable(p1.tables(r)))
         publish(s, mf, "demo", p1)
         val p2 = prepare(s, mf, "demo", Seq("band", "comp"),
           reuse = Map("band" -> p1.tables("band")))
-        s.range(2).write.mode("overwrite").format("parquet")
+        s.range(0, 2, 1, 1).write.mode("overwrite").format("parquet")
           .saveAsTable(p2.tables("comp"))
         publish(s, mf, "demo", p2)
         prepare(s, mf, "demo", Seq("band", "comp")) // crash before write
@@ -1091,7 +1091,7 @@ object StoreManifest {
         init(s, mf)
         def pub(fam: String): Prepared = {
           val p = prepare(s, mf, fam, Seq("band", "comp"))
-          Seq("band", "comp").foreach(r => s.range(1).write
+          Seq("band", "comp").foreach(r => s.range(0, 1, 1, 1).write
             .mode("overwrite").format("parquet").saveAsTable(p.tables(r)))
           publish(s, mf, fam, p)
           p
@@ -1101,9 +1101,9 @@ object StoreManifest {
         s.sql(s"DROP TABLE ${mf}_a_v2_comp") // out-of-band drop of a LIVE table
         pub("b"); pub("b")
         vacuum(s, mf, "b") // clean: v1 vacuumed, tables dropped
-        s.range(1).write.format("parquet")
+        s.range(0, 1, 1, 1).write.format("parquet")
           .saveAsTable(s"${mf}_b_v1_band") // ...and one reappears
-        s.range(1).write.format("parquet")
+        s.range(0, 1, 1, 1).write.format("parquet")
           .saveAsTable(s"${mf}_c_v9_junk") // unreferenced debris
         fsck(s, mf)
       },
@@ -1141,7 +1141,7 @@ object StoreManifest {
         init(s, mf)
         def pub(): Prepared = {
           val p = prepare(s, mf, "demo", Seq("band", "comp"))
-          Seq("band", "comp").foreach(r => s.range(1).write
+          Seq("band", "comp").foreach(r => s.range(0, 1, 1, 1).write
             .mode("overwrite").format("parquet").saveAsTable(p.tables(r)))
           publish(s, mf, "demo", p)
           p

@@ -210,11 +210,11 @@ object CrawlIngest {
   def writeNearStoresEmpty(s: SparkSession, bandTable: String,
       compTable: String, buckets: Int = -1): Unit = {
     DeltaStore.write(s,
-      s.range(0).select(col("id").cast("int").as("band"),
+      s.range(0, 0, 1, 1).select(col("id").cast("int").as("band"),
         col("id").as("h1"), col("id").as("h2"), col("id").as("doc_id")),
       bandTable, Seq("band", "h1", "h2"), buckets)
     DeltaStore.write(s,
-      s.range(0).select(col("id").as("doc_id"), col("id").as("comp")),
+      s.range(0, 0, 1, 1).select(col("id").as("doc_id"), col("id").as("comp")),
       compTable, Seq("doc_id"), buckets)
   }
 
@@ -224,7 +224,7 @@ object CrawlIngest {
   def writeHostStore(s: SparkSession, table: String,
       buckets: Int = -1): Unit =
     DeltaStore.write(s,
-      s.range(0).select(col("id").cast("string").as("host"),
+      s.range(0, 0, 1, 1).select(col("id").cast("string").as("host"),
         col("id").as("n_admitted")),
       table, Seq("host"), buckets)
 
@@ -555,7 +555,7 @@ object CrawlIngest {
   def writeFpStoreEmpty(s: SparkSession, table: String,
       buckets: Int = -1): Unit =
     DeltaStore.write(s,
-      s.range(0).select(col("id").cast("string").as("fp")),
+      s.range(0, 0, 1, 1).select(col("id").cast("string").as("fp")),
       table, Seq("fp"), buckets)
 
   /** SUM-semantics compaction of the host-counts store: the admitted
