@@ -90,8 +90,15 @@ class HashClassifierSpec extends AnyFunSuite {
       assert(plan.collect {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
       }.nonEmpty, "weights must join as a broadcast")
+      // the input-split round-robin (Tables.parallel's single-file
+      // emulation — a passthrough on properly split production
+      // tables) is not part of the scoring algorithm; the pin is
+      // about the HASH exchanges the algorithm pays
       val shuffles = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if !e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+                .RoundRobinPartitioning] => e
       }
       assert(shuffles.size <= 1,
         s"expected at most the doc_id agg exchange, got ${shuffles.size}")
